@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N}.
+
+Each query is fully materialized through the noop sink (no driver
+collect, no column pruning shortcut), after a small warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pythondataingestionprocess_spark.plans import REGISTRY  # noqa: E402
+from pythondataingestionprocess_spark.session import get_spark  # noqa: E402
+
+# Representative headline set — scan/filter/join/agg/window/dedup/
+# similarity coverage. Extend as operators land.
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "broadcast_dim_join",
+    "left_join_reverse_agg",
+    "multi_agg_stats",
+    "semi_join_membership",
+    "anti_join_dedup",
+    "top_orders_by_price",
+    "rollup_agg",
+    "union_all_slices",
+    "window_running_total",
+    "forward_fill_locf",
+    "topk_per_group",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "embedding_knn_brute",
+    "embedding_ann_lsh",
+    "text_quality_score",
+    "tumbling_window_agg",
+    "sessionization",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="pdip-spark-bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # warmup: JVM/codegen/parquet footer caches
+    materialize(REGISTRY[names[0]].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+"""Query plan catalog. Importing this package populates REGISTRY."""
+
+from pythondataingestionprocess_spark.plans.registry import REGISTRY, QuerySpec, query
+
+# Each module registers its queries on import.
+from pythondataingestionprocess_spark.plans import core_relational  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

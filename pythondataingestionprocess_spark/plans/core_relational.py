@@ -1,0 +1,542 @@
+"""Core relational operator queries (SURVEY.md §2.1-2.4, §2.6-2.7).
+
+Each query is the Spark-first expression of an operator class found in
+the reference system, verified against a DuckDB oracle on the driver
+corpus. Reference citations in each docstring point into
+/root/reference (file:line) for parity checking.
+
+Scale notes are inline: every join states its intended physical
+strategy at 100 TB (broadcast vs shuffle), every aggregate is
+partial-aggregation-friendly (plain sum/count/min/max), and filters/
+projections are expressed declaratively so Catalyst pushes them into
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.registry import (
+    dec_avg,
+    dec_sum,
+    query,
+    sql_dec_avg,
+    sql_dec_sum,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan → filter → 4-way join → agg → (driver sorts) — TPC-H Q5 shape.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+SELECT r_name, n_name,
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+@query("flagship_revenue_by_nation", oracle=_FLAGSHIP_ORACLE, tags=("join", "agg", "flagship"))
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation over a 2-year order window.
+
+    Exercises scan+pushdown, inner equi-joins, broadcast dims, and
+    partial aggregation in one plan (the reference's J1/J3/A4 shapes,
+    import_files_to_postgre.py:93-97, database_utils.py:33-41).
+
+    Scale: lineitem⨝orders is the big shuffle (co-partition on
+    orderkey); customer is shuffled on custkey; nation/region are
+    broadcast — at 100 TB only the two fact shuffles remain, both on
+    their natural join keys.
+    """
+    lineitem, orders, customer, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    orders_win = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        lineitem.join(orders_win, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape — wide partial-aggregation summary (reference A4 totals).
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum("l_quantity", "sum_qty")},
+       {sql_dec_sum("l_extendedprice", "sum_base_price")},
+       {sql_dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+       {sql_dec_avg("l_quantity", "avg_qty")},
+       {sql_dec_avg("l_extendedprice", "avg_price")},
+       {sql_dec_avg("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_PRICING_ORACLE, tags=("agg",))
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pricing summary (TPC-H Q1 shape) — the engine's version
+    of the reference's sheet-level totals (SURVEY §2.4 A4;
+    import_files_to_postgre.py:254 TOTAL CMPRS / TOTAL DESC columns).
+
+    Scale: pure map-side partial agg into a tiny 2-key shuffle; the
+    shipdate filter pushes into the parquet scan.
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (SURVEY §2.6; no explicit ORDER BY in reference —
+# engine-added per build plan).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_by_price",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("sort", "limit"),
+)
+def top_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with a unique tiebreaker (o_orderkey) so the result
+    is total-ordered and deterministic.
+
+    Scale: Spark executes ORDER BY+LIMIT as TakeOrderedAndProject —
+    per-partition top-k then a tiny driver merge; no full sort.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (SURVEY §2.2 P1, P3, P4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_not_contains",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dec_sum("value", "sum_value")}
+FROM events
+WHERE NOT contains(upper(CAST(event_type AS VARCHAR)), 'ERROR')
+GROUP BY event_type
+""",
+    tags=("filter",),
+)
+def filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative substring-containment filter on a cast-to-string column
+    — the reference's CANCELED-row skip (P3,
+    import_files_to_postgre.py:162-165 does ``"CANCELED" in str(x)``).
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.filter(~F.upper(F.col("event_type").cast("string")).contains("ERROR"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value"))
+    )
+
+
+@query(
+    "filter_nonempty_text",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents
+WHERE text IS NOT NULL AND text <> ''
+GROUP BY source
+""",
+    tags=("filter",),
+)
+def filter_nonempty_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty/NULL-name row skip (P4, import_files_to_postgre.py:171-172)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "projection_narrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_orderkey % 997 = 0
+""",
+    tags=("projection",),
+)
+def projection_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-subset projection with a selective filter (P1,
+    import_files_to_postgre.py:94). The plan must show ReadSchema with
+    only 3 columns and the modulo predicate evaluated post-scan.
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(F.col("l_orderkey") % 997 == 0).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 J1-J5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "left_join_enrich",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, p_brand, p_type, p_retailprice
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey % 499 = 0
+""",
+    tags=("join",),
+)
+def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join enriching facts with dimension attributes — the
+    reference's purchases⟕prices merge (J1,
+    import_files_to_postgre.py:93-97).
+
+    Scale: part is the small side → broadcast; the filter on the fact
+    side keeps the probe cheap and pushes into the scan.
+    """
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.filter(F.col("l_orderkey") % 499 == 0)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand", "p_type", "p_retailprice")
+    )
+
+
+@query(
+    "left_join_reverse_agg",
+    oracle=f"""
+SELECT p_brand,
+       {sql_dec_sum("l_quantity", "sum_qty")},
+       COUNT(l_orderkey) AS n_items
+FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_brand
+""",
+    tags=("join", "agg"),
+)
+def left_join_reverse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-side left join + aggregate — the reference's reversed
+    prices⟕purchases merge (J2, import_files_to_postgre.py:112-116).
+    COUNT(l_orderkey) (not COUNT(*)) so unmatched parts count 0.
+    """
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    return (
+        part.join(lineitem, F.col("p_partkey") == F.col("l_partkey"), "left")
+        .groupBy("p_brand")
+        .agg(dec_sum("l_quantity", "sum_qty"), F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@query(
+    "broadcast_dim_join",
+    oracle=f"""
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum("o_totalprice", "sum_total")}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+""",
+    tags=("join", "agg"),
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached-dimension lookup join (J3/S10, database_utils.py:33-41's
+    in-memory catalog dicts) → broadcast-hash join in Spark.
+    """
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_total"))
+    )
+
+
+@query(
+    "semi_join_membership",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    tags=("join",),
+)
+def semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence membership check (J4,
+    import_files_to_postgre.py:214-215 ``desc in df.values``) →
+    left-semi join; never materializes the probe side's columns.
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_dedup",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    tags=("join",),
+)
+def anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-EXISTS / dedup-vs-existing anti-join (J5,
+    database_utils.py:128-145's duplicate-operation probe).
+
+    Scale: left-anti against the (smaller) existing-keys side;
+    in the ingest pipeline this is the skip-already-ingested check.
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) incl. beyond-reference grouping sets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multi_agg_stats",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {sql_dec_sum("l_extendedprice", "sum_price")},
+       {sql_dec_avg("l_extendedprice", "avg_price")}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def multi_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate scan: count / distinct-count / min / max / sum /
+    avg in one pass (engine-added breadth over reference A1-A5).
+    """
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dec_sum("l_extendedprice", "sum_price"),
+        dec_avg("l_extendedprice", "avg_price"),
+    )
+
+
+@query(
+    "distinct_dims",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("agg",),
+)
+def distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct catalog-key extraction (A5, database_utils.py:37,41's
+    last-wins dict construction → order-free DISTINCT here).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "rollup_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows, {sql_dec_sum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine-added; SURVEY §2.4 notes the
+    reference lacks grouping sets — Spark provides them natively)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dec_sum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "cube_agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders, {sql_dec_sum("o_totalprice", "sum_total")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (engine-added)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_total")
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders, {sql_dec_sum("o_totalprice", "sum_total")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    tags=("agg",),
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (engine-added)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — absent in reference; engine-added; the
+# multi-file ingest loop is morally UNION ALL).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_all_slices",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_rows, {sql_dec_sum("o_totalprice", "sum_total")}
+FROM (
+  SELECT * FROM orders WHERE o_totalprice > 100000
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+) u
+GROUP BY o_orderstatus
+""",
+    tags=("setop",),
+)
+def union_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two overlapping slices (duplicates preserved) —
+    the per-file ingest loop (import_files_to_postgre.py:287-293)
+    re-expressed as a single unioned scan.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    u = orders.filter(F.col("o_totalprice") > 100000).unionAll(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dec_sum("o_totalprice", "sum_total")
+    )
+
+
+@query(
+    "intersect_keys",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setop",),
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets (engine-added §2.7)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersect(orders.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@query(
+    "except_keys",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+    tags=("setop",),
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers minus ordering customers
+    (engine-added §2.7; equivalent to the J5 anti-join on key sets)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.select("c_custkey").subtract(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]`` (single JVM),
+but every config here is chosen to also make sense on a multi-executor
+cluster at ~100 TB:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join strategy)
+- shuffle partitions sized to core count locally; on a real cluster the
+  AQE coalesce makes the initial number far less sensitive
+- Arrow enabled for the (rare) Pandas-UDF paths
+- UTC session timezone so timestamp semantics are stable across
+  environments (and match the DuckDB oracle)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "pythondataingestionprocess-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count — at real
+    cluster scale you would size this to ~2-3x total executor cores
+    and let AQE coalesce small post-shuffle partitions.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which vanilla Spark rejects; read as long and convert in the
+        # catalog loader (see catalog.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
