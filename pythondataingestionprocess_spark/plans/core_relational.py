@@ -527,16 +527,19 @@ def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "except_keys",
     oracle="""
-SELECT c_custkey FROM customer
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """,
     tags=("setop",),
 )
 def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — customers minus ordering customers
-    (engine-added §2.7; equivalent to the J5 anti-join on key sets)."""
-    customer, orders = _t(spark, sf_dir, "customer", "orders")
-    return customer.select("c_custkey").subtract(
-        orders.select(F.col("o_custkey").alias("c_custkey"))
+    """EXCEPT (distinct) — customers with open orders but no finished
+    ones (engine-added §2.7; equivalent to the J5 anti-join on key
+    sets)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .subtract(orders.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
     )

@@ -1,0 +1,304 @@
+"""Window-function queries (SURVEY.md §2.5-2.6: W1 forward-fill, W2
+first-match, O2 order preservation, plus engine-added ranking/frame
+breadth).
+
+Determinism: every ORDER BY inside a window either includes a unique
+tiebreaker (row_number/ntile/lag/lead — order-sensitive) or produces
+values that depend only on the value multiset (rank/dense_rank/
+percent_rank — tie-stable). Running double sums go through exact
+decimal prefix sums.
+
+Scale: windows shuffle once on their partition key; partition keys
+here (user_id, custkey, nation) are high-cardinality so state per key
+stays small — the 100 TB failure mode to avoid is a window over a
+single global partition, which only `positional_attach` uses (and
+only over a 25-row dimension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.registry import query
+
+
+@query(
+    "first_match_pick",
+    oracle="""
+SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate,
+       o_totalprice AS first_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn = 1
+""",
+    tags=("window",),
+)
+def first_match_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-per-key pick — the reference's ``.iloc[0]`` on a
+    filtered price list (W2, import_files_to_postgre.py:215) done
+    order-explicitly: row_number over (date, unique key).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+            F.col("o_totalprice").alias("first_totalprice"),
+        )
+    )
+
+
+@query(
+    "forward_fill_locf",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+) e
+WHERE user_id < 20
+""",
+    tags=("window", "ffill"),
+)
+def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / LOCF — the reference's row-order-dependent URL
+    carry-forward (W1, import_files_to_postgre.py:143-153) expressed
+    as last(ignorenulls) over an explicit order key. The one genuinely
+    non-relational semantic in the reference; the order key (event_id
+    here, row_idx in the ingest pipeline) must come from the source.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        events.filter(F.col("user_id") < 20)
+        .withColumn("v", v)
+        .withColumn("filled_value", F.last("v", ignorenulls=True).over(w))
+        .select("event_id", "user_id", "event_type", "filled_value")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       lag(value)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type,
+       CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)) AS BIGINT) AS gap_us
+FROM events
+WHERE user_id < 20
+""",
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-user event sequence (engine-added §2.5
+    breadth; the gap_us column is the sessionization building block).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return (
+        events.filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+SELECT o_custkey, o_orderkey, price_bucket,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY price_bucket DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY price_bucket DESC) AS drnk
+FROM (
+  SELECT o_custkey, o_orderkey, CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket
+  FROM orders WHERE o_custkey < 200
+) t
+""",
+    tags=("window",),
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with genuine ties (bucketed prices) — tie-stable
+    and so deterministic without a tiebreaker (engine-added §2.5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    w = W.partitionBy("o_custkey").orderBy(F.col("price_bucket").desc())
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .select("o_custkey", "o_orderkey", bucket.alias("price_bucket"))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_total
+FROM orders
+WHERE o_custkey < 100
+""",
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — cumulative frame with exact decimal
+    prefix sums (engine-added §2.5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS sum_10min
+FROM events
+WHERE user_id < 20
+""",
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (trailing 10-minute sum per user) —
+    value-determined frame, so tie-stable (engine-added §2.5)."""
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("user_id") < 20).createOrReplaceTempView("events_u20")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS sum_10min
+        FROM events_u20
+        """
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window + filter (engine-added §2.6).
+
+    Scale: Spark pushes a per-partition partial top-k under the window
+    shuffle only via WindowGroupLimit (rank-based filter) — keep the
+    rn<=k filter directly above the window so the optimization fires.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "positional_attach",
+    oracle="""
+WITH l AS (
+  SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation
+), r AS (
+  SELECT n_name AS alpha_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation
+)
+SELECT l.n_name, r.alpha_name FROM l JOIN r ON l.rn = r.rn
+""",
+    tags=("window", "positional"),
+)
+def positional_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-by-row-position — the reference's hyperlink column attach
+    (S4, import_files_to_postgre.py:261 ``df[col] = urls[:len(df)]``):
+    row_number over an explicit order on both sides, then equi-join.
+
+    Scale: global row_number is a single-partition sort — acceptable
+    only for small sides (here a 25-row dim); the ingest pipeline
+    scopes position by file instead (partitioned window on filename).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    left = nation.withColumn("rn", F.row_number().over(W.orderBy("n_nationkey"))).select(
+        "n_name", "rn"
+    )
+    right = nation.select(F.col("n_name").alias("alpha_name")).withColumn(
+        "rn", F.row_number().over(W.orderBy("alpha_name"))
+    )
+    return left.join(right, "rn").select("n_name", "alpha_name")
+
+
+@query(
+    "percent_rank_ntile",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS pr,
+       ntile(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS quartile
+FROM supplier
+""",
+    tags=("window",),
+)
+def percent_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank (tie-stable) + ntile with a unique tiebreaker
+    (engine-added §2.5)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    wp = W.partitionBy("s_nationkey").orderBy("s_acctbal")
+    wn = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.percent_rank().over(wp).alias("pr"),
+        F.ntile(4).over(wn).alias("quartile"),
+    )
