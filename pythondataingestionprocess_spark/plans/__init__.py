@@ -5,5 +5,6 @@ from pythondataingestionprocess_spark.plans.registry import REGISTRY, QuerySpec,
 # Each module registers its queries on import.
 from pythondataingestionprocess_spark.plans import core_relational  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import windows  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import cleaning_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,423 @@
+"""Oracle-checked queries for the cleaning / derivation expression
+library (SURVEY.md §2.8). The testdata has no dirty strings, so each
+query first *constructs* deterministic dirty values from numeric
+columns (identically in Spark and in the oracle SQL), then applies the
+engine expression. Where possible the oracle states the expected
+output directly (ground truth) instead of re-implementing the rule —
+a stronger check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark import functions as fx
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.registry import dec_sum, query, sql_dec_sum
+
+# ---------------------------------------------------------------- safe_float
+
+_DIRTY_FLOAT_ORACLE = f"""
+WITH dirty AS (
+  SELECT l_orderkey % 6 AS bucket,
+         CASE l_orderkey % 6
+           WHEN 0 THEN 'None'
+           WHEN 1 THEN 'nan'
+           WHEN 2 THEN ''
+           WHEN 3 THEN CAST(l_linenumber AS VARCHAR) || ',' || '25'
+           WHEN 4 THEN CAST(l_linenumber AS VARCHAR) || '.75'
+           ELSE 'abc'
+         END AS raw
+  FROM lineitem
+), parsed AS (
+  SELECT bucket,
+         CASE WHEN raw IS NULL OR lower(trim(raw)) IN ('none','nan','')
+              THEN NULL
+              ELSE TRY_CAST(replace(trim(raw), ',', '.') AS DOUBLE)
+         END AS val
+  FROM dirty
+)
+SELECT bucket, COUNT(*) AS n_rows, COUNT(val) AS n_parsed,
+       {sql_dec_sum("val", "sum_val")}
+FROM parsed GROUP BY bucket
+"""
+
+
+@query("clean_safe_float", oracle=_DIRTY_FLOAT_ORACLE, tags=("cleaning",))
+def clean_safe_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 safe_float over a constructed dirty column: null markers,
+    comma-decimal strings, plain decimals, and garbage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        F.when(F.col("l_orderkey") % 6 == 0, F.lit("None"))
+        .when(F.col("l_orderkey") % 6 == 1, F.lit("nan"))
+        .when(F.col("l_orderkey") % 6 == 2, F.lit(""))
+        .when(
+            F.col("l_orderkey") % 6 == 3,
+            F.concat(F.col("l_linenumber").cast("string"), F.lit(","), F.lit("25")),
+        )
+        .when(
+            F.col("l_orderkey") % 6 == 4,
+            F.concat(F.col("l_linenumber").cast("string"), F.lit(".75")),
+        )
+        .otherwise(F.lit("abc"))
+    )
+    return (
+        li.withColumn("bucket", F.col("l_orderkey") % 6)
+        .withColumn("val", fx.safe_float(raw))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("val").alias("n_parsed"),
+            dec_sum("val", "sum_val"),
+        )
+    )
+
+
+# ------------------------------------------------------------ money cleaning
+
+_MONEY_ORACLE = """
+WITH built AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 2 = 1 THEN '- ' ELSE '+ ' END
+           || '$' || CAST(l_orderkey % 90 + 10 AS VARCHAR) || ','
+           || lpad(CAST((l_partkey * 7) % 1000 AS VARCHAR), 3, '0') || '.'
+           || lpad(CAST((l_suppkey * 13) % 100 AS VARCHAR), 2, '0') AS raw
+  FROM lineitem WHERE l_orderkey % 211 = 0
+)
+SELECT l_orderkey, l_linenumber, raw,
+       (CASE WHEN contains(raw, '-') THEN -1.0 ELSE 1.0 END)
+         * TRY_CAST(replace(replace(replace(replace(raw,'-',''),'+',''),'$',''),',','') AS DOUBLE)
+         AS signed_val,
+       TRY_CAST(replace(replace(ltrim(raw, '+- '), '$', ''), ',', '') AS DOUBLE) AS magnitude
+FROM built
+"""
+
+
+@query("clean_signed_money", oracle=_MONEY_ORACLE, tags=("cleaning",))
+def clean_signed_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5 money + signed-money cleaning over constructed
+    '&plusmn; $N,NNN.NN' strings (pdf_to_xlsx.py:67-69,94-101 shapes).
+    The space in the cleaning class matters: signed_money strips
+    '[-+$, ]' including the blank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = F.concat(
+        F.when(F.col("l_linenumber") % 2 == 1, F.lit("- ")).otherwise(F.lit("+ ")),
+        F.lit("$"),
+        (F.col("l_orderkey") % 90 + 10).cast("string"),
+        F.lit(","),
+        F.lpad(((F.col("l_partkey") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad(((F.col("l_suppkey") * 13) % 100).cast("string"), 2, "0"),
+    )
+    return (
+        li.filter(F.col("l_orderkey") % 211 == 0)
+        .withColumn("raw", raw)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "raw",
+            fx.signed_money("raw").alias("signed_val"),
+            fx.money_clean(F.regexp_replace(F.col("raw"), r"^[-+ ]+", "")).alias("magnitude"),
+        )
+    )
+
+
+# ------------------------------------------------------------ date handling
+
+_SERIAL_ORACLE = """
+SELECT CAST(year(DATE '1899-12-30' + CAST(44000 + o_orderkey % 1000 AS INT)) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       strftime(MIN(DATE '1899-12-30' + CAST(44000 + o_orderkey % 1000 AS INT)), '%Y-%m-%d') AS min_date,
+       strftime(MAX(DATE '1899-12-30' + CAST(44000 + o_orderkey % 1000 AS INT)), '%Y-%m-%d') AS max_date
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("clean_excel_serial_date", oracle=_SERIAL_ORACLE, tags=("cleaning", "dates"))
+def clean_excel_serial_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 Excel serial date conversion (epoch 1899-12-30), grouped by
+    resulting year. DATE outputs are ISO-string-typed on both sides —
+    pandas has no date dtype, so engines disagree on the in-memory
+    repr of a bare DATE (datetime.date vs datetime64) and value hashes
+    would diverge spuriously."""
+    orders = load_table(spark, sf_dir, "orders")
+    serial = (F.lit(44000) + F.col("o_orderkey") % 1000).cast("int")
+    d = fx.excel_serial_to_date(serial)
+    return (
+        orders.withColumn("d", d)
+        .groupBy(F.year("d").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("max_date"),
+        )
+    )
+
+
+_STMT_DATE_ORACLE = """
+SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS stmt_date
+FROM orders WHERE o_orderkey % 503 = 0
+"""
+
+
+@query("clean_stmt_date_roundtrip", oracle=_STMT_DATE_ORACLE, tags=("cleaning", "dates"))
+def clean_stmt_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 statement-date parsing: format each order date as the BBVA
+    'dd-mmm-yyyy' lowercase-Spanish shape, parse it back with the
+    month-map expression, and compare against ground truth (the oracle
+    simply states the original date)."""
+    orders = load_table(spark, sf_dir, "orders")
+    month_abbrs = ["ene", "feb", "mar", "abr", "may", "jun",
+                   "jul", "ago", "sep", "oct", "nov", "dic"]
+    abbr = F.lit(None).cast("string")
+    for i, a in enumerate(month_abbrs, start=1):
+        abbr = F.when(F.month("o_orderdate") == i, F.lit(a)).otherwise(abbr)
+    raw = F.concat_ws(
+        "-",
+        F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0"),
+        abbr,
+        F.year("o_orderdate").cast("string"),
+    )
+    return (
+        orders.filter(F.col("o_orderkey") % 503 == 0)
+        .select(
+            "o_orderkey",
+            F.date_format(fx.parse_stmt_date(raw), "yyyy-MM-dd").alias("stmt_date"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ URLs
+
+_URL_STORE_ORACLE = """
+SELECT CASE s_suppkey % 5
+         WHEN 0 THEN lower(replace(n_name, ' ', ''))
+         WHEN 1 THEN lower(replace(n_name, ' ', ''))
+         WHEN 2 THEN 'mercadolibre'
+         WHEN 3 THEN 'mercadolibre'
+         ELSE NULL
+       END AS store_name,
+       COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+@query("url_store_name", oracle=_URL_STORE_ORACLE, tags=("cleaning", "urls"))
+def url_store_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 store-name derivation over constructed URLs covering every
+    rule branch: plain www host, es-prefixed host, literal 'ML',
+    articulo.mercadolibre host, NULL. The oracle states the expected
+    store names directly (ground truth)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    base = F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("")))
+    url = (
+        F.when(
+            F.col("s_suppkey") % 5 == 0,
+            F.concat(F.lit("https://www."), base, F.lit(".com/item/"), F.col("s_suppkey")),
+        )
+        .when(
+            F.col("s_suppkey") % 5 == 1,
+            F.concat(F.lit("https://es."), base, F.lit(".com.mx/p/"), F.col("s_suppkey")),
+        )
+        .when(F.col("s_suppkey") % 5 == 2, F.lit("ML"))
+        .when(
+            F.col("s_suppkey") % 5 == 3,
+            F.concat(F.lit("https://articulo.mercadolibre.com.mx/MLM-"), F.col("s_suppkey")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("store_name", fx.store_name_from_url(url))
+        .groupBy("store_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+_URL_CANON_ORACLE = """
+WITH built AS (
+  SELECT p_partkey,
+         CASE p_partkey % 6
+           WHEN 0 THEN 'https://www.temu.com/mx/item-' || CAST(p_partkey AS VARCHAR) || '.html?top=1'
+           WHEN 1 THEN 'https://www.ebay.com/itm/' || CAST(p_partkey AS VARCHAR) || '?hash=abc'
+           WHEN 2 THEN 'https://www.amazon.com.mx/dp/B' || CAST(p_partkey AS VARCHAR) || '/ref=sr_1?qid=9'
+           WHEN 3 THEN 'https://articulo.mercadolibre.com.mx/MLM-' || CAST(p_partkey AS VARCHAR) || '?pdp=1'
+           WHEN 4 THEN 'https://m.shein.com/mx/p-' || CAST(p_partkey AS VARCHAR) || '.html?src=ads'
+           ELSE 'https://example.shop/products/' || CAST(p_partkey AS VARCHAR) || '?aff=x'
+         END AS url
+  FROM part WHERE p_partkey % 97 = 0
+)
+SELECT p_partkey, url,
+       CASE p_partkey % 6
+         WHEN 0 THEN 'https://www.temu.com'
+         WHEN 1 THEN 'https://www.ebay.com/itm/' || CAST(p_partkey AS VARCHAR)
+         WHEN 2 THEN 'https://www.amazon.com.mx/dp/B' || CAST(p_partkey AS VARCHAR) || '/ref=sr_1'
+         WHEN 3 THEN 'https://articulo.mercadolibre.com.mx/MLM-' || CAST(p_partkey AS VARCHAR)
+         WHEN 4 THEN 'https://m.shein.com'
+         ELSE 'https://example.shop/products/' || CAST(p_partkey AS VARCHAR)
+       END AS provider_url
+FROM built
+"""
+
+
+@query("url_canonicalize", oracle=_URL_CANON_ORACLE, tags=("cleaning", "urls"))
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 provider-URL canonicalization over all reachable rule tiers
+    (base-only marketplace, keep-path, default). Oracle states the
+    expected canonical URLs directly."""
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("string")
+    url = (
+        F.when(F.col("p_partkey") % 6 == 0,
+               F.concat(F.lit("https://www.temu.com/mx/item-"), pk, F.lit(".html?top=1")))
+        .when(F.col("p_partkey") % 6 == 1,
+              F.concat(F.lit("https://www.ebay.com/itm/"), pk, F.lit("?hash=abc")))
+        .when(F.col("p_partkey") % 6 == 2,
+              F.concat(F.lit("https://www.amazon.com.mx/dp/B"), pk, F.lit("/ref=sr_1?qid=9")))
+        .when(F.col("p_partkey") % 6 == 3,
+              F.concat(F.lit("https://articulo.mercadolibre.com.mx/MLM-"), pk, F.lit("?pdp=1")))
+        .when(F.col("p_partkey") % 6 == 4,
+              F.concat(F.lit("https://m.shein.com/mx/p-"), pk, F.lit(".html?src=ads")))
+        .otherwise(F.concat(F.lit("https://example.shop/products/"), pk, F.lit("?aff=x")))
+    )
+    return (
+        part.filter(F.col("p_partkey") % 97 == 0)
+        .withColumn("url", url)
+        .select("p_partkey", "url", fx.canonicalize_provider_url("url").alias("provider_url"))
+    )
+
+
+# ---------------------------------------------------------------- pricing
+
+_PRICING_ORACLE = """
+WITH base AS (
+  SELECT p_partkey, p_retailprice AS p_tienda,
+         p_retailprice * 0.6 AS c_unit, p_size AS pzs
+  FROM part WHERE p_partkey % 53 = 0
+), calcs AS (
+  SELECT *,
+         (c_unit / pzs) * (CASE WHEN abs(p_tienda - c_unit) > 100 THEN 1.25
+                                WHEN abs(p_tienda - c_unit) > 50 THEN 1.5
+                                ELSE 1.75 END) + 25 AS calc
+  FROM base
+), sale AS (
+  SELECT *,
+         calc * (CASE WHEN calc - c_unit < 100 THEN
+                        (CASE WHEN calc - c_unit > 80 THEN 1.25
+                              WHEN calc - c_unit > 50 THEN 1.5
+                              ELSE 1.75 END)
+                      ELSE
+                        (CASE WHEN calc - c_unit > 150 THEN 0.95
+                              WHEN calc - c_unit > 170 THEN 0.9
+                              ELSE 1.0 END)
+                 END) AS p_venta
+  FROM calcs
+)
+SELECT p_partkey, calc, p_venta, (p_venta + calc) / 2 AS p_oferta
+FROM sale
+"""
+
+
+@query("tiered_pricing", oracle=_PRICING_ORACLE, tags=("cleaning", "pricing"))
+def tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 tiered-markup pricing (the Excel-resident Calc / P.Venta /
+    P.Oferta formulas, SURVEY §1.4) applied to the part table."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.filter(F.col("p_partkey") % 53 == 0).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("p_tienda"),
+        (F.col("p_retailprice") * 0.6).alias("c_unit"),
+        F.col("p_size").alias("pzs"),
+    )
+    with_calc = base.withColumn("calc", fx.calc_price("c_unit", "pzs", "p_tienda"))
+    with_sale = with_calc.withColumn("p_venta", fx.sale_price("calc", "c_unit"))
+    return with_sale.select(
+        "p_partkey", "calc", "p_venta", fx.offer_price("p_venta", "calc").alias("p_oferta")
+    )
+
+
+_DEFAULTS_ORACLE = """
+WITH synth AS (
+  SELECT l_orderkey, l_linenumber,
+         l_extendedprice / l_quantity AS c_unit,
+         CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_tax * 10 END AS envio,
+         CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_discount * 5 END AS desct,
+         l_quantity AS cant,
+         CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_extendedprice * 1.1 END AS p_venta
+  FROM lineitem WHERE l_orderkey % 307 = 0
+), landed AS (
+  SELECT *,
+         c_unit + coalesce(envio, 0) / cant - coalesce(desct, 0) / cant AS final_cost
+  FROM synth
+)
+SELECT l_orderkey, l_linenumber, final_cost,
+       coalesce(p_venta, final_cost * 1.30) AS price,
+       coalesce(CAST(NULL AS DOUBLE), coalesce(p_venta, final_cost * 1.30) * 0.85) AS offer_price
+FROM landed
+"""
+
+
+@query("margin_defaults", oracle=_DEFAULTS_ORACLE, tags=("cleaning", "pricing"))
+def margin_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/F16 landed unit cost + margin/offer default pricing
+    (Costo Final formula; MARGEN_GANANCIA / DESCUENTO_OFERTA,
+    import_files_to_postgre.py:29-30,186-220)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    synth = li.filter(F.col("l_orderkey") % 307 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("c_unit"),
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_tax") * 10).alias("envio"),
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_discount") * 5).alias("desct"),
+        F.col("l_quantity").alias("cant"),
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_extendedprice") * 1.1).alias("p_venta"),
+    )
+    landed = synth.withColumn(
+        "final_cost", fx.landed_unit_cost("c_unit", "envio", "desct", "cant")
+    )
+    priced = landed.withColumn("price", fx.price_default("p_venta", "final_cost"))
+    return priced.select(
+        "l_orderkey",
+        "l_linenumber",
+        "final_cost",
+        "price",
+        fx.offer_price_default(F.lit(None).cast("double"), F.col("price")).alias("offer_price"),
+    )
+
+
+# ------------------------------------------------------------------- JSON
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+         / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_extract_props", oracle=_JSON_ORACLE, tags=("cleaning", "json"))
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (engine-added; the reference
+    has no JSON surface — SURVEY §2.8 tail note)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
