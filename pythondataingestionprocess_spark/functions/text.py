@@ -1,0 +1,112 @@
+"""Text-analysis expressions for LLM-data-pipeline operators
+(engine-added per BASELINE.json north star; the reference's only text
+processing is regex statement parsing, pdf_to_xlsx.py:39-52).
+
+All pure column expressions — tokenization, shingling, language-ID
+heuristic, quality scoring, fingerprinting — so they run JVM-side
+inside whole-stage codegen at 100 TB (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword-voting
+# language-ID heuristic. Deliberately small: the heuristic (not a
+# model) is the operator under test.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array; fewer than n tokens → empty.
+
+    Index-generated (not zip-of-shifted-arrays) so there are no
+    NULL-padded tail shingles.
+    """
+    w = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per language."""
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, lambda x: F.lower(x).isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language with fixed tie order en > es > de; all-zero →
+    'und'. The same CASE ordering must be used by any oracle."""
+    s = lang_scores(col)
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length band + mean token
+    length band + stopword presence. Deterministic double arithmetic.
+    """
+    c = F.trim(_c(col))
+    n_chars = F.length(c).cast("double")
+    n_toks = token_count(c).cast("double")
+    mean_tok_len = F.try_divide(n_chars - (n_toks - 1), n_toks)
+    stop_hits = lang_scores(c)["en"].cast("double")
+    len_band = F.when((n_chars >= 100) & (n_chars <= 2000), F.lit(0.4)).otherwise(F.lit(0.1))
+    tok_band = F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(0.3)).otherwise(
+        F.lit(0.1)
+    )
+    stop_band = F.when(F.try_divide(stop_hits, n_toks) >= 0.05, F.lit(0.3)).otherwise(
+        F.lit(0.0)
+    )
+    return len_band + tok_band + stop_band
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 over the whitespace-normalized,
+    lowercased text (exact-dup key that survives formatting noise)."""
+    normalized = F.concat_ws(" ", tokens(F.lower(_c(col))))
+    return F.md5(normalized)
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over tokens (order-sensitive — unlike
+    the md5 fingerprint, transpositions change it). Sequential integer
+    fold; pmod keeps the accumulator in [0, mod) so ANSI-mode longs
+    never overflow."""
+    t = tokens(_c(col))
+    h = F.transform(t, lambda x: F.pmod(F.xxhash64(x), F.lit(1 << 31)))
+    return F.aggregate(
+        h,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * base + x, F.lit(mod)),
+    )

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata (engine-added per BASELINE.json north
+star).
+
+The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
+partition sizing — is real and tested; the actual media decoding is
+STUBBED (``NotImplementedError``) because the container ships no
+image/audio libraries. ``fake_decode_stats`` is the deterministic
+stand-in used by tests: it derives "pixel stats" purely from the raw
+bytes, so the full pipeline (binary in → mapInPandas → typed stats
+out) runs end-to-end without PIL/ffmpeg.
+
+Scale notes: media payloads dominate row size, so
+- keep payloads in their own column and prune it early
+  (``binary_meta`` touches bytes once, emits narrow metadata);
+- decode via ``mapInPandas`` so each Arrow batch amortizes Python
+  transfer, and cap ``spark.sql.files.maxPartitionBytes`` /
+  ``maxRecordsPerBatch`` so a batch of blobs fits executor memory;
+- never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Schema of the decoded-media stats emitted by decode_media /
+# fake_decode_stats (per blob).
+MEDIA_STATS_SCHEMA = (
+    "id long, media_type string, byte_len long, "
+    "width int, height int, n_frames int, mean_intensity double"
+)
+
+
+def binary_meta(df: DataFrame, bin_col: str) -> DataFrame:
+    """Narrow per-blob metadata: byte length + md5 digest. Pure
+    expressions — no Python."""
+    c: Column = F.col(bin_col)
+    return df.withColumn("byte_len", F.length(c).cast("long")).withColumn(
+        "digest", F.md5(c)
+    )
+
+
+def real_decode(content: bytes, media_type: str) -> dict:
+    """Decode one media blob into stats. STUB: the container has no
+    image/audio libraries; swap in PIL/torchaudio/pyav here when
+    available."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in "
+        "this environment; use fake_decode_stats for pipeline tests"
+    )
+
+
+def fake_decode_stats(content: bytes, media_type: str) -> dict:
+    """Deterministic stand-in decode: derives plausible-typed stats
+    from the raw bytes only (same bytes → same stats, any worker)."""
+    n = len(content)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    n_frames = 1 if media_type == "image" else 2 + (n % 29)
+    mean_intensity = (sum(content[:256]) / min(n, 256) / 255.0) if n else 0.0
+    return {
+        "byte_len": n,
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "mean_intensity": mean_intensity,
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "content",
+    type_col: str = "media_type",
+    use_fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: (id, media_type, content)
+    → MEDIA_STATS_SCHEMA rows. ``use_fake=False`` routes to the real
+    (stubbed) decoder."""
+    decoder = fake_decode_stats if use_fake else real_decode
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [
+                decoder(bytes(content) if content is not None else b"", mt)
+                for content, mt in zip(pdf["content"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(stats)
+            out.insert(0, "media_type", list(pdf["media_type"]))
+            out.insert(0, "id", list(pdf["id"]))
+            yield out
+
+    narrow = df.select(
+        F.col(id_col).alias("id"),
+        F.col(type_col).alias("media_type"),
+        F.col(bin_col).alias("content"),
+    )
+    return narrow.mapInPandas(decode_batches, schema=MEDIA_STATS_SCHEMA)

@@ -1,0 +1,259 @@
+"""Deduplication operators for document corpora (BASELINE.json north
+star; engine-added beyond the reference, whose only dedup is the
+exact-tuple anti-join at database_utils.py:128-145 — reproduced here
+as ``exact_dedup`` + the ingest pipeline's anti-join).
+
+Scale design:
+
+- **exact / fingerprint**: hash-groupBy on a digest key — one shuffle
+  of (digest, id), never the payload. At 100 TB group by md5 of the
+  normalized text, not by the text itself.
+- **MinHash-LSH**: the O(n²) pair space is cut to per-band hash
+  buckets: signature (k hashes) → b bands of r rows → candidates are
+  pairs sharing ≥1 band bucket → exact-Jaccard verify on candidates
+  only. Shuffles are on (band, band_hash) — bounded by bucket sizes,
+  not corpus size. b=16,r=4 keeps the false-candidate rate ~1e-3 at
+  background similarity 0.1 while recall at j≥0.8 is ~99.98%.
+- **SimHash**: 64-bit signature; near-dups share a 16-bit chunk
+  (pigeonhole for hamming ≤ 3 per 4 chunks) → bucket join, then exact
+  hamming filter via bit_count(xor).
+
+All pure column expressions + joins; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.functions.text import doc_fingerprint, word_shingles
+
+_MERSENNE_31 = (1 << 31) - 1
+_RANGE_31 = 1 << 31
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact key (deterministic winner) —
+    the scalable form of the reference's existence-probe dedup."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def minhash_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    """Fixed affine-hash family (a, b) pairs — deterministic across
+    runs and engines."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<long>) over a shingle array.
+
+    Base hash xxhash64 → folded into [0, 2^31) so the affine transform
+    a*x+b stays below 2^63 (ANSI mode would raise on long overflow).
+    """
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_RANGE_31)))
+    sigs = [
+        F.array_min(
+            F.transform(base, lambda x: F.pmod(x * a + b, F.lit(_MERSENNE_31)))
+        )
+        for a, b in minhash_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def _band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<long> of one hash per signature band."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    F.lit(j),
+                    *[
+                        F.element_at(sig, j * rows_per_band + i + 1).cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded form used by both
+    exact-Jaccard and the LSH verify step."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    ``sh`` is the shingle_sets output. With ``candidates`` (columns
+    id_a, id_b) the intersection join is restricted to those pairs —
+    the LSH fast path; without it this is the exact O(shared-shingle)
+    self-join, whose cost is bounded by shingle-bucket sizes (fine
+    when no shingle is hyper-common; at 100 TB cap bucket size by
+    dropping top-frequency shingles first).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH banding + exact-Jaccard verify.
+
+    Output equals the exact jaccard_pairs result whenever LSH recall
+    covers the threshold (P[miss] ≈ (1-t^r)^b per pair; ~2e-4 even at
+    t=0.8 with b=16, r=4) — verified against the exact oracle in t2.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, shingle_n)
+    # signature straight from the per-row shingle array (min over a set
+    # is order-insensitive) — no extra shuffle, unlike re-collecting sh
+    shingle_arrays = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles")
+    )
+    banded = shingle_arrays.select(
+        F.col(id_col),
+        F.posexplode(
+            _band_hashes(minhash_signature(F.col("shingles"), num_hashes, seed), bands, rows_per_band)
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_pairs(sh, id_col, threshold, candidates=candidates)
+
+
+def simhash64(col: Column | str, text_col_is_tokens: bool = False) -> Column:
+    """64-bit SimHash over whitespace tokens: per-bit ±1 votes weighted
+    by token hash bits; bit set where the vote is positive.
+
+    Bit ops (shiftleft/xor) are wrap-around — unaffected by ANSI mode.
+    """
+    from pythondataingestionprocess_spark.functions.text import tokens as _tokens
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = c if text_col_is_tokens else _tokens(c)
+    # bit positions unrolled in Python: shiftright/shiftleft take a
+    # literal int shift, not a Column
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseXOR(
+            F.when(
+                F.element_at(votes, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit
+    chunks (any pair with hamming ≤ 3·(chunks-1) shares ≥1 chunk by
+    pigeonhole; wider hamming budgets trade recall for bucket size).
+    """
+    sims = df.select(F.col(id_col), simhash64(text_col).alias("sim"))
+    chunked = sims.select(
+        id_col,
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk_idx", "chunk"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text md5 fingerprint."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

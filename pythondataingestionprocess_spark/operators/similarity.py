@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (BASELINE.json north
+star; no counterpart in the reference).
+
+Two tiers, same output contract (query_id, neighbor_id, cos, rank):
+
+- **Brute-force top-k**: broadcast the (small) query set against the
+  corpus, cosine in codegen, per-query top-k via window. Exact; the
+  baseline the ANN path is measured against. At 100 TB the corpus
+  side stays partition-parallel and nothing shuffles but the
+  (queries × k) result.
+- **LSH-bucketed ANN**: random-hyperplane signs → Hamming-space
+  buckets; candidates share a bucket (multi-probe = several
+  independent tables); top-k within candidates. Approximate recall
+  tunable by tables × bits; cost bounded by bucket sizes.
+
+Hyperplanes are generated from a fixed seed, so results are
+deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.functions.vectors import cosine
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded).
+
+    Ranking breaks cosine ties by neighbor id — total order, so the
+    result is deterministic and oracle-comparable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (standard normal components)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket id for one hyperplane table."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    bits_per_table: int = 4,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane-sign bucket in
+    ≥1 of ``n_tables`` independent tables, then exact cosine + window
+    top-k over candidates only.
+
+    Defaults (8 tables × 4 bits) are tuned for the *worst case* —
+    uniformly random vectors, where true neighbors are barely more
+    aligned than noise. Real embedding corpora are clustered; there,
+    raise bits_per_table (deeper buckets, cheaper candidates) for the
+    same recall."""
+    tables = [
+        hyperplanes(dim, bits_per_table, seed + 101 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, side: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_vec")
+        )
+        buckets = F.array(
+            *[ _bucket_expr(f"{side}_vec", planes) for planes in tables ]
+        )
+        return out.select(
+            f"{side}_id", f"{side}_vec", F.posexplode(buckets).alias("table", "bucket")
+        )
+
+    qb = with_buckets(queries, "query")
+    cb = with_buckets(corpus, "neighbor")
+    candidates = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = candidates.withColumn("cos", cosine("query_vec", "neighbor_vec")).select(
+        "query_id", "neighbor_id", "cos"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

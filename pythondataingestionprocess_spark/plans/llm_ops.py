@@ -1,0 +1,346 @@
+"""LLM-data-pipeline operator queries (engine-added per BASELINE.json
+north star): deduplication, similarity search, text analysis,
+multimodal column plumbing. Oracle-checked wherever DuckDB can express
+the same semantics; MinHash-LSH is checked against the *exact*
+Jaccard oracle (banding recall at the data's similarity profile is
+~100%, and candidates are exact-verified, so outputs coincide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.functions import text as tx
+from pythondataingestionprocess_spark.operators import dedup as dd
+from pythondataingestionprocess_spark.operators import similarity as sim
+from pythondataingestionprocess_spark.plans.registry import query
+
+# Shared: a corpus with planted duplicates — documents plus re-tagged
+# copies of every 10th doc (the raw corpus is dup-free by
+# construction, so dedup queries plant their own).
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.select("doc_id", "text", "source").unionAll(
+        dupes.select("doc_id", "text", "source")
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+       COUNT(*) - CAST(COUNT(DISTINCT text) AS BIGINT) AS n_dupes
+FROM corpus GROUP BY source
+""",
+    tags=("dedup",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting over a corpus with planted duplicates —
+    hash-groupBy on content (scalable form of the reference's
+    existence-probe dedup J5)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return corpus.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dupes"),
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+fp AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM corpus GROUP BY 1
+)
+SELECT n_copies, COUNT(*) AS n_groups, MIN(keep_id) AS min_keep_id
+FROM fp GROUP BY n_copies
+""",
+    tags=("dedup",),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: md5 over whitespace-normalized lowercased
+    text; groups-by-copy-count histogram."""
+    corpus = _dup_corpus(spark, sf_dir)
+    groups = dd.fingerprint_dedup(corpus, "doc_id", "text")
+    return groups.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"), F.min("keep_id").alias("min_keep_id")
+    )
+
+
+# ------------------------------------------------------- near-dup (jaccard)
+
+_SHINGLE_SQL = """
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(list_zip(w, w[2:], w[3:]),
+           z -> z[1] || ' ' || z[2] || ' ' || z[3])[:greatest(len(w)-2,0)]) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+FROM pairs
+JOIN sizes s1 ON id_a = s1.doc_id
+JOIN sizes s2 ON id_b = s2.doc_id
+WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5; the
+    corpus' seeded near-dups sit ≥0.8, background <0.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_sets(docs, "doc_id", "text", 3)
+    return dd.jaccard_pairs(sh, "doc_id", 0.5)
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (64 hashes, 16 bands × 4) with
+    exact-Jaccard verification of candidates — oracle is the *exact*
+    pair list; LSH recall at the corpus' similarity profile makes the
+    outputs coincide. The scale path: candidate generation is a
+    band-bucket join, never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 12 via 16-bit chunk
+    buckets). Rows-only: hamming-space neighborhoods aren't cleanly
+    SQL-expressible in the oracle (bit_count over 64-bit ints +
+    chunk-bucket join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+# ------------------------------------------------------- similarity search
+
+_KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(list_zip(q_vec, c_vec), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
+@query("embedding_knn_brute", oracle=_KNN_ORACLE, tags=("similarity",))
+def embedding_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 10 query vectors, brute force.
+    Cosine is a sequential double fold on both engines — bit-identical
+    (DuckDB's float32 list_cosine_similarity deliberately NOT used)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("embedding_ann_lsh", oracle=None, tags=("similarity", "lsh"))
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (4 tables ×
+    6 bits, fixed seed). Rows-only: approximate recall is the point —
+    compared against the brute-force baseline in tests instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       MIN(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS min_norm,
+       MAX(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS max_norm
+FROM embeddings GROUP BY label
+""",
+    tags=("similarity", "arrays"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: L2 norms per label (zip_with/aggregate
+    folds — SURVEY §2.8 tail note on array functions)."""
+    from pythondataingestionprocess_spark.functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("nrm", norm("embedding"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+_TOKEN_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+@query("text_token_count", oracle=_TOKEN_ORACLE, tags=("text",))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per language group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", tx.token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+_LANG_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t IN ('the','a','of','and','to'))) AS s_en,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t IN ('el','la','de','y','que'))) AS s_es,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t IN ('der','die','das','und','zu'))) AS s_de
+  FROM documents
+)
+SELECT CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'und' END AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM scored GROUP BY 1
+"""
+
+
+@query("text_lang_id", oracle=_LANG_ORACLE, tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language-ID heuristic (argmax with fixed tie
+    order), counted per predicted language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted_lang", tx.lang_id("text"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_QUALITY_ORACLE = """
+WITH q AS (
+  SELECT doc_id, source,
+         length(trim(text)) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t IN ('the','a','of','and','to'))) AS stop_hits
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.4 ELSE 0.1 END)
+         + (CASE WHEN (n_chars - (n_toks - 1)) * 1.0 / n_toks BETWEEN 3 AND 10 THEN 0.3 ELSE 0.1 END)
+         + (CASE WHEN stop_hits * 1.0 / n_toks >= 0.05 THEN 0.3 ELSE 0.0 END) AS score
+  FROM q
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE) AS sum_score
+FROM s GROUP BY source
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / token-shape / stopword
+    bands), aggregated per source."""
+    from pythondataingestionprocess_spark.plans.registry import dec_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("score", tx.quality_score("text"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), dec_sum("score", "sum_score"))
+    )
+
+
+@query("text_rolling_fingerprint", oracle=None, tags=("text",))
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document (rows-only:
+    the xxhash64-based fold has no DuckDB twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.rolling_hash("text").alias("rhash"),
+        tx.doc_fingerprint("text").alias("md5_fp"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+_MULTIMODAL_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       MIN(md5(text)) AS min_digest
+FROM documents GROUP BY source
+"""
+
+
+@query("multimodal_binary_meta", oracle=_MULTIMODAL_ORACLE, tags=("multimodal",))
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: treat utf-8 encoded text as the
+    media payload (the container has no image/audio libs — see
+    multimodal.media for the decode stubs), compute per-blob byte
+    length + digest, aggregate per source. Both engines hash the same
+    utf-8 bytes."""
+    from pythondataingestionprocess_spark.multimodal.media import binary_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("content")
+    )
+    meta = binary_meta(blobs, "content")
+    return meta.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.min("digest").alias("min_digest"),
+    )
