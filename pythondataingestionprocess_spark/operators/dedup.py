@@ -28,7 +28,11 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pythondataingestionprocess_spark.functions.text import doc_fingerprint, word_shingles
+from pythondataingestionprocess_spark.functions.text import (
+    doc_fingerprint,
+    tokens,
+    word_shingles,
+)
 
 _MERSENNE_31 = (1 << 31) - 1
 _RANGE_31 = 1 << 31
@@ -94,29 +98,20 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
-def jaccard_pairs(
-    sh: DataFrame, id_col: str, threshold: float, candidates: DataFrame | None = None
-) -> DataFrame:
+def jaccard_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
-    ``sh`` is the shingle_sets output. With ``candidates`` (columns
-    id_a, id_b) the intersection join is restricted to those pairs —
-    the LSH fast path; without it this is the exact O(shared-shingle)
-    self-join, whose cost is bounded by shingle-bucket sizes (fine
-    when no shingle is hyper-common; at 100 TB cap bucket size by
-    dropping top-frequency shingles first).
+    ``sh`` is the shingle_sets output. This is the exact
+    O(shared-shingle) self-join, whose cost is bounded by
+    shingle-bucket sizes (fine when no shingle is hyper-common; at
+    100 TB cap bucket size by dropping top-frequency shingles first,
+    or use minhash_lsh_pairs which only exact-verifies candidates).
     """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (
@@ -150,17 +145,46 @@ def minhash_lsh_pairs(
     t=0.8 with b=16, r=4) — verified against the exact oracle in t2.
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_sets(df, id_col, text_col, shingle_n)
-    # signature straight from the per-row shingle array (min over a set
-    # is order-insensitive) — no extra shuffle, unlike re-collecting sh
-    shingle_arrays = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles")
-    )
-    banded = shingle_arrays.select(
+    # Signature via explode → 64 min-aggregates: one shuffle on id with
+    # map-side partial mins, fully codegen'd. (The array-expression form
+    # `minhash_signature` builds a 64-way nested transform that blows
+    # past the codegen expression budget and re-hashes every shingle
+    # per hash function — fine for small arrays, wrong for the corpus
+    # path.) No distinct() needed: min over the shingle multiset equals
+    # min over the set — saves a full-corpus dedup shuffle.
+    raw_sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    ).select(
+        # hash once per shingle row — inlining the hash into each agg
+        # would recompute xxhash64 64× per row
         F.col(id_col),
-        F.posexplode(
-            _band_hashes(minhash_signature(F.col("shingles"), num_hashes, seed), bands, rows_per_band)
-        ).alias("band", "band_hash"),
+        F.pmod(F.xxhash64("shingle"), F.lit(_RANGE_31)).alias("hx"),
+    )
+    params = minhash_params(num_hashes, seed)
+    sig_tbl = raw_sh.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.col("hx") * a + b, F.lit(_MERSENNE_31))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    F.lit(j),
+                    *[
+                        F.col(f"mh_{j * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig_tbl.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band", "band_hash"),
     )
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -170,7 +194,28 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_pairs(sh, id_col, threshold, candidates=candidates)
+    # Exact-verify candidates by attaching each side's distinct shingle
+    # ARRAY and intersecting in-expression — candidates is orders of
+    # magnitude smaller than the corpus, so two joins (AQE turns them
+    # into broadcasts once the candidate size is known) beat a second
+    # corpus-wide explode + shuffle-dedup + self-join cascade.
+    doc_sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    pa = candidates.join(
+        doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    )
+    pb = pa.join(
+        doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = (F.size("sh_a") + F.size("sh_b") - n_common).cast("double")
+    return (
+        pb.withColumn("jaccard", n_common / n_union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash64(col: Column | str, text_col_is_tokens: bool = False) -> Column:
@@ -213,6 +258,36 @@ def simhash64(col: Column | str, text_col_is_tokens: bool = False) -> Column:
     return out
 
 
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim) 64-bit SimHash per document via explode → 64
+    conditional-sum votes → bit assembly. Same result as ``simhash64``
+    but shaped for corpora: the array-fold form is a 64-wide zip_with
+    expression evaluated interpreted per row; this form is one shuffle
+    with map-side partial sums, all codegen. Docs with no tokens are
+    dropped (the corpus guarantees non-empty text)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v_{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseXOR(
+            F.when(
+                F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sim.alias("sim"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12
 ) -> DataFrame:
@@ -220,7 +295,7 @@ def simhash_pairs(
     chunks (any pair with hamming ≤ 3·(chunks-1) shares ≥1 chunk by
     pigeonhole; wider hamming budgets trade recall for bucket size).
     """
-    sims = df.select(F.col(id_col), simhash64(text_col).alias("sim"))
+    sims = simhash_table(df, id_col, text_col)
     chunked = sims.select(
         id_col,
         "sim",
