@@ -42,8 +42,8 @@ HEADLINE = [
     "embedding_knn_brute",
     "embedding_ann_lsh",
     "text_quality_score",
-    "tumbling_window_agg",
-    "sessionization",
+    "events_tumbling_window",
+    "events_session_window",
 ]
 
 

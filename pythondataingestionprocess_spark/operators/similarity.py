@@ -111,20 +111,32 @@ def ann_lsh(
         buckets = F.array(
             *[ _bucket_expr(f"{side}_vec", planes) for planes in tables ]
         )
+        # bucket rows carry only (id, table, bucket) — the 64-float
+        # vectors never enter the bucket join / pair dedup shuffle
         return out.select(
-            f"{side}_id", f"{side}_vec", F.posexplode(buckets).alias("table", "bucket")
+            f"{side}_id", F.posexplode(buckets).alias("table", "bucket")
         )
 
     qb = with_buckets(queries, "query")
     cb = with_buckets(corpus, "neighbor")
-    candidates = (
+    cand_ids = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = candidates.withColumn("cos", cosine("query_vec", "neighbor_vec")).select(
-        "query_id", "neighbor_id", "cos"
+    # re-attach vectors only for surviving candidate pairs
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    scored = (
+        cand_ids.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
+        .withColumn("cos", cosine("query_vec", "neighbor_vec"))
+        .select("query_id", "neighbor_id", "cos")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

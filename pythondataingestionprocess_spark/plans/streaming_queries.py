@@ -1,0 +1,127 @@
+"""Event-time window queries (SURVEY.md §2.9 — engine-added; the
+reference has no streaming/window surface). Batch-mode runs of the
+SAME transforms that back the streaming pipelines
+(streaming/windows.py), oracle-checked against manual DuckDB window
+arithmetic. Streaming execution of these transforms is covered by
+tests/test_streaming.py with real readStream sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.registry import query
+from pythondataingestionprocess_spark.streaming import windows as sw
+
+_TUMBLING_ORACLE = """
+SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP AS window_start,
+       to_timestamp(floor(epoch(ts) / 600) * 600 + 600)::TIMESTAMP AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("events_tumbling_window", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"))
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event_type (count + sum).
+    Identical transform runs behind readStream with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return sw.tumbling_agg(ev, duration="10 minutes")
+
+
+_SLIDING_ORACLE = """
+WITH exploded AS (
+  SELECT unnest([floor(epoch(ts) / 300) * 300,
+                 floor(epoch(ts) / 300) * 300 - 300]) AS ws,
+         value
+  FROM events
+)
+SELECT to_timestamp(ws)::TIMESTAMP AS window_start,
+       to_timestamp(ws + 600)::TIMESTAMP AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM exploded
+GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_window", oracle=_SLIDING_ORACLE, tags=("streaming", "window"))
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows hopping every 5 — each event lands in
+    exactly two windows (the oracle unnests both window starts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sw.sliding_agg(ev, duration="10 minutes", slide="5 minutes")
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+              >= 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@query("events_session_window", oracle=_SESSION_ORACLE, tags=("streaming", "window"))
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) session windows per user via Spark's
+    ``session_window``; the oracle derives the identical sessions with
+    lag + running-sum arithmetic — two independent formulations, one
+    answer."""
+    ev = load_table(spark, sf_dir, "events")
+    return sw.session_agg(ev, gap="30 minutes")
+
+
+_SESSION_MANUAL_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+              >= 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_last_event,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@query(
+    "events_sessionize_manual",
+    oracle=_SESSION_MANUAL_ORACLE,
+    tags=("streaming", "window"),
+)
+def events_sessionize_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational sessionization formulation (lag + running
+    flag-sum) — proves the window-function path independently of
+    ``session_window``."""
+    ev = load_table(spark, sf_dir, "events")
+    return sw.sessionize_manual(ev, gap_seconds=1800)

@@ -1,0 +1,192 @@
+"""Structured Streaming integration tests (SURVEY.md §2.9): the window
+transforms running behind real file-source streams, checkpointed
+exactly-once file ingestion with dead-letter routing, bounded-state
+dedup, and the keyed-state operator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.streaming import file_ingest, windows as sw
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _write_json_batch(path: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rows(n0: int, n: int, user: int = 1) -> list[dict]:
+    return [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+            "user_id": user,
+            "event_type": "click",
+            "value": float(i),
+        }
+        for i in range(n0, n0 + n)
+    ]
+
+
+def test_file_stream_ingestion_exactly_once(spark, tmp_path):
+    """Two drops into the inbox → both batches processed, none twice
+    (checkpointed file tracking replaces the reference's
+    move-on-success bookkeeping)."""
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_json_batch(inbox, "a.json", _rows(0, 3))
+
+    def process(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    file_ingest.run_ingestion(stream, process, ckpt).awaitTermination(60)
+    assert spark.read.parquet(out).count() == 3
+
+    # second drop; restart with same checkpoint → only new file read
+    _write_json_batch(inbox, "b.json", _rows(10, 2))
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    file_ingest.run_ingestion(stream, process, ckpt).awaitTermination(60)
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert got.select(F.count_distinct("event_id")).first()[0] == 5
+
+
+def test_dead_letter_routing(spark, tmp_path):
+    """A poison batch lands in the dead-letter dir; the stream
+    finishes instead of aborting (the reference's data_errors/
+    routing, utils_tools.py:199-231, without data loss)."""
+    inbox = str(tmp_path / "inbox")
+    dlq = str(tmp_path / "dlq")
+    _write_json_batch(inbox, "a.json", _rows(0, 4))
+
+    def process(batch_df, batch_id):
+        raise RuntimeError("sink down")
+
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    file_ingest.run_ingestion(
+        stream, process, str(tmp_path / "ckpt"), dead_letter_dir=dlq
+    ).awaitTermination(60)
+    dead = spark.read.parquet(os.path.join(dlq, "batch_0"))
+    assert dead.count() == 4
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    """The SAME tumbling_agg transform that the batch oracle checks,
+    behind readStream + watermark, complete mode to a memory sink."""
+    inbox = str(tmp_path / "inbox")
+    _write_json_batch(inbox, "a.json", _rows(0, 30))  # minutes 0..29
+
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    agg = sw.tumbling_agg(sw.with_watermark(stream), duration="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 10),
+        ("2024-01-01 00:10:00", 10),
+        ("2024-01-01 00:20:00", 10),
+    }
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window behind a stream: two bursts 40 min apart with a
+    30-min gap → two sessions for the user."""
+    inbox = str(tmp_path / "inbox")
+    rows = _rows(0, 3) + [
+        dict(r, event_id=r["event_id"] + 100, ts=r["ts"].replace("T00:", "T01:"))
+        for r in _rows(0, 3)
+    ]
+    _write_json_batch(inbox, "a.json", rows)
+
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    agg = sw.session_agg(sw.with_watermark(stream, delay="1 hour"), gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    )
+    assert got == [("2024-01-01 00:00:00", 3), ("2024-01-01 01:00:00", 3)]
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Duplicate event_ids inside the watermark window are dropped
+    across micro-batches (bounded-state J5)."""
+    inbox = str(tmp_path / "inbox")
+    _write_json_batch(inbox, "a.json", _rows(0, 3) + _rows(0, 2))  # dups in-file
+
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    deduped = sw.dedup_within_watermark(stream, key_cols=("event_id",), delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) n FROM dedup_test").first()["n"] == 3
+
+
+def test_dedup_within_watermark_batch_equivalent(spark):
+    """Batch fallback of the same operator is a plain dropDuplicates."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:02")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert sw.dedup_within_watermark(df).count() == 2
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: two
+    files forced into separate batches via maxFilesPerTrigger."""
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.streaming.stateful import running_user_totals
+
+    inbox = str(tmp_path / "inbox")
+    _write_json_batch(inbox, "a.json", _rows(0, 2, user=7))
+    _write_json_batch(inbox, "b.json", _rows(10, 3, user=7))
+
+    stream = file_ingest.file_stream(
+        spark, inbox, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM state_test").collect()
+    # one emission per micro-batch; the final one carries the full total
+    assert max(r["n_events"] for r in rows) == 5
+    assert any(abs(r["sum_value"] - (0 + 1 + 10 + 11 + 12)) < 1e-9 for r in rows)
