@@ -1,0 +1,137 @@
+"""Parquet-backed table store with MERGE-style upserts.
+
+Local stand-in for the reference's Postgres star schema
+(database_utils.py §1.3). On a production cluster this is a Delta /
+Iceberg table per entity and every ``upsert``/``apply_scd`` below is a
+single ``MERGE INTO`` — the read-union-overwrite here has identical
+semantics and exists because this container has no Delta jars. All
+merge logic is expressed as joins (set-oriented, shuffle-on-key); no
+driver-side row loops.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# Star schema (SURVEY.md §1.3, reconstructed from the reference's
+# embedded SQL — database_utils.py:36,72-77,92-94,121,194-199,232-237,
+# 266-280).
+SCHEMAS: dict[str, str] = {
+    "payment_type": "id_payment_type long, payment_type string",
+    "store": "id_store long, store_name string, store_url string, status boolean",
+    "provider": "id_provider long, id_store long, provider_url string, is_active boolean",
+    "product": (
+        "id_product long, product_name string, description string, "
+        "image_url string, brand string, category string"
+    ),
+    "purchase": (
+        "id_purchase long, id_provider long, id_payment_type long, total double, "
+        "tax double, ieps double, purchase_date date, delivery_date string, "
+        "exchange_rate double, shipping_cost double, discount double"
+    ),
+    "operation": (
+        "id_purchase long, id_product long, quantity long, unit_price double, "
+        "unit_price_usd double, discount_percentage double, pieces_per_unit long, "
+        "final_cost double, product_url string"
+    ),
+    "price": (
+        "id_product long, price double, offer_price double, "
+        "start_date date, end_date date"
+    ),
+}
+
+
+class ParquetTableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def read(self, name: str) -> DataFrame:
+        """Read a table; empty (typed) DataFrame if never written."""
+        path = self._path(name)
+        if os.path.exists(path):
+            return self.spark.read.parquet(path)
+        return self.spark.createDataFrame([], SCHEMAS[name])
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Replace a table. Parquet can't overwrite a path it is being
+        read from (lazy scans), so stage to a sibling dir and swap —
+        Delta's MERGE/ACID makes this dance disappear at scale."""
+        path, tmp = self._path(name), self._path(f".{name}.staging")
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._path(name))
+
+    def upsert(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
+        """MERGE: incoming wins on key match, unmatched existing rows
+        are kept (``ON CONFLICT DO UPDATE`` across whole rows)."""
+        existing = self.read(name)
+        merged = existing.join(
+            incoming.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(incoming)
+        self.overwrite(name, merged)
+
+    def insert_if_absent(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
+        """MERGE WHEN NOT MATCHED THEN INSERT: existing rows never
+        change (the reference's catalog-cache behavior — a cached
+        store is returned untouched, database_utils.py:66-67)."""
+        existing = self.read(name)
+        fresh = incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
+        merged = existing.unionByName(fresh)
+        self.overwrite(name, merged)
+
+
+def apply_price_scd(
+    existing: DataFrame, incoming: DataFrame, current_date
+) -> DataFrame:
+    """The reference's two-step manual price upsert
+    (database_utils.py:260-280), set-oriented:
+
+    - product has price rows → every row updated to the new
+      price/offer; ``start_date``/``end_date`` stamped to
+      ``current_date`` only when the stored price differs (NULL-safe
+      '!=' is false for NULL=NULL per SQL semantics — preserved);
+    - product absent → insert (price, offer, start_date=current_date,
+      end_date NULL).
+
+    ``incoming``: one row per id_product (price, offer_price).
+    """
+    cur = F.lit(current_date).cast("date")
+    inc = incoming.select(
+        "id_product",
+        F.col("price").alias("_new_price"),
+        F.col("offer_price").alias("_new_offer"),
+        F.lit(True).alias("_m"),
+    )
+    flagged = existing.join(inc, "id_product", "left")
+    # NULL-safe like the reference SQL: `price != new` is NULL (→ no
+    # restamp) when either side is NULL
+    changed = F.col("_m") & (F.col("price") != F.col("_new_price"))
+    updated = flagged.select(
+        "id_product",
+        F.when(F.col("_m"), F.col("_new_price")).otherwise(F.col("price")).alias("price"),
+        F.when(F.col("_m"), F.col("_new_offer")).otherwise(F.col("offer_price")).alias("offer_price"),
+        F.when(changed, cur).otherwise(F.col("start_date")).alias("start_date"),
+        F.when(changed, cur).otherwise(F.col("end_date")).alias("end_date"),
+    )
+    inserts = inc.join(existing.select("id_product").distinct(), "id_product", "left_anti").select(
+        "id_product",
+        F.col("_new_price").alias("price"),
+        F.col("_new_offer").alias("offer_price"),
+        cur.alias("start_date"),
+        F.lit(None).cast("date").alias("end_date"),
+    )
+    return updated.unionByName(inserts)
