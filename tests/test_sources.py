@@ -1,0 +1,133 @@
+"""Phase-4 source/sink tests: statement grammar end-to-end on
+synthetic text (FIXTURES.md §3/4 shapes), workbook cleaning +
+validation + positional attach, directory routing."""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.sources import files as srcfiles
+from pythondataingestionprocess_spark.sources import statement as stmt
+from pythondataingestionprocess_spark.sources import workbook as wb
+
+STATEMENT_TEXT = """ESTADO DE CUENTA BBVA
+COMPRAS Y CARGOS DIFERIDOS A MESES SIN INTERESES
+01-ago-2025 AMAZON MX COMPRA $1,234.56 $823.04 $411.52 2 de 3 0.00%
+15-jul-2025 LIVERPOOL MUEBLES $10,000.00 $5,000.00 $2,500.00 6 de 12 12.50%
+COMPRAS Y CARGOS DIFERIDOS A MESES CON INTERESES
+CARGOS,COMPRAS Y ABONOS REGULARES(NO A MESES)
+17-sep-2025 18-sep-2025 OXXO CENTRO + $189.50
+05-sep-2025 06-sep-2025 PAGO TARJETA GRACIAS - $2,000.00
+99-xxx-2025 01-sep-2025 RARO PARSE FALLA + $1.00
+TOTAL CARGOS
+"""
+
+
+@pytest.fixture()
+def stmt_df(spark):
+    return spark.createDataFrame([("s1.pdf", STATEMENT_TEXT)], "path string, text string")
+
+
+def test_parse_msi(stmt_df):
+    rows = {r["Descripción"]: r for r in stmt.parse_msi(stmt_df).collect()}
+    assert set(rows) == {"AMAZON MX COMPRA", "LIVERPOOL MUEBLES"}
+    a = rows["AMAZON MX COMPRA"]
+    assert a["Fecha operación"] == date(2025, 8, 1)
+    assert a["Monto original"] == 1234.56
+    assert a["Saldo pendiente"] == 823.04
+    assert a["Pago requerido"] == 411.52
+    assert a["Núm. de pago"] == "2 de 3"
+    assert a["Tasa de interés aplicable"] == "0.00%"
+    assert a["path"] == "s1.pdf"  # lineage column preserved
+
+
+def test_parse_charges_signs_and_fallback(stmt_df):
+    out = stmt.parse_charges(stmt_df).collect()
+    by_desc = {r["Descripción"]: r for r in out}
+    assert by_desc["OXXO CENTRO"]["Pago requerido"] == 189.50
+    assert by_desc["PAGO TARJETA GRACIAS"]["Pago requerido"] == -2000.00
+    # unparseable date: parsed NULL, raw preserved (string-or-date union)
+    weird = by_desc["RARO PARSE FALLA"]
+    assert weird["Fecha de la operación"] is None
+    assert weird["Fecha de la operación raw"] == "99-xxx-2025"
+    assert by_desc["OXXO CENTRO"]["Fecha de cargo"] == date(2025, 9, 18)
+
+
+def test_statement_output_name(stmt_df):
+    charges = stmt.parse_charges(stmt_df)
+    # max parsed operation date = 17-sep-2025 → ddMMMyyyy
+    assert stmt.statement_output_name(charges) == "cargos_bbva_17Sep2025.xlsx"
+
+
+def test_statement_output_name_fallback(spark):
+    empty = spark.createDataFrame([], "`Fecha de la operación` date")
+    name = stmt.statement_output_name(empty, today=date(2026, 1, 2))
+    assert name == "cargos_bbva_02Jan2026.xlsx"
+
+
+def test_validate_columns_degrades(spark):
+    df = spark.createDataFrame([("x",)], "`Descripción` string")
+    out, ok = wb.validate_columns(df, wb.REQUIRED_PRECIOS)
+    assert not ok
+    assert set(("Marca", "Categoria")) <= set(out.columns)
+    assert out.first()["Marca"] is None
+
+
+def test_clean_compras_types(spark):
+    df = spark.createDataFrame(
+        [("Toy", "2", "93,35", "186,70", "45369", "None", "http://x", "f", 0)],
+        "`Descripción` string, `Cant` string, `C. Unit` string, "
+        "`Total Cmpr` string, `Fch Cmpr` string, `Fch Entrga` string, "
+        "`Liga` string, src_file string, row_idx long",
+    )
+    out = wb.clean_compras(df).first()
+    assert out["C. Unit"] == 93.35  # comma-decimal F6
+    assert out["Cant"] == 2
+    assert out["purchase_date"] == date(2024, 3, 18)  # Excel serial F18
+    assert out["Fch Entrga"] is None  # 'None' marker F7
+
+
+def test_attach_positional_truncation(spark):
+    df = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "row_idx long, v string")
+    out = wb.attach_positional(df, ["u0", "u1"])  # shorter than frame
+    got = {r["row_idx"]: r["Picture_URL"] for r in out.collect()}
+    assert got == {0: "u0", 1: "u1", 2: None}
+
+
+def test_directory_routing(tmp_path):
+    inbox = tmp_path / "in"
+    inbox.mkdir()
+    (inbox / "good.xlsx").write_text("ok")
+    (inbox / "bad.xlsx").write_text("boom")
+    (inbox / "skip.txt").write_text("not a workbook")
+
+    def process(path: str) -> None:
+        if "bad" in path:
+            raise ValueError("poison")
+
+    report = srcfiles.ingest_directory(
+        str(inbox), process, str(tmp_path / "done"), str(tmp_path / "err")
+    )
+    assert [os.path.basename(p) for p in report.processed] == ["good.xlsx"]
+    assert [os.path.basename(p) for p in report.errored] == ["bad.xlsx"]
+    assert (inbox / "skip.txt").exists()  # P7: non-xlsx untouched
+
+    # collision: same name again → timestamp suffix, both retained
+    (inbox / "good.xlsx").write_text("ok2")
+    report2 = srcfiles.ingest_directory(
+        str(inbox), process, str(tmp_path / "done"), str(tmp_path / "err")
+    )
+    assert len(report2.processed) == 1
+    assert os.path.basename(report2.processed[0]).startswith("good_")
+    assert len(list((tmp_path / "done").iterdir())) == 2
+
+
+def test_pdf_and_excel_import_gates(spark):
+    with pytest.raises(ImportError):
+        stmt.extract_pdf_text(spark, "/nonexistent/*.pdf")
+    with pytest.raises(ImportError):
+        wb.read_workbook(spark, "/nonexistent.xlsx")
