@@ -35,13 +35,18 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array; fewer than n tokens → empty.
+def shingles_of_tokens(tokens_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column; fewer than n tokens → empty. Index-generated (not
+    zip-of-shifted-arrays) so there are no NULL-padded tail shingles.
 
-    Index-generated (not zip-of-shifted-arrays) so there are no
-    NULL-padded tail shingles.
+    Callers must bind the token array to a real column first
+    (``.select(tokens(text).alias("w"))``): passing the ``tokens(...)``
+    EXPRESSION here would re-run the split once per ``element_at`` —
+    ~3·(len-2) tokenizations per row instead of one (measured 7s → <1s
+    on the sf0.1 corpus explode).
     """
-    w = tokens(col)
+    w = _c(tokens_col)
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(w, i + j) for j in range(n)]
@@ -49,6 +54,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column. Fine for
+    one-off small frames; hot paths should pre-project ``tokens`` and
+    use :func:`shingles_of_tokens` (see its docstring)."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

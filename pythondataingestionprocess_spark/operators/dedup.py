@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.functions.text import (
     doc_fingerprint,
+    shingles_of_tokens,
     tokens,
-    word_shingles,
 )
 
 _MERSENNE_31 = (1 << 31) - 1
@@ -91,9 +91,11 @@ def _band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the exploded form used by both
-    exact-Jaccard and the LSH verify step."""
+    exact-Jaccard and the LSH verify step. Tokenizes once per row
+    (bound column) before gram expansion."""
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        df.select(F.col(id_col), tokens(text_col).alias("_w"))
+        .select(F.col(id_col), F.explode(shingles_of_tokens("_w", n)).alias("shingle"))
         .distinct()
     )
 
@@ -153,7 +155,9 @@ def minhash_lsh_pairs(
     # path.) No distinct() needed: min over the shingle multiset equals
     # min over the set — saves a full-corpus dedup shuffle.
     raw_sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+        F.col(id_col), tokens(text_col).alias("_w")
+    ).select(
+        F.col(id_col), F.explode(shingles_of_tokens("_w", shingle_n)).alias("shingle")
     ).select(
         # hash once per shingle row — inlining the hash into each agg
         # would recompute xxhash64 64× per row
@@ -186,12 +190,23 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.posexplode(band_hashes).alias("band", "band_hash"),
     )
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # Pair generation via bucket groupBy (NOT a self-join, which would
+    # run the whole signature pipeline once per join side): one shuffle
+    # on (band, band_hash), then in-bucket pair expansion — quadratic
+    # only within a bucket, which LSH keeps small by construction.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "j -> struct(ids[i - 1] AS id_a, j AS id_b))))"
+    )
     candidates = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     # Exact-verify candidates by attaching each side's distinct shingle
@@ -199,9 +214,9 @@ def minhash_lsh_pairs(
     # magnitude smaller than the corpus, so two joins (AQE turns them
     # into broadcasts once the candidate size is known) beat a second
     # corpus-wide explode + shuffle-dedup + self-join cascade.
-    doc_sh = df.select(
+    doc_sh = df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        F.array_distinct(shingles_of_tokens("_w", shingle_n)).alias("sh"),
     )
     pa = candidates.join(
         doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"

@@ -19,6 +19,8 @@ deterministic run-to-run.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -64,7 +66,9 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    """Sign-bit bucket id for one hyperplane table."""
+    """Sign-bit bucket id for one hyperplane table (pure-expression
+    form — fine for a handful of planes; the batch path below uses the
+    vectorized UDF instead)."""
     bits = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -78,6 +82,36 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     for b in bits:
         out = out + b
     return out
+
+
+def _buckets_udf(tables: list[list[list[float]]]):
+    """All tables' bucket ids in one Arrow-batched matmul.
+
+    This is the one place dense linear algebra beats built-in
+    expressions: 32 hyperplane dot products per row as interpreted
+    array folds cost ~1000 scalar ops/row in the expression
+    interpreter; one numpy (n×dim)·(dim×32) GEMM per Arrow batch is
+    ~100× cheaper and stays vectorized end-to-end — the sanctioned
+    Pandas-UDF escape hatch, not a row-at-a-time Python UDF.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.vstack([np.asarray(t, dtype=np.float64) for t in tables])
+    sizes = [len(t) for t in tables]
+
+    @pandas_udf("array<int>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        signs = mat @ planes.T >= 0  # (n, total_bits)
+        out = np.zeros((len(mat), len(sizes)), dtype=np.int32)
+        offset = 0
+        for t, sz in enumerate(sizes):
+            weights = (1 << np.arange(sz)).astype(np.int32)
+            out[:, t] = signs[:, offset : offset + sz] @ weights
+            offset += sz
+        return pd.Series(list(out))
+
+    return _buckets
 
 
 def ann_lsh(
@@ -104,17 +138,17 @@ def ann_lsh(
         hyperplanes(dim, bits_per_table, seed + 101 * t) for t in range(n_tables)
     ]
 
+    buckets_udf = _buckets_udf(tables)
+
     def with_buckets(df: DataFrame, side: str) -> DataFrame:
         out = df.select(
-            F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias(f"{side}_vec")
-        )
-        buckets = F.array(
-            *[ _bucket_expr(f"{side}_vec", planes) for planes in tables ]
+            F.col(id_col).alias(f"{side}_id"),
+            buckets_udf(F.col(vec_col)).alias("bs"),
         )
         # bucket rows carry only (id, table, bucket) — the 64-float
         # vectors never enter the bucket join / pair dedup shuffle
         return out.select(
-            f"{side}_id", F.posexplode(buckets).alias("table", "bucket")
+            f"{side}_id", F.posexplode("bs").alias("table", "bucket")
         )
 
     qb = with_buckets(queries, "query")
