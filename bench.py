@@ -39,9 +39,11 @@ HEADLINE = [
     "topk_per_group",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "embedding_knn_brute",
     "embedding_ann_lsh",
     "text_quality_score",
+    "text_tfidf_top_terms",
     "events_tumbling_window",
     "events_session_window",
 ]

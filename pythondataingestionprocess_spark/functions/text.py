@@ -35,6 +35,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer shape: contractions, space-prefixed letter
+# runs, digit runs, punctuation runs, residual whitespace. Plain
+# alternation — identical semantics under Java regex and RE2, so the
+# DuckDB oracle can run the same pattern.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish subword pre-tokenization (regex, no merges) — the
+    token-budget estimator for LLM pipelines; counts ~what a GPT-style
+    tokenizer's pre-split produces."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    # exclude pure-whitespace matches from the count
+    return F.size(F.filter(bpe_tokens(col), lambda t: t.rlike(r"\S")))
+
+
 def shingles_of_tokens(tokens_col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
     column; fewer than n tokens → empty. Index-generated (not

@@ -340,6 +340,67 @@ def simhash_pairs(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    dim: int = 64,
+    bits_per_table: int = 12,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH candidate
+    buckets (vectorized matmul) → exact-cosine verify.
+
+    Same bucket-groupBy shape as MinHash banding — quadratic only
+    within buckets, one corpus pass for signatures. Recall: a pair at
+    cos ≥ t survives with P[miss] = (1-(1-θ/π)^r)^T; at the dup end
+    (cos→1) recall →1 deterministically (identical vectors share every
+    bucket), which is what near-DUP detection needs.
+
+    Unlike top-k ANN (shallow buckets, high recall at moderate cos),
+    near-dup wants DEEP buckets: at cos ≥ 0.99, 12 bits × 8 tables
+    gives per-pair miss ~1e-3 while keeping buckets near singleton —
+    candidate volume scales ~n·n/2^bits, so shallow buckets explode
+    quadratically on large corpora.
+    """
+    from pythondataingestionprocess_spark.functions.vectors import cosine
+    from pythondataingestionprocess_spark.operators.similarity import (
+        _buckets_udf,
+        hyperplanes,
+    )
+
+    tables = [hyperplanes(dim, bits_per_table, seed + 101 * t) for t in range(n_tables)]
+    banded = df.select(
+        F.col(id_col), _buckets_udf(tables)(F.col(vec_col)).alias("bs")
+    ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+    buckets = (
+        banded.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "j -> struct(ids[i - 1] AS id_a, j AS id_b))))"
+    )
+    candidates = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on the normalized-text md5 fingerprint."""
     return (

@@ -209,7 +209,95 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COSINE_DUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
+    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
+    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.99
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_COSINE_DUP_ORACLE, tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over a corpus with planted duplicate
+    vectors (the raw corpus is near-orthogonal noise — no natural
+    pairs). Spark side is the LSH-bucketed scale path; the oracle is
+    the exact O(n²) scan — identical vectors share every bucket, so
+    LSH recall at the dup end is exactly 1 and the outputs coincide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dupes = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        dupes.select("vec_id", "embedding")
+    )
+    return dd.cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99)
+
+
 # ----------------------------------------------------------- text analysis
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         tf.tf * (SELECT n_docs FROM n) * 1.0 / df.df AS score
+  FROM tf JOIN df USING (tok)
+  WHERE tf.doc_id % 97 = 0
+)
+SELECT doc_id, tok, tf, df, score, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, tok) AS INT) AS rnk
+  FROM scored
+) t WHERE rnk <= 3
+"""
+
+
+@query("text_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text",))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tf-idf surface: top-3 distinguishing terms per sampled doc.
+    Uses the rational idf (tf·N/df — one IEEE division, bit-identical
+    across engines) rather than ln-smoothed idf, whose libm rounding
+    can differ in the last ulp between JVM and DuckDB; the ranking
+    pipeline (explode → tf → df → join → window top-k) is the operator
+    under test, not the weighting flavor."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny scalar; at 100 TB use an agg-join instead
+    scored = (
+        tf.filter(F.col("doc_id") % 97 == 0)
+        .join(dfreq, "tok")
+        .withColumn(
+            "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
+    )
+
+
 
 _TOKEN_ORACLE = """
 SELECT lang,
@@ -231,6 +319,33 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+_BPE_ORACLE = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(
+         regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+         t -> regexp_matches(t, '\S')))) AS BIGINT) AS total_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+@query("text_bpe_token_count", oracle=_BPE_ORACLE, tags=("text",))
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting per language (the LLM token-budget
+    estimator) — same alternation pattern evaluated by Java regex and
+    RE2 (verified identical on the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_bpe", tx.bpe_token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
         )
     )
 

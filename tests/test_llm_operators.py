@@ -69,3 +69,32 @@ def test_multimodal_decode_plumbing(spark):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         media.real_decode(b"bytes", "image")
+
+
+def test_cosine_near_dup_finds_planted_dups(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(40)]
+    planted = [(i + 1000, vec) for i, vec in base if i % 4 == 0]
+    df = spark.createDataFrame(base + planted, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.cosine_near_dup_pairs(df, "vec_id", "embedding").collect()
+    }
+    assert pairs == {(i, i + 1000) for i in range(0, 40, 4)}
+
+
+def test_bpe_token_count_known_strings(spark):
+    from pythondataingestionprocess_spark.functions.text import bpe_token_count
+
+    rows = [(1, "I'll pay $1,234 tomorrow!"), (2, "   "), (3, "añojo 漢字 ok")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count("text").alias("n")).collect()}
+    # "I" "'ll" " pay" " $" "1" "," "234" " tomorrow" "!" → 9
+    assert got[1] == 9
+    assert got[2] == 0  # whitespace-only
+    # non-ASCII letters fall into the symbol-run class (ASCII-only
+    # letter runs, like GPT-2's byte-level pre-tokenizer):
+    # ["a", "ñ", "ojo", " 漢字", " ok"]
+    assert got[3] == 5
