@@ -1,0 +1,71 @@
+"""Physical-plan regression guards (the scale contract, not just the
+answer): broadcast joins for dims, predicate pushdown into parquet
+scans, column pruning, no driver-side collects in hot paths. A wrong
+plan can still return right answers at sf0.01 and fall over at 100 TB
+— these tests pin the plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pythondataingestionprocess_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    plan = _formatted_plan(spark, "flagship_revenue_by_nation")
+    # lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region: every dim side
+    # broadcast — no sort-merge shuffle on the fact table
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_pushes_date_filter_to_scan(spark):
+    plan = _formatted_plan(spark, "flagship_revenue_by_nation")
+    m = re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
+    assert m, "o_orderdate range filter must reach the orders parquet scan"
+
+
+def test_flagship_prunes_lineitem_columns(spark):
+    plan = _formatted_plan(spark, "flagship_revenue_by_nation")
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, "no lineitem scan schema found"
+    cols = m.group(1)
+    # 3 needed columns only — a 16-column read here is a 5× scan tax
+    assert "l_extendedprice" in cols and "l_comment" not in cols
+    assert cols.count(":") <= 4
+
+
+def test_semi_and_anti_joins_stay_joins(spark):
+    for name, kind in [
+        ("semi_join_membership", "LeftSemi"),
+        ("anti_join_dedup", "LeftAnti"),
+    ]:
+        assert kind in _formatted_plan(spark, name), f"{name} lost its {kind} join"
+
+
+def test_minhash_has_no_cartesian(spark):
+    plan = _formatted_plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cleaning_exprs_stay_jvm_side(spark):
+    # expression-library queries: pure JVM expressions (codegen-able;
+    # AQE's pre-execution explain hides WholeStageCodegen spans, so
+    # assert the operators instead), two-phase agg with map-side
+    # partial combine, exactly one shuffle
+    plan = _formatted_plan(spark, "clean_safe_float")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange") <= 2  # one shuffle (+ its mention in detail)
