@@ -543,3 +543,16 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .subtract(orders.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
     )
+
+
+@query("approx_distinct_customers", oracle=None, tags=("aggregation", "approx"))
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (SURVEY §2.4 tail: free from Spark,
+    absent in the reference). Rows-only: sketch estimates differ
+    across engines by design; the ±5%-of-exact bound is asserted in
+    tests/test_properties.py instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -190,3 +190,57 @@ def test_provider_canonicalization(spark, store):
     provs = store.read("provider").collect()
     assert len(provs) == 1
     assert provs[0]["provider_url"] == "https://www.amazon.com.mx/dp/B0TOY1/ref=sr_1"
+
+
+def test_end_to_end_raw_sheets_to_star_schema(spark, store):
+    """EP1 end-to-end: RAW string-typed sheet reads (as the workbook
+    source emits them) → validate → deep-clean → positional attach →
+    ingest. Covers the full reference path procesar_archivo →
+    data_ingestion with dirty values (comma decimals, 'None' markers,
+    Excel serial dates) in play."""
+    from pythondataingestionprocess_spark.sources import workbook as wb
+
+    raw_compras = spark.createDataFrame(
+        [
+            ("Toy A", "2", "93,35", "186,70", "45369", "None", AMZ, "f1.xlsx", 0),
+            ("Toy B", "nan", "50.0", "50.0", "45370", None, None, "f1.xlsx", 1),
+            ("Toy C", "1", "10", "10", "45371", "CANCELED 45380", TEMU, "f1.xlsx", 2),
+        ],
+        "`Descripción` string, `Cant` string, `C. Unit` string, "
+        "`Total Cmpr` string, `Fch Cmpr` string, `Fch Entrga` string, "
+        "`Liga` string, src_file string, row_idx long",
+    )
+    raw_precios = spark.createDataFrame(
+        [("1", "Toy A", "LEGO", "Peluche", "250,0", "93,35", "180.0", "none", 0)],
+        "`No` string, `Descripción` string, `Marca` string, `Categoria` string, "
+        "`P. Tienda` string, `C. Unit` string, `P. Venta` string, "
+        "`P. Oferta` string, row_idx long",
+    )
+    compras, ok_c = wb.validate_columns(raw_compras, wb.REQUIRED_COMPRAS)
+    precios, ok_p = wb.validate_columns(raw_precios, wb.REQUIRED_PRECIOS)
+    assert ok_c and ok_p
+    cleaned_c = wb.clean_compras(compras)
+    # fill remaining pipeline-contract columns the raw sheet lacks
+    for col, typ in [
+        ("Precio", "double"), ("% Desc", "double"), ("C. Unit US", "double"),
+        ("Envio", "double"), ("Dólar", "double"), ("Desct", "double"),
+        ("Pzs", "long"), ("Costo Final", "double"),
+    ]:
+        cleaned_c = cleaned_c.withColumn(col, F.lit(None).cast(typ))
+    cleaned_c = wb.attach_positional(cleaned_c, ["https://img/a.jpg"])
+    cleaned_p = wb.clean_precios(precios)
+
+    res = ingest_batch(cleaned_c, cleaned_p, store, current_date=D)
+    # Toy A survives; Toy B inherits A's link (lag-1); Toy C CANCELED → dropped
+    assert res.n_staged_rows == 2
+    ops = {r["product_url"]: r for r in store.read("operation").collect()}
+    a = [r for r in ops.values() if r["unit_price"] == 93.35]
+    assert len(a) == 1  # comma-decimal survived the whole path
+    from datetime import date as _d
+
+    purch = store.read("purchase").collect()
+    assert {r["purchase_date"] for r in purch} == {_d(2024, 3, 18), _d(2024, 3, 19)}
+    prices = store.read("price").collect()
+    assert len(prices) == 1 and prices[0]["price"] == 180.0
+    # P. Oferta 'none' marker → NULL → default price×0.85
+    assert prices[0]["offer_price"] == pytest.approx(180.0 * 0.85)

@@ -1,0 +1,109 @@
+"""Property-based tests (SURVEY.md §5 strategy item 4): cleaning
+functions over hypothesis-generated batches — null-safety, sign
+handling, serial-date roundtrips. Each example ships a whole batch
+through one Spark job to keep runtime sane."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.functions.cleaning import (
+    normalize_null_markers,
+    safe_float,
+    signed_money,
+)
+from pythondataingestionprocess_spark.functions.dates import (
+    excel_serial_to_date,
+    parse_stmt_date,
+)
+from pythondataingestionprocess_spark.functions.text import rolling_hash
+
+SET = settings(max_examples=5, deadline=None)
+
+
+@SET
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30))
+def test_safe_float_comma_decimal_roundtrip(spark, xs):
+    rows = [(i, f"{x}".replace(".", ",")) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {r["i"]: r["v"] for r in df.select("i", safe_float("s").alias("v")).collect()}
+    for i, x in enumerate(xs):
+        assert got[i] == pytest.approx(x, rel=1e-12)
+
+
+@SET
+@given(st.lists(st.sampled_from(["None", "none", "NONE", "nan", "", "  ", "NaN", "ok", "0"]), min_size=1, max_size=20))
+def test_null_markers_never_survive(spark, xs):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(xs)], "i long, s string")
+    out = df.select("i", normalize_null_markers("s").alias("v")).collect()
+    for r in out:
+        if r["v"] is not None:
+            assert r["v"].strip().lower() not in ("none", "nan", "")
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999_999), st.integers(0, 99), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_signed_money_sign_and_magnitude(spark, items):
+    rows = []
+    for i, (whole, cents, neg) in enumerate(items):
+        sign = "- " if neg else "+ "
+        rows.append((i, f"{sign}${whole:,}.{cents:02d}", whole + cents / 100, neg))
+    df = spark.createDataFrame([(i, s) for i, s, _, _ in rows], "i long, s string")
+    got = {r["i"]: r["v"] for r in df.select("i", signed_money("s").alias("v")).collect()}
+    for i, _, mag, neg in rows:
+        expected = -mag if neg else mag
+        assert got[i] == pytest.approx(expected, abs=1e-9)
+
+
+@SET
+@given(st.lists(st.integers(1, 80_000), min_size=1, max_size=30))
+def test_excel_serial_roundtrip(spark, serials):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(serials)], "i long, s long")
+    got = {r["i"]: r["d"] for r in df.select("i", excel_serial_to_date("s").alias("d")).collect()}
+    epoch = date(1899, 12, 30)
+    for i, s in enumerate(serials):
+        assert got[i] == epoch + timedelta(days=s)
+
+
+@SET
+@given(st.lists(st.dates(date(1990, 1, 1), date(2099, 12, 31)), min_size=1, max_size=30))
+def test_stmt_date_render_parse_roundtrip(spark, dates):
+    abbr = ["ene", "feb", "mar", "abr", "may", "jun",
+            "jul", "ago", "sep", "oct", "nov", "dic"]
+    rows = [
+        (i, f"{d.day:02d}-{abbr[d.month - 1]}-{d.year}", d) for i, d in enumerate(dates)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows], "i long, s string")
+    got = {r["i"]: r["d"] for r in df.select("i", parse_stmt_date("s").alias("d")).collect()}
+    for i, _, d in rows:
+        assert got[i] == d
+
+
+def test_rolling_hash_bounded_and_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d c b a"), (3, "a b c d")], "i long, t string"
+    )
+    got = {r["i"]: r["h"] for r in df.select("i", rolling_hash("t").alias("h")).collect()}
+    assert got[1] == got[3] != got[2]
+    assert all(0 <= h < (1 << 31) - 1 for h in got.values())
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    from pythondataingestionprocess_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.count_distinct("o_custkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
