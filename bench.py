@@ -46,6 +46,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "events_tumbling_window",
     "events_session_window",
+    "events_asof_last_click",
 ]
 
 

@@ -98,3 +98,38 @@ def test_bpe_token_count_known_strings(spark):
     # letter runs, like GPT-2's byte-level pre-tokenizer):
     # ["a", "ñ", "ojo", " 漢字", " ok"]
     assert got[3] == 5
+
+
+def test_asof_join_directions_and_ties(spark):
+    from pythondataingestionprocess_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 99, 50)],
+        "id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 205, "b"), (10, 290, "c"), (10, 310, "d")],
+        "k long, ts long, tag string",
+    )
+    back = {r["id"]: r["tag"] for r in asof_join(left, right, "k", "ts", ["tag"]).collect()}
+    # id=1 ties at ts=100 → matches 'a'; id=2 ties at 205 → 'b';
+    # id=3 latest ≤300 → 'c'; id=4 key 99 unmatched → NULL
+    assert back == {1: "a", 2: "b", 3: "c", 4: None}
+    fwd = {
+        r["id"]: r["tag"]
+        for r in asof_join(left, right, "k", "ts", ["tag"], direction="forward").collect()
+    }
+    assert fwd == {1: "a", 2: "b", 3: "d", 4: None}
+
+
+def test_asof_join_null_value_does_not_fall_through(spark):
+    from pythondataingestionprocess_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 300)], "id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(10, 100, "old", 1.0), (10, 200, None, 2.0)],
+        "k long, ts long, tag string, v double",
+    )
+    row = asof_join(left, right, "k", "ts", ["tag", "v"]).first()
+    # matched row (ts=200) has tag NULL — must NOT inherit 'old' from ts=100
+    assert row["tag"] is None and row["v"] == 2.0
