@@ -133,3 +133,25 @@ def test_asof_join_null_value_does_not_fall_through(spark):
     row = asof_join(left, right, "k", "ts", ["tag", "v"]).first()
     # matched row (ts=200) has tag NULL — must NOT inherit 'old' from ts=100
     assert row["tag"] is None and row["v"] == 2.0
+
+
+def test_range_join_left_and_salted_join(spark):
+    from pythondataingestionprocess_spark.operators.rangejoin import range_join
+    from pythondataingestionprocess_spark.operators.skew import salted_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 99.0)], "pid long, x double"
+    )
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 4.0, 20.0)], "iid long, lo double, hi double"
+    )
+    inner = {(r["pid"], r["iid"]) for r in range_join(pts, iv, "x", "lo", "hi", 7.0).collect()}
+    assert inner == {(1, 100), (1, 200), (2, 200)}
+    left = {(r["pid"], r["iid"]) for r in range_join(pts, iv, "x", "lo", "hi", 7.0, how="left").collect()}
+    assert left == inner | {(3, None)}
+
+    big = spark.createDataFrame([(i, i % 2) for i in range(100)], "v long, k long")
+    dim = spark.createDataFrame([(0, "even"), (1, "odd")], "k long, name string")
+    plain = {(r["v"], r["name"]) for r in big.join(dim, "k").collect()}
+    salted = {(r["v"], r["name"]) for r in salted_join(big, dim, ["k"], n_salts=8).collect()}
+    assert salted == plain

@@ -69,3 +69,17 @@ def test_cleaning_exprs_stay_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan  # map-side combine before the exchange
     assert plan.count("Exchange") <= 2  # one shuffle (+ its mention in detail)
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    plan = _formatted_plan(spark, "range_join_quantity_bands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    # the as-of composition is a union + window — no join operator at
+    # all, one exchange on the key
+    plan = _formatted_plan(spark, "events_asof_last_click")
+    assert "Window" in plan
+    assert "NestedLoop" not in plan
