@@ -190,3 +190,72 @@ def test_stateful_running_totals(spark, tmp_path):
     # one emission per micro-batch; the final one carries the full total
     assert max(r["n_events"] for r in rows) == 5
     assert any(abs(r["sum_value"] - (0 + 1 + 10 + 11 + 12)) < 1e-9 for r in rows)
+
+
+def test_streaming_workbook_ingestion_into_store(spark, tmp_path):
+    """Streaming twin of EP1: workbook-shaped rows arrive as files,
+    each micro-batch deep-cleans and ingests into the star-schema
+    store via foreachBatch — per-batch transaction semantics replacing
+    the reference's per-file one, J5 dedup working ACROSS batches."""
+    from datetime import date
+
+    from pythondataingestionprocess_spark.pipeline import (
+        ParquetTableStore,
+        ingest_batch,
+    )
+    from pythondataingestionprocess_spark.sources import workbook as wb
+
+    inbox = str(tmp_path / "inbox")
+    store = ParquetTableStore(spark, str(tmp_path / "warehouse"))
+
+    raw_schema = (
+        "`Descripción` string, `Cant` string, `C. Unit` string, "
+        "`Total Cmpr` string, `Fch Cmpr` string, `Fch Entrga` string, "
+        "`Liga` string, src_file string, row_idx long"
+    )
+
+    def row(desc, cant, cunit, serial, liga, src, idx):
+        return {
+            "Descripción": desc, "Cant": cant, "C. Unit": cunit,
+            "Total Cmpr": "0", "Fch Cmpr": serial, "Fch Entrga": None,
+            "Liga": liga, "src_file": src, "row_idx": idx,
+        }
+
+    amz = "https://www.amazon.com.mx/dp/B0X/"
+    _write_json_batch(inbox, "f1.json", [
+        row("Toy A", "2", "93,35", "45369", amz, "f1", 0),
+        row("Toy B", "1", "10", "45370", amz, "f1", 1),
+    ])
+
+    def process(batch_df, batch_id):
+        cleaned = wb.clean_compras(batch_df)
+        from pyspark.sql import functions as F
+
+        for col, typ in [
+            ("Precio", "double"), ("% Desc", "double"), ("C. Unit US", "double"),
+            ("Envio", "double"), ("Dólar", "double"), ("Desct", "double"),
+            ("Pzs", "long"), ("Costo Final", "double"), ("Picture_URL", "string"),
+        ]:
+            cleaned = cleaned.withColumn(col, F.lit(None).cast(typ))
+        precios = spark.createDataFrame([], tests_precios_schema())
+        ingest_batch(cleaned, precios, store, current_date=date(2024, 6, 1))
+
+    def tests_precios_schema():
+        from tests.fixtures import PRECIOS_SCHEMA
+
+        return PRECIOS_SCHEMA
+
+    stream = file_ingest.file_stream(spark, inbox, raw_schema)
+    file_ingest.run_ingestion(stream, process, str(tmp_path / "ckpt")).awaitTermination(120)
+    assert store.read("operation").count() == 2
+    assert store.read("store").count() == 1
+
+    # second drop: one duplicate of Toy A (J5-skips) + one new row
+    _write_json_batch(inbox, "f2.json", [
+        row("Toy A", "2", "93,35", "45369", amz, "f2", 0),  # dup across batches
+        row("Toy C", "3", "7", "45371", amz, "f2", 1),
+    ])
+    stream = file_ingest.file_stream(spark, inbox, raw_schema)
+    file_ingest.run_ingestion(stream, process, str(tmp_path / "ckpt")).awaitTermination(120)
+    assert store.read("operation").count() == 3  # dup skipped
+    assert store.read("product").count() == 3
