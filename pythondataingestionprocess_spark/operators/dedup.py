@@ -18,7 +18,15 @@ Scale design:
   (pigeonhole for hamming ≤ 3 per 4 chunks) → bucket join, then exact
   hamming filter via bit_count(xor).
 
-All pure column expressions + joins; no Python in the hot path.
+All pure column expressions + joins; no Python in the hot path
+(except one Arrow-vectorized matmul for hyperplane buckets).
+
+Algorithms are the published classics: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", 1997),
+LSH banding (Indyk & Motwani 1998; Gionis, Indyk & Motwani, VLDB
+1999), SimHash random-projection fingerprints (Charikar, STOC 2002)
+as deployed for web-scale near-dup at Google (Manku, Jain & Das
+Sarma, WWW 2007).
 """
 
 from __future__ import annotations

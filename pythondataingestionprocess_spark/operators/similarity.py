@@ -13,8 +13,10 @@ Two tiers, same output contract (query_id, neighbor_id, cos, rank):
   independent tables); top-k within candidates. Approximate recall
   tunable by tables × bits; cost bounded by bucket sizes.
 
-Hyperplanes are generated from a fixed seed, so results are
-deterministic run-to-run.
+Random-hyperplane (sign-random-projection) LSH per Charikar (STOC
+2002); multi-table banding per Indyk & Motwani (1998). Hyperplanes
+are generated from a fixed seed, so results are deterministic
+run-to-run.
 """
 
 from __future__ import annotations

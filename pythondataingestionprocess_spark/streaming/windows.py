@@ -12,7 +12,9 @@ Scale notes: tumbling/sliding aggregation shuffles once on
 shuffle on the session key (user) — the natural partitioning for
 per-entity sessionization. None of these materialize per-event state
 beyond the aggregation buffers; in streaming mode the watermark bounds
-state size.
+state size. Model per "Structured Streaming: A Declarative API for
+Real-Time Applications in Apache Spark" (SIGMOD 2018) — the same
+declarative plan runs incrementally with watermark-bounded state.
 """
 
 from __future__ import annotations
