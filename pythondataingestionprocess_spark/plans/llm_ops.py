@@ -440,6 +440,35 @@ FROM documents GROUP BY source
 """
 
 
+@query("multimodal_decode_stats", oracle=None, tags=("multimodal",))
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode (mapInPandas) over opaque binary
+    payloads: utf-8 doc bytes stand in for media blobs, media_type
+    assigned round-robin, deterministic fake decoder (container ships
+    no image/audio libs — multimodal/media.py stubs the real one).
+    Rows-only: the per-blob stats have no SQL twin; determinism is
+    pinned by tests/test_llm_operators.py."""
+    from pythondataingestionprocess_spark.multimodal.media import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    stats = decode_media(blobs)
+    return stats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.sum("n_frames").alias("total_frames"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
 @query("multimodal_binary_meta", oracle=_MULTIMODAL_ORACLE, tags=("multimodal",))
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: treat utf-8 encoded text as the
