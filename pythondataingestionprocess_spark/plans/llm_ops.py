@@ -181,6 +181,21 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@query("embedding_ann_ivf", oracle=None, tags=("similarity", "ivf"))
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (k-means coarse quantizer, 16 lists,
+    probe 4) for the same 10 query vectors as the brute/LSH paths.
+    Rows-only by nature (approximate); recall vs brute force is
+    asserted in tests on clustered data, where IVF shines."""
+    from pythondataingestionprocess_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.kmeans_fit(emb, k=16, max_iter=3)
+    return ivf.ivf_search(
+        emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, n_probe=4
+    )
+
+
 @query(
     "embedding_norms",
     oracle="""

@@ -155,3 +155,47 @@ def test_range_join_left_and_salted_join(spark):
     plain = {(r["v"], r["name"]) for r in big.join(dim, "k").collect()}
     salted = {(r["v"], r["name"]) for r in salted_join(big, dim, ["k"], n_salts=8).collect()}
     assert salted == plain
+
+
+def test_ivf_high_recall_on_clustered_data(spark):
+    """IVF's home turf: clustered corpus → probing the right lists
+    recovers nearly all true neighbors."""
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 10
+    rows = []
+    for i in range(400):
+        c = i % 8
+        rows.append((i, [float(x) for x in centers[c] + rng.standard_normal(32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 8)
+
+    centroids = ivf.kmeans_fit(df, k=8, max_iter=5)
+    brute = sim.knn_bruteforce(df, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf.ivf_search(df, queries, centroids, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    n_true = brute.count()
+    n_hit = brute.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert n_true == 40
+    assert n_hit / n_true >= 0.9, f"IVF recall {n_hit / n_true}"
+
+
+def test_ivf_assign_is_deterministic(spark):
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    c = ivf.kmeans_fit(df, k=4, max_iter=3)
+    a1 = sorted((r["vec_id"], r["ivf_list"]) for r in ivf.ivf_assign(df, c).collect())
+    a2 = sorted((r["vec_id"], r["ivf_list"]) for r in ivf.ivf_assign(df, c).collect())
+    assert a1 == a2
+    assert len({lst for _, lst in a1}) > 1  # actually partitions the space
