@@ -72,8 +72,15 @@ class ParquetTableStore:
             shutil.rmtree(path)
         os.replace(tmp, path)
 
-    def append(self, name: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._path(name))
+    def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Append; ``partition_by`` lays fact tables out by the prune
+        key (e.g. purchase_date) so date-ranged reads skip whole
+        directories — the at-rest half of predicate pushdown. Pass the
+        same columns on every append."""
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(name))
 
     def upsert(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
         """MERGE: incoming wins on key match, unmatched existing rows

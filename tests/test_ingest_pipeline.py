@@ -244,3 +244,25 @@ def test_end_to_end_raw_sheets_to_star_schema(spark, store):
     assert len(prices) == 1 and prices[0]["price"] == 180.0
     # P. Oferta 'none' marker → NULL → default price×0.85
     assert prices[0]["offer_price"] == pytest.approx(180.0 * 0.85)
+
+
+def test_partitioned_append_prunes_on_read(spark, tmp_path):
+    """Facts partitioned by the date key: a date-filtered scan reads
+    only matching partition dirs (PartitionFilters in the scan, not a
+    post-scan filter) — the at-rest layout contract for 100 TB."""
+    from pythondataingestionprocess_spark.pipeline.store import ParquetTableStore
+
+    store = ParquetTableStore(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, date(2024, 3, 1)), (2, date(2024, 3, 2)), (3, date(2024, 3, 3))],
+        "id_purchase long, purchase_date date",
+    )
+    store.append("purchase", df, partition_by=["purchase_date"])
+    got = store.read("purchase").filter(F.col("purchase_date") == date(2024, 3, 2))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(purchase_date" in plan
+    assert got.count() == 1
+    import os
+
+    parts = [d for d in os.listdir(tmp_path / "wh" / "purchase") if d.startswith("purchase_date=")]
+    assert len(parts) == 3

@@ -131,3 +131,26 @@ def test_pdf_and_excel_import_gates(spark):
         stmt.extract_pdf_text(spark, "/nonexistent/*.pdf")
     with pytest.raises(ImportError):
         wb.read_workbook(spark, "/nonexistent.xlsx")
+
+
+def test_python_datasource_statement_pipeline(spark, tmp_path):
+    """PySpark-4 Python DataSource end-to-end: drop statement .txt
+    files, spark.read.format('stmt_text') → grammar parse → typed
+    tables. One partition per file."""
+    from pythondataingestionprocess_spark.sources import datasource
+
+    d = tmp_path / "stmts"
+    d.mkdir()
+    (d / "a.txt").write_text(STATEMENT_TEXT)
+    (d / "b.txt").write_text(STATEMENT_TEXT.replace("OXXO CENTRO", "SORIANA SUR"))
+
+    datasource.register(spark)
+    raw = spark.read.format("stmt_text").load(str(d))
+    assert raw.count() == 2
+    assert raw.rdd.getNumPartitions() == 2  # one file per task
+
+    charges = stmt.parse_charges(raw)
+    by = {(r["path"].split("/")[-1], r["Descripción"]) for r in charges.collect()}
+    assert ("a.txt", "OXXO CENTRO") in by
+    assert ("b.txt", "SORIANA SUR") in by
+    assert len(by) == 6  # 3 charge lines per file
