@@ -125,3 +125,38 @@ def events_sessionize_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window``."""
     ev = load_table(spark, sf_dir, "events")
     return sw.sessionize_manual(ev, gap_seconds=1800)
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), e AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.user_id, e.error_id, e.error_ts, c.click_id, c.click_ts
+FROM c JOIN e ON c.user_id = e.user_id
+  AND c.click_ts <= e.error_ts
+  AND c.click_ts >= e.error_ts - INTERVAL 10 MINUTE
+"""
+
+
+@query(
+    "events_interval_join",
+    oracle=_INTERVAL_JOIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join (clicks within 10 min before each error) —
+    the batch face of the stream-stream join in streaming/joins.py;
+    the streaming face (watermark-bounded state) is integration-tested
+    in tests/test_streaming.py."""
+    from pythondataingestionprocess_spark.streaming.joins import clicks_then_errors
+
+    ev = load_table(spark, sf_dir, "events")
+    return clicks_then_errors(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        window_minutes=10,
+    )

@@ -1,0 +1,57 @@
+"""Stream-stream interval join (SURVEY.md §2.9 depth — no reference
+counterpart).
+
+``clicks_then_errors`` pairs each error with the same user's clicks in
+the preceding ``window_minutes`` — the classic attribution join. The
+SAME join expression runs:
+
+- **batch**: a plain time-interval join (oracle-checked vs DuckDB
+  inequality join in plans/streaming_queries.py);
+- **streaming**: both sides watermarked; the time-range condition lets
+  Spark bound each side's state (clicks older than the window +
+  watermark are dropped) — without the range bound a stream-stream
+  join would buffer forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clicks_then_errors(
+    clicks: DataFrame,
+    errors: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """(error_id, user_id, error_ts, click_id, click_ts) for every
+    click within [error_ts - window, error_ts], inner join."""
+    # distinct column names on each side — both frames may derive from
+    # the SAME source (batch self-join), where qualified refs are
+    # ambiguous
+    c = clicks.select(
+        F.col("user_id").alias("click_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if e.isStreaming:
+        e = e.withWatermark("error_ts", watermark)
+    cond = (
+        (F.col("click_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("error_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return c.join(e, cond).select(
+        "user_id", "error_id", "error_ts", "click_id", "click_ts"
+    )

@@ -259,3 +259,35 @@ def test_streaming_workbook_ingestion_into_store(spark, tmp_path):
     file_ingest.run_ingestion(stream, process, str(tmp_path / "ckpt")).awaitTermination(120)
     assert store.read("operation").count() == 3  # dup skipped
     assert store.read("product").count() == 3
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Both sides streaming with watermarks: a click 5 min before the
+    error joins; a click 30 min before does not (outside the window)."""
+    from pythondataingestionprocess_spark.streaming.joins import clicks_then_errors
+
+    inbox_c = str(tmp_path / "clicks")
+    inbox_e = str(tmp_path / "errors")
+    _write_json_batch(inbox_c, "c.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:25:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:00:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 1.0},
+    ])
+    _write_json_batch(inbox_e, "e.json", [
+        {"event_id": 9, "ts": "2024-01-01T00:30:00.000Z", "user_id": 7,
+         "event_type": "error", "value": 0.0},
+    ])
+    clicks = file_ingest.file_stream(spark, inbox_c, EVENTS_SCHEMA)
+    errors = file_ingest.file_stream(spark, inbox_e, EVENTS_SCHEMA)
+    joined = clicks_then_errors(clicks, errors, window_minutes=10)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_test").collect()
+    assert {(r["error_id"], r["click_id"]) for r in rows} == {(9, 1)}
