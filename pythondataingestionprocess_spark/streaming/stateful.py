@@ -55,3 +55,97 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- transformWithStateInPandas (Spark 4 arbitrary-state v2) --------
+
+LOCF_SCHEMA = "user_id long, event_id long, ts timestamp, props string"
+
+
+def locf_processor():
+    """Streaming LOCF forward-fill, per key: NULL ``props`` inherits
+    the key's last non-null value — across micro-batches, via an
+    explicit ValueState slot. This is the reference's forward-fill
+    (import_files_to_postgre.py:148-153 / SURVEY §2.9 "W1's streaming
+    analog") on the modern transformWithState API, replacing the
+    applyInPandasWithState style above for new code."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LocfProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_props", "v string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._last.get()[0] if self._last.exists() else None
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                filled = []
+                for v in pdf["props"]:
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        filled.append(last)
+                    else:
+                        last = v
+                        filled.append(v)
+                out = pdf.copy()
+                out["props"] = filled
+                yield out[["user_id", "event_id", "ts", "props"]]
+            if last is not None:
+                self._last.update((last,))
+
+        def close(self) -> None:
+            pass
+
+    return LocfProcessor()
+
+
+def locf_fill_stream(events: DataFrame) -> DataFrame:
+    """Per-user LOCF over a stream of events with a nullable ``props``
+    column, on the arbitrary-state-v2 API. Import-gated: the state
+    server protocol needs protobuf, absent in this container — use
+    :func:`locf_fill_stream_legacy` there (identical output)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - absent in container
+        raise ImportError(
+            "transformWithStateInPandas requires protobuf; use "
+            "locf_fill_stream_legacy (applyInPandasWithState) instead"
+        ) from exc
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=locf_processor(),
+        outputStructType=LOCF_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def _locf_update(key, pdfs, state):
+    (user_id,) = key
+    (last,) = state.get if state.exists else (None,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        filled = []
+        for v in pdf["props"]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                filled.append(last)
+            else:
+                last = v
+                filled.append(v)
+        out = pdf.copy()
+        out["props"] = filled
+        yield out[["user_id", "event_id", "ts", "props"]]
+    state.update((last,))
+
+
+def locf_fill_stream_legacy(events: DataFrame) -> DataFrame:
+    """LOCF on applyInPandasWithState — same semantics as
+    :func:`locf_fill_stream`, runs without protobuf."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _locf_update,
+        outputStructType=LOCF_SCHEMA,
+        stateStructType="last string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

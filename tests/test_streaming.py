@@ -291,3 +291,48 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ssj_test").collect()
     assert {(r["error_id"], r["click_id"]) for r in rows} == {(9, 1)}
+
+
+def test_transform_with_state_locf(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: LOCF state survives ACROSS
+    micro-batches — batch 2's leading NULL inherits batch 1's last
+    value for the same user."""
+    import pytest as _pytest
+
+    from pythondataingestionprocess_spark.streaming import stateful
+
+    # modern API is protobuf-gated in this container; same semantics
+    # via the legacy API below
+    try:
+        import google.protobuf  # noqa: F401
+        locf = stateful.locf_fill_stream
+    except ImportError:
+        with _pytest.raises(ImportError):
+            stateful.locf_fill_stream(None)
+        locf = stateful.locf_fill_stream_legacy
+
+    inbox = str(tmp_path / "inbox")
+    schema = "user_id long, event_id long, ts timestamp, props string"
+    _write_json_batch(inbox, "a.json", [
+        {"user_id": 7, "event_id": 1, "ts": "2024-01-01T00:00:00Z", "props": "A"},
+        {"user_id": 7, "event_id": 2, "ts": "2024-01-01T00:01:00Z", "props": None},
+    ])
+    _write_json_batch(inbox, "b.json", [
+        {"user_id": 7, "event_id": 3, "ts": "2024-01-01T00:02:00Z", "props": None},
+        {"user_id": 7, "event_id": 4, "ts": "2024-01-01T00:03:00Z", "props": "B"},
+        {"user_id": 8, "event_id": 5, "ts": "2024-01-01T00:04:00Z", "props": None},
+    ])
+    stream = file_ingest.file_stream(
+        spark, inbox, schema, max_files_per_trigger=1
+    )
+    q = (
+        locf(stream)
+        .writeStream.format("memory")
+        .queryName("locf_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["props"] for r in spark.sql("SELECT * FROM locf_test").collect()}
+    assert got == {1: "A", 2: "A", 3: "A", 4: "B", 5: None}
