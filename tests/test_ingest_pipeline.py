@@ -266,3 +266,22 @@ def test_partitioned_append_prunes_on_read(spark, tmp_path):
 
     parts = [d for d in os.listdir(tmp_path / "wh" / "purchase") if d.startswith("purchase_date=")]
     assert len(parts) == 3
+
+
+def test_store_upsert_replaces_matched_rows(spark, store):
+    """ON CONFLICT DO UPDATE semantics: incoming wins on key match,
+    unmatched existing rows survive."""
+    a = spark.createDataFrame(
+        [(1, "alpha", "http://a", True), (2, "beta", "http://b", True)],
+        "id_store long, store_name string, store_url string, status boolean",
+    )
+    store.overwrite("store", a)
+    incoming = spark.createDataFrame(
+        [(9, "beta", "http://b2", False), (3, "gamma", "http://c", True)],
+        "id_store long, store_name string, store_url string, status boolean",
+    )
+    store.upsert("store", incoming, keys=["store_name"])
+    got = {r["store_name"]: r for r in store.read("store").collect()}
+    assert set(got) == {"alpha", "beta", "gamma"}
+    assert got["beta"]["store_url"] == "http://b2" and got["beta"]["status"] is False
+    assert got["alpha"]["store_url"] == "http://a"

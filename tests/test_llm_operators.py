@@ -199,3 +199,12 @@ def test_ivf_assign_is_deterministic(spark):
     a2 = sorted((r["vec_id"], r["ivf_list"]) for r in ivf.ivf_assign(df, c).collect())
     assert a1 == a2
     assert len({lst for _, lst in a1}) > 1  # actually partitions the space
+
+
+def test_salted_agg_count_matches_plain(spark):
+    from pythondataingestionprocess_spark.operators.skew import salted_agg_count
+
+    df = spark.createDataFrame([(i, "hot" if i % 10 else "cold") for i in range(200)], "v long, k string")
+    plain = {r["k"]: r["n"] for r in df.groupBy("k").count().withColumnRenamed("count", "n").collect()}
+    salted = {r["k"]: r["n"] for r in salted_agg_count(df, ["k"], n_salts=8).collect()}
+    assert salted == plain

@@ -131,6 +131,8 @@ def test_pdf_and_excel_import_gates(spark):
         stmt.extract_pdf_text(spark, "/nonexistent/*.pdf")
     with pytest.raises(ImportError):
         wb.read_workbook(spark, "/nonexistent.xlsx")
+    with pytest.raises(ImportError):
+        stmt.write_two_sheet_excel(None, None, "/tmp/x.xlsx")
 
 
 def test_python_datasource_statement_pipeline(spark, tmp_path):
