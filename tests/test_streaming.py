@@ -336,3 +336,22 @@ def test_transform_with_state_locf(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["event_id"]: r["props"] for r in spark.sql("SELECT * FROM locf_test").collect()}
     assert got == {1: "A", 2: "A", 3: "A", 4: "B", 5: None}
+
+
+def test_kafka_parse_json_events_batch(spark):
+    """parse_json_events is source-agnostic — exercised on a batch
+    frame shaped like Kafka output (no broker in this container);
+    PERMISSIVE: bad payloads → NULL columns, stream survives."""
+    from pythondataingestionprocess_spark.streaming.kafka import parse_json_events
+
+    raw = spark.createDataFrame(
+        [
+            (bytearray(b'{"event_id": 1, "value": 2.5}'), "2024-01-01 00:00:00"),
+            (bytearray(b"not json at all"), "2024-01-01 00:00:01"),
+        ],
+        "value binary, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    out = parse_json_events(raw, "event_id long, value double").collect()
+    by_ts = sorted(out, key=lambda r: r["kafka_ts"])
+    assert by_ts[0]["event_id"] == 1 and by_ts[0]["value"] == 2.5
+    assert by_ts[1]["event_id"] is None  # fault-isolated, not failed
