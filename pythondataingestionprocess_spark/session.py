@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # spill-awareness: 128 MiB scan splits keep a task's working set
+        # well under executor memory even after decode amplification
+        # (parquet → row ~2-4×); at the 100 TB target this is the knob
+        # that bounds per-task memory together with AQE's
+        # advisoryPartitionSizeInBytes for post-shuffle partitions
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which vanilla Spark rejects; read as long and convert in the
         # catalog loader (see catalog.load_table).
