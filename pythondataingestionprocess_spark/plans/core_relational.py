@@ -556,3 +556,83 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            FILTER (o_orderstatus = 'F') AS DOUBLE) AS F,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            FILTER (o_orderstatus = 'O') AS DOUBLE) AS O,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            FILTER (o_orderstatus = 'P') AS DOUBLE) AS P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("pivot_status_revenue", oracle=_PIVOT_ORACLE, tags=("agg", "pivot"))
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order revenue by priority × status. Explicit pivot
+    values → no extra distinct-values job (at scale, ALWAYS pass the
+    value list; the two-pass inference is a full extra scan). Oracle
+    is the FILTER-ed aggregate desugaring."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double"))
+    )
+
+
+_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("quantile_disc_prices", oracle=_QUANTILE_ORACLE, tags=("agg", "quantile"))
+def quantile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (exact, no interpolation — the variant
+    whose result is an actual data element, so cross-engine float
+    identity is trivial; interpolated quantiles differ in last-ulp
+    arithmetic between engines). approx_percentile is the sketch
+    sibling at 100 TB."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p95"),
+    )
+
+
+_HISTOGRAM_ORACLE = """
+-- width_bucket(x, 0, 50, 10) desugared (DuckDB has no width_bucket):
+-- below range -> 0, at/above hi -> n+1, else floor(x/width)+1
+SELECT CAST(CASE WHEN l_quantity < 0 THEN 0
+            WHEN l_quantity >= 50 THEN 11
+            ELSE floor(l_quantity / 5) + 1 END AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1
+"""
+
+
+@query("histogram_quantity", oracle=_HISTOGRAM_ORACLE, tags=("agg", "histogram"))
+def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — binning is a pure
+    expression, so the 'histogram' is an ordinary one-shuffle
+    aggregation (no special operator needed at any scale)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.withColumn(
+            "bucket", F.width_bucket(F.col("l_quantity"), F.lit(0), F.lit(50), F.lit(10))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("l_extendedprice", "sum_price"),
+        )
+    )
