@@ -636,3 +636,66 @@ def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice", "sum_price"),
         )
     )
+
+
+@query(
+    "except_all_slices",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setops",),
+)
+def except_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (duplicates preserved by
+    count), the bag-semantics sibling of the except_keys query."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return hi.exceptAll(fin)
+
+
+@query(
+    "intersect_all_slices",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setops",),
+)
+def intersect_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of per-side counts)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return hi.intersectAll(fin)
+
+
+_FUZZY_ORACLE = """
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 97 = 0)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 97
+WHERE levenshtein(a.p_name, b.p_name) <= 25
+"""
+
+
+@query("fuzzy_name_distance", oracle=_FUZZY_ORACLE, tags=("text", "fuzzy"))
+def fuzzy_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over product names — the robust
+    form of the reference's exact name-keyed joins (J1/J4 break on
+    typos; levenshtein-with-threshold is the standard fix). Pairing is
+    key-adjacent to keep the check O(n); a full fuzzy self-join at
+    scale would block on length + token prefixes first."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.filter(F.col("p_partkey") % 97 == 0).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("_na"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("_nb"))
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 97)
+        .withColumn("edit_dist", F.levenshtein("_na", "_nb"))
+        .filter(F.col("edit_dist") <= 25)
+        .select("key_a", "key_b", "edit_dist")
+    )
