@@ -33,6 +33,8 @@ HEADLINE = [
     "anti_join_dedup",
     "top_orders_by_price",
     "rollup_agg",
+    "pivot_status_revenue",
+    "histogram_quantity",
     "union_all_slices",
     "window_running_total",
     "forward_fill_locf",

@@ -421,3 +421,41 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
         )
     )
+
+
+_DQ_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS not_null_o_custkey,
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+         AS accepted_values_o_orderstatus,
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 ELSE 0 END) AS BIGINT)
+         AS in_range_o_totalprice,
+       CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS BIGINT)
+         AS matches_o_orderpriority,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS duplicate_keys
+FROM orders
+"""
+
+
+@query("dq_orders_expectations", oracle=_DQ_ORACLE, tags=("quality",))
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation sweep over orders — N constraint
+    checks in ONE scan+aggregate (quality.py; the scalable form of the
+    reference's per-row runtime guards)."""
+    from pythondataingestionprocess_spark import quality as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    return dq.check(
+        orders,
+        [
+            dq.not_null("o_custkey"),
+            dq.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            dq.in_range("o_totalprice", 0, 1_000_000),
+            dq.matches("o_orderpriority", r"^[0-9]-"),
+        ],
+        keys=["o_orderkey"],
+    )

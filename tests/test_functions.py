@@ -195,3 +195,35 @@ def test_landed_unit_cost(spark):
     assert out[0] == pytest.approx(105.0)  # 100 + 10 - 5
     assert out[1] == pytest.approx(100.0)  # NULL shipping/discount → 0
     assert out[2] is None  # Cant=0 → try_divide NULL (no ANSI error)
+
+
+def test_quality_expectations_count_violations(spark):
+    from pythondataingestionprocess_spark import quality as dq
+
+    df = spark.createDataFrame(
+        [
+            (1, "F", 10.0, "1-URGENT"),
+            (1, "X", -5.0, "nope"),      # dup key, bad status, range, pattern
+            (None, "O", 2_000_000.0, "2-HIGH"),  # null key, range
+        ],
+        "k long, status string, price double, prio string",
+    )
+    row = dq.check(
+        df,
+        [
+            dq.not_null("k"),
+            dq.accepted_values("status", ["F", "O", "P"]),
+            dq.in_range("price", 0, 1_000_000),
+            dq.matches("prio", r"^[0-9]-"),
+        ],
+        keys=["k"],
+    ).first()
+    assert row["n_rows"] == 3
+    assert row["not_null_k"] == 1
+    assert row["accepted_values_status"] == 1
+    assert row["in_range_price"] == 2
+    assert row["matches_prio"] == 1
+    # count_distinct ignores NULL keys, so NULL-key rows land in
+    # duplicate_keys too (3 rows - 1 distinct non-null key = 2); the
+    # not_null check flags them separately
+    assert row["duplicate_keys"] == 2
