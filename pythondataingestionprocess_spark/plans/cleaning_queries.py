@@ -459,3 +459,33 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         keys=["o_orderkey"],
     )
+
+
+_MAP_ORACLE = """
+SELECT k AS prop_key,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(MIN(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS min_v,
+       CAST(MAX(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS max_v
+FROM (
+  SELECT props, unnest(json_keys(props)) AS k FROM events
+) t GROUP BY k
+"""
+
+
+@query("json_map_functions", oracle=_MAP_ORACLE, tags=("json", "maps"))
+def json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON surface (SURVEY §2.8 tail: no map functions in
+    the reference): props parsed to map<string,bigint>, entries
+    exploded, aggregated per key — from_json/explode-map vs DuckDB
+    json_keys/json_extract."""
+    events = load_table(spark, sf_dir, "events")
+    entries = events.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("prop_key", "v")
+    )
+    return entries.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

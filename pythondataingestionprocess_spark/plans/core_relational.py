@@ -699,3 +699,17 @@ def fuzzy_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 25)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@query("stratified_sample_events", oracle=None, tags=("sampling",))
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy per event_type, fixed seed) —
+    the corpus-downsampling primitive for training-data pipelines.
+    Rows-only: per-row Bernoulli draws depend on partition layout, so
+    exact membership isn't cross-engine stable; the fraction bound is
+    unit-tested instead."""
+    events = load_table(spark, sf_dir, "events")
+    sampled = events.sampleBy(
+        "event_type", {"click": 0.5, "view": 0.1, "error": 1.0}, seed=42
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -227,3 +227,16 @@ def test_quality_expectations_count_violations(spark):
     # duplicate_keys too (3 rows - 1 distinct non-null key = 2); the
     # not_null check flags them separately
     assert row["duplicate_keys"] == 2
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from pythondataingestionprocess_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    totals = {r["event_type"]: r["n"] for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = events.sampleBy("event_type", {"click": 0.5, "error": 1.0}, seed=42)
+    got = {r["event_type"]: r["n"] for r in sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"click", "error"}  # unlisted strata dropped
+    assert got["error"] == totals["error"]  # fraction 1.0 keeps all
+    frac = got["click"] / totals["click"]
+    assert 0.35 <= frac <= 0.65  # Bernoulli(0.5) within loose bound
