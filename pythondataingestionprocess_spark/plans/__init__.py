@@ -10,5 +10,6 @@ from pythondataingestionprocess_spark.plans import llm_ops  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import streaming_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import source_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import asof_queries  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import subqueries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

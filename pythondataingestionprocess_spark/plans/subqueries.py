@@ -1,0 +1,214 @@
+"""Subquery-shaped and advanced-aggregation queries (SURVEY.md §2.4 note:
+"grouping-sets/cube/rollup … engine gets them free from Spark"; this module
+covers the remaining classic OLAP shapes the reference never needed —
+correlated scalar subqueries, HAVING join-backs, conditional aggregation,
+and calendar bucketing).
+
+The reference has no query language at all (SURVEY §3), so these are
+pure beyond-reference surface: the shapes a user migrating real
+analytics onto this engine runs on day one (TPC-H Q17/Q18 skeletons).
+
+Spark-first notes:
+- Correlated scalar subqueries are expressed DECORRELATED (aggregate →
+  equi-join back) rather than via a correlated SQL subquery. That is
+  exactly the plan Catalyst would rewrite to, and at 100 TB it makes
+  the shuffle explicit: one partial-agg shuffle on the correlation key,
+  one co-partitioned join — no per-row re-scan.
+- Conditional aggregation (FILTER/CASE) keeps one scan: N predicates
+  become N aggregate expressions in a single partial-agg pass instead
+  of N self-joined subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.registry import (
+    dec_sum,
+    query,
+    sql_dec_sum,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery, decorrelated (TPC-H Q17 shape).
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_ORACLE = f"""
+SELECT p_brand,
+       {sql_dec_sum("l_extendedprice", "small_qty_revenue")},
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < 0.2 * (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+GROUP BY p_brand
+"""
+
+
+@query("scalar_subquery_small_qty", oracle=_SMALL_QTY_ORACLE, tags=("subquery", "join", "agg"))
+def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from line items ordered below 20% of their part's average
+    quantity, per brand (TPC-H Q17 skeleton).
+
+    The correlated scalar subquery (per-part avg quantity) is expressed
+    decorrelated: aggregate lineitem once on l_partkey, join back on the
+    same key. Scale: both sides shuffle on l_partkey, so with AQE the
+    avg-side (one row per part) broadcast-joins back into the fact scan;
+    the whole query is one fact shuffle + one dim-sized join — the
+    correlated form would be a per-row rescan in a naive engine.
+
+    Determinism: the per-part average uses the registry's exact-decimal
+    sum / count convention so the `<` threshold is bit-identical in
+    Spark and DuckDB.
+    """
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    part_avg = lineitem.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    return (
+        lineitem.join(part_avg.withColumnRenamed("l_partkey", "pa_partkey"),
+                      F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dec_sum("l_extendedprice", "small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING + join-back (TPC-H Q18 shape).
+# ---------------------------------------------------------------------------
+
+_LARGE_ORDERS_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 250
+)
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey  = o_custkey
+"""
+
+
+@query("having_large_orders", oracle=_LARGE_ORDERS_ORACLE, tags=("subquery", "having", "join"))
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total line quantity exceeds 250, with their customer
+    (TPC-H Q18 skeleton): aggregate → HAVING filter → join back to the
+    order/customer detail.
+
+    Scale: the groupBy(l_orderkey) shuffle co-partitions with the
+    orders join key, so lineitem-agg ⨝ orders reuses the partitioning
+    (one exchange, not two); the HAVING filter shrinks the agg output
+    to a sliver before any join, and AQE broadcasts it into orders.
+    """
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey", F.col("sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation — N predicates, one scan.
+# ---------------------------------------------------------------------------
+
+_COND_AGG_ORACLE = f"""
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS n_urgent,
+       {sql_dec_sum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END", "urgent_revenue")},
+       {sql_dec_sum("o_totalprice", "total_revenue")}
+FROM orders
+JOIN customer ON c_custkey  = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+@query("conditional_agg_priority", oracle=_COND_AGG_ORACLE, tags=("agg", "conditional"))
+def conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation urgent-vs-total order counts and revenue in ONE scan:
+    conditional aggregates (CASE-guarded sum/count) instead of
+    self-joined per-predicate subqueries.
+
+    Scale: this is the pattern that keeps dashboard queries to a single
+    fact pass at 100 TB — k predicates cost k aggregate expressions in
+    the same partial-agg, not k scans. nation is broadcast; the only
+    shuffle is orders on o_custkey.
+    """
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(urgent, 1)).alias("n_urgent"),
+            dec_sum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0), "urgent_revenue"),
+            dec_sum("o_totalprice", "total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar bucketing — date_trunc monthly trend.
+# ---------------------------------------------------------------------------
+
+_MONTHLY_ORACLE = f"""
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum("o_totalprice", "revenue")}
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("monthly_revenue_trend", oracle=_MONTHLY_ORACLE, tags=("agg", "date"))
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order count and revenue via date_trunc — the calendar
+    rollup every reporting pipeline needs (the reference's only date
+    aggregate is max(date) for a filename, pdf_to_xlsx.py:106-107).
+
+    Scale: date_trunc is a codegen'd expression evaluated pre-shuffle,
+    so the shuffle carries ~tens of distinct month keys — partial
+    aggregation collapses each partition to one row per month before
+    the exchange. On a date-partitioned lake layout this also prunes
+    to the months requested.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    )
