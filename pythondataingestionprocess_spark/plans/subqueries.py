@@ -180,6 +180,74 @@ def conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-role dimension join (TPC-H Q7 shape): nation joined twice under
+# two roles (supplier side / customer side).
+# ---------------------------------------------------------------------------
+
+_TRADE_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dec_sum("volume", "revenue")},
+       COUNT(*) AS n_items
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("bilateral_trade_volume", oracle=_TRADE_ORACLE, tags=("join", "agg", "multi-role"))
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral shipping volume between two nations by ship year
+    (TPC-H Q7 skeleton): the same `nation` dimension joins TWICE under
+    different roles (supplier's nation vs customer's nation), with an
+    OR-pair predicate across the two roles.
+
+    Scale: both nation roles are broadcast (aliased copies, no shuffle);
+    the OR-pair predicate cannot be pushed below either single join, so
+    it runs right after the second broadcast — the only exchanges are
+    the two fact shuffles (lineitem⨝orders on orderkey, ⨝customer on
+    custkey). supplier is broadcast-sized at any SF that keeps ~1
+    supplier row per 600 lineitems.
+    """
+    lineitem, supplier, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Calendar bucketing — date_trunc monthly trend.
 # ---------------------------------------------------------------------------
 
