@@ -280,3 +280,82 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", "revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered list/string aggregation.
+# ---------------------------------------------------------------------------
+
+_STRING_AGG_ORACLE = """
+SELECT r_name,
+       COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
+FROM nation
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+@query("string_agg_nations", oracle=_STRING_AGG_ORACLE, tags=("agg", "collect"))
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region comma-joined sorted nation list — the LISTAGG /
+    string_agg aggregate class (collect → order → join).
+
+    Spark's collect_list is partition-order-dependent, so the result is
+    made deterministic by sorting INSIDE the aggregate output
+    (array_sort before array_join) — the same discipline any 100 TB
+    pipeline needs, since shuffle arrival order is never stable.
+    Scale note: ordered-list aggregation materializes the whole group
+    in one task; reserve it for bounded-cardinality groups (here ≤25
+    nations) — for unbounded groups use top-k windows instead.
+    """
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    return (
+        nation.join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nation_csv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arg-extrema aggregation (min_by / max_by).
+# ---------------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       MAX(c_acctbal) AS max_balance,
+       arg_max(c_custkey, c_acctbal * 1000000000.0 + c_custkey) AS top_custkey,
+       arg_min(c_custkey, c_acctbal * 1000000000.0 + c_custkey) AS bottom_custkey
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("argmax_customer_balance", oracle=_ARGMAX_ORACLE, tags=("agg", "argmax"))
+def argmax_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest/poorest customer key per market segment — the
+    min_by/max_by (arg-extrema) aggregate class, which replaces the
+    self-join-on-max anti-pattern with a single partial-aggregable pass.
+
+    Determinism: double account balances can tie, so the ordering key
+    composes the tiebreaker into one double (`acctbal*1e9 + custkey`);
+    both engines evaluate the identical IEEE expression, and a 1.0
+    custkey gap is far above one ulp at that magnitude, so the key is
+    unique and the winner is engine-independent.
+
+    Scale: min_by/max_by carries one (value, key) pair per group
+    through the map-side combine — constant state, no group
+    materialization, unlike the window-function alternative.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    ordkey = F.col("c_acctbal") * 1000000000.0 + F.col("c_custkey")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.max("c_acctbal").alias("max_balance"),
+        F.max_by(F.col("c_custkey"), ordkey).alias("top_custkey"),
+        F.min_by(F.col("c_custkey"), ordkey).alias("bottom_custkey"),
+    )
