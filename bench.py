@@ -32,6 +32,9 @@ HEADLINE = [
     "semi_join_membership",
     "anti_join_dedup",
     "top_orders_by_price",
+    "scalar_subquery_small_qty",
+    "having_large_orders",
+    "bilateral_trade_volume",
     "rollup_agg",
     "pivot_status_revenue",
     "histogram_quantity",
