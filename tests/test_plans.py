@@ -83,3 +83,42 @@ def test_asof_join_single_shuffle_no_join(spark):
     plan = _formatted_plan(spark, "events_asof_last_click")
     assert "Window" in plan
     assert "NestedLoop" not in plan
+
+
+def test_scalar_subquery_prunes_fact_columns(spark):
+    # decorrelated Q17: both lineitem scans must prune to the columns
+    # each side needs (3 for the fact side, 2 for the avg side) — at
+    # 100 TB an unpruned second scan doubles the query's IO
+    plan = _formatted_plan(spark, "scalar_subquery_small_qty")
+    schemas = re.findall(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert schemas, "no lineitem scans found"
+    for cols in schemas:
+        assert cols.count(":") <= 3, f"unpruned lineitem scan: {cols}"
+    assert "partial_sum" in plan  # per-part avg combines map-side
+
+
+def test_having_joinback_aggregates_before_join(spark):
+    # Q18: the HAVING aggregate must run (with map-side partial) before
+    # the join back to orders — joining first would shuffle the whole
+    # fact table twice
+    plan = _formatted_plan(spark, "having_large_orders")
+    assert re.search(r"partial_sum\(cast\(l_quantity", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_bilateral_trade_broadcasts_both_nation_roles(spark):
+    # Q7: the two aliased nation copies (supplier role, customer role)
+    # must each broadcast — a shuffle for a 25-row dim is a plan bug
+    plan = _formatted_plan(spark, "bilateral_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_monthly_trend_single_shuffle_partial_agg(spark):
+    # calendar rollup: date_trunc evaluates pre-shuffle and partial
+    # aggregation collapses each partition to ~1 row per month, so
+    # exactly one exchange carries ~months×partitions rows
+    plan = _formatted_plan(spark, "monthly_revenue_trend")
+    assert "partial_count" in plan
+    assert plan.count("+- Exchange") == 1
