@@ -468,3 +468,71 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_view.agg(F.count(F.lit(1)).alias("n_viewers")).crossJoin(
         converted.agg(F.count(F.lit(1)).alias("n_converted"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance via exact moments.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+SELECT l_returnflag, n_items, covar_qty_price, corr_qty_price
+FROM (
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy
+    FROM lineitem
+    GROUP BY l_returnflag
+) m
+CROSS JOIN LATERAL (
+    SELECT (sxy - sx * sy / n_items) / (n_items - 1) AS covar_qty_price,
+           round((n_items * sxy - sx * sy)
+           / (sqrt(n_items * sxx - sx * sx) * sqrt(n_items * syy - sy * sy)), 12) AS corr_qty_price
+) c
+"""
+
+
+@query("corr_moments_stats", oracle=_CORR_ORACLE, tags=("agg", "stats"))
+def corr_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation of quantity vs price
+    per return flag, computed from EXACT decimal moments (Σx, Σy, Σxy,
+    Σx², Σy²) instead of the native corr/covar_samp aggregates.
+
+    Why: native running-moment aggregates accumulate in doubles, so
+    their result depends on partition merge order — fine for an
+    application, fatal for cross-engine hash verification. Summing each
+    moment through DECIMAL(25,6) (per the registry convention) makes
+    the five inputs bit-identical in Spark and DuckDB, and the final
+    double formula is then deterministic IEEE arithmetic on both.
+
+    Scale: five decimal sums + a count in ONE partial-aggregable pass —
+    same shuffle profile as any groupBy sum; the moment formula is a
+    post-aggregation projection on ~5 rows.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(q.cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum((q * p).cast("decimal(25,6)")).cast("double").alias("sxy"),
+        F.sum((q * q).cast("decimal(25,6)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(25,6)")).cast("double").alias("syy"),
+    )
+    n = F.col("n_items")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    return m.select(
+        "l_returnflag",
+        "n_items",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        # round to 12 dp: DuckDB's expression compiler may contract
+        # a*b - c*d with FMA, shifting the quotient by ~1 ulp vs the JVM
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            12,
+        ).alias("corr_qty_price"),
+    )
