@@ -536,3 +536,39 @@ def corr_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous (interpolating) percentiles.
+# ---------------------------------------------------------------------------
+
+_PCTCONT_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("percentile_cont_prices", oracle=_PCTCONT_ORACLE, tags=("agg", "quantile"))
+def percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p95 extended price per return flag via CONTINUOUS
+    (linearly interpolating) percentiles — the exact `percentile`
+    aggregate, complementing `quantile_disc_prices` (discrete).
+
+    Both engines define quantile_cont as (1-d)·lower + d·upper on the
+    sorted group; the interpolation is double arithmetic, so outputs
+    are rounded to 6 dp on both sides (same ulp-drift discipline as
+    corr_moments_stats — prices carry 2 decimals, 6 dp is lossless).
+
+    Scale: exact percentiles materialize each group's values in one
+    task (sort-based). Use for bounded groups (5 flags here); at
+    100 TB unbounded cardinality, switch to approx_percentile, which
+    is mergeable sketch state with a declared error bound.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+    )
