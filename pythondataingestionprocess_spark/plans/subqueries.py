@@ -572,3 +572,101 @@ def percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS with an aggregate predicate (TPC-H Q4/Q21 skeleton,
+# VERDICT r1 item 5). The EXISTS body is not a plain row probe: it
+# aggregates the correlated group (HAVING COUNT >= 2 AND SUM(qty) > 50),
+# so the decorrelation is aggregate-then-semijoin, not just semijoin.
+# ---------------------------------------------------------------------------
+
+_EXISTS_AGG_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount >= 0.05
+  HAVING COUNT(*) >= 2
+     AND CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 50
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("exists_agg_discounted_orders", oracle=_EXISTS_AGG_ORACLE, tags=("subquery", "exists", "agg"))
+def exists_agg_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (counted per priority) having ≥2 discounted line items
+    whose quantities sum past 50 — a correlated EXISTS whose body is an
+    aggregate with HAVING, expressed decorrelated: filter → partial-agg
+    on the correlation key → HAVING filter → LEFT SEMI join back.
+
+    That is the plan Catalyst produces for the SQL form, and the right
+    100 TB plan: the lineitem side collapses to one row per qualifying
+    order BEFORE the join (map-side partial counts), so the semi join
+    moves qualifying keys only, never line items.
+    """
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    qualifying = (
+        lineitem.filter(F.col("l_discount") >= 0.05)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_disc"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("qty_sum"),
+        )
+        .filter((F.col("n_disc") >= 2) & (F.col("qty_sum") > 50))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            qualifying, orders["o_orderkey"] == qualifying["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY-style window filter (VERDICT r1 item 5). Unlike topk_per_group
+# (rank-based), this QUALIFY compares each row against a window AGGREGATE
+# over its partition — the shape SQL needs a subquery for unless the
+# dialect has QUALIFY.
+# ---------------------------------------------------------------------------
+
+_QUALIFY_ORACLE = """
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+FROM supplier
+QUALIFY s_acctbal >
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) OVER (PARTITION BY s_nationkey) AS DOUBLE)
+  / COUNT(*) OVER (PARTITION BY s_nationkey)
+"""
+
+
+@query("qualify_above_avg_suppliers", oracle=_QUALIFY_ORACLE, tags=("window", "qualify"))
+def qualify_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with above-nation-average account balance — the
+    QUALIFY window-filter shape: compute a window aggregate per row,
+    filter on it, project it away. Spark has no QUALIFY keyword; the
+    idiomatic translation (window column → filter → drop) produces the
+    identical single-shuffle plan (one exchange on s_nationkey, window
+    agg, filter — no self-join back to an aggregate).
+
+    The per-partition average uses the exact-decimal-sum discipline
+    (registry docstring) so both engines compare against bit-identical
+    thresholds; a plain double window AVG is merge-order-sensitive.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("s_nationkey")
+    nation_avg = (
+        F.sum(F.col("s_acctbal").cast("decimal(25,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        supplier.withColumn("_avg", nation_avg)
+        .filter(F.col("s_acctbal") > F.col("_avg"))
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )

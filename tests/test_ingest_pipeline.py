@@ -285,3 +285,18 @@ def test_store_upsert_replaces_matched_rows(spark, store):
     assert set(got) == {"alpha", "beta", "gamma"}
     assert got["beta"]["store_url"] == "http://b2" and got["beta"]["status"] is False
     assert got["alpha"]["store_url"] == "http://a"
+
+
+def test_stage_batch_metrics_optional(spark, tmp_path):
+    """collect_metrics=False must skip the per-batch count() actions
+    (sentinel -1) while staging identical frames (VERDICT r1 item 7)."""
+    store = ParquetTableStore(spark, str(tmp_path / "warehouse"))
+    compras = make_compras(spark, [compras_row(desc="A", liga=AMZ)])
+    precios = make_precios(spark, [])
+    with_m = stage_batch(compras, precios, store, current_date=D)
+    without_m = stage_batch(compras, precios, store, current_date=D,
+                            collect_metrics=False)
+    assert with_m.n_input_rows >= 0 and with_m.n_staged_rows >= 0
+    assert without_m.n_input_rows == -1 and without_m.n_staged_rows == -1
+    assert sorted(without_m.purchases.columns) == sorted(with_m.purchases.columns)
+    assert without_m.purchases.count() == with_m.purchases.count()
