@@ -1,0 +1,109 @@
+"""Live JDBC sink tests (VERDICT r1 item 8): the S9 path exercised for
+real against embedded Derby (ships with Spark), proving the MERGE-shaped
+semantics survive the swap from the parquet stand-in to df.write.jdbc.
+
+Skipped automatically if the Derby driver is absent from the classpath.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.pipeline.jdbc_store import (
+    JdbcTableStore,
+    derby_url,
+)
+from pythondataingestionprocess_spark.pipeline.store import apply_price_scd
+
+D = date(2024, 6, 1)
+
+
+@pytest.fixture
+def jdbc_store(spark, tmp_path):
+    url = derby_url(str(tmp_path / "derbydb"))
+    store = JdbcTableStore(spark, url)
+    try:
+        probe = spark.createDataFrame([(1,)], "x long")
+        probe.write.jdbc(url, "probe_tbl", mode="overwrite", properties=store.properties)
+    except Exception as e:  # pragma: no cover - driver missing in some envs
+        pytest.skip(f"Derby JDBC driver unavailable: {e}")
+    return store
+
+
+def test_jdbc_roundtrip_types(spark, jdbc_store):
+    df = spark.createDataFrame(
+        [(1, "Store A", "amazon.com.mx", True)],
+        schema="id_store long, store_name string, store_url string, status boolean",
+    )
+    jdbc_store.overwrite("store", df)
+    back = jdbc_store.read("store")
+    assert [tuple(r) for r in back.collect()] == [(1, "Store A", "amazon.com.mx", True)]
+
+
+def test_jdbc_insert_if_absent_catalog_cache(spark, jdbc_store):
+    first = spark.createDataFrame(
+        [(1, "Store A", "amazon.com.mx", True)],
+        schema="id_store long, store_name string, store_url string, status boolean",
+    )
+    jdbc_store.insert_if_absent("store", first, ["store_name"])
+    # second batch: same key with different attrs (must NOT update) + a new key
+    second = spark.createDataFrame(
+        [
+            (9, "Store A", "CHANGED.example", False),
+            (2, "Store B", "mercadolibre.com.mx", True),
+        ],
+        schema="id_store long, store_name string, store_url string, status boolean",
+    )
+    jdbc_store.insert_if_absent("store", second, ["store_name"])
+    rows = {r.store_name: r for r in jdbc_store.read("store").collect()}
+    assert rows["Store A"].id_store == 1  # cached row untouched
+    assert rows["Store A"].store_url == "amazon.com.mx"
+    assert rows["Store B"].id_store == 2
+
+
+def test_jdbc_upsert_incoming_wins(spark, jdbc_store):
+    jdbc_store.overwrite(
+        "payment_type",
+        spark.createDataFrame([(1, "card")], "id_payment_type long, payment_type string"),
+    )
+    jdbc_store.upsert(
+        "payment_type",
+        spark.createDataFrame(
+            [(1, "credit card"), (2, "cash")],
+            "id_payment_type long, payment_type string",
+        ),
+        ["id_payment_type"],
+    )
+    rows = {r.id_payment_type: r.payment_type for r in jdbc_store.read("payment_type").collect()}
+    assert rows == {1: "credit card", 2: "cash"}
+
+
+def test_jdbc_price_scd_matches_parquet_semantics(spark, jdbc_store):
+    """The SCD stamping (database_utils.py:260-280 semantics) must be
+    IO-layer-independent: run it through the JDBC store and check the
+    restamp-only-on-change rule."""
+    initial = spark.createDataFrame(
+        [(10, 100.0, 90.0, date(2024, 1, 1), None)],
+        "id_product long, price double, offer_price double, start_date date, end_date date",
+    )
+    jdbc_store.overwrite("price", initial)
+    incoming = spark.createDataFrame(
+        [(10, 120.0, 90.0), (11, 50.0, None)],
+        "id_product long, price double, offer_price double",
+    )
+    merged = apply_price_scd(jdbc_store.read("price"), incoming, D)
+    jdbc_store.overwrite("price", merged)
+    rows = {r.id_product: r for r in jdbc_store.read("price").collect()}
+    assert rows[10].price == 120.0 and rows[10].start_date == D  # changed → restamped
+    assert rows[11].price == 50.0 and rows[11].end_date is None  # fresh insert
+    # idempotent re-apply: same price → no restamp
+    merged2 = apply_price_scd(
+        jdbc_store.read("price"),
+        spark.createDataFrame([(10, 120.0, 90.0)], "id_product long, price double, offer_price double"),
+        date(2024, 7, 1),
+    )
+    jdbc_store.overwrite("price", merged2)
+    assert {r.id_product: r.start_date for r in jdbc_store.read("price").collect()}[10] == D
