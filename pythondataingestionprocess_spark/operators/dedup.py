@@ -128,16 +128,19 @@ def bucket_candidate_pairs(
       documented recall trade (same move as Manku et al.'s
       over-represented-table drop, WWW 2007).
 
-    Bucket sizes come from a map-side-combinable count agg, and the
-    join back to the membership rows is on the bucket key both sides
-    are already partitioned by, so the groupBy that follows reuses the
-    exchange; the cap adds one small agg + join, not a corpus shuffle.
+    Bucket size and anchor come from window aggregates over the bucket
+    key — ONE exchange of the membership rows (a sizes-agg + join-back
+    would shuffle them twice), and the groupBy that follows reuses the
+    window's partitioning; the two output branches share the exchange
+    via ReusedExchange.
     """
+    from pyspark.sql import Window as W
+
     keys = list(bucket_keys)
-    sizes = banded.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_anchor")
+    w = W.partitionBy(*keys)
+    tagged = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "_anchor", F.min(id_col).over(w)
     )
-    tagged = banded.join(sizes, keys)
     small_pairs = (
         tagged.filter((F.col("_bsz") > 1) & (F.col("_bsz") <= cap))
         .groupBy(*keys)
