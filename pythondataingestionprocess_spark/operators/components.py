@@ -1,0 +1,102 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair detection (MinHash/SimHash/cosine — operators/dedup.py) emits
+EDGES; corpus dedup needs GROUPS: every document labeled with a
+canonical representative (the min doc id reachable through any chain of
+near-dup pairs), so that keep-one-per-group is a single groupBy and
+transitive duplicates (A~B, B~C, A≁C) collapse together.
+
+Algorithm: iterative min-label propagation expressed as DataFrame
+joins — each round every vertex takes the min of its own label and its
+neighbors' labels; fixpoint when no label changes. Rounds needed =
+graph diameter. Near-dup clusters are near-cliques (every member pairs
+with most others), so diameter is 2-3 and the loop terminates in a
+handful of rounds; the driver only ever sees ONE scalar per round (the
+changed-label count — the legitimate convergence probe), never data.
+
+At 100 TB:
+
+- each round is one shuffle-join on vertex id + one partial-agg min —
+  both map-side combinable; `localCheckpoint` truncates the growing
+  lineage so round N doesn't replay rounds 1..N-1;
+- for graphs with LONG chains (not the dedup shape), swap the body for
+  the alternating large-star/small-star rounds of Kiveris et al.,
+  "Connected Components in MapReduce and Beyond" (SoCC 2014), which
+  converge in O(log²) rounds on any diameter. The driver-side loop and
+  convergence probe stay identical, so the swap is local to one
+  function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, group_id) for every vertex in ``pairs``; ``group_id`` is the
+    min id reachable from the vertex (undirected). Deterministic.
+
+    Raises RuntimeError if the fixpoint is not reached in ``max_iter``
+    rounds (diameter > max_iter — see module docstring for the
+    log-rounds alternative before raising the cap).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("neighbor_label"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("neighbor_label", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce("neighbor_label", F.col("label")) < F.col("label")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            return labels.withColumnRenamed("label", "group_id")
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds "
+        "(graph diameter exceeds cap — use the large-star/small-star body)"
+    )
+
+
+def dedup_group_summary(components: DataFrame) -> DataFrame:
+    """Per-group stats from a components labeling: size and the id kept
+    by keep-min-per-group dedup (== group_id by construction)."""
+    return components.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("id").alias("max_member"),
+    )

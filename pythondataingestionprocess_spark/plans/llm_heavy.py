@@ -136,3 +136,44 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivf_search(
         emb, emb.filter(F.col("vec_id") < 10), centroids, k=5, n_probe=4
     )
+
+
+# -------------------------------------------------- dedup groups (CC)
+
+# Oracle: recursive min-label propagation over the exact-Jaccard pair
+# graph (both directions), then min reachable id per vertex. DuckDB's
+# recursive CTE UNION-dedups states, so the fixpoint is the transitive
+# closure of label flow — the same labeling the Spark loop converges to.
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(label) AS group_id
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_groups_cc", oracle=_CC_ORACLE, tags=("dedup", "graph"))
+def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: connected components over the
+    MinHash-LSH pair graph labels every paired document with the min
+    doc id reachable through any chain of near-dup pairs — the step
+    that turns pair detection into corpus dedup (keep-one-per-group,
+    transitive closure of A~B~C). Iterative min-label propagation,
+    O(diameter) join rounds (operators/components.py); the oracle is a
+    recursive CTE over the exact pair list."""
+    from pythondataingestionprocess_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return connected_components(pairs).withColumnRenamed("id", "doc_id")

@@ -388,3 +388,120 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("byte_len").alias("total_bytes"),
         F.min("digest").alias("min_digest"),
     )
+
+
+# ------------------------------------------------ contamination / packing
+
+_CONTAMINATION_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(list_zip(w, w[2:], w[3:]),
+           z -> z[1] || ' ' || z[2] || ' ' || z[3])[:greatest(len(w)-2,0)]) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+),
+test_sh AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 = 0),
+train_sh AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(*) FILTER (WHERE tr.g IS NOT NULL) AS n_hit
+  FROM test_sh t LEFT JOIN train_sh tr USING (g)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_shingles, n_hit,
+       n_hit * 1.0 / n_shingles AS containment
+FROM hits
+"""
+
+
+@query("text_contamination_check", oracle=_CONTAMINATION_ORACLE, tags=("text", "dedup"))
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: for each held-out doc (doc_id % 97),
+    the fraction of its word trigrams appearing ANYWHERE in the rest of
+    the corpus — the standard n-gram-containment screen run before
+    training on scraped data (a held-out doc with containment near 1
+    has a near-copy in the training set).
+
+    Shape: shingle explode → split test/train ONCE from the same
+    exploded frame → distinct train-shingle set → LEFT join + counting
+    agg. The train side shuffles distinct shingles only (no doc ids,
+    no payloads); at 100 TB the test side is tiny by construction and
+    AQE broadcasts it into the probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_sets(docs, "doc_id", "text", 3)
+    test_sh = sh.filter(F.col("doc_id") % 97 == 0)
+    train_g = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        test_sh.join(train_g, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .withColumn(
+            "containment", F.col("n_hit") / F.col("n_shingles").cast("double")
+        )
+    )
+
+
+_SHARD_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT source, CAST(start_offset // 4096 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM o GROUP BY source, shard_id
+"""
+
+
+@query("doc_packing_shards", oracle=_SHARD_ORACLE, tags=("packing", "window"))
+def doc_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (budget 4096, offset semantics —
+    a doc belongs to the shard its cumulative start offset falls in):
+    per-(source, shard) doc and token counts. One shuffle on source,
+    pure window arithmetic — the 'how many training shards and how
+    full' accounting query run before a pretraining job."""
+    from pythondataingestionprocess_spark.operators.packing import shard_by_offset
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "doc_id", tx.token_count("text").alias("n_tokens"))
+    sharded = shard_by_offset(t, "source", "doc_id", "n_tokens", 4096)
+    return sharded.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
+@query("doc_packing_greedy", oracle=None, tags=("packing", "pandas-udf"))
+def doc_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document greedy packing (budget 4096): per-(source, bin)
+    fill stats from the applyInPandas sequential packer. Rows-only:
+    greedy bin state isn't window-expressible (see operators/packing);
+    invariants (fill ≤ budget unless single oversized doc, order
+    preserved, no doc dropped) are property-tested in pytest."""
+    from pythondataingestionprocess_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "doc_id", tx.token_count("text").alias("n_tokens"))
+    packed = pack_documents_greedy(t, "source", "doc_id", "n_tokens", 4096)
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("bin_fill").alias("bin_tokens"),
+    )

@@ -249,3 +249,45 @@ def test_bucket_cap_does_not_change_normal_corpus(spark, sf_dir):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_greedy_packing_invariants(spark):
+    """Greedy packer: no bin exceeds the budget unless a single doc
+    does; docs stay in order; nothing is dropped or duplicated."""
+    from pythondataingestionprocess_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    rows = [("a", i, t) for i, t in enumerate([100, 300, 250, 50, 500, 700, 10, 90])]
+    rows += [("b", 0, 900), ("b", 1, 150), ("b", 2, 40)]  # oversized first doc
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_documents_greedy(df, "source", "doc_id", "n_tokens", 600).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r.source, r.bin_id), []).append(r)
+    for (_, _), members in by_bin.items():
+        total = sum(m.n_tokens for m in members)
+        assert total <= 600 or len(members) == 1  # oversized doc → own bin
+    # order preserved: bin ids are monotone in doc_id per source
+    for src in ("a", "b"):
+        seq = [r.bin_id for r in sorted(out, key=lambda r: r.doc_id) if r.source == src]
+        assert seq == sorted(seq)
+    # greedy on source a: [100,300] | [250,50] … budget 600 →
+    # 100+300 fits, +250 would overflow
+    a_bins = {r.doc_id: r.bin_id for r in out if r.source == "a"}
+    assert a_bins[0] == a_bins[1] == 0 and a_bins[2] == 1
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D with no direct A~D must collapse to one group
+    labeled by the min id; disjoint pairs stay separate."""
+    from pythondataingestionprocess_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.group_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
