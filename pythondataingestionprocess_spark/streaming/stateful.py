@@ -149,3 +149,68 @@ def locf_fill_stream_legacy(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- streaming funnel (view → purchase conversion, keyed state) -----
+
+FUNNEL_SCHEMA = "user_id long, view_ts timestamp, purchase_ts timestamp, value double"
+_FUNNEL_STATE = "last_view_ts timestamp"
+
+
+def _funnel_update(key, pdfs, state):
+    """Per-user conversion detector across micro-batches: remember the
+    key's most recent 'view' timestamp in keyed state; every 'purchase'
+    within the window of that view emits one conversion row.
+
+    State is one timestamp per user (bounded); events arrive
+    batch-ordered but not globally ordered, so each batch is sorted by
+    ts before the scan — the same discipline a batch funnel gets from
+    its window sort. The window check lives in the emitter so a
+    conversion straddling two micro-batches (view in batch N, purchase
+    in batch N+1) is found — that cross-batch case is exactly what the
+    batch join can't do incrementally and keyed state exists for."""
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    (user_id,) = key
+    (last_view,) = state.get if state.exists else (None,)
+    window = pd.Timedelta(minutes=30)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        out = []
+        for _, row in pdf.iterrows():
+            if row["event_type"] == "view":
+                last_view = row["ts"]
+            elif (
+                row["event_type"] == "purchase"
+                and last_view is not None
+                and row["ts"] >= last_view
+                and row["ts"] - last_view <= window
+            ):
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "view_ts": last_view,
+                        "purchase_ts": row["ts"],
+                        "value": row["value"],
+                    }
+                )
+        if out:
+            yield pd.DataFrame(out)
+    state.update((last_view,))
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming view→purchase funnel (30-min conversion window) with
+    one timestamp of keyed state per user. The batch twin is
+    plans/subqueries.py::funnel_view_to_purchase (semi-join with
+    time-range residual); this operator is its incremental form for
+    unbounded streams, including conversions that straddle micro-batch
+    boundaries. At scale, add ProcessingTimeTimeout to expire users
+    idle past the window instead of NoTimeout."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

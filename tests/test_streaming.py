@@ -355,3 +355,49 @@ def test_kafka_parse_json_events_batch(spark):
     by_ts = sorted(out, key=lambda r: r["kafka_ts"])
     assert by_ts[0]["event_id"] == 1 and by_ts[0]["value"] == 2.5
     assert by_ts[1]["event_id"] is None  # fault-isolated, not failed
+
+
+def test_streaming_funnel_cross_batch_conversion(spark, tmp_path):
+    """View in micro-batch 1, purchase in micro-batch 2 within the
+    30-min window → conversion emitted from keyed state (the case the
+    batch join can't handle incrementally). A purchase outside the
+    window or without a prior view emits nothing."""
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.streaming.stateful import funnel_stream
+
+    inbox = str(tmp_path / "inbox")
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    _write_json_batch(inbox, "a.json", [
+        {"user_id": 7, "event_id": 1, "ts": "2024-01-01T00:00:00Z",
+         "event_type": "view", "value": 0.0},
+        {"user_id": 9, "event_id": 2, "ts": "2024-01-01T00:00:30Z",
+         "event_type": "view", "value": 0.0},
+    ])
+    _write_json_batch(inbox, "b.json", [
+        # user 7: purchase 10 min after batch-1 view → converts
+        {"user_id": 7, "event_id": 3, "ts": "2024-01-01T00:10:00Z",
+         "event_type": "purchase", "value": 42.5},
+        # user 9: purchase 2 h after its view → outside window
+        {"user_id": 9, "event_id": 4, "ts": "2024-01-01T02:00:00Z",
+         "event_type": "purchase", "value": 5.0},
+        # user 8: purchase with no view at all
+        {"user_id": 8, "event_id": 5, "ts": "2024-01-01T00:11:00Z",
+         "event_type": "purchase", "value": 1.0},
+    ])
+    stream = file_ingest.file_stream(
+        spark, inbox, schema, max_files_per_trigger=1
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_test").collect()
+    assert len(rows) == 1
+    (conv,) = rows
+    assert conv.user_id == 7 and abs(conv.value - 42.5) < 1e-9
+    assert conv.view_ts.minute == 0 and conv.purchase_ts.minute == 10
