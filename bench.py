@@ -52,6 +52,12 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_window",
     "events_asof_last_click",
+    # r2 additions
+    "dedup_groups_cc",
+    "text_contamination_check",
+    "doc_packing_shards",
+    "exists_agg_discounted_orders",
+    "qualify_above_avg_suppliers",
 ]
 
 

@@ -505,3 +505,54 @@ def doc_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("bin_fill").alias("bin_tokens"),
     )
+
+
+_MIX_ORACLE = """
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 3
+           WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS rate_int,
+         CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 3
+           WHEN 0 THEN 5 WHEN 1 THEN 0 ELSE 3 END AS rate_tenths
+  FROM documents
+), expanded AS (
+  SELECT doc_id, source,
+         unnest(range(rate_int + CASE WHEN doc_id % 10 < rate_tenths THEN 1 ELSE 0 END)) AS copy_idx
+  FROM rated
+)
+SELECT r.source,
+       COUNT(DISTINCT r.doc_id) AS n_in,
+       COALESCE(CAST(e.n_out AS BIGINT), 0) AS n_out
+FROM rated r
+LEFT JOIN (SELECT source, COUNT(*) AS n_out FROM expanded GROUP BY source) e
+  USING (source)
+GROUP BY r.source, e.n_out
+"""
+
+
+@query("corpus_mix_resample", oracle=_MIX_ORACLE, tags=("mixing", "sampling"))
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-source target rates (0.5× /
+    1.0× / 2.3× derived from the source's numeric suffix mod 3) applied
+    as id-stride replication — the data-recipe step of a pretraining
+    pipeline. Output: per-source input vs post-mix row counts. Rates
+    are RNG-free (doc_id % 10 stride), so the mix is bit-reproducible
+    across runs and engines; amplification is explode-after-project,
+    map-side only (operators/mixing.py)."""
+    from pythondataingestionprocess_spark.operators.mixing import resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    rate_int = (
+        F.when(suffix % 3 == 0, 0).when(suffix % 3 == 1, 1).otherwise(2)
+    )
+    rate_tenths = (
+        F.when(suffix % 3 == 0, 5).when(suffix % 3 == 1, 0).otherwise(3)
+    )
+    rated = docs.select("doc_id", "source")
+    mixed = resample(rated, "doc_id", rate_int, rate_tenths)
+    out = mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_out"))
+    inp = rated.groupBy("source").agg(F.countDistinct("doc_id").alias("n_in"))
+    return inp.join(out, "source", "left").select(
+        "source", "n_in", F.coalesce("n_out", F.lit(0)).alias("n_out")
+    )

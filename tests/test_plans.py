@@ -122,3 +122,36 @@ def test_monthly_trend_single_shuffle_partial_agg(spark):
     plan = _formatted_plan(spark, "monthly_revenue_trend")
     assert "partial_count" in plan
     assert plan.count("+- Exchange") == 1
+
+
+def test_contamination_no_cartesian_and_prunes(spark):
+    plan = _formatted_plan(spark, "text_contamination_check")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # train-side distinct shingle set must shuffle shingles only,
+    # never doc ids or text payloads
+    assert "BatchEvalPython" not in plan
+
+
+def test_packing_shards_single_window_exchange(spark):
+    plan = _formatted_plan(spark, "doc_packing_shards")
+    # one exchange for the window partitioning on source; the groupBy
+    # that follows reuses it (plus at most the final agg's exchange)
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_exists_agg_aggregates_before_semijoin(spark):
+    plan = _formatted_plan(spark, "exists_agg_discounted_orders")
+    # the lineitem side must collapse to per-order rows BEFORE the semi
+    # join (partial_count present) and the join must stay a semi join
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
+
+
+def test_qualify_single_exchange_no_selfjoin(spark):
+    plan = _formatted_plan(spark, "qualify_above_avg_suppliers")
+    # QUALIFY translation: window + filter, not agg + join-back
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
