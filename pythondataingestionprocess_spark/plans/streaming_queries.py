@@ -160,3 +160,46 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error"),
         window_minutes=10,
     )
+
+
+_BOUNCE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+              >= 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       COUNT(*) FILTER (WHERE n_events = 1) * 1.0 / COUNT(*) AS bounce_rate
+FROM sessions
+"""
+
+
+@query("events_bounce_rate", oracle=_BOUNCE_ORACLE, tags=("streaming", "window", "agg"))
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate: fraction of sessions containing exactly one
+    event — sessionize (lag + running flag-sum) composed with a second
+    aggregation level. The per-user window and the session rollup share
+    one exchange on user_id; only the final single-row combine crosses
+    partitions (a metric, not a data movement)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sw.sessionize_manual(ev, gap_seconds=1800)
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        (
+            F.sum((F.col("n_events") == 1).cast("long"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )

@@ -670,3 +670,121 @@ def qualify_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") > F.col("_avg"))
         .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: window over an aggregate (share-of-total analytics).
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT n_name,
+         c_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS dec_rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, c_custkey
+)
+SELECT n_name, c_custkey,
+       CAST(dec_rev AS DOUBLE) AS cust_revenue,
+       round(CAST(dec_rev AS DOUBLE)
+             / CAST(SUM(dec_rev) OVER (PARTITION BY n_name) AS DOUBLE), 9)
+         AS revenue_share,
+       CAST(row_number() OVER (PARTITION BY n_name
+                               ORDER BY dec_rev DESC, c_custkey) AS INT) AS rnk
+FROM rev
+QUALIFY rnk <= 3
+"""
+
+
+@query("revenue_share_top_customers", oracle=_SHARE_ORACLE, tags=("window", "agg", "ratio"))
+def revenue_share_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation with their share of the nation's
+    total revenue — ratio-to-report composed OVER an aggregate (agg →
+    window sum over the agg output → rank filter). Two shuffles total:
+    one for the groupBy, one window exchange on n_name over the
+    ALREADY-aggregated rows (cardinality = customers, not orders).
+
+    The share divides two exact-decimal-derived doubles; the quotient
+    is rounded to 9 dp on both engines (same ulp discipline as
+    corr_moments_stats — a double divide of bit-identical operands is
+    bit-identical, but DuckDB fuses the per-partition sum differently,
+    so the window SUM re-aggregation needs the decimal treatment too).
+    """
+    from pyspark.sql import Window as W
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_dec_rev")
+        )
+    )
+    w = W.partitionBy("n_name")
+    wr = W.partitionBy("n_name").orderBy(F.col("_dec_rev").desc(), "c_custkey")
+    # share = double(exact decimal) / double(exact decimal): operands are
+    # bit-identical across engines, so one IEEE divide + 9-dp round is too
+    return (
+        rev.withColumn(
+            "revenue_share",
+            F.round(
+                F.col("_dec_rev").cast("double")
+                / F.sum("_dec_rev").over(w).cast("double"),
+                9,
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.col("_dec_rev").cast("double").alias("cust_revenue"),
+            "revenue_share",
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS + NOT EXISTS combined probe (TPC-H Q21 skeleton): semi AND anti
+# join against differently-filtered slices of the same fact table.
+# ---------------------------------------------------------------------------
+
+_EXISTS_NOTEXISTS_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount >= 0.08
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_tax > 0.06
+)
+GROUP BY o_orderstatus
+"""
+
+
+@query("exists_not_exists_orders", oracle=_EXISTS_NOTEXISTS_ORACLE, tags=("subquery", "exists", "anti"))
+def exists_not_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with a deeply-discounted line but NO high-tax line,
+    counted per status — the Q21 shape: one LEFT SEMI and one LEFT ANTI
+    join against two filtered projections of the same fact. Both probe
+    sides reduce to distinct keys before joining (the filters prune
+    lineitem to key-only columns; scans stay pruned), so the order
+    table streams through two hash probes, never a full fact shuffle.
+    """
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    discounted = (
+        lineitem.filter(F.col("l_discount") >= 0.08).select("l_orderkey").distinct()
+    )
+    high_tax = lineitem.filter(F.col("l_tax") > 0.06).select("l_orderkey").distinct()
+    return (
+        orders.join(discounted, orders["o_orderkey"] == discounted["l_orderkey"], "left_semi")
+        .join(high_tax, orders["o_orderkey"] == high_tax["l_orderkey"], "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
