@@ -489,3 +489,40 @@ def json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_with_props,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("json_variant_props_stats", oracle=_VARIANT_ORACLE, tags=("json", "variant"))
+def json_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VariantType: ``parse_json`` to
+    the binary variant encoding, typed ``try_variant_get`` extraction,
+    aggregate per event type. Complements ``json_extract_props``
+    (string-path get_json_object): variant parses each JSON document
+    ONCE into a shredded binary form, so repeated field extraction
+    skips re-tokenizing the string — at 100 TB the difference between
+    N regex-ish scans per row and one parse + O(1) field reads. Oracle
+    uses DuckDB's json_extract (same values, different encoding)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_props"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -556,3 +556,32 @@ def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inp.join(out, "source", "left").select(
         "source", "n_in", F.coalesce("n_out", F.lit(0)).alias("n_out")
     )
+
+
+_DET_SAMPLE_ORACLE = """
+SELECT source, doc_id, rnk FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS INT) AS rnk
+  FROM documents
+) t WHERE rnk <= 5
+"""
+
+
+@query("deterministic_sample_per_source", oracle=_DET_SAMPLE_ORACLE, tags=("sampling",))
+def deterministic_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-source sample: the 5 docs with the smallest
+    md5(doc_id) per source — hash-rank sampling, the RNG-free way to
+    carve a stable eval set out of a moving corpus (same doc ids come
+    back run after run, engine after engine; adding docs only perturbs
+    the sample where hashes land lower). One window shuffle on source;
+    at 100 TB swap row_number for a per-partition top-k (the
+    TakeOrdered pattern) to avoid sorting whole partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "doc_id", "rnk")
+    )
