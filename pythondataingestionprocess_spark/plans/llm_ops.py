@@ -585,3 +585,63 @@ def deterministic_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rnk") <= 5)
         .select("source", "doc_id", "rnk")
     )
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH blobs AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         octet_length(encode(text)) AS n
+  FROM documents
+), frames AS (
+  SELECT doc_id, media_type,
+         unnest(range(CASE WHEN media_type = 'image'
+                           THEN 1 ELSE 2 + (n % 29) END)) AS frame_idx
+  FROM blobs
+)
+SELECT media_type,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_blobs,
+       COUNT(*) AS n_sampled_frames,
+       CAST(MAX(frame_idx) AS BIGINT) AS max_frame_idx
+FROM frames
+WHERE frame_idx % 5 = 0
+GROUP BY media_type
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE, tags=("multimodal",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded media: Arrow-batched decode
+    (mapInPandas — the real 100 TB plumbing; deterministic fake decoder
+    since the container has no media libs), explode one row per frame,
+    keep every 5th frame, aggregate per media type. First HARD-verified
+    multimodal path: the fake decoder derives n_frames purely from byte
+    length, so the DuckDB oracle reproduces the whole pipeline
+    arithmetically. Frame explosion happens AFTER the payload column is
+    dropped — rows amplify ~15×, bytes don't."""
+    from pythondataingestionprocess_spark.multimodal.media import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    stats = decode_media(blobs)  # payload pruned inside; narrow stats out
+    frames = stats.select(
+        "id",
+        "media_type",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    )
+    return (
+        frames.filter(F.col("frame_idx") % 5 == 0)
+        .groupBy("media_type")
+        .agg(
+            F.countDistinct("id").alias("n_blobs"),
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.max(F.col("frame_idx").cast("long")).alias("max_frame_idx"),
+        )
+    )
