@@ -526,3 +526,53 @@ def json_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_MALFORMED_ORACLE = """
+WITH corrupted AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS props
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE NOT json_valid(props)) AS BIGINT) AS n_malformed,
+       COUNT(*) FILTER (WHERE NOT json_valid(props)) * 1.0 / COUNT(*) AS malformed_rate
+FROM corrupted GROUP BY event_type
+"""
+
+
+@query("dq_malformed_json_rate", oracle=_MALFORMED_ORACLE, tags=("dq", "json"))
+def dq_malformed_json_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-payload screening with TRY semantics: plant corruption
+    on 1-in-7 props (truncate the closing brace), then measure the
+    per-type malformed rate via try_parse_json IS NULL — the
+    ingest-side gate that routes bad payloads to a dead-letter table
+    instead of failing the job.
+
+    Corruption is TRUNCATION, not appended garbage, deliberately:
+    probing found Spark's try_parse_json parses the first valid JSON
+    value and tolerates trailing bytes ('{"k":1}}{' parses), while
+    DuckDB's json_valid rejects the whole string — a real cross-engine
+    semantic divergence on what counts as malformed. Truncated JSON is
+    unambiguous on both. If the application needs whole-string
+    strictness on Spark, pre-screen with rtrim/regexp anchoring before
+    the TRY parse."""
+    ev = load_table(spark, sf_dir, "events")
+    corrupted = ev.filter(F.col("props").isNotNull()).withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    bad = F.try_parse_json(F.col("props")).isNull()
+    return corrupted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad.cast("long")).alias("n_malformed"),
+        (F.sum(bad.cast("long")) / F.count(F.lit(1)).cast("double")).alias(
+            "malformed_rate"
+        ),
+    )

@@ -156,3 +156,28 @@ def test_python_datasource_statement_pipeline(spark, tmp_path):
     assert ("a.txt", "OXXO CENTRO") in by
     assert ("b.txt", "SORIANA SUR") in by
     assert len(by) == 6  # 3 charge lines per file
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution at the storage layer: a later batch adds a
+    column; mergeSchema=true reads the union schema with NULLs for the
+    old batch — the at-rest upgrade path for a long-lived 100 TB table
+    (at which scale you set spark.sql.parquet.mergeSchema selectively:
+    footer-merging every file on every read is its own scan tax)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and abs(rows[2].score - 3.5) < 1e-12
+    # column pruning still works through the merged schema
+    plan = merged.select("id").filter(F.col("id") > 1)._jdf.queryExecution().executedPlan().toString()
+    assert "score" not in plan
