@@ -107,3 +107,42 @@ def test_jdbc_price_scd_matches_parquet_semantics(spark, jdbc_store):
     )
     jdbc_store.overwrite("price", merged2)
     assert {r.id_product: r.start_date for r in jdbc_store.read("price").collect()}[10] == D
+
+
+def test_streaming_foreachbatch_upserts_into_jdbc(spark, jdbc_store, tmp_path):
+    """End-to-end: checkpointed file stream → foreachBatch →
+    JdbcTableStore.insert_if_absent against live Derby — the streaming
+    face of the reference's per-file transaction loop, with the real
+    DB sink instead of the parquet stand-in. Two micro-batches; the
+    second re-sends a key that must NOT be updated (catalog-cache
+    semantics) plus a fresh one."""
+    import json
+    import os
+
+    from pythondataingestionprocess_spark.streaming import file_ingest
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    rows1 = [{"id_store": 1, "store_name": "Store A", "store_url": "a.example", "status": True}]
+    rows2 = [
+        {"id_store": 9, "store_name": "Store A", "store_url": "CHANGED", "status": False},
+        {"id_store": 2, "store_name": "Store B", "store_url": "b.example", "status": True},
+    ]
+    with open(os.path.join(inbox, "b1.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows1))
+    with open(os.path.join(inbox, "b2.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows2))
+
+    schema = "id_store long, store_name string, store_url string, status boolean"
+    stream = file_ingest.file_stream(spark, inbox, schema, fmt="json", max_files_per_trigger=1)
+
+    def process(batch_df, batch_id):
+        jdbc_store.insert_if_absent("store", batch_df, ["store_name"])
+
+    q = file_ingest.run_ingestion(
+        stream, process, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    rows = {r.store_name: r for r in jdbc_store.read("store").collect()}
+    assert rows["Store A"].id_store == 1 and rows["Store A"].store_url == "a.example"
+    assert rows["Store B"].id_store == 2
