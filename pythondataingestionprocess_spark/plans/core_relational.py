@@ -713,3 +713,39 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", {"click": 0.5, "view": 0.1, "error": 1.0}, seed=42
     )
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+_FULL_OUTER_ORACLE = """
+SELECT CASE WHEN c_custkey IS NULL THEN 'events_only'
+            WHEN user_id IS NULL THEN 'customers_only'
+            ELSE 'both' END AS presence,
+       COUNT(*) AS n
+FROM customer
+FULL OUTER JOIN (SELECT DISTINCT user_id FROM events) e
+  ON c_custkey = user_id
+GROUP BY 1
+"""
+
+
+@query("full_outer_reconciliation", oracle=_FULL_OUTER_ORACLE, tags=("join", "outer"))
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-system reconciliation via FULL OUTER join: customers vs
+    distinct event actors, bucketed into both / left-only / right-only.
+    Completes the outer-join family (left/semi/anti were covered in
+    round 1; full outer is the audit/reconciliation workhorse). The
+    event side collapses to distinct keys BEFORE the join — full outer
+    cannot broadcast (both sides preserved), so it shuffles both
+    sides; shrinking the probe side first is the scale move."""
+    customer = load_table(spark, sf_dir, "customer")
+    ev_users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    joined = customer.select("c_custkey").join(
+        ev_users, customer["c_custkey"] == ev_users["user_id"], "full_outer"
+    )
+    presence = (
+        F.when(F.col("c_custkey").isNull(), "events_only")
+        .when(F.col("user_id").isNull(), "customers_only")
+        .otherwise("both")
+    )
+    return joined.groupBy(presence.alias("presence")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -8,7 +8,7 @@ tests/test_streaming.py with real readStream sources.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.catalog import load_table
@@ -203,3 +203,34 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("bounce_rate"),
     )
+
+
+_CUM_USERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), per_day AS (
+  SELECT first_day, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+)
+SELECT first_day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY first_day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM per_day
+"""
+
+
+@query("events_cumulative_unique_users", oracle=_CUM_USERS_ORACLE, tags=("window", "retention", "agg"))
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day (the retention/growth curve):
+    windowed COUNT(DISTINCT) decomposed into first-seen-day per user →
+    per-day new-user counts → running sum. The decomposition is the
+    scale trick — distinct state lives in the user-keyed aggregation
+    (shuffled, mergeable), and only the per-DAY counts (tiny: one row
+    per day) pass through the unpartitioned running-sum window, so the
+    single-partition window is a metrics rollup, not a data move."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, 0)
+    return per_day.withColumn("cum_users", F.sum("n_new").over(w))
