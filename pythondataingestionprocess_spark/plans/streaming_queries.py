@@ -205,13 +205,17 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# first_day is emitted as a yyyy-MM-dd STRING on both sides (repo date
+# convention, cf. clean_stmt_date_roundtrip): DuckDB's fetchdf returns
+# DATE as datetime64 while Arrow-backed Spark returns datetime.date —
+# value-equal but stringified differently by naive comparators.
 _CUM_USERS_ORACLE = """
 WITH first_seen AS (
   SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
 ), per_day AS (
   SELECT first_day, COUNT(*) AS n_new FROM first_seen GROUP BY 1
 )
-SELECT first_day, n_new,
+SELECT strftime(first_day, '%Y-%m-%d') AS first_day, n_new,
        CAST(SUM(n_new) OVER (ORDER BY first_day
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
 FROM per_day
@@ -233,4 +237,8 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
     )
     per_day = first_seen.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
     w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, 0)
-    return per_day.withColumn("cum_users", F.sum("n_new").over(w))
+    return per_day.withColumn("cum_users", F.sum("n_new").over(w)).select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        "n_new",
+        "cum_users",
+    )
