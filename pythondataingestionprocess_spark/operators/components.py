@@ -19,12 +19,12 @@ At 100 TB:
 - each round is one shuffle-join on vertex id + one partial-agg min —
   both map-side combinable; `localCheckpoint` truncates the growing
   lineage so round N doesn't replay rounds 1..N-1;
-- for graphs with LONG chains (not the dedup shape), swap the body for
-  the alternating large-star/small-star rounds of Kiveris et al.,
-  "Connected Components in MapReduce and Beyond" (SoCC 2014), which
-  converge in O(log²) rounds on any diameter. The driver-side loop and
-  convergence probe stay identical, so the swap is local to one
-  function.
+- for graphs with LONG chains (not the dedup shape), use
+  :func:`connected_components_star` — the alternating
+  large-star/small-star rounds of Kiveris et al., "Connected
+  Components in MapReduce and Beyond" (SoCC 2014), which converge in
+  O(log²) rounds on any diameter (property-tested on a 120-node path
+  where propagation would need 120 rounds).
 """
 
 from __future__ import annotations
@@ -90,6 +90,97 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds "
         "(graph diameter exceeds cap — use the large-star/small-star body)"
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star round (Kiveris et al., SoCC 2014).
+
+    For every node u over its undirected neighborhood Γ(u):
+    m = min(Γ(u) ∪ {u}); large-star rewires the strictly-larger
+    neighbors (v > u) to m, small-star rewires the not-larger ones
+    (v ≤ u, plus u itself) to m. Each round is one symmetrize + one
+    groupBy-min + one co-partitioned join — no iteration-count
+    dependence on graph diameter.
+    """
+    adj = _symmetrize(edges)
+    m = adj.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    joined = adj.join(m, "src")
+    if large:
+        rewired = joined.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        smaller = joined.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        self_link = m.select(F.col("src"), F.col("m").alias("dst"))
+        rewired = smaller.unionAll(self_link)
+    return rewired.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, group_id) via alternating large-star/small-star rounds —
+    O(log² n) rounds on ANY graph shape, vs O(diameter) for
+    :func:`connected_components`. Use this form when the pair graph can
+    chain (entity resolution, link graphs); the plain propagation is
+    cheaper per round on the near-clique graphs dedup produces.
+
+    Same output contract as connected_components: every vertex labeled
+    with the min id reachable from it.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        _symmetrize(edges).select(F.col("src").alias("id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        after_large = _star_round(edges, large=True).localCheckpoint(eager=True)
+        after_small = _star_round(after_large, large=False).localCheckpoint(eager=True)
+        # converged when the small-star output is a fixpoint: every
+        # edge already points at its component minimum (star shape) —
+        # detected by edge-set equality. subtract() both ways is the
+        # small-data form; at 100 TB compare (count, sum(src), sum(dst))
+        # — the star rounds monotonically decrease both sums, so the
+        # triple is a cheap sound convergence witness.
+        same = (
+            after_small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(after_small).limit(1).count() == 0
+        )
+        edges = after_small
+        if same:
+            labels = edges.select(
+                F.col("src").alias("id"), F.col("dst").alias("group_id")
+            )
+            # star centers label themselves; vertices absent from the
+            # final edge list (isolated after self-loop removal) too
+            centers = vertices.join(
+                labels.select("id"), "id", "left_anti"
+            ).select("id", F.col("id").alias("group_id"))
+            return labels.unionByName(centers)
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint after {max_iter} rounds"
     )
 
 

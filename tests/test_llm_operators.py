@@ -291,3 +291,49 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r.id: r.group_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 120-node path graph: plain min-label propagation would need
+    ~120 rounds (diameter), the alternating star rounds converge in
+    O(log²). All nodes must label to the chain's minimum."""
+    from pythondataingestionprocess_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(500, 501)], "id_a long, id_b long"
+    )
+    got = {r.id: r.group_id for r in connected_components_star(pairs).collect()}
+    assert {got[i] for i in range(n)} == {0}
+    assert got[500] == 500 and got[501] == 500
+    assert len(got) == n + 2
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """On the near-clique graphs dedup produces, both CC forms must
+    emit identical labelings."""
+    import random
+
+    from pythondataingestionprocess_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    edges = set()
+    for base in (0, 100, 200):  # three clusters of 8, near-clique
+        members = [base + i for i in range(8)]
+        for a in members:
+            for b in members:
+                if a < b and rng.random() < 0.6:
+                    edges.add((a, b))
+        # ensure connectivity even if the random clique is sparse
+        for a, b in zip(members, members[1:]):
+            edges.add((a, b))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    prop = {r.id: r.group_id for r in connected_components(pairs).collect()}
+    star = {r.id: r.group_id for r in connected_components_star(pairs).collect()}
+    assert prop == star
+    assert set(prop.values()) == {0, 100, 200}
