@@ -78,17 +78,28 @@ def pack_documents_greedy(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, ignore_index=True)
-        bin_id, fill = 0, 0
-        bins, fills = [], []
-        for tok in pdf[token_col]:
-            if fill > 0 and fill + tok > budget:
-                bin_id, fill = bin_id + 1, 0
-            fill += int(tok)
-            bins.append(bin_id)
-            fills.append(fill)
+        bins, fills = greedy_bins([int(t) for t in pdf[token_col]], budget)
         out = pdf[[group_col, order_col, token_col]].copy()
         out["bin_id"] = bins
         out["bin_fill"] = fills
         return out
 
     return narrow.groupBy(group_col).applyInPandas(pack, schema=out_schema)
+
+
+def greedy_bins(tokens: list[int], budget: int) -> tuple[list[int], list[int]]:
+    """The sequential packing core (pure, engine-free — property-tested
+    directly): returns per-doc (bin_id, running bin fill). A doc that
+    would overflow a non-empty bin opens the next; a doc alone may
+    exceed the budget (caller filters oversized docs if unacceptable).
+    """
+    bin_id, fill = 0, 0
+    bins: list[int] = []
+    fills: list[int] = []
+    for tok in tokens:
+        if fill > 0 and fill + tok > budget:
+            bin_id, fill = bin_id + 1, 0
+        fill += tok
+        bins.append(bin_id)
+        fills.append(fill)
+    return bins, fills

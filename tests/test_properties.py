@@ -107,3 +107,33 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
         F.count_distinct("o_custkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=1500), max_size=60),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_bins_invariants(tokens, budget):
+    """Pure packing core: bins are contiguous and monotone, every bin's
+    total ≤ budget unless it holds a single oversized doc, nothing
+    dropped, running fill is consistent."""
+    from pythondataingestionprocess_spark.operators.packing import greedy_bins
+
+    bins, fills = greedy_bins(tokens, budget)
+    assert len(bins) == len(tokens) == len(fills)
+    totals: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    prev_bin = 0
+    running = 0
+    for tok, b, f in zip(tokens, bins, fills):
+        assert b in (prev_bin, prev_bin + 1)  # contiguous, monotone
+        if b != prev_bin:
+            running = 0
+        running += tok
+        assert f == running  # running fill consistent
+        prev_bin = b
+        totals[b] = totals.get(b, 0) + tok
+        counts[b] = counts.get(b, 0) + 1
+    for b, total in totals.items():
+        assert total <= budget or counts[b] == 1

@@ -6,6 +6,7 @@ dedup, and the keyed-state operator."""
 from __future__ import annotations
 
 import json
+import time
 import os
 
 import pytest
@@ -401,3 +402,39 @@ def test_streaming_funnel_cross_batch_conversion(spark, tmp_path):
     (conv,) = rows
     assert conv.user_id == 7 and abs(conv.value - 42.5) < 1e-9
     assert conv.view_ts.minute == 0 and conv.purchase_ts.minute == 10
+
+
+def test_rate_source_windowed_agg(spark):
+    """The built-in rate source (the load-generator for streaming
+    smoke tests): rows/sec → 5-second tumbling counts → memory sink.
+    Proves the engine's windowed aggregation runs on a pure-streaming
+    source with no files involved."""
+    from pythondataingestionprocess_spark.streaming import windows as swin
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .option("numPartitions", 2)
+        .load()
+        .withColumnRenamed("timestamp", "ts")
+    )
+    agg = stream.groupBy(F.window("ts", "5 seconds")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_test")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM rate_test").collect()
+            if rows and sum(r["count"] for r in rows) >= 50:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows, "rate source produced no windows"
+    assert all(r["window"].end > r["window"].start for r in rows)
