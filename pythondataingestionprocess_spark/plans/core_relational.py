@@ -749,3 +749,52 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(presence.alias("presence")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# Typo'd corpus for the fuzzy join: every sampled part name plus a copy
+# with one substituted character ('z' at a key-derived position).
+_TYPO_CORPUS_SQL = """
+  SELECT p_partkey AS sid, p_name AS s FROM part WHERE p_partkey % 5 = 0
+  UNION ALL
+  SELECT p_partkey + 1000000 AS sid,
+         substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+           || 'z'
+           || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+           AS s
+  FROM part WHERE p_partkey % 5 = 0
+"""
+
+_FUZZY_JOIN_ORACLE = f"""
+WITH corpus AS ({_TYPO_CORPUS_SQL})
+SELECT a.sid AS id_a, b.sid AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS edit_dist
+FROM corpus a JOIN corpus b ON a.sid < b.sid
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
+@query("fuzzy_join_symdelete", oracle=_FUZZY_JOIN_ORACLE, tags=("text", "fuzzy", "join"))
+def fuzzy_join_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE fuzzy self-join (edit distance ≤ 1) over part names with
+    planted single-character typos — symmetric-delete blocking + exact
+    levenshtein verify (operators/fuzzyjoin.py). The oracle is the
+    exact O(n²) scan; the Spark plan never forms it (candidates come
+    from delete-neighborhood buckets, the same capped pair generator
+    as the MinHash/cosine/simhash families). Complements
+    fuzzy_name_distance, which only checks key-adjacent pairs."""
+    from pythondataingestionprocess_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    sampled = part.filter(F.col("p_partkey") % 5 == 0)
+    typos = sampled.select(
+        (F.col("p_partkey") + 1000000).alias("sid"),
+        F.concat(
+            F.expr("substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
+            F.lit("z"),
+            F.expr("substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"),
+        ).alias("s"),
+    )
+    corpus = sampled.select(
+        F.col("p_partkey").alias("sid"), F.col("p_name").alias("s")
+    ).unionAll(typos)
+    return fuzzy_self_join(corpus, "sid", "s", max_dist=1)

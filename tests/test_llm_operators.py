@@ -337,3 +337,21 @@ def test_connected_components_star_matches_propagation(spark):
     star = {r.id: r.group_id for r in connected_components_star(pairs).collect()}
     assert prop == star
     assert set(prop.values()) == {0, 100, 200}
+
+
+def test_fuzzy_self_join_complete_at_k1(spark):
+    """Symmetric-delete blocking must find EVERY pair at distance ≤ 1
+    (soundness of the delete-neighborhood intersection), and the exact
+    verify must reject near-misses at distance 2."""
+    from pythondataingestionprocess_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    rows = [
+        (1, "spark engine"),
+        (2, "spark enginz"),   # subst  -> dist 1 of id 1
+        (3, "spark engin"),    # delete -> dist 1 of ids 1,2
+        (4, "sparkle engine"),  # dist 2 of id 1 — must NOT pair with 1
+        (5, "wholly different"),
+    ]
+    df = spark.createDataFrame(rows, "sid long, s string")
+    got = {(r.id_a, r.id_b): r.edit_dist for r in fuzzy_self_join(df, "sid", "s").collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
