@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_packing_shards",
     "exists_agg_discounted_orders",
     "qualify_above_avg_suppliers",
+    "fuzzy_join_symdelete",
+    "pit_scd2_price_join",
 ]
 
 

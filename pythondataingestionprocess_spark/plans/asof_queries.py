@@ -86,3 +86,92 @@ def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "l_orderkey", "l_linenumber", "l_quantity", "band_id", "band_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (SCD2 validity-window) join: each fact row picks the
+# dimension version whose [valid_from, valid_to) window contains the
+# fact's date — the read path of every slowly-changing dimension.
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH versions AS (
+  SELECT p_partkey,
+         v AS version,
+         DATE '1992-01-01' + CAST((p_partkey % 700) + v * 800 AS INTEGER) AS valid_from,
+         CASE WHEN v < 2
+              THEN DATE '1992-01-01' + CAST((p_partkey % 700) + (v + 1) * 800 AS INTEGER)
+              ELSE DATE '2099-01-01' END AS valid_to,
+         round(p_retailprice * (1.0 + v * 0.1), 2) AS versioned_price
+  FROM part, (SELECT unnest(range(3)) AS v)
+),
+joined AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate, p.version, p.versioned_price
+  FROM lineitem l
+  JOIN versions p
+    ON l.l_partkey = p.p_partkey
+   AND l.l_shipdate >= p.valid_from AND l.l_shipdate < p.valid_to
+)
+SELECT version,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(versioned_price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM joined
+GROUP BY version
+"""
+
+
+@query("pit_scd2_price_join", oracle=_PIT_ORACLE, tags=("asof", "scd", "join"))
+def pit_scd2_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against a synthesized 3-version SCD2 price
+    history (contiguous validity windows derived from the part key):
+    each lineitem matches exactly the version covering its ship date,
+    then counts/sums per version.
+
+    Scale shape: the join is an EQUI join on the natural key
+    (l_partkey = p_partkey) with the validity window as a residual
+    range predicate — Catalyst plans the hash join on the key and
+    evaluates the interval filter as a post-join condition, so there is
+    no range-explosion and the dimension side (3 rows/key) broadcasts.
+    This is the SCD2 read idiom at 100 TB: never join on BETWEEN alone
+    (that's an interval join needing binning — see
+    range_join_quantity_bands); always carry the natural key."""
+    part, lineitem = (
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    v = F.col("v")
+    base = F.to_date(F.lit("1992-01-01"))
+    versions = (
+        part.select("p_partkey", "p_retailprice")
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            "p_partkey",
+            v.alias("version"),
+            F.date_add(base, ((F.col("p_partkey") % 700) + v * 800).cast("int")).alias(
+                "valid_from"
+            ),
+            F.when(
+                v < 2,
+                F.date_add(
+                    base, ((F.col("p_partkey") % 700) + (v + 1) * 800).cast("int")
+                ),
+            )
+            .otherwise(F.to_date(F.lit("2099-01-01")))
+            .alias("valid_to"),
+            F.round(F.col("p_retailprice") * (1.0 + v * 0.1), 2).alias(
+                "versioned_price"
+            ),
+        )
+    )
+    joined = lineitem.join(
+        versions,
+        (lineitem["l_partkey"] == versions["p_partkey"])
+        & (lineitem["l_shipdate"] >= versions["valid_from"])
+        & (lineitem["l_shipdate"] < versions["valid_to"]),
+    )
+    return joined.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("versioned_price").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

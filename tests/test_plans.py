@@ -155,3 +155,12 @@ def test_qualify_single_exchange_no_selfjoin(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+
+
+def test_pit_scd2_equi_join_with_residual_range(spark):
+    plan = _formatted_plan(spark, "pit_scd2_price_join")
+    # key equi-join with the validity window as a residual condition —
+    # never a nested-loop interval join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan and ("l_shipdate" in plan)
