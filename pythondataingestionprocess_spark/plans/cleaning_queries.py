@@ -576,3 +576,117 @@ def dq_malformed_json_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "malformed_rate"
         ),
     )
+
+
+_RI_ORACLE = """
+SELECT 'lineitem_without_order' AS check_name,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         AS n_violations
+UNION ALL
+SELECT 'order_without_customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_without_part',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'orders_pk_duplicates',
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+"""
+
+
+@query("dq_referential_integrity", oracle=_RI_ORACLE, tags=("dq", "anti"))
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan and primary-key duplicate audit across the
+    star schema — each FK check is one LEFT ANTI join counted (the
+    set-oriented form of the reference's per-row existence probes,
+    database_utils.py), the PK check one aggregate. All four checks
+    share nothing, so Spark runs them as independent stages and the
+    union is a metadata concat; at 100 TB each anti join shuffles only
+    the key columns."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    # fully lazy: each check is a one-row aggregate subplan; the union
+    # is one DataFrame, no driver-side count()/collect() anywhere
+    def anti_count(name: str, left: DataFrame, lk: str, right: DataFrame, rk: str) -> DataFrame:
+        return (
+            left.select(F.col(lk))
+            .join(right.select(F.col(rk)), left[lk] == right[rk], "left_anti")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("n_violations"),
+            )
+        )
+
+    pk_dupes = orders.agg(
+        F.lit("orders_pk_duplicates").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    )
+    return (
+        anti_count("lineitem_without_order", lineitem, "l_orderkey", orders, "o_orderkey")
+        .unionAll(anti_count("order_without_customer", orders, "o_custkey", customer, "c_custkey"))
+        .unionAll(anti_count("lineitem_without_part", lineitem, "l_partkey", part, "p_partkey"))
+        .unionAll(pk_dupes)
+    )
+
+
+_PROFILE_ORACLE = """
+SELECT 'o_totalprice' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_nonnull,
+       CAST(MIN(o_totalprice) AS VARCHAR) AS min_val,
+       CAST(MAX(o_totalprice) AS VARCHAR) AS max_val,
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d'), strftime(MAX(o_orderdate), '%Y-%m-%d'),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)
+FROM orders
+"""
+
+
+@query("dq_profile_orders", oracle=_PROFILE_ORACLE, tags=("dq", "profile"))
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (rows / non-null / min / max / distinct) for a
+    numeric, a categorical and a date column — the first-look profiling
+    every ingest runs. One scan per column family here for oracle
+    clarity; a production profiler computes all columns in ONE pass
+    (N aggregate expressions over a single scan) — that one-pass shape
+    is what multi_agg_stats already pins."""
+    orders = load_table(spark, sf_dir, "orders")
+    num = orders.agg(
+        F.lit("o_totalprice").alias("col_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_nonnull"),
+        F.min("o_totalprice").cast("string").alias("min_val"),
+        F.max("o_totalprice").cast("string").alias("max_val"),
+        F.countDistinct("o_totalprice").alias("n_distinct"),
+    )
+    cat = orders.agg(
+        F.lit("o_orderstatus").alias("col_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("n_nonnull"),
+        F.min("o_orderstatus").alias("min_val"),
+        F.max("o_orderstatus").alias("max_val"),
+        F.countDistinct("o_orderstatus").alias("n_distinct"),
+    )
+    dt = orders.agg(
+        F.lit("o_orderdate").alias("col_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderdate").alias("n_nonnull"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_val"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_val"),
+        F.countDistinct("o_orderdate").alias("n_distinct"),
+    )
+    return num.unionAll(cat).unionAll(dt)
