@@ -177,3 +177,45 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     return connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+# -------------------------------------------------- hierarchy (recursive)
+
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE r(id, root_id, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT p.p_partkey, r.root_id, r.depth + 1
+  FROM part p JOIN r ON p.p_partkey // 10 = r.id
+  WHERE p.p_partkey >= 10
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       COUNT(*) AS n_nodes,
+       CAST(COUNT(DISTINCT root_id) AS BIGINT) AS n_roots
+FROM r GROUP BY depth
+"""
+
+
+@query("hierarchy_depth_rollup", oracle=_HIERARCHY_ORACLE, tags=("hierarchy", "recursive"))
+def hierarchy_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive-CTE workload on an engine without recursive CTEs:
+    a parent-pointer forest synthesized from part keys (parent = key
+    DIV 10, roots below 10) resolved to (root, depth) via PATH DOUBLING
+    (operators/hierarchy.py) — O(log depth) self-joins, not one join
+    per level — then rolled up per depth. Oracle is DuckDB's actual
+    recursive CTE, so the doubling loop is checked against the real
+    SQL-standard semantics."""
+    from pythondataingestionprocess_spark.operators.hierarchy import resolve_roots
+
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") < 10, F.lit(None).cast("long"))
+        .otherwise((F.col("p_partkey") / 10).cast("long"))
+        .alias("parent_id"),
+    )
+    resolved = resolve_roots(nodes)
+    return resolved.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("root_id").alias("n_roots"),
+    )

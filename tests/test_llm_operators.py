@@ -355,3 +355,18 @@ def test_fuzzy_self_join_complete_at_k1(spark):
     df = spark.createDataFrame(rows, "sid long, s string")
     got = {(r.id_a, r.id_b): r.edit_dist for r in fuzzy_self_join(df, "sid", "s").collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_resolve_roots_path_doubling(spark):
+    """Deep chain (depth 64) resolves in O(log) rounds within the
+    20-round cap, with exact depths; forest separation preserved."""
+    from pythondataingestionprocess_spark.operators.hierarchy import resolve_roots
+
+    chain = [(i, i - 1 if i > 0 else None) for i in range(65)]
+    other = [(1000, None), (1001, 1000)]
+    df = spark.createDataFrame(chain + other, "id long, parent_id long")
+    got = {r.id: (r.root_id, r.depth) for r in resolve_roots(df).collect()}
+    assert got[0] == (0, 0)
+    assert got[64] == (0, 64)
+    assert got[32] == (0, 32)
+    assert got[1001] == (1000, 1)
