@@ -645,3 +645,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("frame_idx").cast("long")).alias("max_frame_idx"),
         )
     )
+
+
+@query("events_distinct_users_sketch", oracle=None, tags=("sketch", "agg"))
+def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg): per-event-type user sketches, PLUS an 'ALL' row
+    whose estimate comes from hll_union_agg over the per-type sketches
+    — never re-scanning the data. Mergeability is THE 100 TB pattern:
+    partial sketches combine across partitions/days/tiers where exact
+    distinct state cannot. Rows-only (DuckDB's HLL is a different
+    implementation); each row carries the exact count alongside so the
+    driver's rows check still sees a self-auditing result, and the
+    ≤2% relative error is pinned in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        "exact_users",
+    )
+    merged = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return typed.unionByName(merged)

@@ -370,3 +370,23 @@ def test_resolve_roots_path_doubling(spark):
     assert got[64] == (0, 64)
     assert got[32] == (0, 32)
     assert got[1001] == (1000, 1)
+
+
+def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
+    from pythondataingestionprocess_spark.plans import REGISTRY
+
+    rows = REGISTRY["events_distinct_users_sketch"].fn(spark, sf_dir).collect()
+    per_type = [r for r in rows if r.event_type != "ALL"]
+    assert per_type
+    for r in per_type:
+        assert abs(r.est_users - r.exact_users) <= max(2, 0.02 * r.exact_users), r
+    (all_row,) = [r for r in rows if r.event_type == "ALL"]
+    exact_all = (
+        REGISTRY["events_distinct_users_sketch"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(all_row.est_users - exact_all) <= max(2, 0.02 * exact_all)
