@@ -164,3 +164,28 @@ def test_pit_scd2_equi_join_with_residual_range(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan and ("l_shipdate" in plan)
+
+
+def test_packing_greedy_single_python_node_narrow_input(spark):
+    # the applyInPandas state machine is the ONE sanctioned Python node;
+    # its input must be pre-projected to the 3 needed columns so Arrow
+    # never ships text payloads
+    plan = _formatted_plan(spark, "doc_packing_greedy")
+    # formatted mode lists each node in the tree AND the detail section
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1), "greedy packer must not scan text payloads"
+
+
+def test_entry_wrapper_applies_session_tuning(spark):
+    # __spark_entry__ wraps every query callable with runtime session
+    # tuning (the r1 driver owns a vanilla session; this defense is why
+    # the correctness pass fits its budget — do not regress it)
+    import __spark_entry__ as e
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    e._TUNED.discard(spark.sparkContext.applicationId)
+    e.queries()["projection_narrow"](spark, SF_DIR).count()
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
