@@ -171,11 +171,15 @@ def test_packing_greedy_single_python_node_narrow_input(spark):
     # its input must be pre-projected to the 3 needed columns so Arrow
     # never ships text payloads
     plan = _formatted_plan(spark, "doc_packing_greedy")
-    # formatted mode lists each node in the tree AND the detail section
+    # formatted mode lists each node in the tree AND the detail section;
+    # match only the detail header
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    assert m and "text" not in m.group(1), "greedy packer must not scan text payloads"
+    # the scan legitimately reads text (token counting happens JVM-side),
+    # but the Arrow node's INPUT must be the narrow projection — text is
+    # projected away before any byte crosses into Python
+    m = re.search(r"\(\d+\) FlatMapGroupsInPandas\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m and "text" not in m.group(1), "text payload must not reach the Arrow node"
 
 
 def test_entry_wrapper_applies_session_tuning(spark):
