@@ -216,7 +216,6 @@ def minhash_lsh_pairs(
     bucket_candidate_pairs); buckets beyond it star-expand against the
     bucket's min id instead of materializing the id list.
     """
-    rows_per_band = num_hashes // bands
     # Signature via explode → 64 min-aggregates: one shuffle on id with
     # map-side partial mins, fully codegen'd. (The array-expression form
     # `minhash_signature` builds a 64-way nested transform that blows
@@ -224,41 +223,9 @@ def minhash_lsh_pairs(
     # per hash function — fine for small arrays, wrong for the corpus
     # path.) No distinct() needed: min over the shingle multiset equals
     # min over the set — saves a full-corpus dedup shuffle.
-    raw_sh = df.select(
-        F.col(id_col), tokens(text_col).alias("_w")
-    ).select(
-        F.col(id_col), F.explode(shingles_of_tokens("_w", shingle_n)).alias("shingle")
-    ).select(
-        # hash once per shingle row — inlining the hash into each agg
-        # would recompute xxhash64 64× per row
-        F.col(id_col),
-        F.pmod(F.xxhash64("shingle"), F.lit(_RANGE_31)).alias("hx"),
-    )
-    params = minhash_params(num_hashes, seed)
-    sig_tbl = raw_sh.groupBy(id_col).agg(
-        *[
-            F.min(F.pmod(F.col("hx") * a + b, F.lit(_MERSENNE_31))).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    "_",
-                    F.lit(j),
-                    *[
-                        F.col(f"mh_{j * rows_per_band + i}").cast("string")
-                        for i in range(rows_per_band)
-                    ],
-                )
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = sig_tbl.select(
-        F.col(id_col),
-        F.posexplode(band_hashes).alias("band", "band_hash"),
+    banded = _signatures_banded(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed,
     )
     # Pair generation via bucket groupBy (NOT a self-join, which would
     # run the whole signature pipeline once per join side): one shuffle
@@ -289,6 +256,122 @@ def minhash_lsh_pairs(
         pb.withColumn("jaccard", n_common / n_union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _signatures_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, band_hash) LSH bucket-membership rows — the shared
+    signature stage of the self-join and incremental paths (explode →
+    per-hash min aggregates → band hashes, one shuffle on id)."""
+    rows_per_band = num_hashes // bands
+    raw_sh = df.select(
+        F.col(id_col), tokens(text_col).alias("_w")
+    ).select(
+        F.col(id_col), F.explode(shingles_of_tokens("_w", shingle_n)).alias("shingle")
+    ).select(
+        F.col(id_col),
+        F.pmod(F.xxhash64("shingle"), F.lit(_RANGE_31)).alias("hx"),
+    )
+    params = minhash_params(num_hashes, seed)
+    sig_tbl = raw_sh.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.col("hx") * a + b, F.lit(_MERSENNE_31))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    F.lit(j),
+                    *[
+                        F.col(f"mh_{j * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    return sig_tbl.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an existing corpus —
+    the daily-ingest shape: dedup today's crawl against the full
+    history without touching corpus×corpus pairs. Candidates come from
+    a (band, band_hash) equi-join of the new batch's bucket membership
+    against the corpus's (at 100 TB the corpus side is a precomputed,
+    bucketed signature table — the per-batch cost is signatures for the
+    new docs plus one co-located join, linear in batch size).
+
+    Output: (new_id, corpus_id, jaccard) with jaccard ≥ threshold;
+    exact-verified on candidates only, same as minhash_lsh_pairs.
+    ``bucket_cap`` bounds the corpus rows kept per bucket (min-id
+    order, same anchor logic as bucket_candidate_pairs): a degenerate
+    boilerplate bucket contributes at most ``cap`` candidates per new
+    doc instead of the whole cluster — identical-content mega-clusters
+    still match via the kept min-id members."""
+    from pyspark.sql import Window as W
+
+    kw = dict(shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed)
+    corpus_b = _signatures_banded(corpus, id_col, text_col, **kw)
+    new_b = _signatures_banded(new_docs, id_col, text_col, **kw)
+    corpus_capped = (
+        corpus_b.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("band", "band_hash").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn") <= bucket_cap)
+        .select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
+    )
+    candidates = (
+        new_b.select(F.col(id_col).alias("new_id"), "band", "band_hash")
+        .join(corpus_capped, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+    def _sh(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(shingles_of_tokens("_w", shingle_n)).alias(out_sh),
+        )
+
+    pa = candidates.join(_sh(new_docs, "new_id", "sh_n"), "new_id")
+    pb = pa.join(_sh(corpus, "corpus_id", "sh_c"), "corpus_id")
+    n_common = F.size(F.array_intersect("sh_n", "sh_c"))
+    n_union = (F.size("sh_n") + F.size("sh_c") - n_common).cast("double")
+    return (
+        pb.withColumn("jaccard", n_common / n_union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 

@@ -52,6 +52,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(sh, "doc_id", 0.5)
 
 
+# The LSH pair stage is the registry's single most expensive plan and
+# two queries need its output (the pair list itself, and the connected-
+# components grouping built on top of it). Memoize the persisted
+# DataFrame per (session, sf_dir) so a full registry sweep — the
+# driver's CORRECTNESS pass runs every query in one session — pays for
+# signature+bucket+verify exactly once. Keyed on session identity, not
+# id(), so a restarted session can never alias a dead entry.
+_PAIR_MEMO: list[tuple[SparkSession, str, DataFrame]] = []
+
+
+def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for sess, cached_dir, df in _PAIR_MEMO:
+        if sess is spark and cached_dir == sf_dir:
+            return df
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).persist()
+    _PAIR_MEMO.append((spark, sf_dir, pairs))
+    return pairs
+
+
 @query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (64 hashes, 16 bands × 4) with
@@ -59,8 +79,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list; LSH recall at the corpus' similarity profile makes the
     outputs coincide. The scale path: candidate generation is a
     band-bucket join, never O(n²)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return _lsh_pairs_cached(spark, sf_dir)
 
 
 @query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
@@ -174,9 +193,101 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     return connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
+# ------------------------------------------- incremental dedup / keep-one
+
+_INCR_ORACLE = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) inter
+  FROM sh a JOIN sh b ON a.g = b.g
+  WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+FROM pairs
+JOIN sizes s1 ON new_id = s1.doc_id
+JOIN sizes s2 ON corpus_id = s2.doc_id
+WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_INCR_ORACLE, tags=("dedup", "lsh"))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup shape: near-dup pairs between a NEW batch
+    (doc_id ≡ 3 mod 7 stands in for today's crawl) and the existing
+    corpus (the rest), via a band-bucket equi-join of the new batch's
+    LSH membership against the corpus's — corpus×corpus pairs are never
+    generated, so per-batch cost is linear in batch size. Oracle is the
+    exact cross-side Jaccard pair list."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    return dd.minhash_lsh_pairs_incremental(
+        corpus, new_docs, "doc_id", "text", threshold=0.5
+    )
+
+
+_KEEP_ONE_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+grp AS (SELECT id, MIN(label) AS root FROM reach GROUP BY id),
+dropped AS (SELECT id FROM grp WHERE id <> root)
+SELECT d.source AS source,
+       CAST(SUM(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dr.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id
+GROUP BY d.source
+"""
+
+
+@query("dedup_keep_one", oracle=_KEEP_ONE_ORACLE, tags=("dedup", "graph"))
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that actually SHRINKS the corpus: per source, how many
+    documents survive keep-one-per-near-dup-group (the CC group's min
+    id is the kept representative; every other member drops). Composes
+    the cached LSH pair stage + connected components + one anti-join —
+    the full dedup pipeline a pretraining corpus goes through, as one
+    query."""
+    from pythondataingestionprocess_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    groups = connected_components(pairs)
+    dropped = (
+        groups.filter(F.col("id") != F.col("group_id"))
+        .select(F.col("id").alias("doc_id"), F.lit(1).alias("_dropped"))
+    )
+    return (
+        # join strategy left to AQE: the dropped set is tiny here but can
+        # be a large fraction of the corpus at real dedup rates — a
+        # forced broadcast would be wrong at 100 TB
+        docs.join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_dropped").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_dropped").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
 
 
 # -------------------------------------------------- hierarchy (recursive)

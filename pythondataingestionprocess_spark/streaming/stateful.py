@@ -205,12 +205,48 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     plans/subqueries.py::funnel_view_to_purchase (semi-join with
     time-range residual); this operator is its incremental form for
     unbounded streams, including conversions that straddle micro-batch
-    boundaries. At scale, add ProcessingTimeTimeout to expire users
-    idle past the window instead of NoTimeout."""
+    boundaries. State never expires — for unbounded key spaces use
+    :func:`funnel_stream_expiring`."""
     return events.groupBy("user_id").applyInPandasWithState(
         _funnel_update,
         outputStructType=FUNNEL_SCHEMA,
         stateStructType=_FUNNEL_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _funnel_update_expiring(idle_expiry_ms: int):
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # key idle past expiry: drop its state; nothing to emit.
+            state.remove()
+            return
+        yield from _funnel_update(key, pdfs, state)
+        # _funnel_update left the latest view ts in state; arm (re-arm)
+        # the processing-time alarm — it resets on every batch that
+        # touches this key, so only genuinely idle keys expire.
+        state.setTimeoutDuration(idle_expiry_ms)
+
+    return update
+
+
+def funnel_stream_expiring(
+    events: DataFrame, idle_expiry_ms: int = 60 * 60 * 1000
+) -> DataFrame:
+    """:func:`funnel_stream` for unbounded key spaces: identical
+    conversion semantics, but a user idle (no events) for
+    ``idle_expiry_ms`` of processing time has their one-timestamp state
+    slot dropped — the state store stays bounded by the ACTIVE key set,
+    not the all-time key set. The 100 TB shape: billions of cumulative
+    users but only millions active per hour means state shrinks ~1000×.
+    An expired user's later purchase simply doesn't convert (their
+    anchoring view is older than the expiry, which the caller sets ≥
+    the conversion window, so nothing eligible is ever lost)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update_expiring(idle_expiry_ms),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

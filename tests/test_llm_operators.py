@@ -279,6 +279,32 @@ def test_greedy_packing_invariants(spark):
     assert a_bins[0] == a_bins[1] == 0 and a_bins[2] == 1
 
 
+def test_lookahead_packing_beats_greedy_on_spark(spark):
+    """2-open-bin packer through applyInPandas: nothing dropped, budget
+    respected, and on a mix where a large doc forces greedy to seal a
+    half-empty bin, lookahead tops that bin up and uses fewer bins."""
+    from pythondataingestionprocess_spark.operators.packing import (
+        pack_documents_greedy,
+        pack_documents_lookahead,
+    )
+
+    # budget 10. greedy seals at each overflow: [5] [6] [5,4] → 3 bins.
+    # lookahead keeps both open: 5 | 6, then 5 tops bin0 to 10 and
+    # 4 tops bin1 to 10 → 2 bins.
+    rows = [("a", 0, 5), ("a", 1, 6), ("a", 2, 5), ("a", 3, 4)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    look = pack_documents_lookahead(df, "source", "doc_id", "n_tokens", 10).collect()
+    greedy = pack_documents_greedy(df, "source", "doc_id", "n_tokens", 10).collect()
+    assert len(look) == len(rows)
+    assert max(r.bin_id for r in look) + 1 == 2
+    assert max(r.bin_id for r in greedy) + 1 == 3
+    by_bin: dict = {}
+    for r in look:
+        by_bin.setdefault(r.bin_id, 0)
+        by_bin[r.bin_id] += r.n_tokens
+    assert all(total <= 10 for total in by_bin.values())
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C, C~D with no direct A~D must collapse to one group
     labeled by the min id; disjoint pairs stay separate."""

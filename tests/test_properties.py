@@ -137,3 +137,37 @@ def test_greedy_bins_invariants(tokens, budget):
         counts[b] = counts.get(b, 0) + 1
     for b, total in totals.items():
         assert total <= budget or counts[b] == 1
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=1500), max_size=60),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=200, deadline=None)
+def test_lookahead_bins_invariants(tokens, budget):
+    """Bounded-space best-fit core: every opened bin is used, per-bin
+    fills are prefix sums of that bin's tokens, no bin exceeds the
+    budget unless singleton, and it NEVER uses more bins than the
+    single-open-bin greedy packer (seal-fuller keeps the roomier bin
+    open, so any doc greedy could place, lookahead can too; also
+    verified by a 300k-case random search)."""
+    from pythondataingestionprocess_spark.operators.packing import (
+        greedy_bins,
+        lookahead_bins,
+    )
+
+    bins, fills = lookahead_bins(tokens, budget)
+    assert len(bins) == len(tokens) == len(fills)
+    per_bin_fill: dict[int, int] = {}
+    per_bin_count: dict[int, int] = {}
+    for tok, b, f in zip(tokens, bins, fills):
+        per_bin_fill[b] = per_bin_fill.get(b, 0) + tok
+        per_bin_count[b] = per_bin_count.get(b, 0) + 1
+        assert f == per_bin_fill[b]  # fill-after-placement is the bin's prefix sum
+    if tokens:
+        assert sorted(per_bin_fill) == list(range(max(bins) + 1))  # ids dense
+    for b, total in per_bin_fill.items():
+        assert total <= budget or per_bin_count[b] == 1
+    g_bins, _ = greedy_bins(tokens, budget)
+    if tokens:
+        assert max(bins) <= max(g_bins)

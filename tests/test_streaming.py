@@ -404,6 +404,86 @@ def test_streaming_funnel_cross_batch_conversion(spark, tmp_path):
     assert conv.view_ts.minute == 0 and conv.purchase_ts.minute == 10
 
 
+def test_streaming_funnel_state_expiry(spark, tmp_path):
+    """ProcessingTimeTimeout variant: a user idle past the expiry has
+    their view-state dropped, so a later purchase (still inside the
+    EVENT-time window) no longer converts — while a fresh user's
+    view→purchase in the second batch converts normally, proving the
+    expiry didn't break the operator."""
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.streaming.stateful import (
+        funnel_stream_expiring,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    _write_json_batch(inbox, "a.json", [
+        {"user_id": 7, "event_id": 1, "ts": "2024-01-01T00:00:00Z",
+         "event_type": "view", "value": 0.0},
+    ])
+    # ProcessingTimeTimeout needs a continuous trigger (no-data batches
+    # fire the timers), and every no-data batch runs the stateful
+    # operator over ALL state partitions — at the suite's 32 shuffle
+    # partitions that churn starves processAllAvailable, so run this
+    # query on 2 partitions.
+    n_part = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = file_ingest.file_stream(spark, inbox, schema, max_files_per_trigger=1)
+        q = (
+            funnel_stream_expiring(stream, idle_expiry_ms=1500)
+            .writeStream.format("memory")
+            .queryName("funnel_expiry_test")
+            .outputMode("append")
+            .trigger(processingTime="500 millisecond")
+            .start()
+        )
+        try:
+            # processAllAvailable is unusable here: with
+            # ProcessingTimeTimeout every finished batch "requires
+            # another batch" (a timer may fire later), so the no-new-data
+            # latch never sets — poll progress instead.
+            def wait_until(pred, timeout_s=90):
+                deadline = time.time() + timeout_s
+                while time.time() < deadline:
+                    if pred():
+                        return True
+                    if q.exception() is not None:
+                        raise AssertionError(q.exception())
+                    time.sleep(0.5)
+                return False
+
+            # batch 0 (a.json, the view) committed
+            assert wait_until(
+                lambda: (q.lastProgress or {}).get("batchId", -1) >= 0
+            )
+            # idle long past the 1.5 s expiry; no-data micro-batches
+            # fire the timeout and drop user 7's state
+            time.sleep(6)
+            _write_json_batch(inbox, "b.json", [
+                # user 7: purchase 10 min after the view in event time —
+                # inside the 30-min window, but the state expired
+                {"user_id": 7, "event_id": 2, "ts": "2024-01-01T00:10:00Z",
+                 "event_type": "purchase", "value": 99.0},
+                # user 8: fresh view + purchase in this batch → converts
+                {"user_id": 8, "event_id": 3, "ts": "2024-01-01T00:11:00Z",
+                 "event_type": "view", "value": 0.0},
+                {"user_id": 8, "event_id": 4, "ts": "2024-01-01T00:12:00Z",
+                 "event_type": "purchase", "value": 7.0},
+            ])
+            assert wait_until(
+                lambda: spark.sql("SELECT * FROM funnel_expiry_test").count() >= 1
+            ), "user 8's conversion never arrived"
+            time.sleep(3)  # settle: give a late user-7 row time to (not) appear
+            rows = spark.sql("SELECT * FROM funnel_expiry_test").collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", n_part)
+    assert [r.user_id for r in rows] == [8]
+    assert abs(rows[0].value - 7.0) < 1e-9
+
+
 def test_rate_source_windowed_agg(spark):
     """The built-in rate source (the load-generator for streaming
     smoke tests): rows/sec → 5-second tumbling counts → memory sink.
