@@ -60,6 +60,8 @@ HEADLINE = [
     "qualify_above_avg_suppliers",
     "fuzzy_join_symdelete",
     "pit_scd2_price_join",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
 ]
 
 

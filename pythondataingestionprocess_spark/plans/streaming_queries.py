@@ -222,6 +222,38 @@ FROM per_day
 """
 
 
+_COHORT_ORACLE = """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first_seen AS (SELECT user_id, MIN(day) AS first_day FROM act GROUP BY 1)
+SELECT strftime(f.first_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.first_day, a.day) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active
+FROM act a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("events_cohort_retention", oracle=_COHORT_ORACLE, tags=("retention", "agg"))
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-retention matrix: users grouped by first-active day
+    (cohort), counted on each later day they return (day_offset) — the
+    day-N retention table behind every growth dashboard. Shuffles are
+    all key-bounded: distinct user-day pairs, a user-keyed join to the
+    cohort label, then a (cohort, offset) aggregate whose output is
+    days² rows — no window over the raw events, no driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_seen = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("first_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "first_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 @query("events_cumulative_unique_users", oracle=_CUM_USERS_ORACLE, tags=("window", "retention", "agg"))
 def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users by day (the retention/growth curve):

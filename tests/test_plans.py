@@ -60,6 +60,15 @@ def test_minhash_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_dedup_is_bucket_equi_join(spark):
+    # new-batch×corpus candidates must come from an equi-join on
+    # (band, band_hash) — never a cross product
+    plan = _formatted_plan(spark, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"hashpartitioning\(band", plan) or "BroadcastHashJoin" in plan
+
+
 def test_cleaning_exprs_stay_jvm_side(spark):
     # expression-library queries: pure JVM expressions (codegen-able;
     # AQE's pre-execution explain hides WholeStageCodegen spans, so
