@@ -122,6 +122,46 @@ def quality_score(col: Column | str) -> Column:
     return len_band + tok_band + stop_band
 
 
+# PII patterns, applied in THIS order (emails first — a dotted phone or
+# version-like digit run inside an address must not be counted twice).
+# Plain alternation-free patterns with identical semantics under Java
+# regex (Spark) and RE2 (DuckDB), so oracles can run the same strings.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+PII_IPV4 = r"(\d{1,3}\.){3}\d{1,3}"
+PII_ORDER: tuple[tuple[str, str, str], ...] = (
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, then phones, then IPv4s with typed placeholder
+    tokens — the scrubbing pass a training corpus gets before anything
+    is retained. Pure nested regexp_replace, codegen-able; staged order
+    makes the result deterministic when patterns overlap (a dotted
+    phone is also a prefix-match for the IPv4 pattern)."""
+    out = _c(col)
+    for _, pat, token in PII_ORDER:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts under the same staged semantics as
+    :func:`redact_pii`: each kind is counted on the text with all
+    PRIOR kinds already redacted, so overlapping matches are attributed
+    to exactly one kind. Mirror in SQL with nested
+    regexp_replace(..., 'g') + len(regexp_extract_all(...))."""
+    staged = _c(col)
+    counts: dict[str, Column] = {}
+    for name, pat, token in PII_ORDER:
+        counts[name] = F.size(F.regexp_extract_all(staged, F.lit(pat), F.lit(0)))
+        staged = F.regexp_replace(staged, pat, token)
+    return counts
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 over the whitespace-normalized,
     lowercased text (exact-dup key that survives formatting noise)."""

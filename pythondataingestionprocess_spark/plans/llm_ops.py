@@ -507,6 +507,106 @@ def doc_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted PII (the synthetic corpus has none): deterministic per-doc
+# suffixes, identical expressions on both engines. Counting/redaction is
+# staged email → phone → ipv4 (a dotted phone is a prefix-match for the
+# IPv4 pattern; staging attributes every match to exactly one kind).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+_PII_IPV4 = r"(\d{1,3}\.){3}\d{1,3}"
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT source,
+    text
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    AS t
+  FROM documents
+), staged AS (
+  SELECT source, t,
+    regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM planted
+), staged2 AS (
+  SELECT source, t, t1,
+    regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+  FROM staged
+), staged3 AS (
+  SELECT source, t, t1, t2,
+    regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS t3
+  FROM staged2
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(t, '{_PII_EMAIL}'))) AS BIGINT) AS n_emails,
+  CAST(SUM(len(regexp_extract_all(t1, '{_PII_PHONE}'))) AS BIGINT) AS n_phones,
+  CAST(SUM(len(regexp_extract_all(t2, '{_PII_IPV4}'))) AS BIGINT) AS n_ips,
+  CAST(SUM(len(regexp_extract_all(t3, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(t3, '{_PII_PHONE}'))
+         + len(regexp_extract_all(t3, '{_PII_IPV4}'))) AS BIGINT) AS n_leftover,
+  CAST(SUM(len(t) - len(t3)) AS BIGINT) AS chars_removed
+FROM staged3
+GROUP BY source
+"""
+
+
+@query("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "pii"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per source, how many emails / phone numbers /
+    IPv4s were found and redacted, that NOTHING matches after the scrub
+    (n_leftover must be 0 — the self-check a compliance pass ships
+    with), and the volume removed. The corpus is synthetic, so PII is
+    planted deterministically per doc_id; detection and redaction are
+    pure staged regexp expressions (functions/text.py::redact_pii), no
+    Python in the path."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = tx.pii_counts("t")
+    redacted = tx.redact_pii("t")
+    leftover = tx.pii_counts(redacted)
+    return planted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(counts["email"]).cast("long").alias("n_emails"),
+        F.sum(counts["phone"]).cast("long").alias("n_phones"),
+        F.sum(counts["ipv4"]).cast("long").alias("n_ips"),
+        F.sum(
+            leftover["email"] + leftover["phone"] + leftover["ipv4"]
+        ).cast("long").alias("n_leftover"),
+        F.sum(F.length("t") - F.length(redacted)).cast("long").alias("chars_removed"),
+    )
+
+
 _SHARD_HIST_ORACLE = """
 WITH t AS (
   SELECT source, doc_id,

@@ -240,3 +240,44 @@ def test_stratified_sample_fractions(spark, sf_dir):
     assert got["error"] == totals["error"]  # fraction 1.0 keeps all
     frac = got["click"] / totals["click"]
     assert 0.35 <= frac <= 0.65  # Bernoulli(0.5) within loose bound
+
+
+def test_pii_redaction_staged_attribution(spark):
+    """Emails are redacted before phones before IPs, so a dotted phone
+    inside an email address counts once as email, a standalone dotted
+    phone counts as phone (not as a partial IPv4 match), and nothing
+    PII-shaped survives redaction."""
+    from pythondataingestionprocess_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "reach me at 555.123.4567@mail.example.org thanks"),  # email only
+        (2, "call 555.123.4567 or 555-987-6543 today"),  # two phones
+        (3, "server at 10.0.3.25 and backup 192.168.0.1"),  # two IPs
+        (4, "mixed: a@b.io then 111-222-3333 then 8.8.8.8"),
+        (5, "clean text, no identifiers here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    counts = pii_counts("t")
+    out = df.select(
+        "id",
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+        redact_pii("t").alias("red"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert (by_id[1].e, by_id[1].p, by_id[1].i) == (1, 0, 0)
+    assert (by_id[2].e, by_id[2].p, by_id[2].i) == (0, 2, 0)
+    assert (by_id[3].e, by_id[3].p, by_id[3].i) == (0, 0, 2)
+    assert (by_id[4].e, by_id[4].p, by_id[4].i) == (1, 1, 1)
+    assert (by_id[5].e, by_id[5].p, by_id[5].i) == (0, 0, 0)
+    assert by_id[4].red == "mixed: <EMAIL> then <PHONE> then <IP>"
+    assert by_id[5].red == rows[4][1]
+    # post-redaction leftover is zero on every row
+    left = df.select(redact_pii("t").alias("r")).select(
+        *[c.alias(k) for k, c in pii_counts("r").items()]
+    ).collect()
+    assert all(r.email == r.phone == r.ipv4 == 0 for r in left)
