@@ -507,6 +507,67 @@ def doc_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, source,
+         SUM(n) AS n_tokens, COUNT(*) AS n_distinct, MAX(n) AS top_n
+  FROM per_tok GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n_distinct * 1.0 / n_tokens < 0.4
+                  OR top_n * 1.0 / n_tokens > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_flagged,
+  CAST(SUM(CAST(n_distinct * 1.0 / n_tokens AS DECIMAL(25,6))) AS DOUBLE)
+    / COUNT(*) AS avg_distinct_ratio,
+  CAST(SUM(CAST(top_n * 1.0 / n_tokens AS DECIMAL(25,6))) AS DOUBLE)
+    / COUNT(*) AS avg_top_frac
+FROM per_doc GROUP BY source
+"""
+
+
+@query("text_repetition_stats", oracle=_REPETITION_ORACLE, tags=("text", "quality"))
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition screening (the Gopher-rules shape): per document the
+    distinct-token ratio and the most-common-token fraction, rolled up
+    per source with a flagged count (distinct ratio < 0.4 OR top token
+    > 20% — boilerplate/keyword-stuffed docs). One token explode, two
+    key-bounded aggregations; ratios averaged through exact decimal
+    sums for cross-engine determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", "source", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_frac = F.col("top_n") / F.col("n_tokens").cast("double")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((distinct_ratio < 0.4) | (top_frac > 0.2), 1).otherwise(0)
+        ).cast("long").alias("n_flagged"),
+        (
+            F.sum(distinct_ratio.cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_distinct_ratio"),
+        (
+            F.sum(top_frac.cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_top_frac"),
+    )
+
+
 # Planted PII (the synthetic corpus has none): deterministic per-doc
 # suffixes, identical expressions on both engines. Counting/redaction is
 # staged email → phone → ipv4 (a dotted phone is a prefix-match for the

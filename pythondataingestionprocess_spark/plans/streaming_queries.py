@@ -222,6 +222,72 @@ FROM per_day
 """
 
 
+# Sweep-line concurrency: each event holds a 5-minute "session lease";
+# +1 at its start minute, -1 at its end minute; concurrency is the
+# running delta sum. Decomposed exactly like cumulative_unique_users:
+# the within-day running sum is a day-partitioned (parallel) window, and
+# cross-midnight carry comes from a days-sized running total — the only
+# unpartitioned window touches ONE ROW PER DAY.
+_CONCURRENCY_ORACLE = """
+WITH deltas AS (
+  SELECT date_trunc('minute', ts) AS minute, 1 AS delta FROM events
+  UNION ALL
+  SELECT date_trunc('minute', ts + INTERVAL 5 MINUTE) AS minute, -1 AS delta FROM events
+), per_minute AS (
+  SELECT minute, CAST(minute AS DATE) AS day, SUM(delta) AS d
+  FROM deltas GROUP BY 1, 2
+), within AS (
+  SELECT day, minute,
+         SUM(d) OVER (PARTITION BY day ORDER BY minute
+                      ROWS UNBOUNDED PRECEDING) AS run_in_day
+  FROM per_minute
+), day_tot AS (
+  SELECT day, SUM(d) AS dt FROM per_minute GROUP BY 1
+), carry AS (
+  SELECT day, COALESCE(SUM(dt) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM day_tot
+)
+SELECT strftime(w.day, '%Y-%m-%d') AS day,
+       CAST(MAX(w.run_in_day + carry.c) AS BIGINT) AS peak_concurrency
+FROM within w JOIN carry ON w.day = carry.day
+GROUP BY 1
+"""
+
+
+@query("events_concurrency_peak", oracle=_CONCURRENCY_ORACLE, tags=("window", "sweep-line"))
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day (each event = a 5-minute
+    lease): the interval-overlap problem solved as a sweep line —
+    explode to ±1 boundary deltas, pre-aggregate per minute, then a
+    day-partitioned running sum plus a days-sized carry series for
+    exact cross-midnight concurrency. No interval self-join (the naive
+    overlap query is O(n²)); the only global window ranges over one row
+    per day."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(F.date_trunc("minute", "ts").alias("minute"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        F.date_trunc("minute", F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("minute"),
+        F.lit(-1).alias("delta"),
+    )
+    per_minute = (
+        starts.unionAll(ends)
+        .groupBy("minute")
+        .agg(F.sum("delta").alias("d"))
+        .withColumn("day", F.to_date("minute"))
+    )
+    w_day = W.partitionBy("day").orderBy("minute").rowsBetween(W.unboundedPreceding, 0)
+    within = per_minute.withColumn("run_in_day", F.sum("d").over(w_day))
+    day_tot = per_minute.groupBy("day").agg(F.sum("d").alias("dt"))
+    w_carry = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    carry = day_tot.withColumn("c", F.coalesce(F.sum("dt").over(w_carry), F.lit(0)))
+    return (
+        within.join(carry.select("day", "c"), "day")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.max(F.col("run_in_day") + F.col("c")).cast("long").alias("peak_concurrency"))
+    )
+
+
 _COHORT_ORACLE = """
 WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
 first_seen AS (SELECT user_id, MIN(day) AS first_day FROM act GROUP BY 1)

@@ -470,6 +470,71 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL3_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT '1_signup' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT '2_view_after_signup', COUNT(*) FROM s2
+UNION ALL
+SELECT '3_purchase_after_view', COUNT(*) FROM s3
+"""
+
+
+@query("funnel_three_step", oracle=_FUNNEL3_ORACLE, tags=("funnel", "sequence", "join"))
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (signup → later view → later
+    purchase): users surviving each prefix of the sequence, where each
+    step must strictly follow the user's EARLIEST completion of the
+    previous one. Each stage is a user-keyed min-aggregate joined to
+    the next event slice — partial-aggregable, one user-key shuffle per
+    stage, no window over raw events and no per-user event arrays (the
+    collect_list formulation blows up on power users at 100 TB)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, t_prev: str, t_out: str) -> DataFrame:
+        ev = events.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts")
+        )
+        return (
+            ev.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t_out))
+        )
+
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "view", "t1", "t2")
+    s3 = first_after(s2, "purchase", "t2", "t3")
+
+    def step_count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step_count(s1, "1_signup")
+        .unionAll(step_count(s2, "2_view_after_signup"))
+        .unionAll(step_count(s3, "3_purchase_after_view"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Correlation / covariance via exact moments.
 # ---------------------------------------------------------------------------
