@@ -470,6 +470,133 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DISJUNCTIVE_ORACLE = f"""
+SELECT p.p_brand AS brand,
+       COUNT(*) AS n_items,
+       {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 25)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 35)
+GROUP BY p.p_brand
+"""
+
+
+@query("disjunctive_predicate_revenue", oracle=_DISJUNCTIVE_ORACLE, tags=("join", "pushdown"))
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape: an OR of per-brand (quantity × size) band
+    conjunctions across a fact-dim join. The planner splits the
+    disjunction: the common `p_brand IN (...)` and size/quantity
+    envelope push into the scans, the residual OR evaluates post-join —
+    declared as one boolean expression and left to Catalyst (the
+    hand-unioned three-branch rewrite triples the fact scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 35))
+    )
+    return (
+        j.filter(band)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+_IDLE_SEGMENT_ORACLE = """
+WITH seg AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+), avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS a
+  FROM seg WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+FROM seg, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = seg.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@query("idle_customers_segment", oracle=_IDLE_SEGMENT_ORACLE, tags=("subquery", "anti-join"))
+def idle_customers_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape on this schema: within selected market
+    segments, customers with above-average balance (average over the
+    segment's positive balances — a scalar subquery both engines
+    compute from exact decimal sums) who have NEVER ordered (anti-join
+    on orders). The anti-join probes only the filtered customer slice;
+    the scalar average is one tiny broadcast row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = seg.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    return (
+        seg.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, seg.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+_SALTED_ORACLE = f"""
+WITH dim AS (
+  SELECT DISTINCT o_orderstatus, 'status_' || o_orderstatus AS status_label
+  FROM orders
+)
+SELECT d.status_label AS status_label,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum("o.o_totalprice", "total_price")}
+FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
+GROUP BY d.status_label
+"""
+
+
+@query("skewed_join_salted", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-mitigation path under oracle verification:
+    orders join a 3-row status dim on o_orderstatus — a maximally hot
+    key (every row hits one of 3 values) — through
+    operators/skew.py::salted_join, which spreads each hot key over 16
+    salts and replicates the dim side. The oracle is the plain join:
+    salting must be invisible in the result. (AQE's skew-join handles
+    the common case at runtime; this operator is for the single-hot-key
+    shapes AQE can't split.)"""
+    from pythondataingestionprocess_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderstatus")
+        .distinct()
+        .withColumn("status_label", F.concat(F.lit("status_"), F.col("o_orderstatus")))
+    )
+    joined = salted_join(
+        orders.select("o_orderstatus", "o_totalprice"), dim, ["o_orderstatus"]
+    )
+    return joined.groupBy("status_label").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
 _FUNNEL3_ORACLE = """
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events

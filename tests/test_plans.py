@@ -60,6 +60,23 @@ def test_minhash_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_disjunctive_bands_push_per_side_envelopes(spark):
+    # Q19's mixed OR must split: the quantity-band OR reaches the
+    # lineitem scan, the brand/size OR reaches the part scan, and the
+    # join stays a broadcast — at 100 TB an unpushed disjunction means
+    # scanning every lineitem row into the join
+    plan = _formatted_plan(spark, "disjunctive_predicate_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity,1", plan), (
+        "quantity bands not pushed to lineitem scan"
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand,Brand#1", plan), (
+        "brand/size bands not pushed to part scan"
+    )
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and m.group(1).count(":") <= 4  # 4 needed lineitem columns
+
+
 def test_incremental_dedup_is_bucket_equi_join(spark):
     # new-batch×corpus candidates must come from an equi-join on
     # (band, band_hash) — never a cross product
