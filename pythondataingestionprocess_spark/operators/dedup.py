@@ -240,22 +240,14 @@ def minhash_lsh_pairs(
     # magnitude smaller than the corpus, so two joins (AQE turns them
     # into broadcasts once the candidate size is known) beat a second
     # corpus-wide explode + shuffle-dedup + self-join cascade.
-    doc_sh = df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
-        F.col(id_col),
-        F.array_distinct(shingles_of_tokens("_w", shingle_n)).alias("sh"),
-    )
-    pa = candidates.join(
-        doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    )
-    pb = pa.join(
-        doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-    )
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    n_union = (F.size("sh_a") + F.size("sh_b") - n_common).cast("double")
-    return (
-        pb.withColumn("jaccard", n_common / n_union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    doc_sh = shingle_array_table(df, id_col, text_col, shingle_n)
+    return verify_jaccard_pairs(
+        candidates,
+        doc_sh.withColumnRenamed(id_col, "id_a"),
+        doc_sh.withColumnRenamed(id_col, "id_b"),
+        "id_a",
+        "id_b",
+        threshold,
     )
 
 
@@ -308,6 +300,45 @@ def _signatures_banded(
     )
 
 
+def shingle_array_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) with sh = the doc's DISTINCT shingle array — the
+    compact verify-side representation (used to exact-Jaccard candidate
+    pairs without re-reading text). At 100 TB this is the table a
+    persistent dedup store keeps alongside the band buckets."""
+    return df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+        F.col(id_col),
+        F.array_distinct(shingles_of_tokens("_w", n)).alias("sh"),
+    )
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate id pairs against two
+    shingle-array tables (columns (left_id, sh) / (right_id, sh));
+    returns (left_id, right_id, jaccard ≥ threshold)."""
+    pa = candidates.join(
+        sh_left.select(F.col(left_id), F.col("sh").alias("_sh_l")), left_id
+    )
+    pb = pa.join(
+        sh_right.select(F.col(right_id), F.col("sh").alias("_sh_r")), right_id
+    )
+    n_common = F.size(F.array_intersect("_sh_l", "_sh_r"))
+    n_union = (F.size("_sh_l") + F.size("_sh_r") - n_common).cast("double")
+    return (
+        pb.withColumn("jaccard", n_common / n_union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_id, right_id, "jaccard")
+    )
+
+
 def minhash_lsh_pairs_incremental(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -357,21 +388,14 @@ def minhash_lsh_pairs_incremental(
         .select("new_id", "corpus_id")
         .distinct()
     )
-
-    def _sh(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
-        return df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
-            F.col(id_col).alias(out_id),
-            F.array_distinct(shingles_of_tokens("_w", shingle_n)).alias(out_sh),
-        )
-
-    pa = candidates.join(_sh(new_docs, "new_id", "sh_n"), "new_id")
-    pb = pa.join(_sh(corpus, "corpus_id", "sh_c"), "corpus_id")
-    n_common = F.size(F.array_intersect("sh_n", "sh_c"))
-    n_union = (F.size("sh_n") + F.size("sh_c") - n_common).cast("double")
-    return (
-        pb.withColumn("jaccard", n_common / n_union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "corpus_id", "jaccard")
+    sh_new = shingle_array_table(new_docs, id_col, text_col, shingle_n).withColumnRenamed(
+        id_col, "new_id"
+    )
+    sh_corpus = shingle_array_table(corpus, id_col, text_col, shingle_n).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    return verify_jaccard_pairs(
+        candidates, sh_new, sh_corpus, "new_id", "corpus_id", threshold
     )
 
 

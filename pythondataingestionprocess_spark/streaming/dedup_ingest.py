@@ -1,0 +1,148 @@
+"""Streaming near-duplicate screening against a persistent signature
+store — the end-to-end daily-ingest dedup architecture (engine-added;
+the reference's only dedup is a batch existence probe,
+database_utils.py:128-145).
+
+Each micro-batch of incoming documents is:
+
+1. screened WITHIN the batch (`minhash_lsh_pairs` on the batch alone);
+2. screened AGAINST EVERYTHING PREVIOUSLY INGESTED via a band-bucket
+   equi-join with the store — corpus×corpus work is never repeated, so
+   the marginal cost of a batch stays proportional to the batch;
+3. appended to the store (its band buckets + its distinct-shingle
+   arrays), making it "corpus" for every later batch.
+
+The store is two parquet tables under one root:
+
+- ``buckets/``  (id, band, band_hash) — the LSH membership rows the
+  cross-batch candidate join probes;
+- ``shingles/`` (id, sh: array<string>) — the compact verify-side
+  representation (exact Jaccard without re-reading text).
+
+At 100 TB both tables live partitioned/bucketed by their join keys in
+a metastore (bucket the ``buckets`` table BY (band, band_hash) and the
+candidate join is co-located — zero corpus shuffle per batch); parquet
+append + checkpointed file tracking keeps the flow exactly-once here
+for the same reason file_ingest.py's pipeline is.
+
+Failure semantics: foreachBatch retries re-run the whole batch
+function. Pair output appends are made idempotent with the
+batchId-subdir pattern (overwrite-by-batch); store appends land AFTER
+pair output, so a crash between the two re-appends signatures on
+retry — duplicate bucket rows produce duplicate candidates, which
+`distinct()` at candidate stage already collapses: results unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.operators import dedup as dd
+
+_BANDS = 16
+_NUM_HASHES = 64
+_SHINGLE_N = 3
+_SEED = 42
+
+
+def _store_paths(store_dir: str) -> tuple[str, str]:
+    return os.path.join(store_dir, "buckets"), os.path.join(store_dir, "shingles")
+
+
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def screen_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs for one incoming batch: within-batch pairs plus
+    cross pairs against the signature store (empty store → within-batch
+    only). Returns (id_a, id_b, jaccard, kind) where ``kind`` is
+    'within' or 'cross'; for cross pairs id_a is the NEW doc. Does NOT
+    mutate the store — callers append via :func:`append_to_store` after
+    consuming the result (see module docstring for retry semantics)."""
+    buckets_path, shingles_path = _store_paths(store_dir)
+    within = dd.minhash_lsh_pairs(
+        batch_df, id_col, text_col,
+        shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=threshold, seed=_SEED,
+    ).withColumn("kind", F.lit("within"))
+    if not _store_exists(spark, buckets_path):
+        return within
+    new_banded = dd._signatures_banded(
+        batch_df, id_col, text_col,
+        shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS, seed=_SEED,
+    )
+    store_buckets = spark.read.parquet(buckets_path).select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    candidates = (
+        new_banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+        .join(store_buckets, ["band", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_new = dd.shingle_array_table(
+        batch_df, id_col, text_col, _SHINGLE_N
+    ).withColumnRenamed(id_col, "id_a")
+    sh_store = spark.read.parquet(shingles_path).withColumnRenamed(id_col, "id_b")
+    cross = dd.verify_jaccard_pairs(
+        candidates, sh_new, sh_store, "id_a", "id_b", threshold
+    ).withColumn("kind", F.lit("cross"))
+    return within.unionByName(cross)
+
+
+def append_to_store(
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append this batch's band buckets and shingle arrays to the
+    store, making it corpus for all later batches."""
+    buckets_path, shingles_path = _store_paths(store_dir)
+    dd._signatures_banded(
+        batch_df, id_col, text_col,
+        shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS, seed=_SEED,
+    ).write.mode("append").parquet(buckets_path)
+    dd.shingle_array_table(batch_df, id_col, text_col, _SHINGLE_N).write.mode(
+        "append"
+    ).parquet(shingles_path)
+
+
+def dedup_batch_fn(
+    store_dir: str,
+    pairs_out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """foreachBatch function factory: screen → write pairs (idempotent
+    per-batch subdir) → append signatures. Wire it up with
+    file_ingest.file_stream + run_ingestion for the full drop-dir →
+    dedup-screen → store pipeline."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
+        pairs = screen_batch(
+            spark, batch_df, store_dir, id_col, text_col, threshold
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_out_dir, f"batch_id={batch_id}")
+        )
+        append_to_store(batch_df, store_dir, id_col, text_col)
+
+    return fn

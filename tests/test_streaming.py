@@ -518,3 +518,60 @@ def test_rate_source_windowed_agg(spark):
         q.stop()
     assert rows, "rate source produced no windows"
     assert all(r["window"].end > r["window"].start for r in rows)
+
+
+def test_streaming_dedup_against_signature_store(spark, tmp_path):
+    """The daily-ingest dedup pipeline end-to-end: drop 1 (docs 1, 2 —
+    near-dups of each other) yields a within-batch pair and seeds the
+    signature store; drop 2 (doc 11 ≈ docs 1 AND 2 — one word changed
+    at the start vs their end-changes, trigram Jaccard 27/29 and 26/30
+    — doc 12 novel) yields exactly the two cross-batch pairs from the
+    band-bucket join against the store — no corpus recompute, no pair
+    involving the novel doc."""
+    from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+        dedup_batch_fn,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    a_text = " ".join(base)
+    b_text = " ".join(base[:-1] + ["changedlast"])
+    c_text = " ".join(["changedfirst"] + base[1:])
+    d_text = " ".join(f"novel{i}" for i in range(30))
+
+    inbox = str(tmp_path / "inbox")
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    fn = dedup_batch_fn(store, pairs_out)
+
+    _write_json_batch(inbox, "a.json", [
+        {"doc_id": 1, "text": a_text},
+        {"doc_id": 2, "text": b_text},
+    ])
+    stream = file_ingest.file_stream(spark, inbox, schema)
+    file_ingest.run_ingestion(stream, fn, ckpt).awaitTermination(120)
+
+    batch0 = spark.read.parquet(pairs_out + "/batch_id=0").collect()
+    assert {(r.id_a, r.id_b, r.kind) for r in batch0} == {(1, 2, "within")}
+    assert all(r.jaccard >= 0.5 for r in batch0)
+
+    _write_json_batch(inbox, "b.json", [
+        {"doc_id": 11, "text": c_text},
+        {"doc_id": 12, "text": d_text},
+    ])
+    stream = file_ingest.file_stream(spark, inbox, schema)
+    file_ingest.run_ingestion(stream, fn, ckpt).awaitTermination(120)
+
+    batch1 = spark.read.parquet(pairs_out + "/batch_id=1").collect()
+    assert {(r.id_a, r.id_b, r.kind) for r in batch1} == {
+        (11, 1, "cross"),
+        (11, 2, "cross"),
+    }
+    # the store now holds signatures for all four docs
+    n_sig = spark.read.parquet(store + "/shingles").count()
+    assert n_sig == 4
