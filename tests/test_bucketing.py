@@ -60,3 +60,43 @@ def test_bucketed_groupby_has_no_exchange(spark):
         .agg(F.sum("l_quantity").alias("q"))
     )
     assert "Exchange hashpartitioning" not in _plan(agg)
+
+
+def test_bucketed_signature_store_probe_shuffles_batch_only(spark):
+    """The dedup_ingest store claim made physical: corpus signatures
+    persisted bucketed BY (band, band_hash) are probed by a new batch
+    with NO exchange on the store side — only the (small) batch side
+    shuffles, so per-batch dedup cost is independent of corpus layout
+    work at 100 TB."""
+    from pythondataingestionprocess_spark.operators import dedup as dd
+    from pythondataingestionprocess_spark.storage import write_bucketed
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    kw = dict(shingle_n=3, num_hashes=64, bands=16, seed=42)
+    write_bucketed(
+        dd._signatures_banded(corpus, "doc_id", "text", **kw)
+        .withColumnRenamed("doc_id", "corpus_id"),
+        "sig_store_bkt",
+        ["band", "band_hash"],
+        8,
+    )
+    probe = (
+        dd._signatures_banded(batch, "doc_id", "text", **kw)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(spark.table("sig_store_bkt"), ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(probe)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan
+    # exactly one exchange feeds the join keys: the batch side. The
+    # store side reads pre-bucketed. (The distinct() afterwards adds
+    # its own exchange on (new_id, corpus_id) — not on the join keys.)
+    join_key_exchanges = plan.count("Exchange hashpartitioning(band")
+    assert join_key_exchanges == 1, plan
