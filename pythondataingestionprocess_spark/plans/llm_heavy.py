@@ -290,6 +290,102 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- pagerank (iterative)
+
+# Weighted PageRank on the nation trade graph (customer nation →
+# supplier nation, edge weight = lineitem count), 3 power iterations,
+# damping 0.85. Per-edge contribution arithmetic is plain double math
+# in IDENTICAL expression shape on both engines (deterministic); the
+# per-node incoming SUM — the only order-sensitive op — accumulates in
+# DECIMAL(25,9) per the registry's determinism convention.
+_PAGERANK_EDGES = """
+edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1),
+e AS (SELECT edges.src, edges.dst, edges.w, outw.wout
+      FROM edges JOIN outw USING (src))
+"""
+
+_PAGERANK_ITER = """
+r{next} AS (
+  SELECT n.n_nationkey AS id,
+         0.006 + 0.85 * COALESCE(
+           CAST(SUM(CAST(r{prev}.rank * e.w / e.wout AS DECIMAL(25,9))) AS DOUBLE),
+           0.0) AS rank
+  FROM nation n
+  LEFT JOIN e ON e.dst = n.n_nationkey
+  LEFT JOIN r{prev} ON r{prev}.id = e.src
+  GROUP BY 1
+)
+"""
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _PAGERANK_EDGES
+    + ", r0 AS (SELECT n_nationkey AS id, 1.0/25 AS rank FROM nation), "
+    + ", ".join(_PAGERANK_ITER.format(prev=i, next=i + 1) for i in range(3))
+    + """
+SELECT n.n_name AS nation, r3.rank AS pagerank
+FROM nation n JOIN r3 ON r3.id = n.n_nationkey
+"""
+)
+
+
+@query("pagerank_nations", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 power iterations, damping 0.85) over the
+    nation trade graph — who sits at the center of the money flow. The
+    iterative-numeric-fixpoint workload on an engine with no iteration
+    construct: the rank frame is NODE-sized, so each round is one
+    edges⋈ranks join + one decimal-accumulated incoming sum; the
+    oracle is the same three iterations as chained CTEs. At a 100 TB
+    edge set the per-round shape is unchanged (edges partition by src;
+    ranks broadcast — node-sized) with a localCheckpoint per round to
+    truncate lineage; 25 nodes here don't need it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = edges.join(outw, "src")
+    nodes = nation.select(F.col("n_nationkey").alias("id"), "n_name")
+    ranks = nodes.select("id", F.lit(1.0 / 25).alias("rank"))
+    for _ in range(3):
+        contrib = e.join(
+            ranks.select(F.col("id").alias("src"), "rank"), "src"
+        ).select(
+            "dst",
+            (F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"),
+        )
+        incoming = contrib.groupBy("dst").agg(
+            F.sum(F.col("contrib").cast("decimal(25,9)")).cast("double").alias("s")
+        )
+        ranks = nodes.join(incoming, nodes.id == incoming.dst, "left").select(
+            "id",
+            (F.lit(0.006) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+        )
+    return ranks.join(nodes, "id").select(
+        F.col("n_name").alias("nation"), F.col("rank").alias("pagerank")
+    )
+
+
 # -------------------------------------------------- hierarchy (recursive)
 
 _HIERARCHY_ORACLE = """

@@ -33,3 +33,16 @@ def test_entry_contract(spark):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert "flagship_revenue_by_nation" in q
+
+
+def test_pagerank_ranks_sum_near_one(spark, sf_dir):
+    """PageRank invariant: with every nation holding out-edges (no
+    dangling mass), ranks stay a probability distribution — the sum
+    after 3 damped iterations is 1 up to decimal-rounding dust."""
+    from pythondataingestionprocess_spark.plans import REGISTRY
+
+    rows = REGISTRY["pagerank_nations"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r.pagerank > 0 for r in rows)
