@@ -48,3 +48,55 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — planner
     elides both shuffles (asserted in tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> list[list[str]]:
+    """Group a directory's parquet part-files into compaction bins of
+    ~``target_bytes`` (first-fit over the size list — the same
+    greedy_bins core the document packer uses). Pure metadata: one
+    driver-side listing, no data read. Streaming sinks accrete small
+    files (one-plus per micro-batch per partition); compaction restores
+    scan efficiency — at 100 TB, small files dominate task-scheduling
+    and footer overhead long before data volume matters."""
+    from pythondataingestionprocess_spark.operators.packing import greedy_bins
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    files = [
+        (st.getPath().toString(), st.getLen())
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    files.sort()  # deterministic bin assignment
+    bins, _ = greedy_bins([sz for _, sz in files], target_bytes)
+    out: dict[int, list[str]] = {}
+    for (name, _), b in zip(files, bins):
+        out.setdefault(b, []).append(name)
+    return [out[b] for b in sorted(out)]
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``path``'s parquet part-files into ``out_path`` with one
+    output file per ~``target_bytes`` bin (coalesce(1) per bin — each
+    bin's input already fits the target, so the single writer task is
+    bounded). Returns the number of output bins. Rewrite-to-new-dir +
+    atomic swap by the caller keeps readers consistent (object stores
+    have no atomic in-place replace)."""
+    groups = plan_compaction(spark, path, target_bytes)
+    for i, group in enumerate(groups):
+        (
+            spark.read.parquet(*group)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/bin_{i:05d}")
+        )
+    return len(groups)

@@ -100,3 +100,38 @@ def test_bucketed_signature_store_probe_shuffles_batch_only(spark):
     # its own exchange on (new_id, corpus_id) — not on the join keys.)
     join_key_exchanges = plan.count("Exchange hashpartitioning(band")
     assert join_key_exchanges == 1, plan
+
+
+def test_compaction_bins_small_files_and_preserves_rows(spark, tmp_path):
+    """Ten tiny part-files compact into fewer bins sized by the byte
+    budget; every row survives, no row duplicates."""
+    from pythondataingestionprocess_spark.storage import (
+        compact_dir,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    df = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    df.repartition(10).write.mode("overwrite").parquet(src)
+
+    sizes = [
+        f.getLen()
+        for f in spark._jvm.org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark._jsc.hadoopConfiguration())
+        .listStatus(spark._jvm.org.apache.hadoop.fs.Path(src))
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    assert len(sizes) == 10
+    target = sum(sizes) // 3  # force ~4 bins
+    groups = plan_compaction(spark, src, target)
+    assert 1 < len(groups) < 10
+    assert sorted(p for g in groups for p in g) == sorted(
+        p for g in plan_compaction(spark, src, target) for p in g
+    )  # deterministic
+
+    n_bins = compact_dir(spark, src, out, target)
+    assert n_bins == len(groups)
+    before = df.orderBy("o_orderkey").collect()
+    after = spark.read.parquet(out + "/bin_*").orderBy("o_orderkey").collect()
+    assert before == after
