@@ -766,6 +766,57 @@ def percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS med FROM part GROUP BY 1
+), dev AS (
+  SELECT p.p_brand, p.p_retailprice, med.med,
+         abs(p.p_retailprice - med.med) AS adev
+  FROM part p JOIN med ON p.p_brand = med.p_brand
+), mad AS (
+  SELECT p_brand, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.p_brand AS brand,
+       COUNT(*) AS n_parts,
+       round(MIN(dev.med), 6) AS median_price,
+       round(MIN(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN abs(dev.p_retailprice - dev.med) > 3 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.p_brand = mad.p_brand
+GROUP BY 1
+"""
+
+
+@query("dq_price_outliers_mad", oracle=_MAD_ORACLE, tags=("dq", "quantile", "robust"))
+def dq_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening: per brand, parts whose retail price
+    sits more than 3 median-absolute-deviations from the brand median
+    — the MAD rule survives the very outliers that wreck a stddev
+    z-score. Two exact-percentile passes (median, then median of
+    absolute deviations) over bounded groups; the interpolation and
+    comparison arithmetic is identical double math on both engines
+    (same 6 dp output discipline as percentile_cont_prices)."""
+    part = load_table(spark, sf_dir, "part")
+    med = part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("med")
+    )
+    dev = part.join(med, "p_brand").withColumn(
+        "adev", F.abs(F.col("p_retailprice") - F.col("med"))
+    )
+    mad = dev.groupBy("p_brand").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    joined = dev.join(mad, "p_brand")
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.min("med"), 6).alias("median_price"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(
+                F.abs(F.col("p_retailprice") - F.col("med")) > 3 * F.col("mad"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Correlated EXISTS with an aggregate predicate (TPC-H Q4/Q21 skeleton,
 # VERDICT r1 item 5). The EXISTS body is not a plain row probe: it

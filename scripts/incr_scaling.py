@@ -10,10 +10,14 @@ the batch alone; here we measure both the full incremental run and, as
 the comparison bar, the self-join run over the same union.
 
 Usage: python scripts/incr_scaling.py [multipliers...]  (default 1 2 4 8 16)
+Set SKIP_FULL=1 to measure only the incremental path (the full-run
+comparison at large multipliers is already in BASELINE.md's main
+dedup curve).
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -55,11 +59,14 @@ for mult in mults:
     ).count()
     wall_incr = time.monotonic() - t0
 
-    t1 = time.monotonic()
-    n_full = dd.minhash_lsh_pairs(
-        corpus.unionAll(batch), "doc_id", "text", threshold=0.5
-    ).count()
-    wall_full = time.monotonic() - t1
+    if os.environ.get("SKIP_FULL"):
+        n_full, wall_full = None, None
+    else:
+        t1 = time.monotonic()
+        n_full = dd.minhash_lsh_pairs(
+            corpus.unionAll(batch), "doc_id", "text", threshold=0.5
+        ).count()
+        wall_full = time.monotonic() - t1
 
     print(
         json.dumps(
@@ -70,7 +77,7 @@ for mult in mults:
                 "cross_pairs": n_cross,
                 "incr_wall_sec": round(wall_incr, 1),
                 "full_pairs": n_full,
-                "full_wall_sec": round(wall_full, 1),
+                "full_wall_sec": None if wall_full is None else round(wall_full, 1),
             }
         ),
         flush=True,
