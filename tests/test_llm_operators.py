@@ -416,3 +416,16 @@ def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
         .count()
     )
     assert abs(all_row.est_users - exact_all) <= max(2, 0.02 * exact_all)
+
+
+def test_lsh_pair_memo_keys_on_session_and_dir(spark):
+    """The memoized LSH pair stage must return the SAME DataFrame for
+    repeated (session, sf_dir) calls and a different one for another
+    sf_dir — never a stale cross-directory hit."""
+    from pythondataingestionprocess_spark.plans.llm_heavy import _lsh_pairs_cached
+
+    a1 = _lsh_pairs_cached(spark, "/root/testdata/sf0.001")
+    a2 = _lsh_pairs_cached(spark, "/root/testdata/sf0.001")
+    b = _lsh_pairs_cached(spark, "/root/testdata/sf0.01")
+    assert a1 is a2
+    assert a1 is not b
