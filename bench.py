@@ -62,6 +62,9 @@ HEADLINE = [
     "pit_scd2_price_join",
     "dedup_incremental_minhash",
     "dedup_keep_one",
+    "text_pii_redact",
+    "events_concurrency_peak",
+    "pagerank_nations",
 ]
 
 
