@@ -26,11 +26,14 @@ append + checkpointed file tracking keeps the flow exactly-once here
 for the same reason file_ingest.py's pipeline is.
 
 Failure semantics: foreachBatch retries re-run the whole batch
-function. Pair output appends are made idempotent with the
-batchId-subdir pattern (overwrite-by-batch); store appends land AFTER
-pair output, so a crash between the two re-appends signatures on
-retry — duplicate bucket rows produce duplicate candidates, which
-`distinct()` at candidate stage already collapses: results unchanged.
+function, so both writes are idempotent by batch id: pair output AND
+store appends land in ``batch_id=N`` / ``ingest_batch=N`` subdirs with
+``overwrite`` mode — a retry replaces its own partial output instead
+of appending a second copy. Screening is additionally retry-proof on
+the read side: the store is deduped on its keys, the current batch's
+own ids are anti-joined out of the store side (a crash after the store
+write would otherwise make the batch "corpus" for its own retry), and
+``id_a != id_b`` guards self-pairs.
 """
 
 from __future__ import annotations
@@ -85,22 +88,36 @@ def screen_batch(
         batch_df, id_col, text_col,
         shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS, seed=_SEED,
     )
-    store_buckets = spark.read.parquet(buckets_path).select(
-        F.col(id_col).alias("id_b"), "band", "band_hash"
+    # Retry hygiene: a crash between append_to_store and checkpoint
+    # commit replays the batch with its own signatures already in the
+    # store. Exclude the batch's ids from the store side (broadcast
+    # anti-join — the batch id set is small, and an anti-join keeps the
+    # store side shuffle-free) and guard id_a != id_b. Store-side
+    # duplicate rows cannot arise (appends are idempotent by batch id);
+    # candidate distinct() + an output-sized pair dedup cover legacy
+    # append-mode stores without shuffling the store.
+    batch_ids = batch_df.select(F.col(id_col).alias("id_b")).distinct()
+    store_buckets = (
+        spark.read.parquet(buckets_path)
+        .select(F.col(id_col).alias("id_b"), "band", "band_hash")
+        .join(F.broadcast(batch_ids), "id_b", "left_anti")
     )
     candidates = (
         new_banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
         .join(store_buckets, ["band", "band_hash"])
         .select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     sh_new = dd.shingle_array_table(
         batch_df, id_col, text_col, _SHINGLE_N
     ).withColumnRenamed(id_col, "id_a")
-    sh_store = spark.read.parquet(shingles_path).withColumnRenamed(id_col, "id_b")
+    sh_store = spark.read.parquet(shingles_path).select(
+        F.col(id_col).alias("id_b"), "sh"
+    )
     cross = dd.verify_jaccard_pairs(
         candidates, sh_new, sh_store, "id_a", "id_b", threshold
-    ).withColumn("kind", F.lit("cross"))
+    ).dropDuplicates(["id_a", "id_b"]).withColumn("kind", F.lit("cross"))
     return within.unionByName(cross)
 
 
@@ -109,17 +126,30 @@ def append_to_store(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> None:
     """Append this batch's band buckets and shingle arrays to the
-    store, making it corpus for all later batches."""
+    store, making it corpus for all later batches.
+
+    With ``batch_id`` the write is idempotent: each batch owns an
+    ``ingest_batch=N`` subdir written with overwrite, so a foreachBatch
+    retry replaces its own partial signatures instead of appending a
+    second copy (partition discovery makes the root read see every
+    subdir). Without ``batch_id`` (ad-hoc/backfill use) it is a plain
+    append."""
     buckets_path, shingles_path = _store_paths(store_dir)
-    dd._signatures_banded(
+    buckets = dd._signatures_banded(
         batch_df, id_col, text_col,
         shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS, seed=_SEED,
-    ).write.mode("append").parquet(buckets_path)
-    dd.shingle_array_table(batch_df, id_col, text_col, _SHINGLE_N).write.mode(
-        "append"
-    ).parquet(shingles_path)
+    )
+    shingles = dd.shingle_array_table(batch_df, id_col, text_col, _SHINGLE_N)
+    if batch_id is None:
+        buckets.write.mode("append").parquet(buckets_path)
+        shingles.write.mode("append").parquet(shingles_path)
+    else:
+        sub = f"ingest_batch={batch_id}"
+        buckets.write.mode("overwrite").parquet(os.path.join(buckets_path, sub))
+        shingles.write.mode("overwrite").parquet(os.path.join(shingles_path, sub))
 
 
 def dedup_batch_fn(
@@ -143,6 +173,6 @@ def dedup_batch_fn(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_out_dir, f"batch_id={batch_id}")
         )
-        append_to_store(batch_df, store_dir, id_col, text_col)
+        append_to_store(batch_df, store_dir, id_col, text_col, batch_id=batch_id)
 
     return fn

@@ -575,3 +575,50 @@ def test_streaming_dedup_against_signature_store(spark, tmp_path):
     # the store now holds signatures for all four docs
     n_sig = spark.read.parquet(store + "/shingles").count()
     assert n_sig == 4
+
+
+def test_dedup_ingest_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch retry semantics (ADVICE r2, medium): replaying a
+    batch whose append_to_store already committed must (a) not emit
+    spurious self 'cross' pairs from finding its own signatures in the
+    store, (b) not leave duplicate signature rows behind, and (c) not
+    multiply pair output for later batches."""
+    from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+        dedup_batch_fn,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    a_text = " ".join(base)
+    b_text = " ".join(base[:-1] + ["changedlast"])
+    c_text = " ".join(["changedfirst"] + base[1:])
+
+    store = str(tmp_path / "store")
+    pairs_out = str(tmp_path / "pairs")
+    fn = dedup_batch_fn(store, pairs_out)
+    batch0 = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+
+    fn(batch0, 0)
+    fn(batch0, 0)  # crash-after-store-append replay of the same batch
+
+    replayed = spark.read.parquet(pairs_out + "/batch_id=0").collect()
+    assert {(r.id_a, r.id_b, r.kind) for r in replayed} == {(1, 2, "within")}
+    assert all(r.id_a != r.id_b for r in replayed)
+    # idempotent subdir overwrite: one signature row set, not two
+    shingles = spark.read.parquet(store + "/shingles")
+    assert shingles.count() == 2
+    buckets = spark.read.parquet(store + "/buckets")
+    assert buckets.groupBy("doc_id", "band").count().filter("count > 1").count() == 0
+
+    # a later batch still sees exactly its true cross pairs, once each
+    batch1 = spark.createDataFrame([(11, c_text)], "doc_id long, text string")
+    fn(batch1, 1)
+    b1 = spark.read.parquet(pairs_out + "/batch_id=1").collect()
+    assert {(r.id_a, r.id_b, r.kind) for r in b1} == {
+        (11, 1, "cross"),
+        (11, 2, "cross"),
+    }
