@@ -57,14 +57,18 @@ def resolve_roots(
             F.col("dist").alias("a_dist"),
             F.col("resolved").alias("a_resolved"),
         )
+        # LEFT join: a dangling parent pointer (anc id absent from the
+        # node table) must not silently drop the node — it is treated as
+        # having reached a root (the dangling id itself), so the output
+        # always carries one row per input node.
         spliced = (
             t.filter(~F.col("resolved"))
-            .join(anc_side, F.col("anc") == F.col("a_id"))
+            .join(anc_side, F.col("anc") == F.col("a_id"), "left")
             .select(
                 "id",
-                F.col("a_anc").alias("anc"),
-                (F.col("dist") + F.col("a_dist")).alias("dist"),
-                F.col("a_resolved").alias("resolved"),
+                F.coalesce(F.col("a_anc"), F.col("anc")).alias("anc"),
+                (F.col("dist") + F.coalesce(F.col("a_dist"), F.lit(0))).alias("dist"),
+                F.coalesce(F.col("a_resolved"), F.lit(True)).alias("resolved"),
             )
         )
         t = (

@@ -91,8 +91,15 @@ class JdbcTableStore:
         self._known.add(name)
 
     def upsert(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
-        """MERGE: incoming wins on key match (ON CONFLICT DO UPDATE)."""
+        """MERGE: incoming wins on key match (ON CONFLICT DO UPDATE).
+
+        ``incoming`` is deduped on ``keys`` first (one arbitrary row per
+        key) so intra-batch key collisions cannot break the uniqueness
+        the reference's per-row ON CONFLICT loop guarantees — same
+        discipline as ParquetTableStore.upsert.
+        """
         existing = self.read(name)
+        incoming = incoming.dropDuplicates(keys)
         merged = existing.join(
             incoming.select(*keys).distinct(), keys, "left_anti"
         ).unionByName(incoming)
@@ -100,8 +107,9 @@ class JdbcTableStore:
 
     def insert_if_absent(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
         """MERGE WHEN NOT MATCHED THEN INSERT (catalog-cache semantics,
-        database_utils.py:66-67)."""
+        database_utils.py:66-67). ``incoming`` deduped on ``keys``."""
         existing = self.read(name)
+        incoming = incoming.dropDuplicates(keys)
         fresh = incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
         merged = existing.unionByName(fresh)
         self.overwrite(name, merged)

@@ -84,8 +84,18 @@ class ParquetTableStore:
 
     def upsert(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
         """MERGE: incoming wins on key match, unmatched existing rows
-        are kept (``ON CONFLICT DO UPDATE`` across whole rows)."""
+        are kept (``ON CONFLICT DO UPDATE`` across whole rows).
+
+        ``incoming`` is deduped on ``keys`` first (one arbitrary row per
+        key survives) so a batch carrying the same key twice cannot
+        violate the key uniqueness the reference's per-row ON CONFLICT
+        loop guarantees. The reference's loop makes it last-write-wins,
+        but a DataFrame batch has no defined row order, so any winner is
+        equally faithful; callers needing a specific winner should
+        pre-aggregate.
+        """
         existing = self.read(name)
+        incoming = incoming.dropDuplicates(keys)
         merged = existing.join(
             incoming.select(*keys).distinct(), keys, "left_anti"
         ).unionByName(incoming)
@@ -94,8 +104,10 @@ class ParquetTableStore:
     def insert_if_absent(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
         """MERGE WHEN NOT MATCHED THEN INSERT: existing rows never
         change (the reference's catalog-cache behavior — a cached
-        store is returned untouched, database_utils.py:66-67)."""
+        store is returned untouched, database_utils.py:66-67).
+        ``incoming`` is deduped on ``keys`` (see :meth:`upsert`)."""
         existing = self.read(name)
+        incoming = incoming.dropDuplicates(keys)
         fresh = incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
         merged = existing.unionByName(fresh)
         self.overwrite(name, merged)

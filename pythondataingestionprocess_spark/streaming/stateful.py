@@ -79,9 +79,11 @@ def locf_processor():
             self._last = handle.getValueState("last_props", "v string")
 
         def handleInputRows(self, key, rows, timerValues):
+            # concat-then-sort across chunks: see _locf_update.
             last = self._last.get()[0] if self._last.exists() else None
-            for pdf in rows:
-                pdf = pdf.sort_values("ts")
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
                 filled = []
                 for v in pdf["props"]:
                     if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -122,10 +124,13 @@ def locf_fill_stream(events: DataFrame) -> DataFrame:
 
 
 def _locf_update(key, pdfs, state):
+    # concat-then-sort: Arrow chunks for one key carry no cross-chunk
+    # ts order, and LOCF is order-sensitive (same fix as _funnel_update).
     (user_id,) = key
     (last,) = state.get if state.exists else (None,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         filled = []
         for v in pdf["props"]:
             if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -163,19 +168,25 @@ def _funnel_update(key, pdfs, state):
     within the window of that view emits one conversion row.
 
     State is one timestamp per user (bounded); events arrive
-    batch-ordered but not globally ordered, so each batch is sorted by
-    ts before the scan — the same discipline a batch funnel gets from
-    its window sort. The window check lives in the emitter so a
-    conversion straddling two micro-batches (view in batch N, purchase
-    in batch N+1) is found — that cross-batch case is exactly what the
-    batch join can't do incrementally and keyed state exists for."""
+    batch-ordered but not globally ordered. applyInPandasWithState
+    delivers one key's batch as MULTIPLE Arrow chunks (~10k rows each)
+    with no cross-chunk ts ordering guarantee, so all chunks are
+    concatenated and sorted ONCE before the scan — sorting each chunk
+    independently could mis-anchor a view/purchase pair split across
+    chunks for high-volume keys. State is a single timestamp, so the
+    usual streaming-chunks memory argument doesn't apply. The window
+    check lives in the emitter so a conversion straddling two
+    micro-batches (view in batch N, purchase in batch N+1) is found —
+    that cross-batch case is exactly what the batch join can't do
+    incrementally and keyed state exists for."""
     import pandas as pd  # noqa: F811 (executor-side import)
 
     (user_id,) = key
     (last_view,) = state.get if state.exists else (None,)
     window = pd.Timedelta(minutes=30)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         out = []
         for _, row in pdf.iterrows():
             if row["event_type"] == "view":

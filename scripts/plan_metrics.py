@@ -71,8 +71,6 @@ def collect_metrics(df) -> dict[str, int]:
             key, v = kv._1(), kv._2().value()
             if not v or v < 0:
                 continue
-            if key == "shuffleBytesWritten" or key == "dataSize" and False:
-                pass
             if key == "shuffleBytesWritten":
                 agg["shuffle_write_bytes"] += v
             elif key == "shuffleRecordsWritten":
