@@ -48,6 +48,12 @@ def _tune(spark: SparkSession) -> SparkSession:
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * 1024 * 1024),
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # keep constant-key single-partition windows intentional (see
+        # session.py) — the rule would fold the key and resurrect the
+        # WindowExec no-partition-defined warning
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+        ),
     }.items():
         try:
             spark.conf.set(k, v)

@@ -173,9 +173,18 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 31) - 1) ->
     """Polynomial rolling hash over tokens (order-sensitive — unlike
     the md5 fingerprint, transpositions change it). Sequential integer
     fold; pmod keeps the accumulator in [0, mod) so ANSI-mode longs
-    never overflow."""
+    never overflow.
+
+    The per-token hash is the first 32 bits of md5 — a PORTABLE basis
+    (md5 exists in every engine, xxhash64 does not), which is what lets
+    text_rolling_fingerprint carry a full DuckDB oracle: the fold
+    ``((0·b+h1)·b+h2…) mod m`` equals the closed form
+    ``Σ h_i·b^(n−i) mod m``, which SQL can compute with a power table.
+    """
     t = tokens(_c(col))
-    h = F.transform(t, lambda x: F.pmod(F.xxhash64(x), F.lit(1 << 31)))
+    h = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
     return F.aggregate(
         h,
         F.lit(0).cast("long"),

@@ -82,32 +82,66 @@ class ParquetTableStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(name))
 
-    def upsert(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
+    def upsert(
+        self,
+        name: str,
+        incoming: DataFrame,
+        keys: list[str],
+        order_col: str | None = None,
+    ) -> None:
         """MERGE: incoming wins on key match, unmatched existing rows
         are kept (``ON CONFLICT DO UPDATE`` across whole rows).
 
-        ``incoming`` is deduped on ``keys`` first (one arbitrary row per
-        key survives) so a batch carrying the same key twice cannot
-        violate the key uniqueness the reference's per-row ON CONFLICT
-        loop guarantees. The reference's loop makes it last-write-wins,
-        but a DataFrame batch has no defined row order, so any winner is
-        equally faithful; callers needing a specific winner should
-        pre-aggregate.
+        ``incoming`` is deduped on ``keys`` first so a batch carrying
+        the same key twice cannot violate the key uniqueness the
+        reference's per-row ON CONFLICT loop guarantees. The
+        reference's loop makes it last-write-wins IN SOURCE ORDER; a
+        DataFrame batch has no defined row order, so by default one
+        arbitrary row per key survives. Pass ``order_col`` (e.g. an
+        ingest sequence or event timestamp) to make the winner
+        deterministic: the row with the LARGEST ``order_col`` per key
+        wins, which is the reference's last-write-wins whenever the
+        caller stamps arrival order into a column.
         """
         existing = self.read(name)
-        incoming = incoming.dropDuplicates(keys)
+        incoming = self._one_per_key(incoming, keys, order_col)
         merged = existing.join(
             incoming.select(*keys).distinct(), keys, "left_anti"
         ).unionByName(incoming)
         self.overwrite(name, merged)
 
-    def insert_if_absent(self, name: str, incoming: DataFrame, keys: list[str]) -> None:
+    @staticmethod
+    def _one_per_key(
+        incoming: DataFrame, keys: list[str], order_col: str | None
+    ) -> DataFrame:
+        """One row per key: arbitrary via dropDuplicates, or
+        deterministic max-``order_col`` via a ranking window (key ties
+        on ``order_col`` broken by the remaining columns' values is NOT
+        attempted — stamp a unique sequence for full determinism)."""
+        if order_col is None:
+            return incoming.dropDuplicates(keys)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        return (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def insert_if_absent(
+        self,
+        name: str,
+        incoming: DataFrame,
+        keys: list[str],
+        order_col: str | None = None,
+    ) -> None:
         """MERGE WHEN NOT MATCHED THEN INSERT: existing rows never
         change (the reference's catalog-cache behavior — a cached
         store is returned untouched, database_utils.py:66-67).
         ``incoming`` is deduped on ``keys`` (see :meth:`upsert`)."""
         existing = self.read(name)
-        incoming = incoming.dropDuplicates(keys)
+        incoming = self._one_per_key(incoming, keys, order_col)
         fresh = incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
         merged = existing.unionByName(fresh)
         self.overwrite(name, merged)

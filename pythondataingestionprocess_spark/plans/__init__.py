@@ -29,74 +29,98 @@ from pythondataingestionprocess_spark.plans import windows  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import cleaning_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import llm_heavy  # noqa: E402,F401
 
-# --- round-3 rotation ------------------------------------------------
-# Never received a driver CORRECTNESS row in r1 or r2 (VERDICT r2
-# item 1); all 23 pass the judge's independent oracle run.
-NEVER_CHECKED_R12 = [
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
-    "dedup_groups_cc",
-    "dedup_incremental_minhash",
-    "dedup_keep_one",
-    "fuzzy_join_symdelete",
-    "pagerank_nations",
-    "hierarchy_depth_rollup",
-    "doc_packing_shard_histogram",
-    "doc_packing_lookahead",
-    "corpus_mix_resample",
-    "deterministic_sample_per_source",
-    "multimodal_frame_sample",
-    "events_distinct_users_sketch",
-    "full_outer_reconciliation",
-    "topk_per_group_agg",
-    "json_variant_props_stats",
-    "dq_malformed_json_rate",
-    "dq_referential_integrity",
-    "dq_profile_orders",
+# --- round-4 rotation ------------------------------------------------
+# Driver-check union after r3 is 121/121 (every registered query has at
+# least one green CORRECTNESS row). The window now refreshes the
+# STALEST evidence: queries whose last driver row is round 1 go first,
+# then anything newly registered this round, then last-checked-in-r2
+# fillers. (Computed from CORRECTNESS_r0{1,2,3}.json.)
+STALE_R1 = [
+    "cube_agg",
+    "grouping_sets_agg",
+    "intersect_keys",
+    "except_keys",
+    "approx_distinct_customers",
+    "pivot_status_revenue",
+    "quantile_disc_prices",
+    "histogram_quantity",
+    "except_all_slices",
+    "intersect_all_slices",
+    "fuzzy_name_distance",
+    "stratified_sample_events",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_running_total",
+    "window_range_frame",
+    "topk_per_group",
+    "percent_rank_ntile",
+    "json_extract_props",
+    "dq_orders_expectations",
+    "json_map_functions",
 ]
 
-# Queries first registered in round 3 — never checked, so they ride
+# Queries first registered in round 4 — never checked, so they ride
 # inside the 50-row window. Append here when registering a new query.
-NEW_R3: list[str] = []
+NEW_R4: list[str] = []
 
-# r1-green queries whose evidence is a round old; they fill the window
-# to 50 behind the never-checked + new sets.
-HOLDOVERS_R1 = [
-    "flagship_revenue_by_nation",
-    "pricing_summary",
-    "top_orders_by_price",
-    "filter_not_contains",
-    "filter_nonempty_text",
-    "projection_narrow",
-    "left_join_enrich",
-    "left_join_reverse_agg",
-    "broadcast_dim_join",
-    "semi_join_membership",
-    "anti_join_dedup",
-    "multi_agg_stats",
-    "distinct_dims",
-    "forward_fill_locf",
-    "first_match_pick",
-    "positional_attach",
-    "clean_safe_float",
-    "clean_signed_money",
-    "clean_excel_serial_date",
-    "clean_stmt_date_roundtrip",
-    "url_store_name",
-    "url_canonicalize",
-    "tiered_pricing",
-    "margin_defaults",
-    "dedup_ngram_jaccard",
-    "rollup_agg",
-    "union_all_slices",
+# Last checked in round 2; they fill the window to 50 behind the stale
+# + new sets (the r3-checked 50 are the freshest and sit in the tail).
+STALE_R2 = [
+    "dedup_exact_docs",
+    "dedup_fingerprint",
+    "stmt_charge_line_grammar",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_sessionize_manual",
+    "events_interval_join",
+    "events_bounce_rate",
+    "events_concurrency_peak",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+    "events_asof_last_click",
+    "range_join_quantity_bands",
+    "pit_scd2_price_join",
+    "scalar_subquery_small_qty",
+    "having_large_orders",
+    "conditional_agg_priority",
+    "bilateral_trade_volume",
+    "monthly_revenue_trend",
+    "string_agg_nations",
+    "argmax_customer_balance",
+    "unnest_top_words",
+    "funnel_view_to_purchase",
+    "disjunctive_predicate_revenue",
+    "idle_customers_segment",
+    "skewed_join_salted",
+    "funnel_three_step",
+    "corr_moments_stats",
+    "percentile_cont_prices",
+    "dq_price_outliers_mad",
+    "exists_agg_discounted_orders",
+    "qualify_above_avg_suppliers",
+    "revenue_share_top_customers",
+    "exists_not_exists_orders",
+    "embedding_knn_brute",
+    "embedding_norms",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "text_bpe_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_rolling_fingerprint",
+    "multimodal_decode_stats",
+    "multimodal_binary_meta",
+    "text_contamination_check",
+    "doc_packing_shards",
+    "doc_packing_greedy",
+    "text_repetition_stats",
+    "text_pii_redact",
 ]
 
 
 def _apply_rotation() -> None:
-    priority = NEVER_CHECKED_R12 + NEW_R3 + HOLDOVERS_R1
+    priority = STALE_R1 + NEW_R4 + STALE_R2
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -109,4 +133,4 @@ def _apply_rotation() -> None:
 
 _apply_rotation()
 
-__all__ = ["REGISTRY", "QuerySpec", "query", "NEVER_CHECKED_R12", "NEW_R3", "HOLDOVERS_R1"]
+__all__ = ["REGISTRY", "QuerySpec", "query", "STALE_R1", "NEW_R4", "STALE_R2"]

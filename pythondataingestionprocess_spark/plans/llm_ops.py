@@ -317,10 +317,44 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_rolling_fingerprint", oracle=None, tags=("text",))
+_ROLLING_FP_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS ord,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents
+), maxn AS (SELECT MAX(n) AS m FROM tok),
+powers(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 31) % 2147483647 FROM powers WHERE k < (SELECT m FROM maxn)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h, n - ord AS exp
+  FROM tok
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS md5_fp
+  FROM documents
+)
+SELECT h.doc_id,
+       CAST(SUM(CAST(h.h AS HUGEINT) * p.v) % 2147483647 AS BIGINT) AS rhash,
+       fp.md5_fp
+FROM hashed h JOIN powers p ON p.k = h.exp JOIN fp USING (doc_id)
+GROUP BY h.doc_id, fp.md5_fp
+"""
+
+
+@query("text_rolling_fingerprint", oracle=_ROLLING_FP_ORACLE, tags=("text",))
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive polynomial rolling hash per document (rows-only:
-    the xxhash64-based fold has no DuckDB twin)."""
+    """Order-sensitive polynomial rolling hash per document, on a
+    PORTABLE md5-based token hash (functions/text.rolling_hash).
+    Promoted from rows-only to a full oracle (VERDICT r2 item 5): the
+    sequential Spark fold ``((0·b+h1)·b+h2…) mod m`` is checked against
+    DuckDB's closed form ``Σ h_i·b^(n−i) mod m`` via a recursive-CTE
+    power table — two independent formulations of the same hash."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -487,13 +521,37 @@ def doc_packing_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_packing_greedy", oracle=None, tags=("packing", "pandas-udf"))
+_GREEDY_PACK_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn, CAST(0 AS BIGINT) AS bin_id, CAST(n_tokens AS BIGINT) AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn,
+         CASE WHEN w.fill + t.n_tokens > 4096 THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.fill + t.n_tokens > 4096 THEN CAST(t.n_tokens AS BIGINT)
+              ELSE w.fill + t.n_tokens END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, bin_id, COUNT(*) AS n_docs, CAST(MAX(fill) AS BIGINT) AS bin_tokens
+FROM walk GROUP BY 1, 2
+"""
+
+
+@query("doc_packing_greedy", oracle=_GREEDY_PACK_ORACLE, tags=("packing", "pandas-udf"))
 def doc_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document greedy packing (budget 4096): per-(source, bin)
-    fill stats from the applyInPandas sequential packer. Rows-only:
-    greedy bin state isn't window-expressible (see operators/packing);
-    invariants (fill ≤ budget unless single oversized doc, order
-    preserved, no doc dropped) are property-tested in pytest."""
+    fill stats from the applyInPandas sequential packer. Promoted from
+    rows-only to a full oracle (VERDICT r2 item 5): greedy bin state
+    isn't window-expressible, but DuckDB's recursive CTE can walk the
+    per-group document sequence row-by-row and replay the exact
+    open-bin state machine — an independent sequential formulation.
+    Invariants (fill ≤ budget unless single oversized doc, order
+    preserved, no doc dropped) stay property-tested in pytest."""
     from pythondataingestionprocess_spark.operators.packing import (
         pack_documents_greedy,
     )
@@ -719,13 +777,101 @@ def doc_packing_shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_packing_lookahead", oracle=None, tags=("packing", "pandas-udf"))
+# Recursive replay of the bounded-space best-fit state machine
+# (operators/packing.lookahead_bins): state = two open-bin slots
+# (a_id, a_fill) / (b_id, b_fill — NULL until a second bin opens) plus
+# the next bin id. Placement comparator: fullest fitting bin, ties to
+# the older (lower-id) bin; seal comparator identical. out_bin/out_fill
+# are the per-doc emissions the Spark side aggregates.
+_LOOKAHEAD_PACK_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn,
+         CAST(0 AS BIGINT) AS a_id, n AS a_fill,
+         CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS BIGINT) AS b_fill,
+         CAST(1 AS BIGINT) AS nid,
+         CAST(0 AS BIGINT) AS out_bin, n AS out_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_id
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.a_id
+         WHEN w.b_id IS NOT NULL
+              AND (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN w.nid
+         ELSE w.a_id END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_fill + t.n
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.a_fill
+         WHEN w.b_id IS NOT NULL
+              AND (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN t.n
+         ELSE w.a_fill END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.b_id
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_id
+         WHEN w.b_id IS NULL THEN w.nid
+         WHEN (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN w.b_id
+         ELSE w.nid END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.b_fill
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_fill + t.n
+         WHEN w.b_id IS NULL THEN t.n
+         WHEN (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN w.b_fill
+         ELSE t.n END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              OR (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+         THEN w.nid ELSE w.nid + 1 END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_id
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_id
+         WHEN w.b_id IS NULL THEN w.nid
+         ELSE w.nid END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_fill + t.n
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_fill + t.n
+         ELSE t.n END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, out_bin AS bin_id, COUNT(*) AS n_docs,
+       CAST(MAX(out_fill) AS BIGINT) AS bin_tokens
+FROM walk GROUP BY 1, 2
+"""
+
+
+@query(
+    "doc_packing_lookahead",
+    oracle=_LOOKAHEAD_PACK_ORACLE,
+    tags=("packing", "pandas-udf"),
+)
 def doc_packing_lookahead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-open-bin best-fit packing (budget 4096): per-(source, bin)
     fill stats. Strictly better fill than the single-bin greedy packer
     (never more bins — property-tested), same applyInPandas shape.
-    Rows-only for the same reason as doc_packing_greedy: bounded-space
-    bin state isn't window-expressible."""
+    Promoted from rows-only to a full oracle (VERDICT r2 item 5): the
+    DuckDB recursive CTE replays the two-open-bin state machine
+    step-by-step, carrying both bin slots and the next-id counter as
+    recursion state — an independent sequential formulation of
+    operators/packing.lookahead_bins."""
     from pythondataingestionprocess_spark.operators.packing import (
         pack_documents_lookahead,
     )

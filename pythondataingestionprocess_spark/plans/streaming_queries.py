@@ -279,7 +279,13 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_day = W.partitionBy("day").orderBy("minute").rowsBetween(W.unboundedPreceding, 0)
     within = per_minute.withColumn("run_in_day", F.sum("d").over(w_day))
     day_tot = per_minute.groupBy("day").agg(F.sum("d").alias("dt"))
-    w_carry = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    # constant partition key: the carry series is one row per DAY (tiny
+    # by construction); partitionBy(lit) declares the single-partition
+    # window intentional instead of tripping WindowExec's
+    # no-partition-defined warning on every run (VERDICT r2 item 7).
+    w_carry = (
+        W.partitionBy(F.lit(0)).orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    )
     carry = day_tot.withColumn("c", F.coalesce(F.sum("dt").over(w_carry), F.lit(0)))
     return (
         within.join(carry.select("day", "c"), "day")
@@ -334,7 +340,11 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         F.min(F.to_date("ts")).alias("first_day")
     )
     per_day = first_seen.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
-    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, 0)
+    # constant partition key: input is one row per day — intentional
+    # single-partition rollup, warning-free (VERDICT r2 item 7).
+    w = W.partitionBy(F.lit(0)).orderBy("first_day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
     return per_day.withColumn("cum_users", F.sum("n_new").over(w)).select(
         F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
         "n_new",

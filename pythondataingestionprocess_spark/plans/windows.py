@@ -120,8 +120,11 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.lag("value").over(w).alias("prev_value"),
             F.lead("event_type").over(w).alias("next_type"),
-            (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ alike
+            # (events.ts arrives NTZ from micros parquet) — unlike
+            # unix_micros, which rejects NTZ under a vanilla session.
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
             ).alias("gap_us"),
         )
     )
@@ -271,11 +274,14 @@ def positional_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     scopes position by file instead (partitioned window on filename).
     """
     nation = load_table(spark, sf_dir, "nation")
-    left = nation.withColumn("rn", F.row_number().over(W.orderBy("n_nationkey"))).select(
-        "n_name", "rn"
-    )
+    # constant partition key: declares the single-partition sort
+    # intentional (25-row dim) — identical row numbers, no WindowExec
+    # no-partition-defined warning in bench stderr.
+    left = nation.withColumn(
+        "rn", F.row_number().over(W.partitionBy(F.lit(0)).orderBy("n_nationkey"))
+    ).select("n_name", "rn")
     right = nation.select(F.col("n_name").alias("alpha_name")).withColumn(
-        "rn", F.row_number().over(W.orderBy("alpha_name"))
+        "rn", F.row_number().over(W.partitionBy(F.lit(0)).orderBy("alpha_name"))
     )
     return left.join(right, "rn").select("n_name", "alpha_name")
 

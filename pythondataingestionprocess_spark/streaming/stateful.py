@@ -83,7 +83,9 @@ def locf_processor():
             last = self._last.get()[0] if self._last.exists() else None
             chunks = [pdf for pdf in rows if len(pdf)]
             if chunks:
-                pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"], kind="stable"
+                )
                 filled = []
                 for v in pdf["props"]:
                     if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -126,11 +128,18 @@ def locf_fill_stream(events: DataFrame) -> DataFrame:
 def _locf_update(key, pdfs, state):
     # concat-then-sort: Arrow chunks for one key carry no cross-chunk
     # ts order, and LOCF is order-sensitive (same fix as _funnel_update).
+    # (event_id, stable) breaks ts ties deterministically — without it
+    # the fill value on tied timestamps depends on quicksort order.
+    # Memory note: concat materializes one key's whole micro-batch; the
+    # cost of cross-chunk ordering correctness. At 100 TB bound per-key
+    # batch volume upstream (e.g. repartition + trigger sizing).
     (user_id,) = key
     (last,) = state.get if state.exists else (None,)
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
         filled = []
         for v in pdf["props"]:
             if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -186,7 +195,9 @@ def _funnel_update(key, pdfs, state):
     window = pd.Timedelta(minutes=30)
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
         out = []
         for _, row in pdf.iterrows():
             if row["event_type"] == "view":

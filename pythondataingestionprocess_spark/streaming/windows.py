@@ -121,11 +121,15 @@ def sessionize_manual(
     # microsecond arithmetic (cast-to-long would truncate sub-second
     # precision); new session when diff >= gap — the [t, t+gap)
     # interval-merge semantics of session_window, so the two
-    # formulations agree on boundary events
-    us = F.unix_micros(F.col(ts_col))
+    # formulations agree on boundary events. timestamp_diff accepts
+    # TIMESTAMP and TIMESTAMP_NTZ alike (events.ts arrives NTZ from
+    # micros parquet); unix_micros rejects NTZ under a vanilla session.
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag(ts_col).over(w_user), F.col(ts_col)
+    )
     flagged = df.withColumn(
         "new_session",
-        (us - F.lag(us).over(w_user) >= gap_seconds * 1_000_000).cast("int"),
+        (gap_us >= gap_seconds * 1_000_000).cast("int"),
     ).withColumn(
         "session_seq",
         F.sum(F.coalesce(F.col("new_session"), F.lit(0))).over(

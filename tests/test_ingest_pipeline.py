@@ -287,6 +287,28 @@ def test_store_upsert_replaces_matched_rows(spark, store):
     assert got["alpha"]["store_url"] == "http://a"
 
 
+def test_store_upsert_order_col_deterministic_winner(spark, store):
+    """A batch carrying the same key twice: with ``order_col`` the
+    max-order row wins deterministically (the reference's per-row
+    ON CONFLICT loop is last-write-wins in source order; stamping
+    arrival order into a column recovers that semantics
+    set-orientedly — ADVICE r3)."""
+    incoming = spark.createDataFrame(
+        [
+            (1, "beta", "http://old", True),
+            (2, "beta", "http://new", False),
+            (3, "gamma", "http://c", True),
+        ],
+        "id_store long, store_name string, store_url string, status boolean",
+    )
+    store.upsert("store", incoming, keys=["store_name"], order_col="id_store")
+    got = {r["store_name"]: r for r in store.read("store").collect()}
+    assert got["beta"]["store_url"] == "http://new"
+    assert got["beta"]["id_store"] == 2
+    # one row per key survived
+    assert store.read("store").count() == 2
+
+
 def test_stage_batch_metrics_optional(spark, tmp_path):
     """collect_metrics=False must skip the per-batch count() actions
     (sentinel -1) while staging identical frames (VERDICT r1 item 7)."""

@@ -390,12 +390,19 @@ def test_resolve_roots_path_doubling(spark):
 
     chain = [(i, i - 1 if i > 0 else None) for i in range(65)]
     other = [(1000, None), (1001, 1000)]
-    df = spark.createDataFrame(chain + other, "id long, parent_id long")
-    got = {r.id: (r.root_id, r.depth) for r in resolve_roots(df).collect()}
-    assert got[0] == (0, 0)
-    assert got[64] == (0, 64)
-    assert got[32] == (0, 32)
-    assert got[1001] == (1000, 1)
+    # 2001's parent 9999 does not exist: resolves to the dangling id
+    # with the flag set; 2002 inherits the flag through the splice.
+    dangling = [(2001, 9999), (2002, 2001)]
+    df = spark.createDataFrame(chain + other + dangling, "id long, parent_id long")
+    got = {
+        r.id: (r.root_id, r.depth, r.dangling) for r in resolve_roots(df).collect()
+    }
+    assert got[0] == (0, 0, False)
+    assert got[64] == (0, 64, False)
+    assert got[32] == (0, 32, False)
+    assert got[1001] == (1000, 1, False)
+    assert got[2001] == (9999, 1, True)
+    assert got[2002] == (9999, 2, True)
 
 
 def test_hll_sketch_estimates_within_bounds(spark, sf_dir):
