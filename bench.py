@@ -65,6 +65,49 @@ HEADLINE = [
     "text_pii_redact",
     "events_concurrency_peak",
     "pagerank_nations",
+    # r4 additions
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "scd2_build_user_state",
+    "cdc_snapshot_latest",
+    "islands_user_activity",
+    "text_bigram_lm",
+]
+
+# The 28-query subset shared by every round's bench since r1 — its
+# total is the round-over-round comparable number (VERDICT r2 item 8);
+# the full HEADLINE total moves whenever new queries land.
+R1_SUBSET = [
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "broadcast_dim_join",
+    "left_join_reverse_agg",
+    "multi_agg_stats",
+    "semi_join_membership",
+    "anti_join_dedup",
+    "top_orders_by_price",
+    "scalar_subquery_small_qty",
+    "having_large_orders",
+    "bilateral_trade_volume",
+    "rollup_agg",
+    "pivot_status_revenue",
+    "histogram_quantity",
+    "union_all_slices",
+    "window_running_total",
+    "forward_fill_locf",
+    "topk_per_group",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "embedding_knn_brute",
+    "embedding_ann_lsh",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "events_tumbling_window",
+    "events_session_window",
+    "events_asof_last_click",
 ]
 
 
@@ -89,6 +132,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
     print(
         json.dumps(
             {
@@ -97,6 +141,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r1_subset_wall": subset,
             }
         )
     )

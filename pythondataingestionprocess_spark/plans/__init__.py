@@ -27,6 +27,7 @@ from pythondataingestionprocess_spark.plans import llm_ops  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import core_relational  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import windows  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import cleaning_queries  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import warehouse  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import llm_heavy  # noqa: E402,F401
 
 # --- round-4 rotation ------------------------------------------------
@@ -61,7 +62,16 @@ STALE_R1 = [
 
 # Queries first registered in round 4 — never checked, so they ride
 # inside the 50-row window. Append here when registering a new query.
-NEW_R4: list[str] = []
+NEW_R4: list[str] = [
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "scd2_build_user_state",
+    "cdc_snapshot_latest",
+    "islands_user_activity",
+    "text_bigram_lm",
+]
 
 # Last checked in round 2; they fill the window to 50 behind the stale
 # + new sets (the r3-checked 50 are the freshest and sit in the tail).

@@ -1052,3 +1052,62 @@ def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_users"),
     )
     return typed.unionByName(merged)
+
+
+# --------------------------------------------------------- bigram LM counts
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS arr FROM documents
+), big AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2
+  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks)
+), counts AS (
+  SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2
+), totals AS (
+  SELECT w1, SUM(n) AS w1_total FROM counts GROUP BY 1
+)
+SELECT c.w1, c.w2, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.w1_total AS DOUBLE) AS prob
+FROM counts c JOIN totals t ON c.w1 = t.w1
+ORDER BY c.n DESC, c.w1, c.w2
+LIMIT 50
+"""
+
+
+@query("text_bigram_lm", oracle=_BIGRAM_ORACLE, tags=("text", "ngram"))
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with conditional probability P(w2 | w1) —
+    the count-based n-gram LM table (and the building block for
+    perplexity-style quality filters). Bigram expansion is fully
+    MAP-SIDE: zip each doc's token array with its own tail
+    (arrays_zip of two slices) — no positional self-join, no window;
+    the only shuffles are the two aggregations over (w1, w2) and (w1),
+    both with map-side partial counts. Conditional probability divides
+    two exact longs (deterministic double division, no decimal tax);
+    top-50 is TakeOrderedAndProject with a total tiebreak order, not a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tx.tokens("text").alias("arr"))
+    n = F.size("arr")
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("arr", 1, n - 1).alias("w1"),
+                F.slice(F.col("arr"), 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("w1").agg(F.sum("n").alias("w1_total"))
+    return (
+        counts.join(totals, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            (F.col("n").cast("double") / F.col("w1_total").cast("double")).alias("prob"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(50)
+    )

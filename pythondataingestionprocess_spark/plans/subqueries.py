@@ -1031,3 +1031,210 @@ def exists_not_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: grouped value vs a GLOBAL scalar-aggregate threshold
+# (HAVING sum > fraction * (SELECT sum ...)). The testdata ships no
+# partsupp table, so "stock value" is re-expressed on lineitem revenue;
+# the plan shape is identical: one grouped agg, one global agg, a
+# broadcast scalar join, a filter.
+# ---------------------------------------------------------------------------
+
+_IMPORTANT_PARTS_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey, {sql_dec_sum("l_extendedprice * (1 - l_discount)", "part_value")}
+  FROM lineitem GROUP BY l_partkey
+), total AS (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS tv
+  FROM lineitem
+)
+SELECT l_partkey, part_value
+FROM per_part, total
+WHERE part_value > 0.0005 * tv
+"""
+
+
+@query("q11_important_parts", oracle=_IMPORTANT_PARTS_ORACLE, tags=("subquery", "scalar", "agg"))
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 0.05% of GLOBAL revenue — the Q11
+    value-concentration shape. Spark-first: the global total is a
+    1-row aggregate cross-joined (auto-broadcast) onto the per-part
+    aggregate; both aggregates share one scan of the two needed
+    lineitem columns, and the filter runs map-side post-join — no
+    second fact shuffle, no correlated re-scan per group."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = lineitem.groupBy("l_partkey").agg(dec_sum(rev, "part_value"))
+    total = lineitem.agg(dec_sum(rev, "tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0005 * F.col("tv"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: argmax over an aggregated view (top supplier by
+# quarterly revenue, ties kept via the max-scalar join).
+# ---------------------------------------------------------------------------
+
+_TOP_SUPPLIER_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", oracle=_TOP_SUPPLIER_ORACLE, tags=("subquery", "scalar", "argmax"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue over one quarter — TPC-H
+    Q15 (view + scalar MAX subquery), tie-preserving. The revenue view
+    is computed ONCE: the max is a 1-row aggregate OF that view,
+    broadcast back as an equality filter — Catalyst reuses the view's
+    exchange for both branches instead of recomputing the agg. The
+    date filter pushes to the parquet scan."""
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        supplier.join(rev, supplier["s_suppkey"] == rev["supplier_no"])
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: DISTINCT-count of suppliers per part attribute with
+# an anti-joined exclusion set (no partsupp/s_comment in the testdata:
+# the supplier-part link comes from lineitem and the exclusion set is
+# the bottom acctbal decile — same anti + multi-group + count-distinct
+# plan shape).
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_CNT_ORACLE = """
+WITH excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+), links AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM links
+JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_count", oracle=_SUPPLIER_CNT_ORACLE, tags=("subquery", "anti", "distinct-agg"))
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) for small part sizes,
+    excluding negative-balance suppliers — TPC-H Q16's plan shape:
+    dedup the fact link FIRST (distinct (part, supp) pairs are orders
+    of magnitude smaller than lineitem), anti-join the exclusion set
+    (broadcast — it's a filtered dim), then one grouped count-distinct.
+    The p_size IN-list prunes via the part join before the wide agg."""
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    links = lineitem.select("l_partkey", "l_suppkey").distinct()
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    small = part.filter(F.col("p_size").isin(1, 2, 3, 4, 5)).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        links.join(
+            F.broadcast(excluded),
+            links["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .join(small, links["l_partkey"] == small["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: two-level aggregation with a correlated threshold —
+# "dominant supply links": (supplier, part) pairs whose shipped
+# quantity exceeds 2.5× that part's average per-supplier share (the
+# availqty > 0.5*sum(qty) correlation, re-expressed without partsupp
+# and scale-stable: an absolute share threshold empties out as supplier
+# counts grow with SF), rolled up per nation.
+# ---------------------------------------------------------------------------
+
+_DOMINANT_SUPP_ORACLE = """
+WITH per_pair AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS pair_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(pair_qty AS DECIMAL(25,6))) AS DOUBLE) AS part_qty,
+         COUNT(*) AS n_suppliers
+  FROM per_pair GROUP BY l_partkey
+), dominant AS (
+  SELECT pp.l_suppkey, pp.l_partkey
+  FROM per_pair pp JOIN per_part pt ON pp.l_partkey = pt.l_partkey
+  WHERE pp.pair_qty > 2.5 * pt.part_qty / pt.n_suppliers
+)
+SELECT n_name, COUNT(*) AS n_dominant_links,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM dominant
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+@query("q20_dominant_suppliers", oracle=_DOMINANT_SUPP_ORACLE, tags=("subquery", "semi", "correlated"))
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply links where one supplier ships > 2.5× a part's average
+    per-supplier share, rolled up per nation — TPC-H Q20's
+    correlated-threshold shape DECORRELATED: the per-(part,supplier)
+    and per-part aggregates are two grouped views of ONE scan (the
+    part-level view aggregates the pair view — no second fact pass),
+    equi-joined on partkey (co-partitioned: the pair agg's partitioning
+    is reusable), then a broadcast dim rollup. No per-supplier re-scan,
+    no correlated subquery at runtime."""
+    lineitem, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    qty = F.col("l_quantity").cast("decimal(25,6)")
+    per_pair = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).cast("double").alias("pair_qty")
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum(F.col("pair_qty").cast("decimal(25,6)")).cast("double").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    dominant = (
+        per_pair.join(per_part, "l_partkey")
+        .filter(
+            F.col("pair_qty") > 2.5 * F.col("part_qty") / F.col("n_suppliers")
+        )
+        .select("l_suppkey", "l_partkey")
+    )
+    return (
+        dominant.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            dominant["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominant_links"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Warehouse-maintenance query shapes: SCD2 interval construction,
+CDC snapshot reconstruction, and gaps-and-islands — the operations a
+change-capture ingest pipeline runs between raw events and serving
+tables. The reference's price-history table (database_utils.py:260-280,
+start_date/end_date stamping) is a hand-rolled SCD2; these queries are
+its set-oriented, full-history generalization.
+
+Scale notes: every shape here is one shuffle on the entity key plus
+per-key window arithmetic — no self-joins over the fact, no driver
+loops. At 100 TB the entity key is the natural partition; skew means
+one hyper-active entity, which AQE's skew-join handling or an upstream
+per-key cap absorbs.
+
+Timestamps are emitted as formatted strings (repo convention — see
+plans/registry.py determinism notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build: change events -> validity intervals.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+SELECT user_id, event_id, event_type AS state,
+       strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '{_TS_FMT_DUCK}') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+WHERE user_id < 50
+"""
+
+
+@query("scd2_build_user_state", oracle=_SCD2_ORACLE, tags=("scd2", "window", "cdc"))
+def scd2_build_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change stream:
+    each event opens a state version at its timestamp, closed by the
+    key's NEXT event (lead), open-ended for the current version — the
+    set-oriented form of the reference's start_date/end_date price
+    stamping (database_utils.py:267-274). One shuffle on user_id, one
+    per-key sort; (ts, event_id) ordering makes the interval chain
+    total even on timestamp ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", _TS_FMT).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot: latest-op-wins current-state reconstruction.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, value AS last_value,
+       strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("cdc_snapshot_latest", oracle=_CDC_ORACLE, tags=("cdc", "window", "dedup"))
+def cdc_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state snapshot from a CDC-style change log: the latest
+    op per key wins ((ts, event_id) descending — deterministic on
+    ties); keys whose latest op is a delete marker ('error' stands in
+    for op = D) drop out of the snapshot. This is the read-side dual of
+    ParquetTableStore.upsert(order_col=...): same ranking window, same
+    last-write-wins contract. One shuffle on the key; the rn = 1 filter
+    runs inside the window stage, so only one row per key survives to
+    the output."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.date_format("ts", _TS_FMT).alias("last_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: contiguous activity-day runs per user.
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE user_id < 100
+), anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM act
+)
+SELECT user_id,
+       strftime(MIN(day), '%Y-%m-%d') AS island_start,
+       strftime(MAX(day), '%Y-%m-%d') AS island_end,
+       COUNT(*) AS n_days
+FROM anchored
+GROUP BY user_id, anchor
+"""
+
+
+@query("islands_user_activity", oracle=_ISLANDS_ORACLE, tags=("window", "islands"))
+def islands_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous runs of active days per user (gaps-and-islands): on
+    consecutive days, day − row_number is constant, so that difference
+    is the island anchor — one distinct, one per-key window, one
+    grouped agg; no self-join over the activity table (the naive
+    "find the previous day" formulation) and nothing quadratic. The
+    output keeps (start, end, length) per island — the session/streak
+    table behind retention and streak features."""
+    events = load_table(spark, sf_dir, "events")
+    act = (
+        events.filter(F.col("user_id") < 100)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = act.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("anchor")
