@@ -71,6 +71,8 @@ NEW_R4: list[str] = [
     "cdc_snapshot_latest",
     "islands_user_activity",
     "text_bigram_lm",
+    "rolling_median_user_value",
+    "events_time_weighted_value",
 ]
 
 # Last checked in round 2; they fill the window to 50 behind the stale

@@ -356,3 +356,99 @@ def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.p").alias("o_totalprice"),
         )
     )
+
+
+@query(
+    "rolling_median_user_value",
+    oracle="""
+SELECT event_id, user_id, value,
+       quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id
+                                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS roll_median
+FROM events WHERE user_id < 30
+""",
+    tags=("window", "quantile"),
+)
+def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event median of value per user — an EXACT percentile
+    as a moving-frame window aggregate (the robust-smoothing primitive
+    for sensor/metric streams; medians shrug off the spikes a moving
+    mean chases). Spark's exact `percentile` and DuckDB's
+    `quantile_cont` both linearly interpolate, and the interpolation
+    arithmetic ((a+b)/2 on doubles) is identical IEEE on both engines.
+    One shuffle on user_id; the frame re-sort is per-key."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return events.filter(F.col("user_id") < 30).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percentile("value", 0.5).over(w).alias("roll_median"),
+    )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+         lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events WHERE user_id < 50
+), dur AS (
+  SELECT user_id, day, value,
+         date_diff('microsecond', ts,
+                   COALESCE(next_ts, CAST(day + 1 AS TIMESTAMP))) AS us
+  FROM seq
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(us AS DECIMAL(19,0))) AS DOUBLE)
+             / CAST(SUM(us) AS DOUBLE), 9) AS twav
+FROM dur GROUP BY user_id, day
+""",
+    tags=("window", "agg", "time"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — each event's value
+    holds until the user's next event that day (the last one holds to
+    midnight), so sparse bursts don't dominate the way a plain mean
+    lets them: the TWAP shape every pricing/telemetry rollup needs.
+    Durations are integer MICROSECONDS (timestamp_diff — NTZ-safe; no
+    float time math). The value×duration product is computed IN exact
+    decimal (decimal(18,6) × decimal(19,0) → decimal(38,6)), NOT as a
+    double that is then rounded to decimal: at 1e10+ magnitudes the 6th
+    fractional digit sits past double precision, where Spark's
+    shortest-repr rounding and DuckDB's exact-binary-expansion rounding
+    disagree in the last ulp. The ~1e13-magnitude decimal sum ALSO
+    converts to double differently across engines (single vs two-step
+    rounding), so the final quotient is rounded to 9 decimals on both
+    sides — the revenue_share_top_customers precedent. One shuffle on
+    (user, day)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = (
+        events.filter(F.col("user_id") < 50)
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("next_ts", F.lead("ts").over(w))
+    )
+    day_end = F.date_add(F.col("day"), 1).cast("timestamp_ntz")
+    dur = seq.withColumn(
+        "us",
+        F.timestamp_diff("MICROSECOND", F.col("ts"), F.coalesce("next_ts", day_end)),
+    )
+    return dur.groupBy(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("value").cast("decimal(18,6)")
+                * F.col("us").cast("decimal(19,0)")
+            ).cast("double")
+            / F.sum("us").cast("double"),
+            9,
+        ).alias("twav")
+    )
