@@ -73,6 +73,8 @@ NEW_R4: list[str] = [
     "text_bigram_lm",
     "rolling_median_user_value",
     "events_time_weighted_value",
+    "events_asof_next_purchase",
+    "merge_event_intervals",
 ]
 
 # Last checked in round 2; they fill the window to 50 behind the stale

@@ -175,3 +175,42 @@ def pit_scd2_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT user_id, ts, event_id AS purchase_event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts, p.purchase_event_id, p.purchase_value
+FROM errors e
+ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND p.ts >= e.ts
+"""
+
+
+@query("events_asof_next_purchase", oracle=_ASOF_FWD_ORACLE, tags=("asof", "window"))
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event, the user's EARLIEST 'purchase' at or
+    after it — the FORWARD direction of the as-of operator ("did the
+    user still convert after hitting the error?"), which the
+    last_click query leaves unexercised. Same union-window
+    composition, one shuffle on user_id, traversal order reversed;
+    oracle is DuckDB's native forward ASOF JOIN — two unrelated
+    implementations, one answer."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        errors, purchases, on="user_id", ts="ts",
+        value_cols=["purchase_event_id", "purchase_value"],
+        direction="forward",
+    )

@@ -153,3 +153,77 @@ def islands_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
         F.count(F.lit(1)).alias("n_days"),
     ).drop("anchor")
+
+
+# ---------------------------------------------------------------------------
+# Interval merging: overlapping ranges -> consolidated ranges.
+# ---------------------------------------------------------------------------
+
+_MERGE_IVL_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events WHERE user_id < 100
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+), grouped AS (
+  SELECT user_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(s), '{_TS_FMT_DUCK}') AS ivl_start,
+       strftime(MAX(e), '{_TS_FMT_DUCK}') AS ivl_end,
+       COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, grp
+"""
+
+
+@query("merge_event_intervals", oracle=_MERGE_IVL_ORACLE, tags=("window", "intervals"))
+def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity leases (each event holds a
+    5-minute interval) into consolidated busy periods — interval
+    consolidation, the range-calculus primitive behind availability /
+    downtime / occupancy rollups. A new merged interval starts exactly
+    where an interval's START clears the running MAX of every earlier
+    interval's END (cumulative-max window — NOT a self-join; the naive
+    overlap formulation is O(n²) per key). One shuffle on user_id.
+
+    Ordering note: the group flag orders by (s, event_id) — a total
+    order, since two events with identical start still flag
+    identically — and the running-sum orders by (s, e); both engines
+    agree because the flag value is order-insensitive among ties."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.filter(F.col("user_id") < 100).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_grp",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("int"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    grouped = flagged.withColumn("grp", F.sum("new_grp").over(w_run))
+    return grouped.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("s"), _TS_FMT).alias("ivl_start"),
+        F.date_format(F.max("e"), _TS_FMT).alias("ivl_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("grp")
