@@ -75,6 +75,8 @@ NEW_R4: list[str] = [
     "events_time_weighted_value",
     "events_asof_next_purchase",
     "merge_event_intervals",
+    "not_in_null_semantics",
+    "lateral_top_orders",
 ]
 
 # Last checked in round 2; they fill the window to 50 behind the stale

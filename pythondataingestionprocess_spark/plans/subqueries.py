@@ -1238,3 +1238,63 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface semantics pins: the engine's spark.sql face on two shapes
+# where SQL-standard semantics diverge from the "obvious" DataFrame
+# translation.
+# ---------------------------------------------------------------------------
+
+_NOT_IN_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN (
+     SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+     FROM customer WHERE c_mktsegment = 'BUILDING')) AS n_not_in,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (
+     SELECT 1 FROM customer c
+     WHERE c.c_mktsegment = 'BUILDING'
+       AND (CASE WHEN c.c_acctbal < 0 THEN NULL ELSE c.c_custkey END)
+           = o.o_custkey)) AS n_not_exists
+"""
+
+
+@query("not_in_null_semantics", oracle=_NOT_IN_ORACLE, tags=("sql", "subquery", "semantics"))
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL three-valued-logic pin, side by side: NOT IN against a list
+    CONTAINING A NULL filters every row (x <> NULL is UNKNOWN, so the
+    conjunction never becomes TRUE), while the NOT EXISTS form of the
+    "same" question counts normally — n_not_in = 0 vs n_not_exists in
+    the thousands. A DataFrame left_anti join implements NOT EXISTS,
+    NOT the SQL NOT IN; engines (and migrations) that silently conflate
+    the two corrupt results the day a NULL enters the subquery. Runs
+    through spark.sql — the engine's SQL face — against the identical
+    statement in DuckDB."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_IN_ORACLE)
+
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey < 30
+"""
+
+
+@query("lateral_top_orders", oracle=_LATERAL_ORACLE, tags=("sql", "lateral", "topk"))
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (each
+    customer's top-2 orders) — the SQL-standard spelling of top-k per
+    group, planned by Catalyst's decorrelation into the same
+    window/rank shape `topk_per_group` writes by hand. Total tiebreak
+    order (price DESC, key) keeps the LIMIT deterministic. Identical
+    statement on both engines via the spark.sql face."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_ORACLE)
