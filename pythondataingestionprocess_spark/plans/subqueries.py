@@ -1204,23 +1204,31 @@ GROUP BY n_name
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supply links where one supplier ships > 2.5× a part's average
     per-supplier share, rolled up per nation — TPC-H Q20's
-    correlated-threshold shape DECORRELATED: the per-(part,supplier)
-    and per-part aggregates are two grouped views of ONE scan (the
-    part-level view aggregates the pair view — no second fact pass),
-    equi-joined on partkey (co-partitioned: the pair agg's partitioning
-    is reusable), then a broadcast dim rollup. No per-supplier re-scan,
-    no correlated subquery at runtime."""
+    correlated-threshold shape DECORRELATED: one pair-grained
+    aggregate of ONE lineitem scan, with the part-level totals as a
+    window over it (a join-back to a second aggregate would recompute
+    the pair subtree — two fact scans), then a broadcast dim rollup.
+    No per-supplier re-scan, no correlated subquery at runtime."""
+    from pyspark.sql import Window as W
+
     lineitem, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
     qty = F.col("l_quantity").cast("decimal(25,6)")
     per_pair = lineitem.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(qty).cast("double").alias("pair_qty")
     )
-    per_part = per_pair.groupBy("l_partkey").agg(
-        F.sum(F.col("pair_qty").cast("decimal(25,6)")).cast("double").alias("part_qty"),
-        F.count(F.lit(1)).alias("n_suppliers"),
-    )
+    # part-level totals as a WINDOW over the pair aggregate, not a
+    # second aggregate joined back: a separate per_part frame would
+    # recompute the whole pair subtree (two lineitem scans in the
+    # physical plan — DataFrame reuse is not CSE). The window costs one
+    # narrow exchange of the (part, supp)-grained agg output on
+    # l_partkey and the fact is scanned ONCE.
+    w_part = W.partitionBy("l_partkey")
     dominant = (
-        per_pair.join(per_part, "l_partkey")
+        per_pair.withColumn(
+            "part_qty",
+            F.sum(F.col("pair_qty").cast("decimal(25,6)")).over(w_part).cast("double"),
+        )
+        .withColumn("n_suppliers", F.count(F.lit(1)).over(w_part))
         .filter(
             F.col("pair_qty") > 2.5 * F.col("part_qty") / F.col("n_suppliers")
         )

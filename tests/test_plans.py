@@ -219,3 +219,64 @@ def test_entry_wrapper_applies_session_tuning(spark):
     e.queries()["projection_narrow"](spark, SF_DIR).count()
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+# ---------------------------------------------------------------- r4 guards
+
+
+def test_q15_aggregates_before_scalar_max_join(spark):
+    """Q15 shape: the quarterly revenue view aggregates BEFORE either
+    join (agg → max-scalar broadcast filter → supplier join); the date
+    filter reaches the lineitem scan and no sort-merge join appears."""
+    plan = _formatted_plan(spark, "q15_top_supplier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+
+
+def test_q16_anti_join_broadcasts_exclusion(spark):
+    """Q16 shape: the excluded-supplier set anti-joins as a BROADCAST
+    (it is a filtered dim), and the fact link dedups before the join —
+    no shuffle-side anti over raw lineitem."""
+    plan = _formatted_plan(spark, "q16_supplier_count")
+    assert re.search(r"BroadcastHashJoin.+LeftAnti", plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_two_views_one_scan_shape(spark):
+    """Q20 shape: the part-level totals are a WINDOW over the pair
+    aggregate, so lineitem is scanned once — a join-back to a second
+    aggregate frame would recompute the pair subtree (a fourth scan).
+    The formatted plan lists each scan twice (tree + detail), so 3
+    scans (lineitem + supplier + nation) appear as 6 mentions."""
+    plan = _formatted_plan(spark, "q20_dominant_suppliers")
+    assert plan.count("Scan parquet") <= 6
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_mapside_expansion_topk(spark):
+    """Bigram expansion must be map-side (zip-with-tail, no positional
+    self-join) and the top-50 a TakeOrderedAndProject, not a global
+    sort of all bigram counts."""
+    plan = _formatted_plan(spark, "text_bigram_lm")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_intervals_no_self_join(spark):
+    """Interval consolidation is cumulative-max window arithmetic —
+    the O(n²) overlap self-join must not appear."""
+    plan = _formatted_plan(spark, "merge_event_intervals")
+    assert "Join" not in plan.replace("RunningWindowFunction", "")
+    assert plan.count("Window") >= 1
+
+
+def test_lateral_decorrelates_to_window_topk(spark):
+    """The LATERAL ORDER BY + LIMIT subquery must decorrelate into a
+    per-group ranking (window/limit), not a per-row nested-loop
+    re-scan of orders."""
+    plan = _formatted_plan(spark, "lateral_top_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
