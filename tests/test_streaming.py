@@ -622,3 +622,55 @@ def test_dedup_ingest_retry_is_idempotent(spark, tmp_path):
         (11, 1, "cross"),
         (11, 2, "cross"),
     }
+
+
+def test_rate_source_tumbling_window(spark, tmp_path):
+    """The built-in rate source (synthetic load generator — the
+    standard way to smoke a streaming topology without external
+    systems) driving the shared tumbling transform: rows arrive at a
+    fixed rows/sec, get bucketed into 1-second event-time windows, and
+    the windowed counts must account for every generated row exactly
+    once. Proves the window transforms are source-agnostic (file
+    source elsewhere, rate source here, kafka in production — same
+    plan)."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 2)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.lit("rate").alias("event_type"),
+            (F.col("value") % 10).cast("double").alias("value"),
+        )
+    )
+    agg = sw.tumbling_agg(stream, ts_col="ts", duration="1 second")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        total = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT SUM(n_events) AS n FROM rate_tumbling"
+            ).collect()
+            total = rows[0].n or 0
+            if total >= 150:
+                break
+            time.sleep(0.5)
+        assert total >= 150, f"rate source produced only {total} rows in time"
+        per_window = spark.sql(
+            "SELECT window_start, n_events FROM rate_tumbling ORDER BY window_start"
+        ).collect()
+        # interior windows (not first/last, which are partially filled
+        # at stop time) must hold exactly rowsPerSecond rows each
+        interior = [r.n_events for r in per_window[1:-1]]
+        assert interior and all(n == 100 for n in interior), per_window
+    finally:
+        q.stop()
