@@ -77,6 +77,7 @@ NEW_R4: list[str] = [
     "merge_event_intervals",
     "not_in_null_semantics",
     "lateral_top_orders",
+    "state_change_compression",
 ]
 
 # Last checked in round 2; they fill the window to 50 behind the stale

@@ -227,3 +227,47 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("e"), _TS_FMT).alias("ivl_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# State-change compression: drop rows that repeat the previous state.
+# ---------------------------------------------------------------------------
+
+_COMPRESS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE user_id < 100
+)
+SELECT user_id, event_id, event_type AS state,
+       strftime(ts, '{_TS_FMT_DUCK}') AS changed_at
+FROM seq
+WHERE prev_type IS NULL OR event_type <> prev_type
+"""
+
+
+@query("state_change_compression", oracle=_COMPRESS_ORACLE, tags=("cdc", "window", "compression"))
+def state_change_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse a state stream to its CHANGE POINTS: keep an event only
+    when its state differs from the key's previous state (first event
+    always kept) — the compression step that turns an
+    every-observation feed into a minimal change log before SCD2
+    construction (`scd2_build_user_state` applied after this yields
+    intervals with no zero-length self-transitions). lag + filter, one
+    shuffle on the key; (ts, event_id) makes the comparison chain
+    total on timestamp ties."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        events.filter(F.col("user_id") < 100)
+        .withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", _TS_FMT).alias("changed_at"),
+        )
+    )
