@@ -401,7 +401,9 @@ def minhash_lsh_pairs_incremental(
 
 def simhash64(col: Column | str, text_col_is_tokens: bool = False) -> Column:
     """64-bit SimHash over whitespace tokens: per-bit ±1 votes weighted
-    by token hash bits; bit set where the vote is positive.
+    by token hash bits; bit set where the vote is positive. Array-fold
+    form for small per-row token arrays; the corpus path is
+    :func:`simhash_table` (same md5 bit basis, aggregate-shaped).
 
     Bit ops (shiftleft/xor) are wrap-around — unaffected by ANSI mode.
     """
@@ -409,24 +411,25 @@ def simhash64(col: Column | str, text_col_is_tokens: bool = False) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     toks = c if text_col_is_tokens else _tokens(c)
-    # bit positions unrolled in Python: shiftright/shiftleft take a
-    # literal int shift, not a Column
+
+    def _bits(t: Column) -> Column:
+        hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(lo if i < 32 else hi, i % 32).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for i in range(64)
+            ]
+        )
+
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1).cast("long"),
-                    ).otherwise(F.lit(-1).cast("long"))
-                    for i in range(64)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
+        lambda acc, t: F.zip_with(acc, _bits(t), lambda a, b: a + b),
     )
     out = F.lit(0).cast("long")
     for i in range(64):
@@ -440,33 +443,63 @@ def simhash64(col: Column | str, text_col_is_tokens: bool = False) -> Column:
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sim) 64-bit SimHash per document via explode → 64
-    conditional-sum votes → bit assembly. Same result as ``simhash64``
-    but shaped for corpora: the array-fold form is a 64-wide zip_with
-    expression evaluated interpreted per row; this form is one shuffle
-    with map-side partial sums, all codegen. Docs with no tokens are
-    dropped (the corpus guarantees non-empty text)."""
+    """(id, hi, lo) 64-bit SimHash per document as TWO 32-bit halves,
+    via explode → 64 conditional-sum votes → bit assembly (one shuffle
+    with map-side partial sums, all codegen — the corpus shape).
+
+    The bit basis is the first/second 32 bits of md5(token) — a
+    PORTABLE basis (xxhash64 has no DuckDB twin), and the two-halves
+    representation keeps every value positive in a signed BIGINT so the
+    oracle's bit arithmetic never fights sign extension: hamming =
+    bit_count(lo⊕lo') + bit_count(hi⊕hi') on both engines. Docs with
+    no tokens are dropped (the corpus guarantees non-empty text)."""
+    m = F.md5("tok")
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("th_hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("th_lo"),
+    )
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(
-                    F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    F.shiftright(F.col("th_lo"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
                 ).otherwise(F.lit(-1))
-            ).alias(f"v_{i}")
-            for i in range(64)
-        ]
+            ).alias(f"vl_{i}")
+            for i in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th_hi"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"vh_{i}")
+            for i in range(32)
+        ],
     )
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim.bitwiseXOR(
-            F.when(
-                F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select(F.col(id_col), sim.alias("sim"))
+    lo = sum(
+        (
+            F.when(F.col(f"vl_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(32)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    hi = sum(
+        (
+            F.when(F.col(f"vh_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(32)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select(F.col(id_col), hi.alias("hi"), lo.alias("lo"))
 
 
 def simhash_pairs(
@@ -479,28 +512,41 @@ def simhash_pairs(
     sims = simhash_table(df, id_col, text_col)
     chunked = sims.select(
         id_col,
-        "sim",
+        "hi",
+        "lo",
         F.posexplode(
             F.array(
-                *[
-                    F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
+                F.col("lo").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright(F.col("lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright(F.col("hi"), 16).bitwiseAND(F.lit(0xFFFF)),
             )
         ).alias("chunk_idx", "chunk"),
     )
     a = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk_idx", "chunk"
+        F.col(id_col).alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "chunk_idx",
+        "chunk",
     )
     b = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk_idx", "chunk"
+        F.col(id_col).alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "chunk_idx",
+        "chunk",
     )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
     return (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -80,6 +80,17 @@ NEW_R4: list[str] = [
     "state_change_compression",
 ]
 
+# Queries whose ORACLE is new this round (promoted from rows-only, or
+# whose semantics changed basis): they were driver-checked before, but
+# never against these oracles — ride inside the window with the new
+# queries so the promotion gets a driver row the round it lands.
+PROMOTED_R4: list[str] = [
+    "dedup_simhash",
+    "text_rolling_fingerprint",
+    "doc_packing_greedy",
+    "doc_packing_lookahead",
+]
+
 # Last checked in round 2; they fill the window to 50 behind the stale
 # + new sets (the r3-checked 50 are the freshest and sit in the tail).
 STALE_R2 = [
@@ -137,7 +148,9 @@ STALE_R2 = [
 
 
 def _apply_rotation() -> None:
-    priority = STALE_R1 + NEW_R4 + STALE_R2
+    priority = STALE_R1 + NEW_R4 + PROMOTED_R4 + [
+        n for n in STALE_R2 if n not in PROMOTED_R4
+    ]
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -150,4 +163,12 @@ def _apply_rotation() -> None:
 
 _apply_rotation()
 
-__all__ = ["REGISTRY", "QuerySpec", "query", "STALE_R1", "NEW_R4", "STALE_R2"]
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "query",
+    "STALE_R1",
+    "NEW_R4",
+    "PROMOTED_R4",
+    "STALE_R2",
+]

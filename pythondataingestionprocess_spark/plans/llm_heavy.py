@@ -82,12 +82,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_cached(spark, sf_dir)
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+# Full replay of the simhash pipeline in SQL: md5-basis per-token bit
+# votes (the portable basis simhash_table uses — two 32-bit halves keep
+# every value positive in signed BIGINT, so bit arithmetic never fights
+# sign extension), fingerprint assembly, 16-bit chunk buckets, and the
+# hamming filter via bit_count(xor) on each half.
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th_hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS th_lo
+  FROM tok
+), votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((th_lo >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v_lo,
+         SUM(CASE WHEN ((th_hi >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v_hi
+  FROM h, (SELECT unnest(range(0, 32)) AS i)
+  GROUP BY doc_id, i
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v_hi > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN v_lo > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo
+  FROM votes GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, hi, lo,
+         unnest([lo & 65535, (lo >> 16) & 65535, hi & 65535, (hi >> 16) & 65535]) AS chunk,
+         unnest([0, 1, 2, 3]) AS chunk_idx
+  FROM fp
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 12
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 12 via 16-bit chunk
-    buckets). Rows-only: hamming-space neighborhoods aren't cleanly
-    SQL-expressible in the oracle (bit_count over 64-bit ints +
-    chunk-bucket join)."""
+    buckets). Promoted from rows-only to a full oracle in r4: the
+    fingerprint basis is now the first/second 32 bits of md5(token)
+    (portable — xxhash64 has no DuckDB twin) held as two 32-bit halves,
+    so DuckDB replays the ENTIRE pipeline — per-token bit votes, sign
+    assembly, chunk buckets, hamming-via-bit_count(xor) — and the
+    candidate semantics (bucket recall included) are checked exactly,
+    not just the distance math."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=12)
 
