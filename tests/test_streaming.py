@@ -674,3 +674,79 @@ def test_rate_source_tumbling_window(spark, tmp_path):
         assert interior and all(n == 100 for n in interior), per_window
     finally:
         q.stop()
+
+
+class _StubState:
+    """Minimal GroupState stand-in for driving the pure update
+    functions without a streaming query."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    @property
+    def hasTimedOut(self):
+        return False
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def test_locf_update_deterministic_on_timestamp_ties():
+    """ADVICE r3: rows with identical ts must fill deterministically —
+    (ts, event_id) stable sort, regardless of chunk boundaries or
+    within-chunk order."""
+    import pandas as pd
+    from pythondataingestionprocess_spark.streaming.stateful import _locf_update
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    # two chunks; the tied-ts rows arrive in scrambled order
+    chunk_a = pd.DataFrame(
+        {"user_id": [1, 1], "event_id": [3, 1], "ts": [t, t], "props": [None, "a"]}
+    )
+    chunk_b = pd.DataFrame(
+        {"user_id": [1], "event_id": [2], "ts": [t], "props": ["b"]}
+    )
+    out = pd.concat(list(_locf_update((1,), iter([chunk_a, chunk_b]), _StubState())))
+    got = dict(zip(out["event_id"], out["props"]))
+    # event 3's NULL must inherit from event 2 ("b") — the highest
+    # event_id below it at the same ts — never from event 1
+    assert got == {1: "a", 2: "b", 3: "b"}
+
+
+def test_funnel_update_deterministic_on_timestamp_ties():
+    """A view and a purchase at the SAME ts: (ts, event_id) ordering
+    decides — view (lower event_id) anchors first, so the purchase
+    converts; reversed ids mean the purchase precedes the view and must
+    NOT convert against it."""
+    import pandas as pd
+    from pythondataingestionprocess_spark.streaming.stateful import _funnel_update
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+
+    def run(view_id, purchase_id):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [7, 7],
+                "event_id": [purchase_id, view_id],
+                "ts": [t, t],
+                "event_type": ["purchase", "view"],
+                "value": [9.9, 0.0],
+            }
+        )
+        return list(_funnel_update((7,), iter([pdf]), _StubState()))
+
+    converted = run(view_id=1, purchase_id=2)
+    assert len(converted) == 1 and converted[0]["value"].iloc[0] == 9.9
+    not_converted = run(view_id=2, purchase_id=1)
+    assert not_converted == []
