@@ -194,6 +194,39 @@ def jaccard_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     )
 
 
+def containment_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Pairs (id_a < id_b) with n-gram CONTAINMENT ≥ threshold, where
+    containment = |A∩B| / min(|A|, |B|) — the asymmetric near-SUPERSET
+    detector a Jaccard screen misses: a short doc pasted whole into a
+    much longer one scores ~1.0 here while its Jaccard shrinks with
+    the size gap (inter/union). Training-data pipelines need both
+    screens — quote-expansion and boilerplate-wrapping duplicates are
+    containment-shaped, not Jaccard-shaped.
+
+    Same blocking/join skeleton as :func:`jaccard_pairs` (shared-
+    shingle equi-join, intersection count, size join), so the same
+    100 TB notes apply: bound hot-shingle buckets or feed LSH
+    candidates instead of the raw self-join."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common")
+            / F.least(F.col("size_a"), F.col("size_b")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

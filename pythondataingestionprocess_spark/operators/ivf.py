@@ -71,9 +71,17 @@ def kmeans_fit(
     max_iter: int = 5,
 ) -> np.ndarray:
     """Lloyd's k-means, returning (k, dim) centroids. Empty clusters
-    keep their previous centroid."""
+    keep their previous centroid.
+
+    Init is a deterministic HASH-SPREAD sample: rank ids by md5 and
+    take the first k. First-k-by-id is equally deterministic but
+    degenerate when low ids are correlated (e.g. all from one true
+    cluster → k near-identical seeds → empty lists); the hash order is
+    uncorrelated with any data ordering, same trick as
+    deterministic_sample_per_source."""
     init = (
-        df.orderBy(id_col)
+        df.select(F.md5(F.col(id_col).cast("string")).alias("_h"), vec_col)
+        .orderBy("_h")
         .limit(k)
         .select(vec_col)
         .toPandas()[vec_col]

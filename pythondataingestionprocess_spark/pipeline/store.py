@@ -122,11 +122,17 @@ class ParquetTableStore:
             return incoming.dropDuplicates(keys)
         from pyspark.sql.window import Window
 
+        # Collision-proof working column: a hardcoded "_rn" would
+        # silently overwrite (and then drop) a caller column of the
+        # same name through upsert/insert_if_absent.
+        rn = "_rn"
+        while rn in incoming.columns:
+            rn += "_"
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
         return (
-            incoming.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            incoming.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) == 1)
+            .drop(rn)
         )
 
     def insert_if_absent(

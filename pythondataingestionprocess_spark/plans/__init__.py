@@ -6,11 +6,11 @@ driver checks exactly the first 50 ``queries()`` entries per round
 position 49 — VERDICT r2 headline). Order is therefore an explicit
 per-round rotation, rebuilt after all modules register:
 
-1. positions 0-22: the 23 queries with no driver row in r1 or r2
-   (the heavy dedup/ANN/graph family + late-r2 additions);
-2. next: queries newly added this round (never checked by definition);
-3. fill to 50: highest-value r1-only holdovers (refreshed evidence);
-4. tail: everything else, already green in r1 or r2.
+1. first: the queries with the STALEST driver evidence (computed
+   from the CORRECTNESS_r0N.json union each round);
+2. next: queries newly added this round (never checked by definition)
+   and queries whose oracle basis changed this round;
+3. tail: everything else, with fresher evidence.
 
 ``tests/test_registry_rotation.py`` pins the first-50 set so a silent
 reorder can't re-darken a family.
@@ -29,128 +29,87 @@ from pythondataingestionprocess_spark.plans import windows  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import cleaning_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import warehouse  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import llm_heavy  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import tpch_shapes  # noqa: E402,F401
 
-# --- round-4 rotation ------------------------------------------------
-# Driver-check union after r3 is 121/121 (every registered query has at
-# least one green CORRECTNESS row). The window now refreshes the
-# STALEST evidence: queries whose last driver row is round 1 go first,
-# then anything newly registered this round, then last-checked-in-r2
-# fillers. (Computed from CORRECTNESS_r0{1,2,3}.json.)
-STALE_R1 = [
-    "cube_agg",
-    "grouping_sets_agg",
-    "intersect_keys",
-    "except_keys",
-    "approx_distinct_customers",
-    "pivot_status_revenue",
-    "quantile_disc_prices",
-    "histogram_quantity",
-    "except_all_slices",
-    "intersect_all_slices",
-    "fuzzy_name_distance",
-    "stratified_sample_events",
-    "window_lag_lead",
-    "window_rank_dense",
-    "window_running_total",
-    "window_range_frame",
-    "topk_per_group",
-    "percent_rank_ntile",
-    "json_extract_props",
-    "dq_orders_expectations",
-    "json_map_functions",
-]
-
-# Queries first registered in round 4 — never checked, so they ride
-# inside the 50-row window. Append here when registering a new query.
-NEW_R4: list[str] = [
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_dominant_suppliers",
-    "scd2_build_user_state",
-    "cdc_snapshot_latest",
-    "islands_user_activity",
-    "text_bigram_lm",
-    "rolling_median_user_value",
-    "events_time_weighted_value",
-    "events_asof_next_purchase",
-    "merge_event_intervals",
-    "not_in_null_semantics",
-    "lateral_top_orders",
-    "state_change_compression",
-]
-
-# Queries whose ORACLE is new this round (promoted from rows-only, or
-# whose semantics changed basis): they were driver-checked before, but
-# never against these oracles — ride inside the window with the new
-# queries so the promotion gets a driver row the round it lands.
-PROMOTED_R4: list[str] = [
-    "dedup_simhash",
-    "text_rolling_fingerprint",
-    "doc_packing_greedy",
-    "doc_packing_lookahead",
-]
-
-# Last checked in round 2; they fill the window to 50 behind the stale
-# + new sets (the r3-checked 50 are the freshest and sit in the tail).
+# --- round-5 rotation ------------------------------------------------
+# Driver-check union after r4 is 136/136 (every registered query has a
+# green CORRECTNESS row; latest evidence: 50 from r4, 48 from r3, 38
+# from r2 — computed from CORRECTNESS_r0{1..4}.json). The window
+# refreshes the STALEST evidence: the 38 last-checked-in-r2 queries go
+# first, then this round's 10 new registrations, then the 2 queries
+# whose oracle BASIS changed this round (determinism fixes) — exactly
+# 50, so the r3/r4-checked queries sit in the tail.
 STALE_R2 = [
-    "dedup_exact_docs",
-    "dedup_fingerprint",
-    "stmt_charge_line_grammar",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_sessionize_manual",
-    "events_interval_join",
-    "events_bounce_rate",
-    "events_concurrency_peak",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
-    "events_asof_last_click",
-    "range_join_quantity_bands",
-    "pit_scd2_price_join",
-    "scalar_subquery_small_qty",
-    "having_large_orders",
-    "conditional_agg_priority",
-    "bilateral_trade_volume",
-    "monthly_revenue_trend",
-    "string_agg_nations",
     "argmax_customer_balance",
-    "unnest_top_words",
-    "funnel_view_to_purchase",
-    "disjunctive_predicate_revenue",
-    "idle_customers_segment",
-    "skewed_join_salted",
-    "funnel_three_step",
+    "bilateral_trade_volume",
+    "conditional_agg_priority",
     "corr_moments_stats",
-    "percentile_cont_prices",
+    "disjunctive_predicate_revenue",
+    "doc_packing_shards",
     "dq_price_outliers_mad",
-    "exists_agg_discounted_orders",
-    "qualify_above_avg_suppliers",
-    "revenue_share_top_customers",
-    "exists_not_exists_orders",
     "embedding_knn_brute",
     "embedding_norms",
+    "events_asof_last_click",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+    "exists_agg_discounted_orders",
+    "exists_not_exists_orders",
+    "funnel_three_step",
+    "funnel_view_to_purchase",
+    "having_large_orders",
+    "idle_customers_segment",
+    "monthly_revenue_trend",
+    "multimodal_binary_meta",
+    "multimodal_decode_stats",
+    "percentile_cont_prices",
+    "pit_scd2_price_join",
+    "qualify_above_avg_suppliers",
+    "range_join_quantity_bands",
+    "revenue_share_top_customers",
+    "scalar_subquery_small_qty",
+    "skewed_join_salted",
+    "string_agg_nations",
+    "text_bpe_token_count",
+    "text_contamination_check",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
     "text_tfidf_top_terms",
     "text_token_count",
-    "text_bpe_token_count",
-    "text_lang_id",
-    "text_quality_score",
-    "text_rolling_fingerprint",
-    "multimodal_decode_stats",
-    "multimodal_binary_meta",
-    "text_contamination_check",
-    "doc_packing_shards",
-    "doc_packing_greedy",
-    "text_repetition_stats",
-    "text_pii_redact",
+    "unnest_top_words",
+]
+
+# Queries first registered in round 5 — never checked, so they ride
+# inside the 50-row window. Append here when registering a new query.
+NEW_R5: list[str] = [
+    "q21_waiting_suppliers",
+    "q13_order_count_distribution",
+    "q4_priority_order_checks",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "dedup_containment",
+    "events_funnel_watermark",
+]
+
+# Queries whose SEMANTICS/ORACLE changed basis this round (the r4
+# ADVICE determinism fixes: merge_event_intervals now running-sums
+# over the flag window's (s, event_id) total order on both sides;
+# events_asof_next_purchase pre-dedupes purchases per (user_id, ts)):
+# they were green in r4, but never against these definitions — ride
+# inside the window so the change gets a driver row the round it
+# lands.
+PROMOTED_R5: list[str] = [
+    "merge_event_intervals",
+    "events_asof_next_purchase",
 ]
 
 
 def _apply_rotation() -> None:
-    priority = STALE_R1 + NEW_R4 + PROMOTED_R4 + [
-        n for n in STALE_R2 if n not in PROMOTED_R4
-    ]
+    priority = STALE_R2 + NEW_R5 + PROMOTED_R5
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -167,8 +126,7 @@ __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R1",
-    "NEW_R4",
-    "PROMOTED_R4",
     "STALE_R2",
+    "NEW_R5",
+    "PROMOTED_R5",
 ]

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from pythondataingestionprocess_spark.catalog import load_table
 from pythondataingestionprocess_spark.operators.asof import asof_join
@@ -181,8 +182,11 @@ _ASOF_FWD_ORACLE = """
 WITH errors AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
 ), purchases AS (
-  SELECT user_id, ts, event_id AS purchase_event_id, value AS purchase_value
-  FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, purchase_event_id, purchase_value FROM (
+    SELECT user_id, ts, event_id AS purchase_event_id, value AS purchase_value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
 )
 SELECT e.event_id, e.user_id, e.ts, p.purchase_event_id, p.purchase_value
 FROM errors e
@@ -198,16 +202,29 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_click query leaves unexercised. Same union-window
     composition, one shuffle on user_id, traversal order reversed;
     oracle is DuckDB's native forward ASOF JOIN — two unrelated
-    implementations, one answer."""
+    implementations, one answer.
+
+    Tie discipline: the testdata deliberately contains same-ts
+    duplicates, and ASOF over a non-unique ts series picks an
+    arbitrary winner per engine. Both sides therefore pre-dedupe
+    purchases to one row per (user_id, ts) — min event_id wins — so
+    the as-of target is unique on ts and the join is deterministic
+    by construction."""
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("purchase_event_id"),
-        F.col("value").alias("purchase_value"),
+    w_tie = W.partitionBy("user_id", "ts").orderBy("event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        )
     )
     return asof_join(
         errors, purchases, on="user_id", ts="ts",

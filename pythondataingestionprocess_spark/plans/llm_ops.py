@@ -182,12 +182,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()  # tiny scalar; at 100 TB use an agg-join instead
+    # The corpus-size scalar stays IN the plan (agg → broadcast cross
+    # join, the q11/q20 scalar-threshold pattern) instead of a separate
+    # docs.count() job — one fewer scan per run, and the scalar rides
+    # the same DAG at any scale.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.filter(F.col("doc_id") % 97 == 0)
         .join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
         .withColumn(
-            "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+            "score",
+            F.col("tf") * F.col("n_docs") * F.lit(1.0) / F.col("df"),
         )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")

@@ -350,3 +350,96 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
         "n_new",
         "cum_users",
     )
+
+
+_FUNNEL_WM_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         event_id // 1000 AS batch_id
+  FROM events
+), bm AS (
+  SELECT batch_id, MAX(ts) AS bmax FROM b GROUP BY 1
+), wm AS (
+  SELECT batch_id,
+         MAX(bmax) OVER (ORDER BY batch_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 10 MINUTE AS watermark
+  FROM bm
+), surviving AS (
+  SELECT b.* FROM b JOIN wm USING (batch_id)
+  WHERE watermark IS NULL OR ts >= watermark
+), anchored AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vts
+  FROM surviving
+)
+SELECT user_id,
+       strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       value
+FROM anchored
+WHERE event_type = 'purchase' AND vts IS NOT NULL
+  AND ts <= vts + INTERVAL 30 MINUTE
+"""
+
+
+@query("events_funnel_watermark", oracle=_FUNNEL_WM_ORACLE, tags=("streaming", "funnel", "watermark"))
+def events_funnel_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of streaming/stateful.py::funnel_stream_watermarked —
+    the view→purchase funnel WITH the watermark's late-data drops
+    replayed deterministically. Micro-batches are simulated as
+    event_id DIV 1000 (the testdata generator emits ids in arrival
+    order); a batch's watermark is the max event time of all PRIOR
+    batches minus the 10-minute delay, and any event older than its
+    batch's watermark is dropped before the funnel — exactly the
+    in-function late filter the streaming operator applies (the
+    engine's watermark only drives timers for arbitrary stateful
+    ops, so the operator owns the drop).
+
+    Scale shape: the watermark table is ONE ROW PER BATCH (a tiny
+    grouped aggregate + a constant-key running-max window over it),
+    broadcast back onto the events — the global watermark is metrics-
+    sized, never a data-grain window. The funnel itself is the LOCF
+    anchor pattern (last view ts per user via an ignorenulls window
+    ordered (ts, event_id)), one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn("batch_id", F.expr("event_id DIV 1000"))
+    bm = b.groupBy("batch_id").agg(F.max("ts").alias("bmax"))
+    # constant partition key: one row per batch — metrics-sized window
+    # (same rationale as events_cumulative_unique_users).
+    w_prior = W.partitionBy(F.lit(0)).orderBy("batch_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wm = bm.select(
+        "batch_id",
+        (F.max("bmax").over(w_prior) - F.expr("INTERVAL 10 MINUTES")).alias(
+            "watermark"
+        ),
+    )
+    surviving = b.join(F.broadcast(wm), "batch_id").filter(
+        F.col("watermark").isNull() | (F.col("ts") >= F.col("watermark"))
+    )
+    w_anchor = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    anchored = surviving.withColumn(
+        "vts",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        ).over(w_anchor),
+    )
+    return (
+        anchored.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("vts").isNotNull()
+            & (F.col("ts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "user_id",
+            F.date_format("vts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "value",
+        )
+    )

@@ -1,0 +1,561 @@
+"""Round-5 classic OLAP shapes (TPC-H Q4/Q5/Q8/Q10/Q13/Q14/Q18/Q21),
+re-expressed on the partsupp-free testdata, plus the containment-dedup
+screen.
+
+The reference has no query language (SURVEY §3); like ``subqueries.py``
+these are beyond-reference surface — the remaining partsupp-free TPC-H
+plan shapes the registry lacked after round 4 (VERDICT r4 next-round
+items 2-3 name Q21 and Q13 explicitly). Schema adaptations, applied
+consistently on BOTH the Spark plan and the DuckDB oracle so the
+correctness gate still bites:
+
+- lineitem has no commitdate/receiptdate → "late" is re-expressed as
+  ``l_shipdate > o_orderdate + INTERVAL <n> DAY`` (Q21's triple
+  self-join and Q4's correlated non-equi EXISTS keep their exact plan
+  shapes; only the lateness predicate differs).
+- orders has no comment column → Q13's ON-clause exclusion filter uses
+  ``o_orderpriority NOT LIKE '%SPECIFIED%'`` instead of the comment
+  regex. The point of Q13 — the predicate lives in the LEFT JOIN's ON
+  clause, so excluded orders count as zero, not as missing customers —
+  is preserved.
+- p_type is a flat 6-value enum → Q8/Q14's type predicate is equality.
+
+Spark-first notes (what the plans should look like at 100 TB):
+
+- Q21 is the hardest decorrelation test here: EXISTS + NOT EXISTS over
+  the same fact at the same key become one left-semi and one left-anti
+  hash join on l_orderkey — never a nested-loop re-scan per row. The
+  non-equi part (suppkey != suppkey) rides the equi-join as a join
+  residual.
+- Q4's EXISTS correlates on BOTH o_orderkey (equi) and o_orderdate
+  (non-equi lateness) — Catalyst plans it as a semi join keyed on
+  orderkey with the date comparison as residual; the quarter filter
+  pushes to the orders scan so the semi probe side is tiny.
+- Q13 must NOT pre-aggregate orders before the outer join (that would
+  turn customers-with-zero-orders into NULL groups); the left join
+  runs first, count(o_orderkey) skips nulls, then the second, tiny
+  aggregation groups the distribution.
+- Q5/Q8/Q10 are star joins: dims (supplier/nation/region) broadcast,
+  the fact chain shuffles once per equi-key. Q8's market share is a
+  ratio of two decimal sums in ONE aggregation pass (CASE inside SUM),
+  not two scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.registry import (
+    dec_sum,
+    query,
+    sql_dec_sum,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21: suppliers who kept multi-supplier orders waiting.
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 180 DAY
+)
+SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 180 DAY
+      )
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_ORACLE, tags=("subquery", "semi", "anti", "join"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: the SOLE late supplier in a finished multi-supplier
+    order, counted per supplier — the registry's hardest decorrelation
+    shape (EXISTS + NOT EXISTS over the same fact, same key). "Late"
+    is shipdate > orderdate + 180d (no commit/receipt dates in this
+    schema; reference anchor for existence probes:
+    database_utils.py:128-145, generalized).
+
+    Spark-first: both existence checks become HASH joins on
+    l_orderkey (left-semi for EXISTS, left-anti for NOT EXISTS) with
+    the suppkey inequality as a join residual — no per-row re-scan,
+    no nested loop. The late set is computed once and feeds both the
+    probe side and the anti build side; supplier/nation are broadcast
+    dims; ORDER BY (numwait DESC, s_name) is total so LIMIT 100 is
+    deterministic."""
+    lineitem, orders, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation"
+    )
+    late = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier), waiting["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution (filtered-ON left join).
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%SPECIFIED%'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@query("q13_order_count_distribution", oracle=_Q13_ORACLE, tags=("join", "agg", "outer"))
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed exactly N qualifying
+    orders — including N = 0. The load-bearing subtlety is WHERE the
+    exclusion predicate lives: in the LEFT JOIN's ON clause, so a
+    customer whose every order is excluded still appears with count 0
+    (a WHERE clause would delete them; a pre-aggregated orders side
+    would too). COUNT(o_orderkey) skips the null-extended rows for
+    free. Two aggregations: a big one on c_custkey (one shuffle at
+    fact grain), then a ~20-group distribution rollup."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    joined = customer.join(
+        orders,
+        (customer["c_custkey"] == orders["o_custkey"])
+        & (~orders["o_orderpriority"].like("%SPECIFIED%")),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4: order-priority counts gated by a correlated non-equi EXISTS.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_priority_order_checks", oracle=_Q4_ORACLE, tags=("subquery", "semi", "agg"))
+def q4_priority_order_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders from one quarter that had at least one line
+    ship >90 days after ordering, counted per priority. The EXISTS
+    correlates on o_orderkey (equi) AND o_orderdate (non-equi) — the
+    shape nothing else in the registry covers: Catalyst plans it as a
+    left-semi HASH join keyed on orderkey with the date comparison as
+    a residual, and the quarter filter pushes to the orders parquet
+    scan so the probe side is one quarter, not the full table."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    return (
+        quarter.join(
+            lineitem,
+            (quarter["o_orderkey"] == lineitem["l_orderkey"])
+            & (
+                lineitem["l_shipdate"]
+                > quarter["o_orderdate"] + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: revenue through LOCAL suppliers per nation of one region.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n_name, {sql_dec_sum(_REV, "revenue")}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "agg", "star"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 1996 revenue per ASIA nation counting only LOCAL
+    fulfilment — the supplier join carries TWO conditions (line's
+    suppkey AND customer's nation = supplier's nation), which is what
+    distinguishes this from a plain star rollup. Spark-first: the
+    fact chain customer⋈orders⋈lineitem shuffles on its equi-keys
+    with the year filter pushed to the orders scan; supplier, nation
+    and region are broadcast dims, so the locality condition is a
+    residual on a broadcast probe — no extra shuffle for it."""
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    year = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        customer.join(year, customer["c_custkey"] == year["o_custkey"])
+        .join(lineitem, F.col("o_orderkey") == lineitem["l_orderkey"])
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == supplier["s_suppkey"])
+            & (F.col("c_nationkey") == supplier["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dec_sum(_rev(), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: one nation's market share inside a region, per year.
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+WITH all_sales AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+                     AS DECIMAL(25,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+FROM all_sales GROUP BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg", "ratio", "star"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of AMERICA-region ECONOMY-part
+    revenue per order year — a ratio of conditional sums over an
+    8-table star (nation joined TWICE: customer side filters the
+    region, supplier side labels the seller). Both sums ride ONE
+    aggregation pass (CASE inside SUM) on one fact scan. Determinism:
+    exact decimal sums on both sides, a single IEEE division — the
+    registry's ratio-of-sums convention."""
+    part, lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir,
+        "part", "lineitem", "orders", "customer", "supplier", "nation", "region",
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        part.filter(F.col("p_type") == "ECONOMY")
+        .join(lineitem, part["p_partkey"] == lineitem["l_partkey"])
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(0)
+                .cast("decimal(25,6)")
+            ).cast("double")
+            / F.sum(F.col("volume").cast("decimal(25,6)")).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: top returning customers by lost revenue.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dec_sum(_REV, "revenue")}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "agg", "topk"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: the 20 customers who returned the most revenue in
+    one quarter. The returnflag filter pushes to the lineitem scan and
+    the quarter filter to the orders scan BEFORE the join, so the
+    fact⋈fact shuffle carries only returned lines of one quarter;
+    nation broadcasts. (revenue DESC, c_custkey) is a total order, so
+    the LIMIT is deterministic."""
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        customer.join(quarter, customer["c_custkey"] == quarter["o_custkey"])
+        .join(returned, F.col("o_orderkey") == returned["l_orderkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promo revenue share over one month.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN {_REV} ELSE 0 END
+                          AS DECIMAL(25,6))) AS DOUBLE)
+       / CAST(SUM(CAST({_REV} AS DECIMAL(25,6))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+@query("q14_promo_revenue", oracle=_Q14_ORACLE, tags=("join", "agg", "ratio"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percent of one month's revenue from PROMO parts.
+    One broadcast join (part is the small side), one aggregation pass
+    holding both conditional sums, one IEEE division ordered exactly
+    as the oracle's (100·promo)/total — no second scan, no
+    shuffle beyond the single 1-row aggregate."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    month = lineitem.filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    joined = month.join(
+        F.broadcast(part), month["l_partkey"] == part["p_partkey"]
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0).cast("decimal(25,6)")
+    ).cast("double")
+    total = F.sum(_rev().cast("decimal(25,6)")).cast("double")
+    return joined.agg((F.lit(100.0) * promo / total).alias("promo_pct"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume orders joined back to their customers.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 140
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_volume_customers", oracle=_Q18_ORACLE, tags=("join", "agg", "having", "topk"))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 140 (the
+    schema's high tail; spec uses 300 at 7 lines/order — this data
+    averages 4), joined back to order + customer detail. The HAVING
+    runs on the DECIMAL aggregate itself (exact comparison, no
+    double-rounding flake at the threshold boundary); the join-back
+    is keyed on the aggregate's own grain so no re-shuffle of the
+    fact; (o_totalprice DESC, o_orderkey) totalizes the LIMIT."""
+    lineitem, orders, customer = _t(
+        spark, sf_dir, "lineitem", "orders", "customer"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("_dq"))
+        .filter(F.col("_dq") > 140)
+        .select("l_orderkey", F.col("_dq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: asymmetric near-superset screen on word trigrams.
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(list_zip(w, w[2:], w[3:]),
+           z -> z[1] || ' ' || z[2] || ' ' || z[3])[:greatest(len(w)-2,0)]) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter * 1.0 / least(s1.n, s2.n) AS containment
+FROM pairs
+JOIN sizes s1 ON id_a = s1.doc_id
+JOIN sizes s2 ON id_b = s2.doc_id
+WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.8
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram CONTAINMENT pairs at ≥0.8: |A∩B| / min(|A|,|B|) —
+    the asymmetric near-superset screen (short doc embedded whole in
+    a long one) that the Jaccard queries structurally miss. Same
+    shared-shingle blocking join as dedup_ngram_jaccard; only the
+    denominator differs. See operators/dedup.py:containment_pairs
+    for the 100 TB notes."""
+    from pythondataingestionprocess_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_sets(docs, "doc_id", "text", 3)
+    return dd.containment_pairs(sh, "doc_id", 0.8)

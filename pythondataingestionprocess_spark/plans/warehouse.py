@@ -164,7 +164,7 @@ WITH iv AS (
   SELECT user_id, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
   FROM events WHERE user_id < 100
 ), flagged AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
@@ -172,8 +172,8 @@ WITH iv AS (
               THEN 1 ELSE 0 END AS new_grp
   FROM iv
 ), grouped AS (
-  SELECT user_id, s, e,
-         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+  SELECT user_id, event_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
   FROM flagged
 )
@@ -195,10 +195,12 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval's END (cumulative-max window — NOT a self-join; the naive
     overlap formulation is O(n²) per key). One shuffle on user_id.
 
-    Ordering note: the group flag orders by (s, event_id) — a total
-    order, since two events with identical start still flag
-    identically — and the running-sum orders by (s, e); both engines
-    agree because the flag value is order-insensitive among ties."""
+    Ordering note: BOTH windows (group flag and running sum) order by
+    (s, event_id) — the same total order, so tied-start rows carrying
+    different new_grp flags cannot swap across the running sum in
+    either engine. (Ordering the running sum by the non-total (s, e)
+    was a latent cross-engine flake: a flag-0 tie-mate sorted before
+    its flag-1 twin joins the PREVIOUS interval.)"""
     events = load_table(spark, sf_dir, "events")
     iv = events.filter(F.col("user_id") < 100).select(
         "user_id",
@@ -218,7 +220,7 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         W.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     grouped = flagged.withColumn("grp", F.sum("new_grp").over(w_run))

@@ -109,6 +109,13 @@ def screen_batch(
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
+    # DataFrame reuse is NOT common-subexpression elimination: without
+    # this, cand_ids below re-evaluates the whole band-probe join over
+    # the store buckets a second time inside the semi-join. The
+    # candidate set is batch-proportional (ids only), so an eager
+    # localCheckpoint materializes it once cheaply — same pattern as
+    # dedup_batch_fn's read-once batch_df.
+    candidates = candidates.localCheckpoint(eager=True)
     sh_new = dd.shingle_array_table(
         batch_df, id_col, text_col, _SHINGLE_N
     ).withColumnRenamed(id_col, "id_a")

@@ -253,6 +253,75 @@ def _funnel_update_expiring(idle_expiry_ms: int):
     return update
 
 
+def _funnel_update_watermarked(window_ms: int):
+    def update(key, pdfs, state):
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        if state.hasTimedOut:
+            # Watermark passed last_view + window: no on-time purchase
+            # can ever match this view again (it would be late and
+            # dropped). Free the slot.
+            state.remove()
+            return
+        # Arbitrary stateful ops do NOT auto-drop late input — the
+        # engine's watermark only drives timers/state-eviction here
+        # (unlike windowed aggregations), so the late-data discipline
+        # is applied IN the function: rows older than the batch's
+        # watermark are discarded before they can touch state.
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            wm = pd.Timestamp(wm_ms, unit="ms")
+            pdfs = (pdf[pdf["ts"] >= wm] for pdf in pdfs)
+        yield from _funnel_update(key, pdfs, state)
+        (last_view,) = state.get if state.exists else (None,)
+        if last_view is None:
+            return
+        expiry_ms = pd.Timestamp(last_view).value // 1_000_000 + window_ms
+        if expiry_ms <= state.getCurrentWatermarkMs():
+            # Already expired relative to this batch's watermark —
+            # setTimeoutTimestamp would reject a past timestamp.
+            state.remove()
+        else:
+            state.setTimeoutTimestamp(expiry_ms)
+
+    return update
+
+
+def funnel_stream_watermarked(
+    events: DataFrame,
+    delay: str = "10 minutes",
+    window_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """:func:`funnel_stream` with LATE-DATA discipline: an event-time
+    watermark (``delay`` behind the max observed ts) defines lateness,
+    and the update function drops rows older than it — a purchase that
+    arrives after the watermark passed its timestamp never converts.
+    (The drop must live in the function: Spark's watermark does NOT
+    auto-filter input to arbitrary stateful operators, it only drives
+    their timers.) State expires on an EVENT-TIME timer at last_view +
+    window — once the watermark clears that point, any matching
+    purchase would be late by construction, so the slot is provably
+    dead.
+
+    vs :func:`funnel_stream_expiring`: that variant bounds state by
+    PROCESSING-time idleness (wall clock, replay-fragile); this one is
+    deterministic w.r.t. the data — replaying the same stream gives
+    the same drops and the same expiries, which is what an audited
+    100 TB backfill needs. Batch face (oracle-checked):
+    plans/streaming_queries.py::events_funnel_watermark."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_update_watermarked(window_ms),
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def funnel_stream_expiring(
     events: DataFrame, idle_expiry_ms: int = 60 * 60 * 1000
 ) -> DataFrame:

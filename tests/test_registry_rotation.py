@@ -2,18 +2,17 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-Union coverage after r3 is 121/121; the round-4 window refreshes the
-stalest evidence (last-checked-r1 first, then new-this-round, then
-newly-PROMOTED oracles, then last-checked-r2 fillers). These tests
-make the rotation explicit and fail loudly if a later registration or
-refactor silently reorders the window.
+Union coverage after r4 is 136/136; the round-5 window refreshes the
+stalest evidence (the 38 last-checked-r2 queries first, then the 10
+new-r5 registrations, then the 2 determinism-fix oracle re-basings) —
+exactly 50. These tests make the rotation explicit and fail loudly if
+a later registration or refactor silently reorders the window.
 """
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R4,
-    PROMOTED_R4,
+    NEW_R5,
+    PROMOTED_R5,
     REGISTRY,
-    STALE_R1,
     STALE_R2,
 )
 
@@ -21,18 +20,14 @@ DRIVER_WINDOW = 50
 
 
 def _intended():
-    return (
-        STALE_R1
-        + NEW_R4
-        + PROMOTED_R4
-        + [n for n in STALE_R2 if n not in PROMOTED_R4]
-    )
+    return STALE_R2 + NEW_R5 + PROMOTED_R5
 
 
 def test_stalest_queries_front_loaded():
-    """The 21 queries whose only driver row is from round 1 sit first."""
-    assert list(REGISTRY)[: len(STALE_R1)] == STALE_R1
-    assert len(STALE_R1) == 21
+    """The 38 queries whose latest driver row is from round 2 sit
+    first — no query's evidence may age past two rounds."""
+    assert list(REGISTRY)[: len(STALE_R2)] == STALE_R2
+    assert len(STALE_R2) == 38
 
 
 def test_first_50_is_the_intended_rotation():
@@ -40,22 +35,23 @@ def test_first_50_is_the_intended_rotation():
 
 
 def test_new_and_promoted_ride_inside_the_window():
-    """Anything registered or oracle-promoted this round must be
+    """Anything registered or oracle-re-based this round must be
     driver-checked this round: those names sit immediately after the
-    stale-r1 block, inside the 50-row window."""
+    stale block, inside the 50-row window."""
     names = list(REGISTRY)
-    block = NEW_R4 + PROMOTED_R4
+    block = NEW_R5 + PROMOTED_R5
     for i, n in enumerate(block):
-        assert names[len(STALE_R1) + i] == n
-    assert len(STALE_R1) + len(block) <= DRIVER_WINDOW, (
+        assert names[len(STALE_R2) + i] == n
+    assert len(STALE_R2) + len(block) <= DRIVER_WINDOW, (
         "too many new/promoted queries for one driver window — rotate "
         "the overflow into the next round's stale set"
     )
 
 
 def test_window_is_full():
-    """Stale + new + promoted + fillers must fill all 50 driver slots."""
-    assert len(_intended()) >= DRIVER_WINDOW
+    """Stale + new + promoted must fill all 50 driver slots (a slack
+    window would waste driver evidence)."""
+    assert len(_intended()) == DRIVER_WINDOW
 
 
 def test_rotation_names_unique_and_registered():
@@ -69,4 +65,4 @@ def test_registry_intact_after_rotation():
     """Rotation reorders — it must not drop or duplicate any query."""
     names = list(REGISTRY)
     assert len(names) == len(set(names))
-    assert len(names) >= 136
+    assert len(names) >= 146

@@ -484,6 +484,60 @@ def test_streaming_funnel_state_expiry(spark, tmp_path):
     assert abs(rows[0].value - 7.0) < 1e-9
 
 
+def test_streaming_funnel_watermarked_late_drop(spark, tmp_path):
+    """EventTimeTimeout variant: the watermark (10 min behind max
+    event time) advances past a late purchase's timestamp between
+    micro-batches, so the late row is dropped BEFORE the stateful
+    operator and its conversion never fires — while an on-time
+    purchase in the same batch converts normally. Deterministic
+    w.r.t. the data, unlike the processing-time expiry test above.
+    Batch-face oracle twin: events_funnel_watermark."""
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.streaming.stateful import (
+        funnel_stream_watermarked,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    _write_json_batch(inbox, "a.json", [
+        {"user_id": 7, "event_id": 1, "ts": "2024-01-01T00:00:00Z",
+         "event_type": "view", "value": 0.0},
+        {"user_id": 9, "event_id": 2, "ts": "2024-01-01T01:00:00Z",
+         "event_type": "view", "value": 0.0},
+    ])
+    # After batch a the watermark is 01:00:00 - 10 min = 00:50:00.
+    # The file source orders batches by modification time — tie-broken
+    # arbitrarily — so give b.json a strictly later mtime.
+    time.sleep(1.1)
+    _write_json_batch(inbox, "b.json", [
+        # user 7: purchase at 00:05 — inside the 30-min window of its
+        # view, but OLDER than the watermark → dropped as late, no
+        # conversion.
+        {"user_id": 7, "event_id": 3, "ts": "2024-01-01T00:05:00Z",
+         "event_type": "purchase", "value": 42.5},
+        # user 9: purchase at 01:10 — on time, 10 min after its view →
+        # converts.
+        {"user_id": 9, "event_id": 4, "ts": "2024-01-01T01:10:00Z",
+         "event_type": "purchase", "value": 5.0},
+    ])
+    stream = file_ingest.file_stream(
+        spark, inbox, schema, max_files_per_trigger=1
+    )
+    q = (
+        funnel_stream_watermarked(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("funnel_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_wm_test").collect()
+    assert [r.user_id for r in rows] == [9]
+    assert abs(rows[0].value - 5.0) < 1e-9
+    assert rows[0].view_ts.hour == 1 and rows[0].purchase_ts.minute == 10
+
+
 def test_rate_source_windowed_agg(spark):
     """The built-in rate source (the load-generator for streaming
     smoke tests): rows/sec → 5-second tumbling counts → memory sink.
