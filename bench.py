@@ -74,6 +74,14 @@ HEADLINE = [
     "cdc_snapshot_latest",
     "islands_user_activity",
     "text_bigram_lm",
+    # r5 additions
+    "q21_waiting_suppliers",
+    "q13_order_count_distribution",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "dedup_containment",
+    "events_funnel_watermark",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -227,6 +227,90 @@ def containment_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame
     )
 
 
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT containment pairs via prefix filtering — the 100 TB path.
+
+    :func:`containment_pairs` self-joins every shared shingle; this
+    version blocks on each doc's ``floor((1-τ)·|A|)+1`` globally
+    RAREST shingles (the "prefix" in the canonical rarest-first
+    order). Pigeonhole guarantee: if containment(A→B) ≥ τ with A the
+    smaller side, at most ``(1-τ)·|A|`` of A's shingles are missing
+    from B, so at least one prefix shingle IS shared — candidate
+    generation is exact-complete, not probabilistic. (MinHash banding
+    is the WRONG candidate generator here: a short doc inside a long
+    one has high containment but low Jaccard, so its signatures don't
+    collide — the asymmetric screen needs asymmetric blocking.)
+
+    Scale shape: prefix shingles are by construction the LOW-document-
+    frequency ones, so the blocking join's buckets are small where the
+    raw shared-shingle join's are largest; the large side cannot be
+    prefixed (its bound ``|B|-τ|A|+1`` is pair-dependent), so the join
+    is prefix(small) × full-shingle-table — shuffle bounded by
+    Σ df(prefix shingle), not Σ df(shingle)². Candidates are verified
+    with an in-expression array intersection. Degenerate corpora where
+    some doc's whole shingle set is hyper-common still expand; cap
+    with an upstream stop-shingle drop as with jaccard_pairs."""
+    from pyspark.sql.window import Window
+
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, id_col)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.floor((1.0 - threshold) * F.col("sz")) + 1
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("size_a")
+    )
+    b = sh.join(sizes, id_col).select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("size_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # one direction per pair: the prefix side must be the smaller
+        # doc (ties broken by id), or the pigeonhole bound doesn't hold
+        .filter(
+            (F.col("size_a") < F.col("size_b"))
+            | ((F.col("size_a") == F.col("size_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    doc_sh = shingle_array_table(df, id_col, text_col, n)
+    verified = (
+        cand.join(doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.least(F.size("sh_a"), F.size("sh_b")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    # normalize to the containment_pairs output contract (id_a < id_b)
+    return verified.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "containment",
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

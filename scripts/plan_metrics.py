@@ -34,6 +34,14 @@ DEFAULT_QUERIES = [
     "fuzzy_join_symdelete",
     "events_session_window",
     "revenue_share_top_customers",
+    # r5 additions
+    "q21_waiting_suppliers",
+    "q13_order_count_distribution",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "dedup_containment",
+    "events_funnel_watermark",
 ]
 
 

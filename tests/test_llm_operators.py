@@ -49,6 +49,47 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert lsh == exact
 
 
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc pasted whole into a long one: containment ~1.0
+    (near-superset) while Jaccard stays below any usable threshold —
+    the case the asymmetric screen exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (1, short),
+        (2, short + " " + filler),
+        (3, "totally unrelated content about engines and planes here"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    sh = dd.shingle_sets(df, "doc_id", "text", 3)
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in dd.containment_pairs(sh, "doc_id", 0.8).collect()}
+    jac = {(r.id_a, r.id_b) for r in dd.jaccard_pairs(sh, "doc_id", 0.5).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+    assert (1, 2) not in jac, "size-skewed pair should be invisible to Jaccard"
+    assert all(3 not in pair for pair in cont)
+
+
+def test_containment_prefix_matches_exact(spark, sf_dir):
+    """The prefix-filter blocked form is EXACT-complete (pigeonhole on
+    the rarest-(1-τ)|A|+1 shingles), so its output must equal the
+    brute shared-shingle form on the real corpus — same pairs, same
+    containment values."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_sets(docs, "doc_id", "text", 3)
+    exact = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_pairs(sh, "doc_id", 0.8).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_pairs_prefix(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert set(blocked) == set(exact)
+    for k in exact:
+        assert abs(blocked[k] - exact[k]) < 1e-12
+
+
 def test_multimodal_decode_plumbing(spark):
     rows = [
         (1, "image", b"\x89PNG fake bytes " * 40),

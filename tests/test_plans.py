@@ -280,3 +280,85 @@ def test_lateral_decorrelates_to_window_topk(spark):
     plan = _formatted_plan(spark, "lateral_top_orders")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- round-5 additions ------------------------------------------------
+
+
+def test_q21_existence_checks_are_hash_joins(spark):
+    """Q21's EXISTS and NOT EXISTS must plan as one LeftSemi and one
+    LeftAnti HASH join on l_orderkey (suppkey inequality as residual)
+    — a nested-loop re-scan per lineitem would be quadratic at scale."""
+    plan = _formatted_plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_correlated_exists_is_semi_join_with_pushed_quarter(spark):
+    """The non-equi correlated EXISTS stays a semi join keyed on
+    orderkey; the quarter filter reaches the orders parquet scan."""
+    plan = _formatted_plan(spark, "q4_priority_order_checks")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan
+    ), "quarter filter must reach the orders scan"
+
+
+def test_q5_q8_q10_broadcast_dims_no_cartesian(spark):
+    """The star joins broadcast their dim sides; the locality /
+    market-share residuals must not degrade to nested loops."""
+    for name, min_bc in [
+        ("q5_local_supplier_volume", 3),
+        ("q8_market_share", 4),
+        ("q10_returned_items", 1),
+    ]:
+        plan = _formatted_plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bc, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q10_pushes_returnflag_and_quarter_to_scans(spark):
+    plan = _formatted_plan(spark, "q10_returned_items")
+    assert re.search(r"PushedFilters: \[[^\]]*l_returnflag,R", plan), (
+        "returnflag filter must reach the lineitem scan"
+    )
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan
+    ), "quarter filter must reach the orders scan"
+
+
+def test_q13_left_join_survives_on_clause_predicate(spark):
+    """Q13's exclusion predicate lives in the ON clause — the plan must
+    keep the LeftOuter join (a pushed WHERE would delete zero-order
+    customers and change the answer)."""
+    plan = _formatted_plan(spark, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q18_aggregates_before_join_back(spark):
+    """The quantity rollup runs at l_orderkey grain BEFORE the join to
+    orders/customer — joining first would shuffle the fact twice."""
+    plan = _formatted_plan(spark, "q18_large_volume_customers")
+    agg = plan.find("HashAggregate")
+    join = plan.find("Join")
+    assert agg != -1 and join != -1
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_no_cartesian_stays_jvm(spark):
+    plan = _formatted_plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_watermark_broadcasts_metrics_table(spark):
+    """The per-batch watermark table is metrics-sized and must come
+    back onto events as a BROADCAST join; the funnel itself stays
+    JVM-side (no Python eval in the batch face)."""
+    plan = _formatted_plan(spark, "events_funnel_watermark")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
