@@ -538,6 +538,64 @@ def test_streaming_funnel_watermarked_late_drop(spark, tmp_path):
     assert rows[0].view_ts.hour == 1 and rows[0].purchase_ts.minute == 10
 
 
+def test_streaming_funnel_watermarked_state_is_bounded(spark, tmp_path):
+    """The event-time timer must actually EVICT state: a user's
+    one-timestamp slot dies once the watermark clears
+    last_view + 30 min. Three data micro-batches advance the watermark
+    past users 7's and 9's windows; availableNow then runs one FINAL
+    no-data batch whose watermark (02:50, from batch c's max) fires
+    user 8's timer as well. The state-operator metrics must show
+    exactly those three removals and a final state of just user 10 —
+    the 100 TB guarantee that state tracks the active window, not the
+    all-time key set."""
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.streaming.stateful import (
+        funnel_stream_watermarked,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    _write_json_batch(inbox, "a.json", [
+        {"user_id": 7, "event_id": 1, "ts": "2024-01-01T00:00:00Z",
+         "event_type": "view", "value": 0.0},   # timer: 00:30
+        {"user_id": 9, "event_id": 2, "ts": "2024-01-01T01:00:00Z",
+         "event_type": "view", "value": 0.0},   # timer: 01:30
+    ])
+    time.sleep(1.1)
+    # batch b: watermark is now 00:50 → user 7's timer fires (00:30).
+    _write_json_batch(inbox, "b.json", [
+        {"user_id": 8, "event_id": 3, "ts": "2024-01-01T02:00:00Z",
+         "event_type": "view", "value": 0.0},   # timer: 02:30
+    ])
+    time.sleep(1.1)
+    # batch c: watermark is now 01:50 → user 9's timer fires (01:30);
+    # user 8 (02:30) survives.
+    _write_json_batch(inbox, "c.json", [
+        {"user_id": 10, "event_id": 4, "ts": "2024-01-01T03:00:00Z",
+         "event_type": "view", "value": 0.0},
+    ])
+    stream = file_ingest.file_stream(
+        spark, inbox, schema, max_files_per_trigger=1
+    )
+    q = (
+        funnel_stream_watermarked(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("funnel_wm_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progresses, "no state-operator progress recorded"
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+    )
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert removed == 3, f"expected users 7, 9, 8 evicted, got {removed}"
+    assert final_total == 1, f"expected only user 10 live, got {final_total}"
+
+
 def test_rate_source_windowed_agg(spark):
     """The built-in rate source (the load-generator for streaming
     smoke tests): rows/sec → 5-second tumbling counts → memory sink.
