@@ -225,6 +225,36 @@ def test_ivf_high_recall_on_clustered_data(spark):
     assert n_hit / n_true >= 0.9, f"IVF recall {n_hit / n_true}"
 
 
+def test_ivf_recall_survives_id_sorted_clusters(spark):
+    """Degenerate ordering regression (VERDICT r4 item 5): ids sorted
+    BY cluster — the first k vectors by id all come from one true
+    cluster, so a first-k-by-id seed would collapse k-means into one
+    region and empty the other lists. The md5-spread init must keep
+    recall high regardless of how ids correlate with the data."""
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 32)) * 10
+    rows = []
+    for i in range(400):
+        c = i // 50  # ids 0-49 cluster 0, 50-99 cluster 1, ...
+        rows.append((i, [float(x) for x in centers[c] + rng.standard_normal(32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 50 == 0)  # one per cluster
+
+    centroids = ivf.kmeans_fit(df, k=8, max_iter=5)
+    brute = sim.knn_bruteforce(df, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf.ivf_search(df, queries, centroids, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    n_true = brute.count()
+    n_hit = brute.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert n_true == 40
+    assert n_hit / n_true >= 0.9, f"IVF recall {n_hit / n_true} on id-sorted clusters"
+
+
 def test_ivf_assign_is_deterministic(spark):
     import numpy as np
 

@@ -171,3 +171,50 @@ def test_lookahead_bins_invariants(tokens, budget):
     g_bins, _ = greedy_bins(tokens, budget)
     if tokens:
         assert max(bins) <= max(g_bins)
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_pairs_match_python_reference(spark, docs):
+    """containment_pairs (and the exact-complete prefix-filter form)
+    vs a pure-Python set reference on tiny random corpora: same pairs,
+    same values, for every random draw — the operator's semantics are
+    pinned independently of the DuckDB oracle."""
+    from pythondataingestionprocess_spark.operators import dedup as dd
+
+    texts = [" ".join(toks) for toks in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    ref = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = grams(docs[i]), grams(docs[j])
+            if not a or not b:
+                continue
+            c = len(a & b) / min(len(a), len(b))
+            if c >= 0.8:
+                ref[(i, j)] = c
+
+    sh = dd.shingle_sets(sdf, "doc_id", "text", 3)
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_pairs(sh, "doc_id", 0.8).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], rel=1e-12)
+    blocked = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_pairs_prefix(sdf, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert set(blocked) == set(ref)
