@@ -123,6 +123,24 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibrate(spark) -> float:
+    """Fixed CPU-bound reference job (no I/O, no data dependence):
+    hash-aggregate over a generated range. Published as ``calib_sec``
+    so round-over-round query timings can be read as ratios against
+    the same host's speed that day — this round's uniform ~25% drift
+    on identical plans showed absolute seconds alone mislead."""
+    import pyspark.sql.functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            (F.col("id") * 2654435761 % 97).alias("k")
+        ).groupBy("k").count().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -132,6 +150,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     # warmup: JVM/codegen/parquet footer caches
     materialize(REGISTRY[names[0]].fn(spark, sf_dir))
+    calib = calibrate(spark)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -150,6 +169,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "r1_subset_wall": subset,
+                "calib_sec": calib,
             }
         )
     )
