@@ -165,15 +165,13 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
-def jaccard_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
-
-    ``sh`` is the shingle_sets output. This is the exact
-    O(shared-shingle) self-join, whose cost is bounded by
-    shingle-bucket sizes (fine when no shingle is hyper-common; at
-    100 TB cap bucket size by dropping top-frequency shingles first,
-    or use minhash_lsh_pairs which only exact-verifies candidates).
-    """
+def _pair_overlap_counts(sh: DataFrame, id_col: str) -> DataFrame:
+    """Shared skeleton of the exact pair screens: shared-shingle
+    self-join → (id_a < id_b, n_common, size_a, size_b). Cost is
+    bounded by shingle-bucket sizes (fine when no shingle is
+    hyper-common; at 100 TB cap bucket size by dropping top-frequency
+    shingles first, or feed LSH/prefix candidates instead). Each
+    caller applies its own similarity metric on the counts."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -181,9 +179,17 @@ def jaccard_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     inter = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return inter.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
+def jaccard_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    ``sh`` is the shingle_sets output. Exact O(shared-shingle)
+    self-join — see :func:`_pair_overlap_counts` for the scale notes.
+    """
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        _pair_overlap_counts(sh, id_col)
         .withColumn(
             "jaccard",
             F.col("n_common")
@@ -203,20 +209,12 @@ def containment_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame
     screens — quote-expansion and boilerplate-wrapping duplicates are
     containment-shaped, not Jaccard-shaped.
 
-    Same blocking/join skeleton as :func:`jaccard_pairs` (shared-
-    shingle equi-join, intersection count, size join), so the same
-    100 TB notes apply: bound hot-shingle buckets or feed LSH
-    candidates instead of the raw self-join."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    joined = a.join(b, ["shingle"]).filter(F.col("id_a") < F.col("id_b"))
-    inter = joined.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    Same blocking/join skeleton as :func:`jaccard_pairs` (shared via
+    :func:`_pair_overlap_counts`), so the same 100 TB notes apply:
+    bound hot-shingle buckets or feed LSH candidates instead of the
+    raw self-join."""
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        _pair_overlap_counts(sh, id_col)
         .withColumn(
             "containment",
             F.col("n_common")
@@ -258,9 +256,26 @@ def containment_pairs_prefix(
     with an upstream stop-shingle drop as with jaccard_pairs."""
     from pyspark.sql.window import Window
 
-    sh = shingle_sets(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # One tokenization pass: the distinct-shingle ARRAY is built once
+    # and the exploded blocking form is derived from it.
+    doc_sh = shingle_array_table(df, id_col, text_col, n)
+    sh = doc_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    sizes = doc_sh.select(F.col(id_col), F.size("sh").alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # Completeness bound in INTEGERS, derived from the verify
+    # predicate itself: i_min = smallest intersection count i with
+    # i/sz >= τ under the SAME double division verify uses. A float
+    # rendering like floor((1-τ)·sz)+1 under-counts by one whenever
+    # (1-τ)·sz is an exact integer (1.0-0.8 = 0.19999…96), silently
+    # dropping threshold-boundary pairs; float ceil(τ·sz) can be off
+    # by one in either direction, so it is corrected by checking the
+    # predicate at i0-1 and i0. Prefix length = sz - i_min + 1.
+    i0 = F.ceil(F.lit(threshold) * F.col("sz"))
+    i_min = (
+        F.when((i0 - 1).cast("double") / F.col("sz") >= threshold, i0 - 1)
+        .when(i0.cast("double") / F.col("sz") >= threshold, i0)
+        .otherwise(i0 + 1)
+    )
     ranked = (
         sh.join(dfreq, "shingle")
         .join(sizes, id_col)
@@ -271,9 +286,7 @@ def containment_pairs_prefix(
             ),
         )
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.floor((1.0 - threshold) * F.col("sz")) + 1
-    )
+    prefix = ranked.filter(F.col("rn") <= F.col("sz") - i_min + 1)
     a = prefix.select(
         F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("size_a")
     )
@@ -292,7 +305,6 @@ def containment_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    doc_sh = shingle_array_table(df, id_col, text_col, n)
     verified = (
         cand.join(doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -275,6 +275,14 @@ def _funnel_update_watermarked(window_ms: int):
         yield from _funnel_update(key, pdfs, state)
         (last_view,) = state.get if state.exists else (None,)
         if last_view is None:
+            # _funnel_update stored (None,) — a key that never recorded
+            # a view (purchase-only user, or its views were all late-
+            # dropped). A (None,) slot carries no timer, and with
+            # EventTimeTimeout an untimed key NEVER times out — leaving
+            # it would grow state with the all-time key set. Remove it;
+            # semantics are unchanged (None state ≡ no state).
+            if state.exists:
+                state.remove()
             return
         expiry_ms = pd.Timestamp(last_view).value // 1_000_000 + window_ms
         if expiry_ms <= state.getCurrentWatermarkMs():

@@ -70,6 +70,27 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert all(3 not in pair for pair in cont)
 
 
+def test_containment_prefix_exact_at_threshold_boundary(spark):
+    """Float-bound regression: a pair at EXACTLY the 0.8 threshold
+    (A has 5 shingles, B shares 4, containment 4/5 = 0.8) whose one
+    missing shingle is A's globally rarest. A prefix length computed
+    as floor((1-τ)·|A|)+1 evaluates 1.0-0.8 = 0.19999…96 and yields a
+    one-shingle prefix = exactly the missing shingle → candidate never
+    generated. The integer bound (smallest i with i/sz ≥ τ under the
+    verify's own division) must keep the pair."""
+    a_text = "t1 t2 t3 t4 t5 t6 t7"                 # shingles 1-5
+    b_text = "t2 t3 t4 t5 t6 t7 u1 u2 u3"           # shares A's 2-5
+    rows = [(1, a_text), (2, b_text)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    sh = dd.shingle_sets(df, "doc_id", "text", 3)
+    exact = {(r.id_a, r.id_b): r.containment
+             for r in dd.containment_pairs(sh, "doc_id", 0.8).collect()}
+    assert exact == {(1, 2): pytest.approx(0.8)}
+    blocked = {(r.id_a, r.id_b): r.containment
+               for r in dd.containment_pairs_prefix(df, "doc_id", "text", 3, 0.8).collect()}
+    assert blocked == {(1, 2): pytest.approx(0.8)}
+
+
 def test_containment_prefix_matches_exact(spark, sf_dir):
     """The prefix-filter blocked form is EXACT-complete (pigeonhole on
     the rarest-(1-τ)|A|+1 shingles), so its output must equal the

@@ -340,11 +340,22 @@ def test_q13_left_join_survives_on_clause_predicate(spark):
 
 def test_q18_aggregates_before_join_back(spark):
     """The quantity rollup runs at l_orderkey grain BEFORE the join to
-    orders/customer — joining first would shuffle the fact twice."""
+    orders/customer — joining first would shuffle the fact twice.
+    Formatted-plan operator ids are assigned bottom-up, so the
+    aggregate feeding the join must carry a SMALLER id than every
+    join node."""
     plan = _formatted_plan(spark, "q18_large_volume_customers")
-    agg = plan.find("HashAggregate")
-    join = plan.find("Join")
-    assert agg != -1 and join != -1
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    join_ids = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+        )
+    ]
+    assert agg_ids and join_ids
+    assert min(agg_ids) < min(join_ids), (
+        "quantity aggregate must sit below the join-back in the plan"
+    )
     assert "CartesianProduct" not in plan
 
 

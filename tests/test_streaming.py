@@ -573,6 +573,11 @@ def test_streaming_funnel_watermarked_state_is_bounded(spark, tmp_path):
     _write_json_batch(inbox, "c.json", [
         {"user_id": 10, "event_id": 4, "ts": "2024-01-01T03:00:00Z",
          "event_type": "view", "value": 0.0},
+        # purchase-only user: must leave NO state behind — a (None,)
+        # slot carries no event-time timer and would otherwise live
+        # forever (the all-time-key-set leak).
+        {"user_id": 11, "event_id": 5, "ts": "2024-01-01T03:00:00Z",
+         "event_type": "purchase", "value": 1.0},
     ])
     stream = file_ingest.file_stream(
         spark, inbox, schema, max_files_per_trigger=1
@@ -592,7 +597,10 @@ def test_streaming_funnel_watermarked_state_is_bounded(spark, tmp_path):
         p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
     )
     final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
-    assert removed == 3, f"expected users 7, 9, 8 evicted, got {removed}"
+    # 7, 9, 8 evicted by their event-time timers; 11's transient
+    # (None,) slot — created by the shared update, removed by the
+    # watermarked wrapper in the same batch — counts as the fourth.
+    assert removed == 4, f"expected 4 evictions, got {removed}"
     assert final_total == 1, f"expected only user 10 live, got {final_total}"
 
 
