@@ -19,6 +19,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_with_static_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-STATIC enrichment join: every micro-batch probes the
+    batch-side dimension table — the streaming face of the engine's
+    broadcast-dim star joins (catalog pre-load, S10), e.g. a live
+    event feed stamped with its user's segment before a windowed
+    rollup.
+
+    LEFT join so stream rows never block on dim lag (a user created
+    milliseconds ago enriches as NULL now rather than vanishing);
+    stateless on the stream side — unlike stream-stream joins nothing
+    buffers, so watermarks are not required for the join itself.
+
+    Scale shape: with ``broadcast`` (default) the dim ships to
+    executors once per micro-batch and the probe is map-side — no
+    shuffle of the stream. That is the right plan while the dim fits
+    the broadcast budget (dims here are the catalog tables); for a
+    huge dim, pass ``broadcast=False`` and pre-bucket both sides on
+    the key so the per-batch shuffle is co-located."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, "left")
+
+
 def clicks_then_errors(
     clicks: DataFrame,
     errors: DataFrame,

@@ -870,3 +870,73 @@ def test_funnel_update_deterministic_on_timestamp_ties():
     assert len(converted) == 1 and converted[0]["value"].iloc[0] == 9.9
     not_converted = run(view_id=2, purchase_id=1)
     assert not_converted == []
+
+
+def test_stream_static_dim_enrichment_rollup(spark, tmp_path):
+    """Stream-STATIC join (the streaming face of the catalog's
+    broadcast-dim star): a live event feed is stamped with its user's
+    static segment, then rolled into a tumbling revenue window per
+    segment. Left semantics: a user missing from the dim flows through
+    with a NULL segment instead of vanishing — dims may lag the
+    stream."""
+    from pythondataingestionprocess_spark.streaming.joins import (
+        enrich_with_static_dim,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    rows = _rows(0, 4, user=1) + [
+        dict(r, event_id=r["event_id"] + 50, user_id=2) for r in _rows(0, 4)
+    ]
+    rows.append(
+        {"event_id": 99, "ts": "2024-01-01T00:01:00.000Z", "user_id": 777,
+         "event_type": "click", "value": 5.0}
+    )
+    _write_json_batch(inbox, "a.json", rows)
+    dim = spark.createDataFrame(
+        [(1, "retail"), (2, "wholesale"), (3, "unused")],
+        "user_id long, segment string",
+    )
+
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    enriched = enrich_with_static_dim(stream, dim, "user_id")
+    agg = (
+        sw.with_watermark(enriched)
+        .groupBy(F.window("ts", "10 minutes"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("revenue"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "revenue",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_static_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["segment"], r["n_events"], r["revenue"])
+        for r in spark.sql("SELECT * FROM stream_static_test").collect()
+    }
+    # events 0..3 carry value 0+1+2+3 = 6.0 per user
+    assert got == {
+        ("retail", 4, 6.0),
+        ("wholesale", 4, 6.0),
+        (None, 1, 5.0),  # user 777 absent from the dim — left join
+    }
+
+    # batch face of the same function: the dim probe must be a
+    # broadcast hash join (no shuffle of the fact side)
+    batch = spark.createDataFrame(
+        [(1, 1.0)], "user_id long, value double"
+    )
+    plan = enrich_with_static_dim(batch, dim, "user_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
