@@ -95,6 +95,17 @@ NEW_R5: list[str] = [
     "events_funnel_watermark",
 ]
 
+# Staged for ROUND 6 (registered late in r5, deliberately OUTSIDE the
+# r5 window — the 50 slots were already committed). Round 6's rotation
+# is fully determined: the 48 queries last checked in r3 become the
+# stale front-load, and these 2 fill the window to exactly 50. The r6
+# session should rename this to NEW_R6-applied by folding it into the
+# priority list after rebuilding STALE from CORRECTNESS_r05.
+NEW_R6_STAGED: list[str] = [
+    "stream_static_revenue_rollup",
+    "q9_profit_by_nation_year",
+]
+
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4
 # ADVICE determinism fixes: merge_event_intervals now running-sums
 # over the flag window's (s, event_id) total order on both sides;
@@ -129,4 +140,5 @@ __all__ = [
     "STALE_R2",
     "NEW_R5",
     "PROMOTED_R5",
+    "NEW_R6_STAGED",
 ]

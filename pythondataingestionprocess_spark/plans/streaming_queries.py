@@ -443,3 +443,63 @@ def events_funnel_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "stream_static_revenue_rollup",
+    oracle=_STREAM_STATIC_ORACLE,
+    tags=("streaming", "join", "window"),
+)
+def stream_static_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of streaming/joins.py::enrich_with_static_dim — the
+    stream-STATIC star: live purchase events stamped with their
+    customer's nation through the broadcast dim probe, then rolled
+    into daily revenue per nation. The only cross-domain (events ×
+    warehouse-dim) join in the registry: the same plan a live feed
+    runs per micro-batch, so the batch oracle pins exactly what the
+    stream computes.
+
+    Scale shape: the purchase filter cuts the fact before the probe;
+    customer/nation broadcast (no shuffle of the event stream, which
+    is the property that matters per-micro-batch); one shuffle at the
+    (day, nation) output grain. INNER join here — the streaming test
+    covers the left/unmatched-key face; the oracle-checked face keeps
+    the star exact. date_trunc is NTZ-polymorphic (events ts reads as
+    TIMESTAMP_NTZ under a vanilla session)."""
+    from pythondataingestionprocess_spark.plans.registry import dec_sum
+    from pythondataingestionprocess_spark.streaming.joins import (
+        enrich_with_static_dim,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    purchases = ev.filter(F.col("event_type") == "purchase").withColumnRenamed(
+        "user_id", "c_custkey"
+    )
+    dim = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    enriched = enrich_with_static_dim(purchases, dim, "c_custkey").filter(
+        F.col("n_name").isNotNull()  # inner face for the oracle
+    )
+    return enriched.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "n_name",
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dec_sum("value", "revenue"),
+    )

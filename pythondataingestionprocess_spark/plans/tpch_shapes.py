@@ -559,3 +559,57 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = dd.shingle_sets(docs, "doc_id", "text", 3)
     return dd.containment_pairs(sh, "doc_id", 0.8)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9: profit per supplier nation per order year.
+# ---------------------------------------------------------------------------
+
+_PROFIT = f"{_REV} - 0.6 * p_retailprice * l_quantity"
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {sql_dec_sum(_PROFIT, "profit")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE contains(p_name, 'gear')
+GROUP BY 1, 2
+"""
+
+
+@query("q9_profit_by_nation_year", oracle=_Q9_ORACLE, tags=("join", "agg", "star"))
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on one product line ('gear' parts) per supplier nation per
+    order year. Cost is re-expressed as 0.6·p_retailprice·l_quantity
+    (no partsupp/ps_supplycost in this schema); the p_name substring ('gear')
+    filter and the two-key (nation, year) rollup keep the plan shape —
+    a 5-table star whose fact⋈fact chain (lineitem⋈orders) shuffles
+    once while part/supplier/nation broadcast, with the part filter
+    cutting the probe BEFORE the join.
+
+    Determinism: the per-row profit expression is identical IEEE
+    double arithmetic in both engines (left-associative products, same
+    0.6 literal; magnitudes ~1e5, far under the 1e10 product-rounding
+    divergence band), then the decimal-sum convention."""
+    lineitem, part, supplier, orders, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    gear = part.filter(F.col("p_name").contains("gear")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(gear), lineitem["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dec_sum(profit, "profit"))
+    )

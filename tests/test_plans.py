@@ -373,3 +373,35 @@ def test_funnel_watermark_broadcasts_metrics_table(spark):
     plan = _formatted_plan(spark, "events_funnel_watermark")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stream_static_rollup_broadcasts_dim_single_shuffle(spark):
+    """The stream-static batch face must keep the property that makes
+    it viable per-micro-batch: the dim probe is a BROADCAST hash join
+    (the event stream is never shuffled for the join) and the only
+    exchange is the (day, nation) output aggregation. The purchase
+    filter must reach the events parquet scan."""
+    plan = _formatted_plan(spark, "stream_static_revenue_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exactly ONE shuffle exchange (the output aggregation); the other
+    # Exchange nodes must all be BroadcastExchange
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,purchase", plan), (
+        "purchase filter must be pushed to the events scan"
+    )
+
+
+def test_q9_star_broadcasts_all_dims_prunes_part(spark):
+    """Q9's 5-table star: part/supplier/nation broadcast (the only
+    shuffle joins allowed are on the lineitem⋈orders fact chain), the
+    'gear' name filter cuts part BEFORE the join, and the part scan
+    reads only the join key + retailprice."""
+    plan = _formatted_plan(spark, "q9_profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    m = re.search(r"ReadSchema: struct<(p_[^>]*)>", plan)
+    assert m and m.group(1).count(":") <= 3, "part scan not pruned"
+    assert re.search(r"PushedFilters: \[[^\]]*p_name", plan) or (
+        "Contains(p_name" in plan
+    ), "gear filter must sit on the part side"
