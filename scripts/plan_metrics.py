@@ -42,6 +42,9 @@ DEFAULT_QUERIES = [
     "q18_large_volume_customers",
     "dedup_containment",
     "events_funnel_watermark",
+    # late-r5 additions (staged for the r6 driver window)
+    "stream_static_revenue_rollup",
+    "q9_profit_by_nation_year",
 ]
 
 

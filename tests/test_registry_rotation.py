@@ -11,6 +11,7 @@ a later registration or refactor silently reorders the window.
 
 from pythondataingestionprocess_spark.plans import (
     NEW_R5,
+    NEW_R6_STAGED,
     PROMOTED_R5,
     REGISTRY,
     STALE_R2,
@@ -61,8 +62,24 @@ def test_rotation_names_unique_and_registered():
     assert not missing
 
 
+def test_r6_staged_queries_sit_outside_the_window():
+    """Queries registered late in r5 for NEXT round's two free slots
+    must NOT displace anything in the current 50-row window — they
+    get their driver evidence in r6 (window = 48 r3-stale + these 2)."""
+    names = list(REGISTRY)
+    for n in NEW_R6_STAGED:
+        assert n in REGISTRY
+        assert names.index(n) >= DRIVER_WINDOW, (
+            f"{n} is staged for r6 but sits inside the r5 driver window"
+        )
+    assert len(NEW_R6_STAGED) <= 2, (
+        "r6 has exactly two free window slots (48 r3-checked stale "
+        "queries re-ride); extra registrations must wait for r7"
+    )
+
+
 def test_registry_intact_after_rotation():
     """Rotation reorders — it must not drop or duplicate any query."""
     names = list(REGISTRY)
     assert len(names) == len(set(names))
-    assert len(names) >= 146
+    assert len(names) >= 148
