@@ -473,12 +473,18 @@ def stream_static_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream computes.
 
     Scale shape: the purchase filter cuts the fact before the probe;
-    customer/nation broadcast (no shuffle of the event stream, which
-    is the property that matters per-micro-batch); one shuffle at the
-    (day, nation) output grain. INNER join here — the streaming test
-    covers the left/unmatched-key face; the oracle-checked face keeps
-    the star exact. date_trunc is NTZ-polymorphic (events ts reads as
-    TIMESTAMP_NTZ under a vanilla session)."""
+    nation broadcasts (fixed-size dim) but customer is a GROWING dim
+    (scales with SF — 1.5B rows at warehouse scale), so its probe is
+    deliberately NOT hint-broadcast: ``broadcast=False`` lets AQE
+    pick broadcast while the dim fits the budget (it does at every
+    test SF, so the plan guard still sees BroadcastHashJoin) and
+    degrade to a co-located shuffle join beyond it — hint-forcing the
+    broadcast would OOM the driver exactly at the scale this engine
+    targets. One shuffle at the (day, nation) output grain. INNER
+    join here — the streaming test covers the left/unmatched-key
+    face; the oracle-checked face keeps the star exact. date_trunc is
+    NTZ-polymorphic (events ts reads as TIMESTAMP_NTZ under a vanilla
+    session)."""
     from pythondataingestionprocess_spark.plans.registry import dec_sum
     from pythondataingestionprocess_spark.streaming.joins import (
         enrich_with_static_dim,
@@ -493,7 +499,9 @@ def stream_static_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = customer.join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", "n_name")
-    enriched = enrich_with_static_dim(purchases, dim, "c_custkey").filter(
+    enriched = enrich_with_static_dim(
+        purchases, dim, "c_custkey", broadcast=False
+    ).filter(
         F.col("n_name").isNotNull()  # inner face for the oracle
     )
     return enriched.groupBy(

@@ -377,8 +377,10 @@ def test_funnel_watermark_broadcasts_metrics_table(spark):
 
 def test_stream_static_rollup_broadcasts_dim_single_shuffle(spark):
     """The stream-static batch face must keep the property that makes
-    it viable per-micro-batch: the dim probe is a BROADCAST hash join
-    (the event stream is never shuffled for the join) and the only
+    it viable per-micro-batch: the dim probe resolves to a BROADCAST
+    hash join (AQE-chosen — the query deliberately does NOT hint-force
+    it, since customer is a growing dim; at test SF the stats pick
+    broadcast, so this guard still bites) and the only shuffle
     exchange is the (day, nation) output aggregation. The purchase
     filter must reach the events parquet scan."""
     plan = _formatted_plan(spark, "stream_static_revenue_rollup")
