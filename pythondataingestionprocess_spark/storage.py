@@ -100,3 +100,36 @@ def compact_dir(
             .parquet(f"{out_path}/bin_{i:05d}")
         )
     return len(groups)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic: bool = True,
+) -> None:
+    """Hive-style partitioned parquet write with DYNAMIC partition
+    overwrite: only the partitions present in ``df`` are replaced;
+    every other partition on disk survives. This is the idempotent
+    daily-reload primitive — re-running one day's load rewrites that
+    day's directory and nothing else (static overwrite mode would
+    silently truncate the whole table; ``dynamic=False`` exposes it
+    for the rare full-rebuild).
+
+    Scale notes: (1) downstream readers get PARTITION PRUNING for
+    free — a ``day = X`` filter reads one directory, not 100 TB (the
+    PartitionFilters line in the scan, pinned by the test); (2) the
+    partition column should be low-cardinality (day, region — never a
+    key), or the write fans out into millions of directories;
+    (3) pair with a per-partition ``repartition`` upstream if the
+    incoming frame has many tasks, else each task writes a file into
+    every partition it touches (tasks × partitions small files).
+    """
+    (
+        df.write.mode("overwrite")
+        .option(
+            "partitionOverwriteMode", "dynamic" if dynamic else "static"
+        )
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -135,3 +135,59 @@ def test_compaction_bins_small_files_and_preserves_rows(spark, tmp_path):
     before = df.orderBy("o_orderkey").collect()
     after = spark.read.parquet(out + "/bin_*").orderBy("o_orderkey").collect()
     assert before == after
+
+
+def test_dynamic_partition_overwrite_replaces_only_loaded_days(spark, tmp_path):
+    """write_partitioned is the idempotent daily-reload primitive:
+    re-loading day 2 must replace ONLY day 2's directory — days 1 and
+    3 keep their original rows (static overwrite mode would truncate
+    the whole table). Reading back with a day filter must prune to the
+    one partition directory (PartitionFilters in the scan)."""
+    from pythondataingestionprocess_spark.storage import write_partitioned
+
+    path = str(tmp_path / "facts")
+    initial = spark.createDataFrame(
+        [(d, i, float(10 * d + i)) for d in (1, 2, 3) for i in range(4)],
+        "day int, rec_id int, amount double",
+    )
+    write_partitioned(initial, path, ["day"])
+    assert spark.read.parquet(path).count() == 12
+
+    # day-2 correction: fewer rows, new values
+    reload_day2 = spark.createDataFrame(
+        [(2, 99, 999.0)], "day int, rec_id int, amount double"
+    )
+    write_partitioned(reload_day2, path, ["day"])
+
+    got = spark.read.parquet(path)
+    per_day = {r["day"]: r["n"] for r in
+               got.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_day == {1: 4, 2: 1, 3: 4}, "other days must survive the reload"
+    assert got.filter(F.col("day") == 2).first()["amount"] == 999.0
+
+    # partition pruning: the day filter must land in PartitionFilters,
+    # not a post-scan Filter over all directories
+    pruned = got.filter(F.col("day") == 3).select("rec_id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_static_overwrite_truncates_whole_table(spark, tmp_path):
+    """The dynamic=False face: a one-partition write under static
+    overwrite mode drops every other partition — pinned so the
+    difference stays visible (this is the foot-gun write_partitioned
+    defaults away from)."""
+    from pythondataingestionprocess_spark.storage import write_partitioned
+
+    path = str(tmp_path / "facts")
+    initial = spark.createDataFrame(
+        [(d, d) for d in (1, 2, 3)], "day int, rec_id int"
+    )
+    write_partitioned(initial, path, ["day"])
+    write_partitioned(
+        spark.createDataFrame([(2, 99)], "day int, rec_id int"),
+        path,
+        ["day"],
+        dynamic=False,
+    )
+    assert [r["day"] for r in spark.read.parquet(path).collect()] == [2]

@@ -118,3 +118,59 @@ def test_tuned_session_leaves_runtime_filter_enabled(spark):
         spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
         == "true"
     )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the runtime complement to the manual
+    salting operator (operators/skew.py): one hot key owning ~all of
+    the big side must be SPLIT by OptimizeSkewedJoin (the sort-merge
+    join node reports skew=true) once a partition exceeds the skew
+    thresholds. Dormant at test data sizes for the same reason the
+    Bloom rule is — so, as there, thresholds are forced down to prove
+    the registry's join shapes remain ELIGIBLE, and restored after."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # keep AQE from first coalescing the skew away
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows, 95% on key 0; modest right side, same key space
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        joined = big.join(small, "k")
+        # collect() (not count()) so THIS DataFrame's QueryExecution
+        # runs and AQE finalizes it — count() wraps the plan in its
+        # own QE and leaves this one unexecuted (isFinalPlan=false)
+        assert len(joined.collect()) == 200_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, (
+            "OptimizeSkewedJoin did not split the hot partition:\n"
+            + final[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_session_keeps_skew_join_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
