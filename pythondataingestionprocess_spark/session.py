@@ -10,6 +10,14 @@ cluster at ~100 TB:
 - Arrow enabled for the (rare) Pandas-UDF paths
 - UTC session timezone so timestamp semantics are stable across
   environments (and match the DuckDB oracle)
+
+Streaming state store: local runs keep the default HDFS-backed
+provider (in-heap, fastest at test-sized state). At cluster scale set
+``spark.sql.streaming.stateStore.providerClass`` to the bundled
+``RocksDBStateStoreProvider`` — keyed state then lives on executor
+local disk (block-cache reads) instead of heap, so dedup/session/
+funnel state scales with SSD, not memory. Engine compatibility is
+proven by tests/test_streaming.py::test_streaming_agg_on_rocksdb_state_store.
 """
 
 from __future__ import annotations

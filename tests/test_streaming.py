@@ -940,3 +940,56 @@ def test_stream_static_dim_enrichment_rollup(spark, tmp_path):
     plan = enrich_with_static_dim(batch, dim, "user_id")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_streaming_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The tumbling aggregation running on the RocksDB state store
+    provider — the 100 TB state choice: the default HDFS-backed
+    provider holds every key's state in executor HEAP (double-buffered
+    maps), which caps keyed-state cardinality at memory; RocksDB keeps
+    the working set on local disk with block-cache reads, so state
+    scales with SSD, not heap. Functional parity is asserted on the
+    same windows as the default-provider test; the progress metrics
+    must prove RocksDB actually served the state ops."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    inbox = str(tmp_path / "inbox")
+    _write_json_batch(inbox, "a.json", _rows(0, 30))
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+        agg = sw.tumbling_agg(sw.with_watermark(stream), duration="10 minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_tumbling")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r["window_start"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM rocksdb_tumbling").collect()
+        }
+        assert got == {
+            ("2024-01-01 00:00:00", 10),
+            ("2024-01-01 00:10:00", 10),
+            ("2024-01-01 00:20:00", 10),
+        }
+        progress = json.dumps(
+            [json.loads(p.json) for p in q.recentProgress]
+        ).lower()
+        assert "rocksdb" in progress, (
+            "state operator metrics show no RocksDB involvement — "
+            "provider conf was not picked up"
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
