@@ -176,3 +176,99 @@ def ann_lsh(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization: the memory/bandwidth tier under the float scan.
+# ---------------------------------------------------------------------------
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec array<tinyint>) — symmetric per-vector int8
+    quantization: q = round(x · 127/max|x|), so every vector spans the
+    full int8 range. COSINE SURVIVES QUANTIZATION EXACTLY in
+    expectation: cos(a,b) ≈ (qa·qb)/(|qa||qb|) because the per-vector
+    scales cancel in the ratio — no scale column needs to ride along
+    for similarity search (store one only to reconstruct magnitudes).
+
+    Scale story: an array<double> embedding is 8 bytes/dim; int8 is 1.
+    At 100 TB of embeddings that is the difference between a corpus
+    that fits executor page cache and one that thrashes — the scan
+    tier below LSH/IVF pruning gets 8× the rows per byte of I/O. One
+    HOF pass per row (array_max + transform), map-side, no shuffle.
+    Zero vectors quantize to zero vectors (NULL-safe guard on the
+    scale divisor).
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, 127.0 / absmax).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            v, lambda x: F.round(x.cast("double") * scale).cast("tinyint")
+        ).alias("qvec"),
+    )
+
+
+def _int8_scores_udf(q_mat: np.ndarray):
+    """Arrow kernel: per corpus row, cosine against ALL queries from
+    int8 dots accumulated in int32 — one (batch × dim)·(dim × n_q)
+    integer GEMM per Arrow batch (same sanctioned escape hatch as
+    _buckets_udf; interpreted per-pair array folds would be ~100×
+    slower and defeat the bandwidth win)."""
+    from pyspark.sql.functions import pandas_udf
+
+    qm = q_mat.astype(np.int32)  # (n_q, dim)
+    q_norms = np.sqrt((qm * qm).sum(axis=1))
+
+    @pandas_udf("array<double>")
+    def _scores(qvec: pd.Series) -> pd.Series:
+        mat = np.vstack(qvec.to_numpy()).astype(np.int32)  # (n, dim)
+        dots = mat @ qm.T  # int32 exact: |dot| ≤ dim·127² ≪ 2³¹
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        denom = norms * q_norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, dots / denom, 0.0)
+        return pd.Series(list(cos))
+
+    return _scores
+
+
+def knn_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Quantized exact-scan top-k: int8 corpus × int8 queries, same
+    output contract as knn_bruteforce (query_id, neighbor_id, cos,
+    rank). The corpus pass is map-side (quantize + integer GEMM per
+    Arrow batch); the only shuffle is the per-query top-k window,
+    same as the float brute scan. Recall vs the float scan is pinned
+    by test (≥0.9 @ k=5 on the real corpus); rank ties broken by
+    neighbor_id for determinism.
+
+    The queries side is collected into the kernel closure — same
+    small-side assumption the float scan makes with its broadcast.
+    """
+    cq = quantize_int8(corpus, id_col, vec_col)
+    qq = quantize_int8(queries, id_col, vec_col).orderBy(id_col).collect()
+    q_ids = [r[0] for r in qq]
+    q_mat = np.array([r[1] for r in qq], dtype=np.int32)
+    scores = _int8_scores_udf(q_mat)
+    id_map = F.array(*[F.lit(i) for i in q_ids])
+    exploded = (
+        cq.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(scores(F.col("qvec"))).alias("qpos", "cos"),
+        )
+        .withColumn("query_id", F.element_at(id_map, F.col("qpos") + 1))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return exploded.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -528,3 +528,46 @@ def test_lsh_pair_memo_keys_on_session_and_dir(spark):
     b = _lsh_pairs_cached(spark, "/root/testdata/sf0.01")
     assert a1 is a2
     assert a1 is not b
+
+
+def test_int8_knn_recall_vs_float_brute(spark, sf_dir):
+    """Quantized exact scan vs the float brute scan on the real
+    corpus: int8 keeps ≥0.9 recall@5 (in practice near-1.0 — the
+    quantization error on cosine is O(1/127) while neighbor gaps on
+    random vectors are much wider), at 1/8 the bytes per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = sim.knn_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
+    q8 = sim.knn_int8(emb, queries, k=5).select("query_id", "neighbor_id")
+    n_true = brute.count()
+    n_hit = brute.join(q8, ["query_id", "neighbor_id"], "left_semi").count()
+    assert n_true > 0
+    assert n_hit / n_true >= 0.9, f"int8 recall {n_hit / n_true}"
+
+
+def test_int8_quantization_bounds_and_zero_vector(spark):
+    """Full-range symmetric quantization: max|component| maps to ±127;
+    a zero vector survives as all-zeros (no NULLs, no division blowup);
+    quantized cosine of a vector with itself is 1."""
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [2.0, 2.0, 2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["qvec"] for r in
+           sim.quantize_int8(df).collect()}
+    assert got[1] == [64, -127, 32, 0]
+    assert got[2] == [0, 0, 0, 0]
+    assert got[3] == [127, 127, 127, 127]
+
+    # self-cosine through the int8 kernel is exactly 1 (identical rows)
+    corpus = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.1]), (2, [0.5, -1.0, 0.25, 0.1]),
+         (3, [-0.5, 1.0, -0.25, -0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.knn_int8(corpus, corpus.filter(F.col("vec_id") == 1), k=2).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["neighbor_id"] == 2 and abs(by_rank[1]["cos"] - 1.0) < 1e-12
+    assert by_rank[2]["neighbor_id"] == 3 and abs(by_rank[2]["cos"] + 1.0) < 1e-12
