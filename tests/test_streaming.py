@@ -1038,3 +1038,40 @@ def test_streaming_partitioned_parquet_sink_exactly_once(spark, tmp_path):
     assert per_day == {"2024-01-01": 3, "2024-01-02": 2}
     import os as _os
     assert _os.path.isdir(_os.path.join(out, "day=2024-01-02"))
+
+
+def test_row_level_malformed_quarantine(spark, tmp_path):
+    """PERMISSIVE parse + row-level quarantine: two poison lines in a
+    four-line file divert to quarantine/batch_0 WITH their raw text
+    (replayable), while the two clean rows reach the sink — one bad
+    row no longer dead-letters its whole batch. The stream finishes
+    normally."""
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    quarantine = str(tmp_path / "quarantine")
+    os.makedirs(inbox, exist_ok=True)
+    good = _rows(0, 2)
+    with open(os.path.join(inbox, "a.json"), "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write('{"event_id": 7, "ts": "2024-01-01T00:07:00.000Z", "user_id"\n')
+        f.write(json.dumps(good[1]) + "\n")
+        f.write("not json at all\n")
+
+    def process(batch_df, batch_id):
+        clean = file_ingest.quarantine_malformed(batch_df, quarantine, batch_id)
+        clean.write.mode("append").parquet(out)
+
+    stream = file_ingest.file_stream(
+        spark, inbox, file_ingest.with_corrupt_capture(EVENTS_SCHEMA)
+    )
+    file_ingest.run_ingestion(
+        stream, process, str(tmp_path / "ckpt")
+    ).awaitTermination(60)
+
+    clean = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in clean.collect()) == [0, 1]
+    assert "_corrupt_record" not in clean.columns
+    quarantined = spark.read.parquet(os.path.join(quarantine, "batch_0"))
+    raws = [r["_corrupt_record"] for r in quarantined.collect()]
+    assert len(raws) == 2
+    assert any("not json at all" in r for r in raws)
