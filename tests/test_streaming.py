@@ -1075,3 +1075,41 @@ def test_row_level_malformed_quarantine(spark, tmp_path):
     raws = [r["_corrupt_record"] for r in quarantined.collect()]
     assert len(raws) == 2
     assert any("not json at all" in r for r in raws)
+
+
+def test_progress_listener_logs_metrics_as_queryable_table(spark, tmp_path):
+    """The ops surface: a session-attached listener persists every
+    micro-batch's StreamingQueryProgress as JSON lines that read back
+    as a normal DataFrame — rows/sec, batch duration, state and
+    watermark metrics become warehouse-queryable with no pipeline
+    instrumentation."""
+    from pythondataingestionprocess_spark.streaming.monitoring import (
+        attach_progress_log,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    log_dir = str(tmp_path / "qlog")
+    _write_json_batch(inbox, "a.json", _rows(0, 10))
+    listener = attach_progress_log(spark, log_dir)
+    try:
+        stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+        agg = sw.tumbling_agg(sw.with_watermark(stream), duration="10 minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("progress_log_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener callbacks are async — give the driver thread a beat
+        deadline = time.time() + 20
+        while time.time() < deadline and not os.listdir(log_dir):
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    log = spark.read.json(log_dir)
+    assert log.count() >= 1
+    assert "numInputRows" in log.columns and "batchId" in log.columns
+    mine = log.filter(F.col("name") == "progress_log_test")
+    assert mine.agg(F.sum("numInputRows")).first()[0] == 10
