@@ -191,3 +191,29 @@ def test_static_overwrite_truncates_whole_table(spark, tmp_path):
         dynamic=False,
     )
     assert [r["day"] for r in spark.read.parquet(path).collect()] == [2]
+
+
+def test_partitioned_table_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema widening across daily reloads: day 2 arrives with a new
+    column the day-1 files lack. Dynamic overwrite keeps day 1 as-is;
+    a mergeSchema read unions the schemas, NULL-filling the old
+    partition — the evolution story for the partitioned layout (the
+    default read would serve whichever schema the footer sample
+    picked, silently dropping the new column for some file orders)."""
+    from pythondataingestionprocess_spark.storage import write_partitioned
+
+    path = str(tmp_path / "facts")
+    write_partitioned(
+        spark.createDataFrame([(1, 10)], "day int, amount int"), path, ["day"]
+    )
+    write_partitioned(
+        spark.createDataFrame(
+            [(2, 20, "eur")], "day int, amount int, currency string"
+        ),
+        path,
+        ["day"],
+    )
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(got.columns) == {"day", "amount", "currency"}
+    rows = {r["day"]: (r["amount"], r["currency"]) for r in got.collect()}
+    assert rows == {1: (10, None), 2: (20, "eur")}
