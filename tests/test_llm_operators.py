@@ -571,3 +571,35 @@ def test_int8_quantization_bounds_and_zero_vector(spark):
     by_rank = {r["rank"]: r for r in out}
     assert by_rank[1]["neighbor_id"] == 2 and abs(by_rank[1]["cos"] - 1.0) < 1e-12
     assert by_rank[2]["neighbor_id"] == 3 and abs(by_rank[2]["cos"] + 1.0) < 1e-12
+
+
+def test_subsequence_match_finds_scaled_shifted_pattern(spark):
+    """Z-normalized subsequence search: a 2x-amplified, +100-shifted
+    copy of the query pattern planted in one user's series must win
+    with distance ~0 (scale/shift invariance), at the right end
+    position; a noise-only user must not beat it. Flat windows are
+    excluded (std 0)."""
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        subsequence_match,
+    )
+
+    pattern = [1.0, 3.0, 2.0, 5.0, 4.0]
+    planted = [100 + 2 * x for x in pattern]  # shifted + scaled copy
+    series_a = [7.0, 7.5, 6.0] + planted + [9.0, 8.0]   # match ends at idx 7
+    series_b = [5.0, 5.0, 5.0, 5.0, 5.0, 1.0, 9.0, 1.0, 9.0, 1.0]  # noise+flat
+    rows = [
+        (1, f"2024-01-01 00:{i:02d}:00", i, v) for i, v in enumerate(series_a)
+    ] + [
+        (2, f"2024-01-01 00:{i:02d}:00", i, v) for i, v in enumerate(series_b)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    top = subsequence_match(df, pattern, k=3).collect()
+    best = top[0]
+    assert best["user_id"] == 1 and best["end_seq"] == 7
+    assert best["dist"] < 1e-9
+    assert all(r["dist"] >= best["dist"] for r in top)
+    # the all-flat 5.0 window of user 2 (ends at seq 4) must be absent
+    assert not any(r["user_id"] == 2 and r["end_seq"] == 4 for r in top)
