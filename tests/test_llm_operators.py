@@ -603,3 +603,28 @@ def test_subsequence_match_finds_scaled_shifted_pattern(spark):
     assert all(r["dist"] >= best["dist"] for r in top)
     # the all-flat 5.0 window of user 2 (ends at seq 4) must be absent
     assert not any(r["user_id"] == 2 and r["end_seq"] == 4 for r in top)
+
+
+def test_subsequence_match_single_shuffle_no_python(spark):
+    """Plan contract for the subsequence search: ONE hash exchange
+    (the per-key window partitioning), ONE Window node carrying the
+    subsequence array and both moments (same frame — no second pass),
+    a TakeOrderedAndProject top-k (k-sized, not a data-grain sort),
+    and zero Python eval nodes."""
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        subsequence_match,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = subsequence_match(ev, [1.0, 3.0, 2.0, 5.0, 4.0], k=10)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(_re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
