@@ -628,3 +628,49 @@ def test_subsequence_match_single_shuffle_no_python(spark):
     assert len(_re.findall(r"\(\d+\) Window\b", plan)) == 1
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_subsequence_match_matches_duckdb_oracle(spark):
+    """Cross-engine parity for the r7 registration candidate: the
+    top-10 (user, position, dist) from subsequence_match equals a
+    DuckDB list-window replay (dist rounded to 6 dp; the pattern's
+    z-norm is hand-expanded in the SQL: mean 3, stddev_pop √2). This
+    is the oracle that will back an `events_pattern_match` registry
+    entry once a driver-window slot opens (r7 — r6's two slots are
+    spent)."""
+    import duckdb
+
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        subsequence_match,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    got = [
+        (r["user_id"], r["end_seq"], round(r["dist"], 6))
+        for r in subsequence_match(ev, [1.0, 3.0, 2.0, 5.0, 4.0], k=10).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle = con.execute(
+        """
+        WITH f AS (
+          SELECT user_id, event_id AS end_seq,
+                 list(value) OVER w AS win,
+                 avg(value) OVER w AS mu,
+                 stddev_pop(value) OVER w AS sd
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, end_seq,
+               sqrt(list_sum(list_transform(
+                    list_zip(win, [1.0,3.0,2.0,5.0,4.0]),
+                    z -> pow((z[1]-mu)/sd - (z[2]-3.0)/sqrt(2.0), 2)))) AS dist
+        FROM f WHERE len(win)=5 AND sd > 0
+        ORDER BY dist, user_id, end_seq LIMIT 10
+        """
+    ).fetchall()
+    assert got == [(u, s, round(d, 6)) for u, s, d in oracle]
