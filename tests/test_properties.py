@@ -218,3 +218,68 @@ def test_containment_pairs_match_python_reference(spark, docs):
         for r in dd.containment_pairs_prefix(sdf, "doc_id", "text", 3, 0.8).collect()
     }
     assert set(blocked) == set(ref)
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            min_size=8, max_size=8,
+        ).filter(lambda v: max(abs(x) for x in v) > 1e-6),
+        min_size=2, max_size=12,
+    )
+)
+def test_int8_quantized_cosine_close_to_float(spark, vecs):
+    """Quantized cosine tracks float cosine within the int8 error
+    envelope on arbitrary vectors: |cos_q − cos_f| ≤ 0.07 for dim-8
+    (per-component error ≤ 1/254 of the range; the bound loosens as
+    √dim shrinks, hence small-dim slack). Zero-ish vectors are
+    filtered — quantize_int8 maps them to zero by contract."""
+    import math
+
+    from pythondataingestionprocess_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["qvec"] for r in sim.quantize_int8(df).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return num / (da * db) if da > 0 and db > 0 else 0.0
+
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            qi, qj = got[i], got[j]
+            if any(qi) and any(qj):
+                assert abs(cos(qi, qj) - cos(vecs[i], vecs[j])) <= 0.07
+
+
+@SET
+@given(
+    scale=st.floats(min_value=0.05, max_value=50),
+    shift=st.floats(min_value=-1000, max_value=1000),
+)
+def test_subsequence_match_scale_shift_invariant(spark, scale, shift):
+    """For ANY positive scale and any shift, an affine copy of the
+    pattern embedded in noise is found at distance ~0 at the right
+    position — the z-normalization contract, not just one example."""
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        subsequence_match,
+    )
+
+    pattern = [1.0, 4.0, 2.0, 6.0, 3.0]
+    series = [9.0, 7.0] + [shift + scale * x for x in pattern] + [8.0]
+    rows = [
+        (1, f"2024-01-01 00:{i:02d}:00", i, v) for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    best = subsequence_match(df, pattern, k=1).collect()[0]
+    assert best["end_seq"] == 6
+    assert best["dist"] < 1e-6
