@@ -774,17 +774,23 @@ def test_rate_source_tumbling_window(spark, tmp_path):
     )
     try:
         deadline = time.time() + 60
-        total = 0
+        total, n_windows = 0, 0
         while time.time() < deadline:
             q.processAllAvailable()
-            rows = spark.sql(
-                "SELECT SUM(n_events) AS n FROM rate_tumbling"
-            ).collect()
-            total = rows[0].n or 0
-            if total >= 150:
+            row = spark.sql(
+                "SELECT SUM(n_events) AS n, COUNT(*) AS w FROM rate_tumbling"
+            ).collect()[0]
+            total, n_windows = row.n or 0, row.w or 0
+            # ≥4 windows guarantees at least two INTERIOR ones — with
+            # only a count floor, 200 rows can land as exactly two
+            # FULL windows and leave nothing interior to assert on
+            # (observed flake)
+            if total >= 150 and n_windows >= 4:
                 break
             time.sleep(0.5)
-        assert total >= 150, f"rate source produced only {total} rows in time"
+        assert total >= 150 and n_windows >= 4, (
+            f"rate source produced only {total} rows / {n_windows} windows"
+        )
         per_window = spark.sql(
             "SELECT window_start, n_events FROM rate_tumbling ORDER BY window_start"
         ).collect()
