@@ -95,3 +95,56 @@ def subsequence_match(
         .orderBy("dist", key_col, "end_seq")
         .limit(k)
     )
+
+
+def decayed_feature(
+    df: DataFrame,
+    half_life_rows: float = 8.0,
+    window_rows: int = 32,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-row exponentially-decayed activity score — the standard
+    recency-weighted feature (EWMA with a row half-life) training
+    pipelines attach to every event: newer history counts more,
+    weight halving every ``half_life_rows`` rows back.
+
+    The textbook recursion ``s_t = v_t + a·s_{t-1}`` is inexpressible
+    as a Spark window (self-referential); the usual closed forms
+    (a^t · Σ v_i a^{-i}) overflow doubles within a few hundred rows.
+    This takes the TRUNCATED form instead: fold the last
+    ``window_rows`` values with explicit weights a^0..a^{m-1} — exact
+    for the window it sees, and the truncation error is bounded by
+    a^m (< 0.07 with the defaults, 32 rows at half-life 8) which at
+    100 TB is far below feature noise. Same single-shuffle
+    collect_list frame as subsequence_match; weights are a LITERAL
+    array, zip_with'd against the reversed window so index 0 is the
+    current row.
+
+    Output: (key, seq, ts, decayed) — one row per input event, the
+    score as of that event inclusive.
+    """
+    a = 0.5 ** (1.0 / half_life_rows)
+    m = window_rows
+    weights = F.array(*[F.lit(a ** i) for i in range(m)])
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col, seq_col)
+        .rowsBetween(-(m - 1), 0)
+    )
+    win = F.reverse(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )  # newest first, aligned with weights a^0, a^1, ...
+    decayed = F.aggregate(
+        F.zip_with(win, F.slice(weights, 1, F.size(win)), lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(key_col),
+        F.col(seq_col).alias("seq"),
+        F.col(ts_col).alias("ts"),
+        decayed.alias("decayed"),
+    )

@@ -674,3 +674,43 @@ def test_subsequence_match_matches_duckdb_oracle(spark):
         """
     ).fetchall()
     assert got == [(u, s, round(d, 6)) for u, s, d in oracle]
+
+
+def test_decayed_feature_matches_python_recursion(spark):
+    """The truncated windowed fold must equal the exact EWMA
+    recursion s_t = v_t + a·s_{t-1} while the history fits the
+    window, and stay within the a^m truncation bound beyond it.
+    Interleaved keys confirm per-key isolation."""
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        decayed_feature,
+    )
+
+    half_life, m = 4.0, 8
+    a = 0.5 ** (1.0 / half_life)
+    vals_u1 = [1.0, 0.0, 2.0, 5.0, 3.0, 0.5, 4.0, 1.5, 2.5, 0.25, 6.0, 1.0]
+    vals_u2 = [10.0, 20.0, 30.0]
+    rows = [
+        (u, f"2024-01-01 00:{i:02d}:00", i, v)
+        for u, series in ((1, vals_u1), (2, vals_u2))
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["user_id"], r["seq"]): r["decayed"]
+        for r in decayed_feature(
+            df, half_life_rows=half_life, window_rows=m
+        ).collect()
+    }
+
+    for u, series in ((1, vals_u1), (2, vals_u2)):
+        s = 0.0
+        for i, v in enumerate(series):
+            s = v + a * s  # exact recursion
+            if i < m:
+                assert got[(u, i)] == pytest.approx(s, abs=1e-12), (u, i)
+            else:
+                # truncation drops terms older than m rows: bounded by
+                # a^m * max history prefix
+                assert abs(got[(u, i)] - s) <= (a ** m) * sum(series) + 1e-9
