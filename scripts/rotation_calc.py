@@ -35,12 +35,25 @@ if "--window" in sys.argv:
     WINDOW = int(sys.argv[sys.argv.index("--window") + 1])
 
 last_checked: dict[str, int] = {}
+failed_latest: set[str] = set()
 for path in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
     rnd = int(re.search(r"r0*(\d+)", path).group(1))
     with open(path) as f:
-        for name in json.load(f):
-            if name in REGISTRY:
-                last_checked[name] = max(last_checked.get(name, 0), rnd)
+        for name, row in json.load(f).items():
+            if name not in REGISTRY:
+                continue
+            # a FAILED row is not evidence — the query must ride the
+            # next window again, not age out of rotation as "checked"
+            ok = not row.get("err") and row.get("hash_match") is not False
+            if ok and rnd > last_checked.get(name, 0):
+                last_checked[name] = rnd
+                failed_latest.discard(name)
+            elif not ok and rnd >= last_checked.get(name, 0):
+                failed_latest.add(name)
+
+if failed_latest:
+    print(f"ALERT: latest driver row FAILED for {sorted(failed_latest)} — "
+          f"fix and front-load these first", file=sys.stderr)
 
 staged = [n for n in NEW_R6_STAGED if n in REGISTRY]
 never = sorted(
