@@ -43,8 +43,15 @@ for path in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
             if name not in REGISTRY:
                 continue
             # a FAILED row is not evidence — the query must ride the
-            # next window again, not age out of rotation as "checked"
-            ok = not row.get("err") and row.get("hash_match") is not False
+            # next window again, not age out of rotation as "checked".
+            # "no_oracle" is NOT a failure: rows-only queries record it
+            # by design (the driver's weaker rows-only check).
+            err = row.get("err")
+            ok = (
+                (not err or err == "no_oracle")
+                and row.get("hash_match") is not False
+                and row.get("rows_match") is not False
+            )
             if ok and rnd > last_checked.get(name, 0):
                 last_checked[name] = rnd
                 failed_latest.discard(name)
