@@ -83,3 +83,30 @@ def test_registry_intact_after_rotation():
     names = list(REGISTRY)
     assert len(names) == len(set(names))
     assert len(names) >= 148
+
+
+def test_rotation_calculator_reproduces_current_window():
+    """scripts/rotation_calc.py is round 6's first tool — it must
+    reconstruct the CURRENT round's window composition from the
+    committed CORRECTNESS files alone (38 r2-stale + the 10 new-r5
+    registrations it sees as evidence-less + the 2 staged), with no
+    failed-row alerts (all committed evidence is green; rows-only
+    "no_oracle" rows must not be misread as failures)."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "/root/repo/scripts/rotation_calc.py"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "ALERT" not in proc.stderr
+    assert "# window 50 = 38 stale + 10 unstaged-never + 2 staged" in proc.stdout
+    # the stale block it derives must equal the committed r5 front-load
+    import re as _re
+
+    stale = _re.search(r"STALE = \[(.*?)\]", proc.stdout, _re.S).group(1)
+    names = _re.findall(r'"([^"]+)"', stale)
+    assert sorted(names) == sorted(STALE_R2)
