@@ -139,12 +139,24 @@ def write_two_sheet_excel(
     msi: DataFrame, charges: DataFrame, path: str
 ) -> None:
     """S7 Excel two-sheet sink (pdf_to_xlsx.py:126-128). Driver-side —
-    statement outputs are small by construction. Import-gated on an
-    Excel engine."""
+    statement outputs are small by construction. Uses openpyxl when
+    present; otherwise the dependency-free stdlib codec
+    (sources/xlsx_lite.py), so the sink is no longer import-gated."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - absent in container
-        raise ImportError("Excel writing needs openpyxl") from exc
+    except ImportError:
+        from pythondataingestionprocess_spark.sources import xlsx_lite
+
+        def rows_of(df: DataFrame) -> list[list]:
+            header = list(df.columns)
+            return [header] + [
+                [row[c] for c in header] for row in df.collect()
+            ]
+
+        xlsx_lite.write_workbook(
+            path, [("msi", rows_of(msi)), ("compras", rows_of(charges))]
+        )
+        return
     import pandas as pd  # pragma: no cover
 
     with pd.ExcelWriter(path, engine="openpyxl") as writer:  # pragma: no cover

@@ -105,17 +105,14 @@ def read_workbook(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, list[str | None]]:
     """S2/S3: read sheets ``Compras``+``Precios`` and the Preview
-    hyperlink list from one workbook. Import-gated (no openpyxl in
-    this container); the in-memory test path builds the same shapes
-    via ``spark.createDataFrame`` + :func:`attach_positional`."""
+    hyperlink list from one workbook. Prefers openpyxl when present
+    (full fidelity); otherwise decodes with the dependency-free
+    stdlib codec (:mod:`xlsx_lite`) — real .xlsx files work either
+    way, so this path is no longer import-gated."""
     try:
         from openpyxl import load_workbook
-    except ImportError as exc:  # pragma: no cover - absent in container
-        raise ImportError(
-            "workbook reading needs openpyxl; construct the sheet "
-            "DataFrames directly and use attach_positional/clean_* "
-            "instead"
-        ) from exc
+    except ImportError:
+        return _read_workbook_lite(spark, path)
 
     # pragma: no cover start — exercised only where openpyxl exists
     with open(path, "rb") as f:
@@ -147,3 +144,38 @@ def read_workbook(
 
     return sheet_df("Compras"), sheet_df("Precios"), links
     # pragma: no cover end
+
+
+def _read_workbook_lite(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, list[str | None]]:
+    """openpyxl-free decode via the stdlib codec. Same output contract
+    as the openpyxl path: string-typed cells (schema-on-read), the
+    file's row order stamped into ``row_idx``, and the Preview
+    column's hyperlink TARGET per Precios data row (the S3
+    side-channel — the display text stays useless, as in the
+    reference)."""
+    from pythondataingestionprocess_spark.sources import xlsx_lite
+
+    book = xlsx_lite.read_sheets(path)
+
+    def sheet_df(name: str) -> DataFrame:
+        rows = book[name]["rows"]
+        header = [str(h) for h in rows[0]]
+        typed = [
+            tuple(None if v is None else str(v) for v in r) + (path, i)
+            for i, r in enumerate(rows[1:])
+        ]
+        schema = ", ".join(f"`{h}` string" for h in header)
+        return spark.createDataFrame(
+            typed, schema + ", src_file string, row_idx long"
+        )
+
+    precios_rows = book["Precios"]["rows"]
+    header = [str(h) for h in precios_rows[0]]
+    links: list[str | None] = []
+    if "Preview" in header:
+        col = header.index("Preview")
+        hl = book["Precios"]["hyperlinks"]
+        links = [hl.get((r, col)) for r in range(1, len(precios_rows))]
+    return sheet_df("Compras"), sheet_df("Precios"), links

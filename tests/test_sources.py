@@ -126,13 +126,75 @@ def test_directory_routing(tmp_path):
     assert len(list((tmp_path / "done").iterdir())) == 2
 
 
-def test_pdf_and_excel_import_gates(spark):
+def test_pdf_import_gate(spark):
+    # PDF decode stays import-gated (no stdlib PDF parser); Excel no
+    # longer gates — sources/xlsx_lite.py decodes real files, tested
+    # end-to-end below.
     with pytest.raises(ImportError):
         stmt.extract_pdf_text(spark, "/nonexistent/*.pdf")
-    with pytest.raises(ImportError):
-        wb.read_workbook(spark, "/nonexistent.xlsx")
-    with pytest.raises(ImportError):
-        stmt.write_two_sheet_excel(None, None, "/tmp/x.xlsx")
+
+
+def test_two_sheet_excel_sink_roundtrip_real_file(spark, tmp_path):
+    """S7 for real: the two-sheet sink writes an actual .xlsx (stdlib
+    codec when openpyxl is absent) whose sheets, headers, and cell
+    values read back intact."""
+    from pythondataingestionprocess_spark.sources import xlsx_lite
+
+    msi = spark.createDataFrame(
+        [("TELMEX 3/6", 450.5), ("LIVERPOOL 2/12", 1200.0)],
+        "concepto string, monto double",
+    )
+    charges = spark.createDataFrame(
+        [("OXXO", 89.9)], "concepto string, monto double"
+    )
+    out = str(tmp_path / "statement.xlsx")
+    stmt.write_two_sheet_excel(msi, charges, out)
+
+    book = xlsx_lite.read_sheets(out)
+    assert list(book) == ["msi", "compras"]
+    assert book["msi"]["rows"][0] == ["concepto", "monto"]
+    assert book["msi"]["rows"][1] == ["TELMEX 3/6", "450.5"]
+    assert book["compras"]["rows"][1] == ["OXXO", "89.9"]
+
+
+def test_read_workbook_real_file_end_to_end(spark, tmp_path):
+    """S2/S3/S4 against a REAL .xlsx on disk: sheet decode, the
+    Preview hyperlink side-channel, positional attach, and the full
+    cleaning contract (comma decimals, Excel serial dates) — the path
+    that was import-gated through round 5."""
+    from pythondataingestionprocess_spark.sources import xlsx_lite
+
+    path = str(tmp_path / "inventory.xlsx")
+    xlsx_lite.write_workbook(
+        path,
+        [
+            ("Compras", [
+                ["Descripción", "Cant", "C. Unit", "Total Cmpr", "Fch Cmpr"],
+                ["Toy A", 2, "93,35", "186,7", 45369],
+                ["Toy B", 1, "7", "7", 45370],
+            ]),
+            ("Precios", [
+                ["Descripción", "Marca", "Categoria", "Preview"],
+                ["Toy A", "Acme", "toys", "img"],
+                ["Toy B", "Acme", "toys", None],
+            ]),
+        ],
+        {"Precios": {(1, 3): "https://example.com/a.jpg"}},
+    )
+
+    compras, precios, links = wb.read_workbook(spark, path)
+    # S3: hyperlink targets in data-row order; rows without one → None
+    assert links == ["https://example.com/a.jpg", None]
+
+    cleaned = wb.clean_compras(compras).orderBy("row_idx").collect()
+    assert [r["C. Unit"] for r in cleaned] == [93.35, 7.0]   # F6 comma decimal
+    assert str(cleaned[0]["purchase_date"]) == "2024-03-18"  # F18 serial date
+    assert [r["row_idx"] for r in cleaned] == [0, 1]         # O2 row order
+
+    # S4: positional attach onto Precios by row order
+    attached = wb.attach_positional(precios, links).orderBy("row_idx").collect()
+    assert attached[0]["Picture_URL"] == "https://example.com/a.jpg"
+    assert attached[1]["Picture_URL"] is None
 
 
 def test_python_datasource_statement_pipeline(spark, tmp_path):
