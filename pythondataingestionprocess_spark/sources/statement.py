@@ -110,26 +110,30 @@ def statement_output_name(
 
 def extract_pdf_text(spark: SparkSession, path_glob: str) -> DataFrame:
     """S1 PDF text scan: ``binaryFile`` source + per-file decode UDF
-    → (path, text). Import-gated: PyMuPDF is not in this container;
-    the parsing pipeline above is exercised on synthetic text instead
-    (the decode is the ONLY non-Spark-native stage)."""
-    try:
-        import fitz  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - absent in container
-        raise ImportError(
-            "PDF decoding needs PyMuPDF (fitz); feed parse_msi/"
-            "parse_charges a (path, text) DataFrame from your own "
-            "extractor instead"
-        ) from exc
-
+    → (path, text). Prefers PyMuPDF (full fidelity: CID fonts,
+    reading order); without it, falls back to the stdlib extractor
+    (sources/pdf_lite.py — standard-encoded text PDFs, the statement
+    shape), so the scan runs end-to-end in this container too. The
+    decode is the ONLY non-Spark-native stage either way."""
     from pyspark.sql.types import StringType
 
-    @F.udf(StringType())
-    def _pdf_text(content: bytes) -> str:  # pragma: no cover
-        import fitz
+    try:
+        import fitz  # noqa: F401
 
-        with fitz.open(stream=content, filetype="pdf") as doc:
-            return "\n".join(page.get_text() + "\n" for page in doc)
+        @F.udf(StringType())
+        def _pdf_text(content: bytes) -> str:  # pragma: no cover
+            import fitz
+
+            with fitz.open(stream=content, filetype="pdf") as doc:
+                return "\n".join(page.get_text() + "\n" for page in doc)
+
+    except ImportError:
+
+        @F.udf(StringType())
+        def _pdf_text(content: bytes) -> str:
+            from pythondataingestionprocess_spark.sources import pdf_lite
+
+            return pdf_lite.extract_text(content)
 
     blobs = spark.read.format("binaryFile").load(path_glob)
     return blobs.select(F.col("path"), _pdf_text("content").alias("text"))

@@ -126,12 +126,95 @@ def test_directory_routing(tmp_path):
     assert len(list((tmp_path / "done").iterdir())) == 2
 
 
-def test_pdf_import_gate(spark):
-    # PDF decode stays import-gated (no stdlib PDF parser); Excel no
-    # longer gates — sources/xlsx_lite.py decodes real files, tested
-    # end-to-end below.
-    with pytest.raises(ImportError):
-        stmt.extract_pdf_text(spark, "/nonexistent/*.pdf")
+def _make_statement_pdf(page_texts: list[list[str]], compress: bool) -> bytes:
+    """Minimal valid PDF (catalog → pages → page + content stream per
+    page); one Td+Tj per line, raw or FlateDecode streams."""
+    import zlib
+
+    objs: list[bytes] = []
+    n_pages = len(page_texts)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, lines in enumerate(page_texts):
+        content = b"BT /F1 10 Tf 50 700 Td "
+        for ln in lines:
+            esc = (
+                ln.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            )
+            content += b"(" + esc.encode("latin-1") + b") Tj 0 -12 Td "
+        content += b"ET"
+        if compress:
+            z = zlib.compress(content)
+            stream = (
+                f"<< /Length {len(z)} /Filter /FlateDecode >>\nstream\n".encode()
+                + z + b"\nendstream"
+            )
+        else:
+            stream = (
+                f"<< /Length {len(content)} >>\nstream\n".encode()
+                + content + b"\nendstream"
+            )
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R "
+            "/MediaBox [0 0 612 792] >>".encode()
+        )
+        objs.append(stream)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{idx} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def test_pdf_statement_end_to_end_real_file(spark, tmp_path):
+    """S1 for real: binaryFile scan → stdlib PDF text extraction
+    (sources/pdf_lite.py fallback; PyMuPDF preferred when present) →
+    the full statement grammar, on actual .pdf files on disk — one
+    raw-stream, one FlateDecode. The path that was import-gated
+    through round 5 (accent bytes exercise the latin-1 decode)."""
+    pages = [
+        ["COMPRAS Y CARGOS DIFERIDOS A MESES SIN INTERESES",
+         "05-ene-2024 LIVERPOOL MUEBLES $4,500.00 $3,000.00 $375.00 4 de 12 0.0%",
+         "COMPRAS Y CARGOS DIFERIDOS A MESES CON INTERESES"],
+        ["CARGOS,COMPRAS Y ABONOS REGULARES(NO A MESES)",
+         "03-feb-2024 04-feb-2024 OXXO MONTERREY + $89.90",
+         "10-feb-2024 11-feb-2024 PAGO TARJETA (GRACIAS) - $1,200.00",
+         "TOTAL CARGOS"],
+    ]
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "raw.pdf").write_bytes(_make_statement_pdf(pages, compress=False))
+    (d / "flate.pdf").write_bytes(_make_statement_pdf(pages, compress=True))
+
+    text_df = stmt.extract_pdf_text(spark, str(d / "*.pdf"))
+    assert text_df.count() == 2
+
+    msi = stmt.parse_msi(text_df).collect()
+    assert len(msi) == 2  # one MSI line per file
+    assert all(r["Descripción"] == "LIVERPOOL MUEBLES" for r in msi)
+    assert all(r["Monto original"] == 4500.0 for r in msi)
+    assert all(str(r["Fecha operación"]) == "2024-01-05" for r in msi)
+
+    charges = stmt.parse_charges(text_df)
+    rows = charges.collect()
+    assert len(rows) == 4  # two charge lines per file
+    by_desc = {r["Descripción"]: r["Pago requerido"] for r in rows}
+    assert by_desc["OXXO MONTERREY"] == 89.9
+    assert by_desc["PAGO TARJETA (GRACIAS)"] == -1200.0
+    # S8 dynamic naming rides the same frame
+    assert stmt.statement_output_name(charges) == "cargos_bbva_10Feb2024.xlsx"
 
 
 def test_two_sheet_excel_sink_roundtrip_real_file(spark, tmp_path):
