@@ -45,12 +45,42 @@ def binary_meta(df: DataFrame, bin_col: str) -> DataFrame:
 
 
 def real_decode(content: bytes, media_type: str) -> dict:
-    """Decode one media blob into stats. STUB: the container has no
-    image/audio libraries; swap in PIL/torchaudio/pyav here when
-    available."""
+    """Decode one media blob into stats. Images: PIL when importable,
+    else the stdlib PNG decoder (multimodal/png_lite.py — 8-bit
+    gray/RGB/RGBA, all scanline filters), so REAL image decode runs
+    in this container for the default-encoded format. Audio/video
+    remain stubbed (no torchaudio/pyav and no stdlib codec exists)."""
+    if media_type == "image":
+        try:
+            from PIL import Image  # noqa: F401  # pragma: no cover
+            import io  # pragma: no cover
+
+            with Image.open(io.BytesIO(content)) as im:  # pragma: no cover
+                gray = im.convert("L")
+                hist = gray.histogram()
+                n = sum(hist)
+                mean = sum(i * c for i, c in enumerate(hist)) / n / 255.0
+                return {
+                    "byte_len": len(content),
+                    "width": im.width,
+                    "height": im.height,
+                    "n_frames": getattr(im, "n_frames", 1),
+                    "mean_intensity": mean,
+                }
+        except ImportError:
+            from pythondataingestionprocess_spark.multimodal import png_lite
+
+            stats = png_lite.decode(content)
+            return {
+                "byte_len": len(content),
+                "width": stats["width"],
+                "height": stats["height"],
+                "n_frames": 1,
+                "mean_intensity": stats["mean_intensity"],
+            }
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in "
-        "this environment; use fake_decode_stats for pipeline tests"
+        f"{media_type} decoding requires libraries not present in this "
+        "environment; use fake_decode_stats for pipeline tests"
     )
 
 
