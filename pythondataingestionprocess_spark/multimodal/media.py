@@ -78,10 +78,54 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 "n_frames": 1,
                 "mean_intensity": stats["mean_intensity"],
             }
+    if media_type == "audio":
+        return _decode_wav(content)
     raise NotImplementedError(
         f"{media_type} decoding requires libraries not present in this "
         "environment; use fake_decode_stats for pipeline tests"
     )
+
+
+def _decode_wav(content: bytes) -> dict:
+    """PCM WAV decode via the stdlib ``wave`` module — the audio
+    analogue of png_lite: the standard uncompressed format is real,
+    compressed codecs (mp3/aac/flac) stay PyAV territory. Stats
+    mapping into MEDIA_STATS_SCHEMA (documented, since audio has no
+    pixels): width = sample rate (Hz), height = channel count,
+    n_frames = PCM frame count, mean_intensity = mean |amplitude|
+    normalized to 0-1 (8/16/32-bit integer PCM)."""
+    import io
+    import wave
+    from array import array
+
+    with wave.open(io.BytesIO(content)) as w:
+        rate, n_ch, n_frames = (
+            w.getframerate(), w.getnchannels(), w.getnframes()
+        )
+        width_bytes = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    if width_bytes == 1:  # unsigned 8-bit
+        samples = array("B", frames)
+        mean = (
+            sum(abs(s - 128) for s in samples) / len(samples) / 127.0
+            if samples else 0.0
+        )
+    elif width_bytes in (2, 4):
+        samples = array("h" if width_bytes == 2 else "i", frames)
+        full = 32767.0 if width_bytes == 2 else 2147483647.0
+        mean = (
+            sum(abs(s) for s in samples) / len(samples) / full
+            if samples else 0.0
+        )
+    else:
+        raise ValueError(f"unsupported PCM sample width {width_bytes}")
+    return {
+        "byte_len": len(content),
+        "width": rate,
+        "height": n_ch,
+        "n_frames": n_frames,
+        "mean_intensity": mean,
+    }
 
 
 def fake_decode_stats(content: bytes, media_type: str) -> dict:

@@ -128,10 +128,37 @@ def test_multimodal_decode_plumbing(spark):
     assert out == out2
 
 
-def test_real_decode_audio_video_still_stubbed():
-    # image decode is REAL now (png_lite); audio/video remain gated
+def test_real_decode_video_still_stubbed():
+    # image (png_lite) and audio (stdlib wave) decode are REAL now;
+    # video remains gated — no stdlib container/codec parser
     with pytest.raises(NotImplementedError):
-        media.real_decode(b"bytes", "audio")
+        media.real_decode(b"bytes", "video")
+
+
+def test_wav_audio_decode_real_file():
+    """REAL audio decode without any codec library: a generated
+    16-bit PCM WAV (stdlib wave writer) yields exact rate/channels/
+    frame-count and the analytically known mean |amplitude| of a
+    square wave."""
+    import io
+    import wave
+    from array import array
+
+    import pytest as _pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        # square wave: +16000/-16000 alternating, both channels
+        samples = array("h", [16000 if i % 2 == 0 else -16000
+                              for i in range(2 * 400)])
+        w.writeframes(samples.tobytes())
+    stats = media.real_decode(buf.getvalue(), "audio")
+    assert stats["width"] == 8000 and stats["height"] == 2
+    assert stats["n_frames"] == 400
+    assert stats["mean_intensity"] == _pytest.approx(16000 / 32767.0)
 
 
 def test_cosine_near_dup_finds_planted_dups(spark):
