@@ -835,5 +835,5 @@ def test_png_decode_real_images_all_filters(spark):
     with _pytest.raises(ValueError):
         media.real_decode(b"not a png", "image")
     with _pytest.raises(NotImplementedError):
-        media.real_decode(b"bytes", "audio")
+        media.real_decode(b"bytes", "video")
 
