@@ -85,6 +85,12 @@ HEADLINE = [
     # late-r5 additions (staged for the r6 driver window)
     "stream_static_revenue_rollup",
     "q9_profit_by_nation_year",
+    # late-r5 additions (staged for r7)
+    "events_pattern_match",
+    "events_decayed_feature",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q12_lateness_priority",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -30,6 +30,7 @@ from pythondataingestionprocess_spark.plans import cleaning_queries  # noqa: E40
 from pythondataingestionprocess_spark.plans import warehouse  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import llm_heavy  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import tpch_shapes  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import timeseries_queries  # noqa: E402,F401
 
 # --- round-5 rotation ------------------------------------------------
 # Driver-check union after r4 is 136/136 (every registered query has a
@@ -106,6 +107,21 @@ NEW_R6_STAGED: list[str] = [
     "q9_profit_by_nation_year",
 ]
 
+# Staged for ROUND 7 (registered late in r5; r6's two free slots are
+# already spent by NEW_R6_STAGED, and r7's stale front-load — the 50
+# r4-checked queries minus whatever r6 re-rides — leaves room). All
+# five are oracle-checked by scripts/driver_sim.py at sf0.01 before
+# commit; the two time-series entries additionally carry proven
+# cross-engine tests (test_subsequence_match_matches_duckdb_oracle,
+# test_decayed_feature_matches_python_recursion).
+NEW_R7_STAGED: list[str] = [
+    "events_pattern_match",
+    "events_decayed_feature",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q12_lateness_priority",
+]
+
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4
 # ADVICE determinism fixes: merge_event_intervals now running-sums
 # over the flag window's (s, event_id) total order on both sides;
@@ -141,4 +157,5 @@ __all__ = [
     "NEW_R5",
     "PROMOTED_R5",
     "NEW_R6_STAGED",
+    "NEW_R7_STAGED",
 ]

@@ -1,0 +1,116 @@
+"""Time-series feature queries over the events table (beyond-reference
+depth; the operators live in ``operators/timeseries.py`` with their
+scale notes — single per-key shuffle, array-window frames, no Python).
+
+Both oracles are the DuckDB list-window replay pattern proven
+cross-engine by ``tests/test_llm_operators.py::
+test_subsequence_match_matches_duckdb_oracle`` before registration
+(NEXT r5 item 6): the sliding window is a ``list(...) OVER`` frame,
+the fold is ``list_sum(list_transform(list_zip(...)))``, distances/
+scores are ROUND(·, 6) on BOTH sides (a 5- or 32-term double fold is
+order-deterministic within each engine but not bit-promised across
+them), and timestamps leave as formatted strings per the repo's
+cross-engine convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.operators.timeseries import (
+    _znorm,
+    decayed_feature,
+    subsequence_match,
+)
+from pythondataingestionprocess_spark.plans.registry import query
+
+_PATTERN = [1.0, 3.0, 2.0, 5.0, 4.0]
+_ZP = _znorm(_PATTERN)  # mean 3, stddev_pop sqrt(2)
+
+_PATTERN_ORACLE = f"""
+WITH f AS (
+  SELECT user_id, event_id AS end_seq, ts AS end_ts,
+         list(value) OVER w AS win,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT user_id, end_seq, end_ts,
+         sqrt(list_sum(list_transform(
+              list_zip(win, {list(_ZP)!r}),
+              z -> pow((z[1]-mu)/sd - z[2], 2)))) AS dist
+  FROM f WHERE len(win) = 5 AND sd > 0
+)
+SELECT user_id, end_seq,
+       strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts,
+       ROUND(dist, 6) AS dist
+FROM scored
+ORDER BY dist, user_id, end_seq
+LIMIT 10
+"""
+
+
+@query("events_pattern_match", oracle=_PATTERN_ORACLE, tags=("timeseries", "window", "topk"))
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized subsequence search: the 10 closest per-user
+    5-event value windows to a fixed shape pattern, under
+    scale/shift-invariant euclidean distance. One per-key shuffle,
+    ONE Window node carrying the array + both moments,
+    TakeOrderedAndProject top-k, zero Python — the plan contract is
+    pinned by tests/test_llm_operators.py::
+    test_subsequence_match_single_shuffle_no_python."""
+    ev = load_table(spark, sf_dir, "events")
+    out = subsequence_match(ev, _PATTERN, k=10)
+    return out.select(
+        "user_id",
+        "end_seq",
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+_HALF_LIFE, _M = 8.0, 32
+_A = 0.5 ** (1.0 / _HALF_LIFE)
+_WEIGHTS = [_A**i for i in range(_M)]
+
+_DECAYED_ORACLE = f"""
+WITH f AS (
+  SELECT user_id, event_id AS seq, ts,
+         list_reverse(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_M - 1} PRECEDING AND CURRENT ROW)) AS win
+  FROM events
+)
+SELECT user_id, seq,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       ROUND(list_sum(list_transform(
+            list_zip(win, ({list(_WEIGHTS)!r})[1:len(win)]),
+            z -> z[1] * z[2])), 6) AS decayed
+FROM f
+"""
+
+
+@query("events_decayed_feature", oracle=_DECAYED_ORACLE, tags=("timeseries", "window"))
+def events_decayed_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event exponentially-decayed activity score (EWMA with an
+    8-row half-life, truncated at 32 rows — error bound a^32 ≈ 0.06,
+    checked by tests/test_llm_operators.py::
+    test_decayed_feature_matches_python_recursion). The recency
+    feature a training pipeline attaches to every event; same
+    single-shuffle collect_list frame as the pattern search. Weights
+    are the SAME Python-computed doubles serialized into both plans,
+    so only the 32-term fold order differs across engines — hence
+    ROUND(·, 6) on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    out = decayed_feature(ev, half_life_rows=_HALF_LIFE, window_rows=_M)
+    return out.select(
+        "user_id",
+        "seq",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("decayed", 6).alias("decayed"),
+    )

@@ -613,3 +613,166 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dec_sum(profit, "profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3: shipping priority — top unshipped orders by revenue.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dec_sum(_REV, "revenue")},
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-03-15'
+  AND l_shipdate > DATE '1998-03-15'
+GROUP BY l_orderkey, order_date
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "agg", "topk"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: the 10 highest-revenue orders from one market segment
+    placed before a cutoff but not yet fully shipped at it (no
+    o_shippriority column in this schema — the output just drops it;
+    the plan shape is intact).
+
+    Spark-first: the segment filter makes customer a MEMBERSHIP test,
+    not an enrich — a left-SEMI join (no customer columns in the
+    output), so the orders side never widens; the date filters push
+    into both scans; the single shuffle is the groupBy on the
+    aggregate's own (l_orderkey, o_orderdate) grain; (revenue DESC,
+    l_orderkey) totalizes the LIMIT. Revenue is exact-decimal summed
+    then cast once (dec_sum convention), so the DESC sort can't flake
+    on accumulation order."""
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    ords = (
+        orders.filter(F.col("o_orderdate") < "1998-03-15")
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "leftsemi",
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") > "1998-03-15")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(dec_sum(_rev(), "revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecast revenue change — the pure pushdown scan-agg.
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT {sql_dec_sum("l_extendedprice * l_discount", "forecast_revenue")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("agg", "pushdown"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would be gained by eliminating small
+    discounts on small-quantity lines in one year — the canonical
+    scan-dominated aggregate. The whole query is one pass: all three
+    predicates reach the parquet scan as PushedFilters (range on
+    l_shipdate/l_discount/l_quantity), the projection prunes to four
+    columns, and the 1-row aggregate is map-side partial + single
+    final. The 0.05/0.07 bounds compare the same double literals in
+    both engines (no decimal re-rounding at the boundary); the sum is
+    dec_sum-exact. n_lines pins the selectivity so a silently
+    mis-pushed filter can't hash-collide its way past the gate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "forecast_revenue",
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12: lateness bands × order-priority class (shipmode-free).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q12_lateness_priority", oracle=_Q12_ORACLE, tags=("join", "agg", "conditional"))
+def q12_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts split by order-priority class
+    within each lateness band. The schema has no l_shipmode, so the
+    grouping key is the lateness band itself (shipdate vs
+    orderdate+120d, the repo's standard lateness re-expression) —
+    what Q12 actually exercises survives: a fact⋈fact equi-join whose
+    GROUP BY key is a derived CASE over BOTH sides' columns, with the
+    priority split as conditional counts inside one aggregation pass
+    (no second scan, no pivot).
+
+    Spark-first: the year filter pushes to the lineitem scan before
+    the join; the join shuffles on o_orderkey once; the 2-group
+    aggregate is map-side partial."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    year = lineitem.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    band = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 120 DAY"),
+        "LATE",
+    ).otherwise("ONTIME")
+    return (
+        orders.join(year, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(band.alias("ship_band"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_band")
+    )

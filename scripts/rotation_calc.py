@@ -27,6 +27,7 @@ sys.path.insert(0, "/root/repo")
 
 from pythondataingestionprocess_spark.plans import (  # noqa: E402
     NEW_R6_STAGED,
+    NEW_R7_STAGED,
     REGISTRY,
 )
 
@@ -63,8 +64,14 @@ if failed_latest:
           f"fix and front-load these first", file=sys.stderr)
 
 staged = [n for n in NEW_R6_STAGED if n in REGISTRY]
+# Deferred past the NEXT window (r7 staging): evidence-less by design,
+# not holes — they fill the round-after's free slots so the full
+# r3-age stale block can ride first.
+deferred = [n for n in NEW_R7_STAGED if n in REGISTRY]
 never = sorted(
-    n for n in REGISTRY if n not in last_checked and n not in staged
+    n
+    for n in REGISTRY
+    if n not in last_checked and n not in staged and n not in deferred
 )
 if never:
     print(f"WARNING: {len(never)} registered queries have NO evidence and "
@@ -92,3 +99,5 @@ print("\nNEW = [")
 for n in never + staged:
     print(f'    "{n}",')
 print("]")
+if deferred:
+    print(f"\n# deferred to the round after next (staged r7): {deferred}")

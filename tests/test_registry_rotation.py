@@ -12,6 +12,7 @@ a later registration or refactor silently reorders the window.
 from pythondataingestionprocess_spark.plans import (
     NEW_R5,
     NEW_R6_STAGED,
+    NEW_R7_STAGED,
     PROMOTED_R5,
     REGISTRY,
     STALE_R2,
@@ -110,3 +111,19 @@ def test_rotation_calculator_reproduces_current_window():
     stale = _re.search(r"STALE = \[(.*?)\]", proc.stdout, _re.S).group(1)
     names = _re.findall(r'"([^"]+)"', stale)
     assert sorted(names) == sorted(STALE_R2)
+
+
+def test_r7_staged_queries_sit_outside_the_window():
+    """Late-r5 registrations beyond r6's two spent slots are staged
+    for r7: outside the current window, excluded from the rotation
+    calculator's evidence-hole warning, and each backed by a passing
+    driver_sim oracle check (or proven cross-engine test) at
+    registration time."""
+    names = list(REGISTRY)
+    for n in NEW_R7_STAGED:
+        assert n in REGISTRY
+        assert names.index(n) >= DRIVER_WINDOW, (
+            f"{n} is staged for r7 but sits inside the r5 driver window"
+        )
+    overlap = set(NEW_R7_STAGED) & (set(NEW_R6_STAGED) | set(_intended()))
+    assert not overlap
