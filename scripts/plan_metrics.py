@@ -45,6 +45,12 @@ DEFAULT_QUERIES = [
     # late-r5 additions (staged for the r6 driver window)
     "stream_static_revenue_rollup",
     "q9_profit_by_nation_year",
+    # late-r5 additions (staged for r7)
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q12_lateness_priority",
+    "events_pattern_match",
+    "events_decayed_feature",
 ]
 
 

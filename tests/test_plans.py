@@ -407,3 +407,69 @@ def test_q9_star_broadcasts_all_dims_prunes_part(spark):
     assert re.search(r"PushedFilters: \[[^\]]*p_name", plan) or (
         "Contains(p_name" in plan
     ), "gear filter must sit on the part side"
+
+
+def test_q3_semi_join_and_pushed_cutoffs(spark):
+    """Q3's segment membership is a LEFT-SEMI (no customer columns in
+    the output — the orders side must not widen), and both date
+    cutoffs reach their parquet scans."""
+    plan = _formatted_plan(spark, "q3_shipping_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", plan), (
+        "order-date cutoff must reach the orders scan"
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", plan), (
+        "ship-date cutoff must reach the lineitem scan"
+    )
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """Q6 is the pure pushdown test: all three range predicates must
+    be PushedFilters on the single lineitem scan, and the read schema
+    must prune to the four referenced columns."""
+    plan = _formatted_plan(spark, "q6_forecast_revenue")
+    scan = re.search(
+        r"PushedFilters: \[([^\]]*)\][^R]*ReadSchema: struct<(l_[^>]*)>",
+        plan,
+        re.S,
+    )
+    assert scan, "no lineitem scan found"
+    pushed, cols = scan.groups()
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, frag
+    assert cols.count(":") <= 4
+    assert "l_orderkey" not in cols
+
+
+def test_q12_single_join_single_agg_pass(spark):
+    """The priority split is conditional sums inside ONE aggregation
+    over ONE fact⋈fact join — a pivot or second scan would double the
+    shuffle at scale. The year filter reaches the lineitem scan."""
+    plan = _formatted_plan(spark, "q12_lateness_priority")
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        plan,
+    ))
+    assert njoins == 1, plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_timeseries_queries_one_window_no_python(spark):
+    """Both registered time-series features keep the operator
+    contract through the registry wrapper: a single Window node over
+    the per-key frame (array + moments in one pass) and zero Python
+    eval nodes."""
+    for name in ("events_pattern_match", "events_decayed_feature"):
+        plan = _formatted_plan(spark, name)
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, name
+        assert "EvalPython" not in plan, name
