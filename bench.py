@@ -88,6 +88,8 @@ HEADLINE = [
     # late-r5 additions (staged for r7)
     "events_pattern_match",
     "events_decayed_feature",
+    "events_resample_interpolate",
+    "corpus_curation_filter",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q12_lateness_priority",

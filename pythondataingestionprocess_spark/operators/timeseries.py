@@ -148,3 +148,89 @@ def decayed_feature(
         F.col(ts_col).alias("ts"),
         decayed.alias("decayed"),
     )
+
+
+def resample_interpolate_hourly(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key resample onto a regular hourly grid with LINEAR
+    interpolation between the surrounding observations — the
+    irregular-events → fixed-step-features transform a training
+    pipeline runs before windowed models. Grid spans each key's
+    [date_trunc(hour, min ts), date_trunc(hour, max ts)]; edge grid
+    points outside the observed range take the nearest observation
+    (back/forward fill); a grid point landing exactly on an
+    observation reproduces it exactly (its interpolation fraction is
+    0 by construction, not a special case).
+
+    Spark-first (no joins at all): observations and generated grid
+    rows are UNIONED into one frame, then ONE per-key sort order
+    (ts, is_grid — observations first on ties, so an exact-hit grid
+    row sees its observation as "previous") carries all four
+    surrounding-neighbor fields via last/first-IGNORE-NULLS window
+    frames. That is the standard interleave trick: two as-of joins
+    (prev + next) collapse into window functions on a single per-key
+    exchange. The two small upstream aggregations (per-(key,ts) dedup
+    so ties can't make the neighbor fields nondeterministic, and
+    per-key bounds for the grid) are key-bounded map-side-combine
+    shuffles. Interpolation fractions use MICROSECOND diffs
+    (timestampdiff is NTZ-polymorphic; second-granularity diffs have
+    engine-specific truncation semantics on sub-second data).
+
+    At 100 TB: grid size is bounded by key-count × span-hours, never
+    by event count; every stage is key-partitioned; nothing pairs up.
+    """
+    k, t = F.col(key_col), F.col(ts_col)
+    obs = df.groupBy(key_col, ts_col).agg(
+        F.min(F.col(value_col).cast("double")).alias("_v")
+    )
+    bounds = obs.groupBy(key_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("_hi"),
+    )
+    grid = bounds.select(
+        k,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias(ts_col),
+    )
+    unioned = obs.select(k, t, "_v", F.lit(0).alias("_is_grid")).unionByName(
+        grid.select(
+            k, t, F.lit(None).cast("double").alias("_v"), F.lit(1).alias("_is_grid")
+        )
+    )
+    w_prev = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col, "_is_grid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col, "_is_grid")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("_v").isNotNull(), t)
+    framed = unioned.select(
+        k,
+        t,
+        F.col("_is_grid"),
+        F.last("_v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("_v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+    ).filter(F.col("_is_grid") == 1)
+    num = F.expr(f"timestampdiff(MICROSECOND, prev_ts, {ts_col})").cast("double")
+    den = F.expr("timestampdiff(MICROSECOND, prev_ts, next_ts)").cast("double")
+    interp = (
+        F.when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (num / den)
+        )
+    )
+    return framed.select(
+        k, t.alias("grid_ts"), interp.alias("value")
+    )

@@ -117,6 +117,8 @@ NEW_R6_STAGED: list[str] = [
 NEW_R7_STAGED: list[str] = [
     "events_pattern_match",
     "events_decayed_feature",
+    "events_resample_interpolate",
+    "corpus_curation_filter",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q12_lateness_priority",

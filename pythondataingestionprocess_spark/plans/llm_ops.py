@@ -1117,3 +1117,85 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation verdict: the full filter pass in one query.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = """
+WITH base AS (
+  SELECT source,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS wl,
+         length(trim(text)) AS n_chars
+  FROM documents
+), feat AS (
+  SELECT source, n_chars,
+         len(w) AS n_toks,
+         len(list_distinct(w)) AS n_distinct,
+         len(list_filter(wl, t -> t IN ('the','a','of','and','to'))) AS s_en,
+         len(list_filter(wl, t -> t IN ('el','la','de','y','que'))) AS s_es,
+         len(list_filter(wl, t -> t IN ('der','die','das','und','zu'))) AS s_de
+  FROM base
+), scored AS (
+  SELECT source, n_toks,
+         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+              WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang,
+         (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.4 ELSE 0.1 END)
+         + (CASE WHEN (n_chars - (n_toks - 1)) * 1.0 / n_toks BETWEEN 3 AND 10
+                 THEN 0.3 ELSE 0.1 END)
+         + (CASE WHEN s_en * 1.0 / n_toks >= 0.05 THEN 0.3 ELSE 0.0 END)
+           AS score,
+         n_distinct * 1.0 / n_toks AS dr
+  FROM feat
+)
+SELECT source,
+       CASE WHEN lang = 'und' THEN 'drop:lang'
+            WHEN score < 0.5 THEN 'drop:quality'
+            WHEN dr < 0.4 THEN 'drop:repetition'
+            ELSE 'keep' END AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+FROM scored GROUP BY 1, 2
+"""
+
+
+@query("corpus_curation_filter", oracle=_CURATION_ORACLE, tags=("text", "quality", "pipeline"))
+def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pass as ONE query: language-ID, quality
+    score, and repetition screen fused into a single keep/drop verdict
+    per document (first-failing-rule attribution, fixed rule order
+    lang → quality → repetition), rolled up per (source, verdict) with
+    the surviving token budget — the decision table a corpus build
+    actually publishes.
+
+    Spark-first: every feature is a map-side expression over the one
+    documents scan (the repetition screen uses array_distinct on the
+    token array rather than the explode+regroup of
+    text_repetition_stats — no per-token shuffle), so the ONLY
+    exchange is the final (source, verdict) rollup, output-groups
+    sized. At 100 TB the same plan holds: scan → codegen'd features →
+    partial agg → tiny final agg. Rule thresholds are compared with
+    the same literals and expression shapes on both engines (exact
+    integer ratios where possible; the 0.4+0.1+0.0 band sums are
+    identical left-associated IEEE additions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tx.tokens("text")
+    n_toks = F.size(w)
+    dr = F.size(F.array_distinct(w)) / n_toks.cast("double")
+    verdict = (
+        F.when(tx.lang_id("text") == "und", F.lit("drop:lang"))
+        .when(tx.quality_score("text") < 0.5, F.lit("drop:quality"))
+        .when(dr < 0.4, F.lit("drop:repetition"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        docs.select("source", verdict.alias("verdict"), n_toks.alias("n_toks"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+        )
+    )

@@ -114,3 +114,65 @@ def events_decayed_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.round("decayed", 6).alias("decayed"),
     )
+
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT user_id, ts, min(value) AS v FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+  FROM bounds
+), u AS (
+  SELECT user_id, ts, v, 0 AS is_grid FROM obs
+  UNION ALL
+  SELECT user_id, ts, NULL AS v, 1 AS is_grid FROM grid
+), f AS (
+  SELECT user_id, ts, is_grid,
+         last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER wp AS prev_ts,
+         first_value(v IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER wn AS next_ts
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       ROUND(CASE WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) *
+                       (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                        / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+             END, 6) AS value
+FROM f WHERE is_grid = 1
+"""
+
+
+@query("events_resample_interpolate", oracle=_RESAMPLE_ORACLE, tags=("timeseries", "window"))
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular per-user event values resampled onto a regular hourly
+    grid with linear interpolation (edge points nearest-filled, exact
+    hits reproduced) — see operators/timeseries.py::
+    resample_interpolate_hourly for the no-join interleave design and
+    its scale notes. Interpolated values ROUND(·, 6) on both engines
+    (identical IEEE expression shape, but the fraction divides two
+    engine-computed microsecond diffs)."""
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        resample_interpolate_hourly,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_interpolate_hourly(ev)
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.round("value", 6).alias("value"),
+    )

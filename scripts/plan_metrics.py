@@ -51,6 +51,8 @@ DEFAULT_QUERIES = [
     "q12_lateness_priority",
     "events_pattern_match",
     "events_decayed_feature",
+    "events_resample_interpolate",
+    "corpus_curation_filter",
 ]
 
 

@@ -837,3 +837,36 @@ def test_png_decode_real_images_all_filters(spark):
     with _pytest.raises(NotImplementedError):
         media.real_decode(b"bytes", "video")
 
+
+
+def test_resample_interpolate_hourly_semantics(spark):
+    """Grid points: exact-hit reproduces the observation, interior
+    points linearly interpolate, points before the first / after the
+    last observation back/forward-fill, and the grid spans
+    hour-floor(min ts) .. hour-floor(max ts) per key."""
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        resample_interpolate_hourly,
+    )
+
+    rows = [
+        # user 1: obs at 00:30 (v=10) and 02:30 (v=30) → grid 00,01,02
+        (1, "2024-01-01 00:30:00", 10.0),
+        (1, "2024-01-01 02:30:00", 30.0),
+        # user 2: single obs exactly on the hour → one grid point, exact
+        (2, "2024-01-01 05:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["user_id"], str(r["grid_ts"])): r["value"]
+        for r in resample_interpolate_hourly(df).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == 10.0  # backfill before first obs
+    # 01:00 sits 30/120 min between (00:30, 10) and (02:30, 30) → 15
+    assert got[(1, "2024-01-01 01:00:00")] == pytest.approx(15.0, abs=1e-12)
+    # 02:00 sits 90/120 min along → 25
+    assert got[(1, "2024-01-01 02:00:00")] == pytest.approx(25.0, abs=1e-12)
+    assert (1, "2024-01-01 03:00:00") not in got  # grid ends at hour-floor(max)
+    assert got[(2, "2024-01-01 05:00:00")] == 7.0  # exact hit
+    assert len(got) == 4

@@ -473,3 +473,35 @@ def test_timeseries_queries_one_window_no_python(spark):
         plan = _formatted_plan(spark, name)
         assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, name
         assert "EvalPython" not in plan, name
+
+
+def test_curation_filter_mapside_single_rollup(spark):
+    """The fused curation pass must keep every feature map-side: no
+    token explode (the repetition screen uses array_distinct on the
+    token array), no join, zero Python eval nodes — the only exchange
+    is the final (source, verdict) rollup."""
+    plan = _formatted_plan(spark, "corpus_curation_filter")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Generate" not in plan  # no explode
+    assert "EvalPython" not in plan
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        plan,
+    ))
+    assert njoins == 0
+
+
+def test_resample_no_joins_all_window(spark):
+    """The resample's prev/next neighbor lookup is the union+window
+    interleave, NOT a pair of as-of joins: no join nodes at all, no
+    Python; exchanges are the two key-bounded aggs + the per-key
+    window sort."""
+    plan = _formatted_plan(spark, "events_resample_interpolate")
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"CartesianProduct|BroadcastNestedLoopJoin)",
+        plan,
+    ))
+    assert njoins == 0, plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 1
