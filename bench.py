@@ -90,6 +90,7 @@ HEADLINE = [
     "events_decayed_feature",
     "events_resample_interpolate",
     "corpus_curation_filter",
+    "text_bpe_pair_counts",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q12_lateness_priority",

@@ -1199,3 +1199,60 @@ def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("sum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics: adjacent-pair counts over the pre-tokenized corpus.
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = r"""
+WITH toks AS (
+  SELECT list_filter(
+           regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+           t -> regexp_matches(t, '\S')) AS t
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(
+           list_zip(t[1:len(t)-1], t[2:]),
+           z -> z[1] || chr(1) || z[2])) AS pair
+  FROM toks WHERE len(t) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+@query("text_bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE, tags=("text", "tokenizer"))
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic ONE round of BPE-merge training maximizes: the 20
+    most frequent ADJACENT token pairs across the pre-tokenized corpus
+    (whitespace matches dropped first, so pairs span them — exactly
+    what a merge step sees). At 100 TB this is the inner loop of
+    tokenizer training on your own corpus: per-doc pair generation is
+    map-side (zip the token array with its own tail — no explode
+    before the count would be wrong, but the explode here is a
+    map-side Generate feeding a partial-agg), and the only exchange
+    carries (pair, partial count) — vocabulary-sized, not token-count
+    sized. The pair key is chr(1)-joined (a control byte no tokenizer
+    pre-split emits), identical on both engines; top-20 totalized by
+    (n DESC, pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(tx.bpe_tokens("text"), lambda x: x.rlike(r"\S"))
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit("\x01"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -349,3 +349,62 @@ def funnel_stream_expiring(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---- streaming EWMA: the online twin of operators/timeseries.decayed_feature
+
+EWMA_SCHEMA = "user_id long, event_id long, ts timestamp, decayed double"
+
+
+def _make_ewma_update(a: float):
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # concat-then-sort across chunks for a deterministic fold
+            # order within the batch (same pattern/caveat as
+            # _locf_update: cross-batch order is arrival order).
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="stable"
+            )
+            out_vals = []
+            for v in pdf["value"]:
+                v = float(v)
+                s = v if s is None else v + a * s
+                out_vals.append(s)
+            out = pdf.copy()
+            out["decayed"] = out_vals
+            yield out[["user_id", "event_id", "ts", "decayed"]]
+        if s is not None:
+            state.update((float(s),))
+
+    return _update
+
+
+def decayed_feature_stream(events: DataFrame, half_life_rows: float = 8.0) -> DataFrame:
+    """Per-event exponentially-decayed activity score computed ONLINE:
+    one double of state per key carries the exact recursion
+    ``s_t = v_t + a·s_{t-1}`` across micro-batches — where the batch
+    operator (operators/timeseries.py::decayed_feature) must truncate
+    its window, the stream needs no truncation at all, because the
+    fold is sequential by construction. This is the 100 TB shape for
+    serving-time features: O(1) state per key, every event annotated
+    as it arrives, no reprocessing of history.
+
+    Caveats shared with the other keyed-state operators here: rows are
+    totally ordered WITHIN a micro-batch (concat-then-sort on
+    (ts, event_id)); cross-batch order is stream arrival order, so an
+    out-of-order late event folds at its arrival position — pair with
+    a watermarked upstream dedup/sort if the source can reorder."""
+    a = 0.5 ** (1.0 / half_life_rows)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_update(a),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType="s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -53,6 +53,7 @@ DEFAULT_QUERIES = [
     "events_decayed_feature",
     "events_resample_interpolate",
     "corpus_curation_filter",
+    "text_bpe_pair_counts",
 ]
 
 

@@ -505,3 +505,16 @@ def test_resample_no_joins_all_window(spark):
     assert njoins == 0, plan
     assert "EvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 1
+
+
+def test_bpe_pair_counts_mapside_generate_topk(spark):
+    """Pair generation is a map-side Generate over the token array's
+    self-zip; the exchange carries (pair, partial count) — partial
+    aggregation MUST combine before the shuffle (token-count-sized
+    otherwise) — and the top-20 is a TakeOrderedAndProject, not a
+    data-grain sort."""
+    plan = _formatted_plan(spark, "text_bpe_pair_counts")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1

@@ -1119,3 +1119,45 @@ def test_progress_listener_logs_metrics_as_queryable_table(spark, tmp_path):
     assert "numInputRows" in log.columns and "batchId" in log.columns
     mine = log.filter(F.col("name") == "progress_log_test")
     assert mine.agg(F.sum("numInputRows")).first()[0] == 10
+
+
+def test_streaming_ewma_matches_exact_recursion(spark, tmp_path):
+    """The keyed-state EWMA carries the EXACT recursion across
+    micro-batches: two files forced into separate batches must yield
+    the same per-event scores as folding the whole series at once
+    (no truncation — the state is the whole history), with a second
+    interleaved user confirming key isolation."""
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.streaming.stateful import (
+        decayed_feature_stream,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    _write_json_batch(inbox, "a.json", _rows(0, 3, user=7) + _rows(0, 2, user=8))
+    time.sleep(1.1)  # FileStreamSource orders same-mtime files arbitrarily
+    _write_json_batch(inbox, "b.json", _rows(10, 3, user=7))
+
+    stream = file_ingest.file_stream(
+        spark, inbox, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        decayed_feature_stream(stream, half_life_rows=4.0)
+        .writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_id"]): r["decayed"]
+        for r in spark.sql("SELECT * FROM ewma_test").collect()
+    }
+    a = 0.5 ** (1.0 / 4.0)
+    for user, ids in ((7, [0, 1, 2, 10, 11, 12]), (8, [0, 1])):
+        s = None
+        for i in ids:
+            v = float(i)
+            s = v if s is None else v + a * s
+            assert got[(user, i)] == pytest.approx(s, abs=1e-12), (user, i)
+    assert len(got) == 8
