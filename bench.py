@@ -94,6 +94,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q12_lateness_priority",
+    "events_next_event_training",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -123,6 +123,7 @@ NEW_R7_STAGED: list[str] = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q12_lateness_priority",
+    "events_next_event_training",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

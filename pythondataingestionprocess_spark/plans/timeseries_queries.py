@@ -2,7 +2,7 @@
 depth; the operators live in ``operators/timeseries.py`` with their
 scale notes — single per-key shuffle, array-window frames, no Python).
 
-Both oracles are the DuckDB list-window replay pattern proven
+The oracles are the DuckDB list-window replay pattern proven
 cross-engine by ``tests/test_llm_operators.py::
 test_subsequence_match_matches_duckdb_oracle`` before registration
 (NEXT r5 item 6): the sliding window is a ``list(...) OVER`` frame,
@@ -175,4 +175,54 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         F.round("value", 6).alias("value"),
+    )
+
+
+_NEXT_EVENT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         list(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM events
+)
+SELECT array_to_string(ctx, '>') AS context,
+       event_type AS label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE len(ctx) = 3
+GROUP BY 1, 2
+"""
+
+
+@query("events_next_event_training", oracle=_NEXT_EVENT_ORACLE, tags=("timeseries", "window", "training"))
+def events_next_event_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised training-pair carving for next-event prediction:
+    each event becomes (context = previous 3 event types, label =
+    this event's type), aggregated into the (context, label)
+    transition table a sequence model's data loader samples from.
+    Same single per-key window shuffle as the other time-series
+    features (the context rides a 3-row collect_list frame — no
+    self-joins, no explode); the final exchange is
+    |event_types|⁴-bounded, independent of event count. First 3
+    events per user are dropped (incomplete context), matching the
+    oracle's len(ctx)=3 filter."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    ctx = F.collect_list("event_type").over(w)
+    return (
+        ev.select(
+            F.col("event_type").alias("label"), ctx.alias("_ctx")
+        )
+        .filter(F.size("_ctx") == 3)
+        .groupBy(
+            F.array_join("_ctx", ">").alias("context"), "label"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("context", "label", "n")
     )

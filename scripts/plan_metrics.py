@@ -54,6 +54,7 @@ DEFAULT_QUERIES = [
     "events_resample_interpolate",
     "corpus_curation_filter",
     "text_bpe_pair_counts",
+    "events_next_event_training",
 ]
 
 

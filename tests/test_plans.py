@@ -518,3 +518,19 @@ def test_bpe_pair_counts_mapside_generate_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_next_event_training_single_window_bounded_agg(spark):
+    """Training-pair carving: ONE Window node (the 3-row context
+    frame), no joins, no Python; the final aggregation combines
+    map-side (partial_count) so the last exchange is transition-table
+    sized, not event-count sized."""
+    plan = _formatted_plan(spark, "events_next_event_training")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        plan,
+    ))
+    assert njoins == 0
