@@ -870,3 +870,64 @@ def test_resample_interpolate_hourly_semantics(spark):
     assert (1, "2024-01-01 03:00:00") not in got  # grid ends at hour-floor(max)
     assert got[(2, "2024-01-01 05:00:00")] == 7.0  # exact hit
     assert len(got) == 4
+
+
+def test_resample_interpolate_property_bounded_and_exact(spark):
+    """Property sweep on a pseudo-random multi-user series: every
+    interpolated grid value lies within [min, max] of its two
+    neighboring observations (linear interp can't overshoot), every
+    grid point coinciding with an observation reproduces it exactly,
+    and per key the grid is exactly the hour-floor span."""
+    import random
+
+    from pythondataingestionprocess_spark.operators.timeseries import (
+        resample_interpolate_hourly,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for u in (1, 2, 3):
+        t = 0
+        for _ in range(40):
+            t += rng.randint(60, 7200)  # 1 min .. 2 h gaps
+            rows.append(
+                (u, f"2024-01-0{1 + t // 86400} "
+                    f"{(t % 86400) // 3600:02d}:{(t % 3600) // 60:02d}:{t % 60:02d}",
+                 round(rng.uniform(-50, 50), 3))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_interpolate_hourly(df).collect()
+
+    import bisect
+
+    by_user = {}
+    for u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, v))
+    for series in by_user.values():
+        series.sort()
+    n_grid_expected = 0
+    for u, series in by_user.items():
+        lo = series[0][0][:14] + "00:00"
+        hi = series[-1][0][:14] + "00:00"
+        n_hours = (
+            (int(hi[8:10]) - int(lo[8:10])) * 24
+            + int(hi[11:13]) - int(lo[11:13]) + 1
+        )
+        n_grid_expected += n_hours
+    assert len(out) == n_grid_expected
+
+    for r in out:
+        u, gts, v = r["user_id"], str(r["grid_ts"]), r["value"]
+        series = by_user[u]
+        keys = [s for s, _ in series]
+        i = bisect.bisect_right(keys, gts)
+        neighbors = []
+        if i > 0:
+            neighbors.append(series[i - 1][1])
+        if i < len(series):
+            neighbors.append(series[i][1])
+        assert min(neighbors) - 1e-9 <= v <= max(neighbors) + 1e-9, r
+        if i > 0 and keys[i - 1] == gts:
+            assert v == series[i - 1][1]
