@@ -656,13 +656,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
         "c_custkey"
     )
+    # Deliberately NO broadcast hint on the customer side: customer
+    # scales with the fact tables (a fifth of all customers is
+    # billions of keys at 100 TB), so the semi join must be free to
+    # fall back to a shuffled hash join — AQE broadcasts it while it
+    # fits (it does at test SF; the plan guard pins only the SEMI
+    # shape, not the exchange strategy).
     ords = (
         orders.filter(F.col("o_orderdate") < "1998-03-15")
-        .join(
-            F.broadcast(cust),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "leftsemi",
-        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
         .select("o_orderkey", "o_orderdate")
     )
     return (
