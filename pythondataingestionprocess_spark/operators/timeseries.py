@@ -202,6 +202,15 @@ def resample_interpolate_hourly(
             k, t, F.lit(None).cast("double").alias("_v"), F.lit(1).alias("_is_grid")
         )
     )
+    # Both neighbor lookups are RUNNING frames (unbounded-preceding →
+    # current), which Spark evaluates incrementally in O(1) per row.
+    # The naive forward frame (currentRow → unboundedFollowing) is NOT
+    # incremental — UnboundedFollowingWindowFunctionFrame rescans to
+    # the partition end for every row, O(rows²) per key: measured 82 s
+    # vs 5 s at 8M vs 2M rows (scripts/timeseries_scaling.py) before
+    # this was rewritten as a running frame over the EXACT inverse
+    # sort order (ts DESC, is_grid DESC), which yields the same "first
+    # observation at-or-after" semantics.
     w_prev = (
         W.partitionBy(key_col)
         .orderBy(ts_col, "_is_grid")
@@ -209,8 +218,8 @@ def resample_interpolate_hourly(
     )
     w_next = (
         W.partitionBy(key_col)
-        .orderBy(ts_col, "_is_grid")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc(), F.col("_is_grid").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     obs_ts = F.when(F.col("_v").isNotNull(), t)
     framed = unioned.select(
@@ -219,8 +228,8 @@ def resample_interpolate_hourly(
         F.col("_is_grid"),
         F.last("_v", ignorenulls=True).over(w_prev).alias("prev_v"),
         F.last(obs_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
-        F.first("_v", ignorenulls=True).over(w_next).alias("next_v"),
-        F.first(obs_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+        F.last("_v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.last(obs_ts, ignorenulls=True).over(w_next).alias("next_ts"),
     ).filter(F.col("_is_grid") == 1)
     num = F.expr(f"timestampdiff(MICROSECOND, prev_ts, {ts_col})").cast("double")
     den = F.expr("timestampdiff(MICROSECOND, prev_ts, next_ts)").cast("double")

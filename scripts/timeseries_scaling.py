@@ -56,9 +56,8 @@ def gen(n: int):
     return df
 
 
-for n in sizes:
-    ev = gen(n)
-    out = {"rows": n, "keys": KEYS}
+def run(ev, label):
+    out = {"rows": label, "keys": KEYS}
     t0 = time.time()
     subsequence_match(ev, [1.0, 3.0, 2.0, 5.0, 4.0], k=10).collect()
     out["subsequence_s"] = round(time.time() - t0, 2)
@@ -88,4 +87,12 @@ for n in sizes:
         .collect()
     )
     out["next_event_s"] = round(time.time() - t0, 2)
-    print(json.dumps(out))
+    return out
+
+
+# Untimed warm-up at a small size first: the first execution of each
+# pipeline pays JIT/codegen/broadcast warm-up that would otherwise be
+# misattributed to the smallest measured size.
+run(gen(100_000), 0)
+for n in sizes:
+    print(json.dumps(run(gen(n), n)))
