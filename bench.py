@@ -95,6 +95,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q12_lateness_priority",
     "events_next_event_training",
+    "corpus_build_pipeline",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -1256,3 +1256,109 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# The whole corpus build, end-to-end: curate → exact-dedup → shard.
+# ---------------------------------------------------------------------------
+
+_BUILD_ORACLE = """
+WITH feat AS (
+  SELECT source, doc_id,
+         length(trim(text)) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         len(list_distinct(string_split_regex(trim(text), '\\s+')))
+           AS n_distinct,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t IN ('the','a','of','and','to'))) AS s_en,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t IN ('el','la','de','y','que'))) AS s_es,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> t IN ('der','die','das','und','zu'))) AS s_de,
+         md5(array_to_string(
+             string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fp
+  FROM documents
+), kept AS (
+  SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks, fp
+  FROM feat
+  WHERE NOT (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+                  WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+                  WHEN s_de > 0 THEN 'de' ELSE 'und' END) = 'und'
+    AND (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.4 ELSE 0.1 END)
+        + (CASE WHEN (n_chars - (n_toks - 1)) * 1.0 / n_toks BETWEEN 3 AND 10
+                THEN 0.3 ELSE 0.1 END)
+        + (CASE WHEN s_en * 1.0 / n_toks >= 0.05 THEN 0.3 ELSE 0.0 END)
+        >= 0.5
+    AND n_distinct * 1.0 / n_toks >= 0.4
+), surv AS (
+  SELECT source, doc_id, n_toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), o AS (
+  SELECT source, n_toks,
+         CAST(COALESCE(SUM(n_toks) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM surv
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(MAX(start_offset // 4096) + 1 AS BIGINT) AS n_shards
+FROM o GROUP BY source
+"""
+
+
+@query("corpus_build_pipeline", oracle=_BUILD_ORACLE, tags=("text", "dedup", "packing", "pipeline"))
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE corpus build in one plan — what a user of this
+    engine runs end-to-end before a pretraining job:
+
+    1. curate: keep docs passing the lang / quality / repetition
+       screens (same rules as corpus_curation_filter);
+    2. exact-dedup: one survivor per content fingerprint (md5 of the
+       whitespace-normalized lowered text), min doc_id wins — global
+       across sources;
+    3. shard: token-budget-4096 offset sharding per source
+       (doc_packing_shards semantics);
+    summarized per source as (docs kept, tokens kept, shards).
+
+    Spark-first: stage 1 is pure map-side expressions on the scan;
+    stage 2 is a fingerprint-keyed window (shuffle ~ surviving keys);
+    stage 3 reuses the source-keyed running-sum window; the final
+    rollup rides stage 3's partitioning. Nothing in the plan is
+    sized by pairs or by dropped docs — at 100 TB each stage's
+    shuffle is bounded by its own output."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tx.tokens("text")
+    n_toks = F.size(w).cast("long")
+    dr = F.size(F.array_distinct(w)) / F.size(w).cast("double")
+    keep = (
+        (tx.lang_id("text") != "und")
+        & (tx.quality_score("text") >= 0.5)
+        & (dr >= 0.4)
+    )
+    kept = docs.filter(keep).select(
+        "source",
+        "doc_id",
+        n_toks.alias("n_toks"),
+        tx.doc_fingerprint("text").alias("fp"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    surv = (
+        kept.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn", "fp")
+    )
+    from pythondataingestionprocess_spark.operators.packing import (
+        shard_by_offset,
+    )
+
+    sharded = shard_by_offset(surv, "source", "doc_id", "n_toks", 4096)
+    return sharded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        (F.max("shard_id") + 1).cast("long").alias("n_shards"),
+    )

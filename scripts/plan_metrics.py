@@ -55,6 +55,7 @@ DEFAULT_QUERIES = [
     "corpus_curation_filter",
     "text_bpe_pair_counts",
     "events_next_event_training",
+    "corpus_build_pipeline",
 ]
 
 

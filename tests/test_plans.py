@@ -534,3 +534,21 @@ def test_next_event_training_single_window_bounded_agg(spark):
         plan,
     ))
     assert njoins == 0
+
+
+def test_build_pipeline_stage_bounded_shuffles(spark):
+    """End-to-end corpus build: two windows (fingerprint dedup +
+    source-offset sharding), no joins, no Python, and no more than
+    three exchanges — curation is map-side on the scan, and every
+    shuffle is bounded by its own stage's output, never by dropped
+    docs or pairs."""
+    plan = _formatted_plan(spark, "corpus_build_pipeline")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 3
+    assert "EvalPython" not in plan
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"CartesianProduct|BroadcastNestedLoopJoin)",
+        plan,
+    ))
+    assert njoins == 0
