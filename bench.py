@@ -96,6 +96,7 @@ HEADLINE = [
     "q12_lateness_priority",
     "events_next_event_training",
     "corpus_build_pipeline",
+    "equidepth_price_bands",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

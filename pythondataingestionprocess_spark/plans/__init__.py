@@ -110,7 +110,7 @@ NEW_R6_STAGED: list[str] = [
 # Staged for ROUND 7 (registered late in r5; r6's two free slots are
 # already spent by NEW_R6_STAGED, and r7's stale front-load — the 50
 # r4-checked queries minus whatever r6 re-rides — leaves room: r7 =
-# 40 stale-r4 + these 10; the r4 left-overs front-load r8). Every
+# 39 stale-r4 + these 11; the r4 left-overs front-load r8). Every
 # entry is oracle-checked by scripts/driver_sim.py at sf0.01 AND the
 # vanilla-session recipe before commit; the two time-series entries
 # additionally carry proven cross-engine tests
@@ -127,6 +127,7 @@ NEW_R7_STAGED: list[str] = [
     "q12_lateness_priority",
     "events_next_event_training",
     "corpus_build_pipeline",
+    "equidepth_price_bands",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

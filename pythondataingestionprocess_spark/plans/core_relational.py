@@ -798,3 +798,50 @@ def fuzzy_join_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("sid"), F.col("p_name").alias("s")
     ).unionAll(typos)
     return fuzzy_self_join(corpus, "sid", "s", max_dist=1)
+
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT l_extendedprice,
+         ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS band
+  FROM lineitem
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi
+FROM b GROUP BY band ORDER BY band
+"""
+
+
+@query("equidepth_price_bands", oracle=_EQUIDEPTH_ORACLE, tags=("window", "quantile"))
+def equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH price bands via NTILE(8) — the complement of the
+    fixed-width histogram (equal-population buckets with data-driven
+    edges, the binning a feature-discretization step uses). NTILE
+    assigns by row position, so the ORDER BY is made a TOTAL order
+    ((price, orderkey, linenumber)) — on price ties, engines would
+    otherwise split the tie-group across band boundaries differently.
+
+    Scale note: a global NTILE is a single-partition sort — fine for
+    a stats/profiling query, wrong inside a hot path; at 100 TB the
+    same result comes from quantile_disc cut points + a width_bucket
+    join (both already in the registry). This query exists to pin the
+    NTILE window shape itself."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    band = F.ntile(8).over(
+        W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    )
+    return (
+        lineitem.select(F.col("l_extendedprice"), band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("band")
+    )
