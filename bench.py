@@ -97,6 +97,11 @@ HEADLINE = [
     "events_next_event_training",
     "corpus_build_pipeline",
     "equidepth_price_bands",
+    # r5 continuation additions (staged for r8)
+    "incremental_agg_maintenance",
+    "trend_slope_per_nation",
+    "feature_winsorize_robust",
+    "zorder_layout_cells",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

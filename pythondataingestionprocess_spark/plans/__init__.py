@@ -31,6 +31,7 @@ from pythondataingestionprocess_spark.plans import warehouse  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import llm_heavy  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import tpch_shapes  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import timeseries_queries  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402,F401
 
 # --- round-5 rotation ------------------------------------------------
 # Driver-check union after r4 is 136/136 (every registered query has a
@@ -130,6 +131,19 @@ NEW_R7_STAGED: list[str] = [
     "equidepth_price_bands",
 ]
 
+# Staged for ROUND 8 (registered in the round-5 continuation session,
+# outside the r5/r6 windows; r7's window is already full at 39
+# stale-r4 + 11 NEW_R7_STAGED, so these ride r8 together with the 11
+# r4-checked left-overs that front-load it: 11 + 4 = 15 of r8's 50,
+# leaving the rest for r5-checked refresh). Each entry is
+# oracle-verified by scripts/driver_sim.py at sf0.01 before commit.
+NEW_R8_STAGED: list[str] = [
+    "incremental_agg_maintenance",
+    "trend_slope_per_nation",
+    "feature_winsorize_robust",
+    "zorder_layout_cells",
+]
+
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4
 # ADVICE determinism fixes: merge_event_intervals now running-sums
 # over the flag window's (s, event_id) total order on both sides;
@@ -166,4 +180,5 @@ __all__ = [
     "PROMOTED_R5",
     "NEW_R6_STAGED",
     "NEW_R7_STAGED",
+    "NEW_R8_STAGED",
 ]

@@ -28,6 +28,7 @@ sys.path.insert(0, "/root/repo")
 from pythondataingestionprocess_spark.plans import (  # noqa: E402
     NEW_R6_STAGED,
     NEW_R7_STAGED,
+    NEW_R8_STAGED,
     REGISTRY,
 )
 
@@ -67,7 +68,7 @@ staged = [n for n in NEW_R6_STAGED if n in REGISTRY]
 # Deferred past the NEXT window (r7 staging): evidence-less by design,
 # not holes — they fill the round-after's free slots so the full
 # r3-age stale block can ride first.
-deferred = [n for n in NEW_R7_STAGED if n in REGISTRY]
+deferred = [n for n in NEW_R7_STAGED + NEW_R8_STAGED if n in REGISTRY]
 never = sorted(
     n
     for n in REGISTRY
@@ -100,4 +101,4 @@ for n in never + staged:
     print(f'    "{n}",')
 print("]")
 if deferred:
-    print(f"\n# deferred to the round after next (staged r7): {deferred}")
+    print(f"\n# deferred past the next window (staged r7/r8): {deferred}")

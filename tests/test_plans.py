@@ -552,3 +552,61 @@ def test_build_pipeline_stage_bounded_shuffles(spark):
         plan,
     ))
     assert njoins == 0
+
+
+def test_incremental_maintenance_pushdown_and_merge_grain(spark):
+    """Both partial-state branches push their date slice to the
+    parquet scan (base reads history, delta reads only the new
+    window — THE point of incremental refresh), aggregation combines
+    map-side, and no join appears anywhere: the merge is
+    union-and-resum over state rows."""
+    plan = _formatted_plan(spark, "incremental_agg_maintenance")
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"CartesianProduct|BroadcastNestedLoopJoin)",
+        plan,
+    ))
+    assert njoins == 0
+
+
+def test_trend_slope_broadcasts_nation_no_window(spark):
+    """OLS via explicit moments: nation rides a broadcast, the two
+    aggregations (daily grain, nation grain) combine map-side, and no
+    Window node appears — the closed form needs no per-group sort."""
+    plan = _formatted_plan(spark, "trend_slope_per_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_winsorize_scalars_broadcast_not_windowed(spark):
+    """The four global scalars (p01/p99/median/MAD) ride broadcast
+    1-row frames — the q11/q20 scalar pattern — NEVER a data-grain
+    global window; the per-row z stays in whole-stage codegen."""
+    plan = _formatted_plan(spark, "feature_winsorize_robust")
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_zorder_cells_mapside_single_exchange(spark):
+    """The Morton interleave is pure bitwise projection on the scan;
+    the only exchange is the 256-cell output aggregation (map-side
+    partial combine), with no joins and no Python."""
+    plan = _formatted_plan(spark, "zorder_layout_cells")
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"CartesianProduct|BroadcastNestedLoopJoin)",
+        plan,
+    ))
+    assert njoins == 0

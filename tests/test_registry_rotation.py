@@ -13,6 +13,7 @@ from pythondataingestionprocess_spark.plans import (
     NEW_R5,
     NEW_R6_STAGED,
     NEW_R7_STAGED,
+    NEW_R8_STAGED,
     PROMOTED_R5,
     REGISTRY,
     STALE_R2,
@@ -127,3 +128,24 @@ def test_r7_staged_queries_sit_outside_the_window():
         )
     overlap = set(NEW_R7_STAGED) & (set(NEW_R6_STAGED) | set(_intended()))
     assert not overlap
+
+
+def test_r8_staged_queries_sit_outside_the_window():
+    """Continuation-session registrations beyond r7's full window are
+    staged for r8: outside the current window, known to the rotation
+    calculator as deferred (not evidence holes), disjoint from every
+    earlier block, and each oracle-verified by driver_sim at
+    registration time."""
+    names = list(REGISTRY)
+    for n in NEW_R8_STAGED:
+        assert n in REGISTRY
+        assert names.index(n) >= DRIVER_WINDOW, (
+            f"{n} is staged for r8 but sits inside the r5 driver window"
+        )
+    overlap = set(NEW_R8_STAGED) & (
+        set(NEW_R7_STAGED) | set(NEW_R6_STAGED) | set(_intended())
+    )
+    assert not overlap
+    # r8 window math: 11 r4-checked left-overs + these must leave room
+    # for refreshing r5-checked evidence.
+    assert len(NEW_R8_STAGED) <= 12
