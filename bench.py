@@ -102,6 +102,7 @@ HEADLINE = [
     "trend_slope_per_nation",
     "feature_winsorize_robust",
     "zorder_layout_cells",
+    "copurchase_triangles",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

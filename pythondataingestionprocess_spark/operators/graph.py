@@ -1,0 +1,101 @@
+"""Triangle counting with degree orientation — the third graph
+primitive next to ``components.py`` (connected components) and the
+PageRank query (``pagerank_nations``).
+
+Naive triangle counting joins the edge list with itself on a shared
+vertex and checks closure: the wedge intermediate is Σ deg(v)², which
+a single hot vertex turns quadratic — the classic 100 TB graph
+failure. The standard fix (Cohen's MapReduce triangle algorithm;
+also the GraphX/Galois formulation) ORIENTS each undirected edge from
+its lower-(degree, id) endpoint to its higher one. Every triangle
+then has exactly one vertex with two outgoing oriented edges, wedges
+are generated only at that apex, and the intermediate shrinks to
+Σ outdeg(v)² where outdeg is bounded by ~√|E| for every vertex —
+skew-proof without salting.
+
+Everything is equi-joins + aggregations (no Python), and the whole
+pipeline is integer-exact, so a DuckDB oracle can replay the same
+CTE chain and the driver hash-check covers the full algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge list from raw pairs: order endpoints, drop
+    self-loops and duplicates. Output columns (u, v) with u < v."""
+    return (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """Count triangles in an undirected graph given as normalized
+    (u, v) edges (u < v, distinct).
+
+    Degree-oriented: each edge points from its lower-(degree, id)
+    endpoint to the higher one; wedges (s→x, s→y) are generated at
+    the unique low-order apex and closed against the oriented edge
+    (x, y). Returns a 1-row frame (n_vertices, n_edges, n_triangles).
+
+    Scale: two |E|-keyed joins to attach degrees, one wedge self-join
+    whose output is Σ outdeg² ≤ |E|·√|E| worst-case (vs Σ deg² —
+    unbounded under skew — for the unoriented form), and one closure
+    join at wedge grain. No vertex ever fans out more than its
+    oriented out-degree.
+
+    ``materialize`` (default on) localCheckpoints the three reused
+    frames (edges, degrees, oriented). DataFrame reuse is NOT common-
+    subexpression elimination (the repo's q20/dedup_ingest lesson):
+    without the barrier, every one of this plan's seven references to
+    ``edges`` re-executes the caller's whole edge-building subtree —
+    28 source scans observed for the co-purchase graph. Graph
+    algorithms are exactly where Spark's cache/checkpoint idiom is
+    mandatory (GraphX materializes its edge RDDs for the same
+    reason). Pass False only for plan inspection of the pure shape.
+    """
+    if materialize:
+        edges = edges.localCheckpoint()
+    deg = (
+        edges.select(F.col("u").alias("w"))
+        .unionAll(edges.select(F.col("v").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    if materialize:
+        deg = deg.localCheckpoint()
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("deg_v"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    # orient: src = lower (degree, id) endpoint
+    src_is_u = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    if materialize:
+        oriented = oriented.localCheckpoint()
+    # wedges at the apex: two out-edges (src→x), (src→y), x < y keeps
+    # each unordered pair once
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
+    # closure: the third side exists as an UNDIRECTED edge; normalized
+    # edges already store it as (min, max) = (x, y)
+    closed = wedges.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"], "left_semi"
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_vert = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return n_vert.crossJoin(n_edge).crossJoin(n_tri)

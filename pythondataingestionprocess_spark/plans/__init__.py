@@ -32,6 +32,7 @@ from pythondataingestionprocess_spark.plans import llm_heavy  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import tpch_shapes  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import timeseries_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 
 # --- round-5 rotation ------------------------------------------------
 # Driver-check union after r4 is 136/136 (every registered query has a
@@ -142,6 +143,7 @@ NEW_R8_STAGED: list[str] = [
     "trend_slope_per_nation",
     "feature_winsorize_robust",
     "zorder_layout_cells",
+    "copurchase_triangles",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

@@ -1,0 +1,92 @@
+"""Graph analytics queries (beyond-reference depth). Completes the
+graph primitive family: connected components (``dedup_groups_cc``),
+PageRank (``pagerank_nations``), and now triangle counting with
+degree orientation (``operators/graph.py`` — the skew-proof wedge
+generation that makes clustering-coefficient / community analysis
+runnable on a 100 TB co-occurrence graph).
+
+The co-purchase graph: parts appearing together in the same order
+(high-quantity lines only, which keeps graph density realistic at
+every SF). The whole pipeline is integer-exact equi-joins, so the
+DuckDB oracle replays the identical CTE chain and the driver
+hash-check covers orientation, wedge generation, and closure — not
+just the final count's plausibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.operators.graph import triangle_count
+from pythondataingestionprocess_spark.plans.registry import query
+
+_TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 26
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT w, COUNT(*) AS deg FROM (
+    SELECT u AS w FROM pairs UNION ALL SELECT v AS w FROM pairs
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM pairs e
+  JOIN deg du ON e.u = du.w
+  JOIN deg dv ON e.v = dv.w
+),
+wedges AS (
+  SELECT o1.src, o1.dst AS x, o2.dst AS y
+  FROM oriented o1 JOIN oriented o2
+    ON o1.src = o2.src AND o1.dst < o2.dst
+),
+closed AS (
+  SELECT 1 AS hit FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.u = w.x AND p.v = w.y)
+)
+SELECT (SELECT COUNT(*) FROM deg)    AS n_vertices,
+       (SELECT COUNT(*) FROM pairs)  AS n_edges,
+       (SELECT COUNT(*) FROM closed) AS n_triangles
+"""
+
+
+@query("copurchase_triangles", oracle=_TRIANGLE_ORACLE, tags=("graph", "join", "triangle"))
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts sharing an
+    order, quantity ≥ 26): the transitive-co-occurrence signal that
+    feeds clustering coefficients and community detection over a
+    product graph.
+
+    Degree-oriented counting (operators/graph.py): each undirected
+    edge points from its lower-(degree, id) endpoint, wedges are
+    generated only at each triangle's unique low-order apex, and the
+    intermediate is Σ outdeg² — bounded by |E|·√|E| even under a
+    hot-vertex degree distribution, where the naive Σ deg² wedge join
+    goes quadratic. All equi-joins and integer counts; the oracle
+    replays the identical orientation/wedge/closure chain.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = (
+        lineitem.filter(F.col("l_quantity") >= 26)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -610,3 +610,40 @@ def test_zorder_cells_mapside_single_exchange(spark):
         plan,
     ))
     assert njoins == 0
+
+
+def test_triangle_count_materializes_reuse_no_python(spark):
+    """Triangle counting references its edge frame seven times;
+    DataFrame reuse is NOT CSE, so the operator must localCheckpoint
+    the reused frames — the registered query's final plan reads the
+    materialized RDDs (zero parquet re-scans), and the pure shape
+    (materialize=False) stays all-equi-join with no Python and no
+    cartesian anywhere."""
+    plan = _formatted_plan(spark, "copurchase_triangles")
+    assert plan.count("Scan parquet") == 0, "edge subtree must be checkpointed, not re-scanned"
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    from pythondataingestionprocess_spark.catalog import load_table
+    from pythondataingestionprocess_spark.operators.graph import triangle_count
+    import pyspark.sql.functions as F
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_quantity") >= 26)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.select("l_orderkey", F.col("l_partkey").alias("u"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("v")), "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    pure = triangle_count(edges, materialize=False)
+    pure_plan = pure._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "EvalPython" not in pure_plan
+    assert "CartesianProduct" not in pure_plan
