@@ -15,6 +15,7 @@ metastore, or Delta/Iceberg's clustered-write equivalent.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -133,3 +134,42 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def file_skipping_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max/count index over a parquet directory — the
+    data-skipping statistics a lakehouse table format (Delta/Iceberg)
+    maintains in its manifest, derivable here from the files alone.
+
+    One distributed pass: group by ``input_file_name()``, aggregate
+    min/max per requested column. The result is files-sized (not
+    rows-sized) and is the input to :func:`prunable_files`, which
+    turns a range predicate into the set of files a reader can skip
+    without opening. Parquet footers already carry row-group stats;
+    this table lifts them to the FILE grain where a planner (or a
+    manifest-driven reader) consults them before touching storage —
+    at 100 TB the difference between listing 1M footers and reading
+    one manifest table.
+
+    Pair with a layout that keeps ranges tight per file: a single-
+    column sort tightens that column only; a Morton interleave
+    (functions/layout.py) tightens BOTH queried dimensions at once —
+    measured in tests/test_bucketing.py::test_file_stats_zorder_skips_more_files.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def prunable_files(stats: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Files whose [min, max] envelope for ``col`` does not intersect
+    [lo, hi] — a reader can skip them entirely. Chain calls (or union
+    the results) for conjunctive multi-column predicates: a file is
+    skippable if ANY conjunct's envelope misses."""
+    overlaps = (F.col(f"{col}_max") >= F.lit(lo)) & (F.col(f"{col}_min") <= F.lit(hi))
+    return stats.filter(~overlaps)

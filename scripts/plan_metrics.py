@@ -56,6 +56,13 @@ DEFAULT_QUERIES = [
     "text_bpe_pair_counts",
     "events_next_event_training",
     "corpus_build_pipeline",
+    # r5 continuation additions (staged for r8); copurchase_triangles
+    # is measured by its own scaling probe instead — its operator
+    # localCheckpoints internally (see Caveat above)
+    "incremental_agg_maintenance",
+    "trend_slope_per_nation",
+    "feature_winsorize_robust",
+    "zorder_layout_cells",
 ]
 
 

@@ -217,3 +217,53 @@ def test_partitioned_table_schema_evolution_mergeschema(spark, tmp_path):
     assert set(got.columns) == {"day", "amount", "currency"}
     rows = {r["day"]: (r["amount"], r["currency"]) for r in got.collect()}
     assert rows == {1: (10, None), 2: (20, "eur")}
+
+
+def test_file_stats_zorder_skips_more_files(spark, tmp_path):
+    """The data-skipping payoff of the Morton layout, measured on real
+    files: write orders into 8 range-partitioned files either by
+    Morton(price, date) or by o_orderkey (uncorrelated with both
+    dims), build the per-file min/max stats table, and count files a
+    2-D box predicate can skip. Key-ordered files span the full range
+    of both dimensions (skip ≈ 0); Morton-ordered files keep BOTH
+    envelopes tight, so several files miss the box entirely."""
+    import datetime as dt
+
+    from pythondataingestionprocess_spark.functions.layout import morton16
+    from pythondataingestionprocess_spark.storage import (
+        file_skipping_stats,
+        prunable_files,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    b = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.least(F.floor(F.col("o_totalprice") / 2000).cast("long"), F.lit(255)).alias("px"),
+        F.least(
+            (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long") / 10)
+            .cast("long"),
+            F.lit(255),
+        ).alias("py"),
+    ).withColumn("morton", morton16("px", "py"))
+
+    zpath = str(tmp_path / "zorder")
+    kpath = str(tmp_path / "keyorder")
+    b.repartitionByRange(8, "morton").write.parquet(zpath)
+    b.repartitionByRange(8, "o_orderkey").write.parquet(kpath)
+
+    def skippable(path: str) -> int:
+        stats = file_skipping_stats(spark, path, ["o_totalprice", "o_orderdate"])
+        n_files = stats.count()
+        assert n_files == 8
+        miss_price = prunable_files(stats, "o_totalprice", 100_000.0, 150_000.0)
+        miss_date = prunable_files(
+            stats, "o_orderdate", dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
+        )
+        return miss_price.select("file").union(miss_date.select("file")).distinct().count()
+
+    z_skip = skippable(zpath)
+    k_skip = skippable(kpath)
+    assert z_skip > k_skip, (z_skip, k_skip)
+    assert z_skip >= 3, z_skip
