@@ -156,3 +156,48 @@ def test_trend_slope_matches_numpy_polyfit(spark, sf_dir):
         assert out[nat]["intercept"] == pytest.approx(intercept, rel=1e-4, abs=1e-2)
         checked += 1
     assert checked >= 5
+
+
+def test_daily_refresh_composes_store_and_partial_state(spark, sf_dir, tmp_path):
+    """The production shape of incremental maintenance, end-to-end:
+    partial state persisted in a ParquetTableStore, each 'day' of new
+    facts aggregated alone and MERGED into the stored state (upsert at
+    group grain), final read-time stats equal to a from-scratch
+    rollup over everything ingested so far. The per-refresh fact scan
+    is the delta only — history is never re-read."""
+    from pythondataingestionprocess_spark.pipeline.store import ParquetTableStore
+    from pythondataingestionprocess_spark.operators.incremental import (
+        STATE_COUNT,
+        finish_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    store = ParquetTableStore(spark, str(tmp_path / "state"))
+    orders = load_table(spark, sf_dir, "orders")
+    keys = [F.col("o_orderstatus")]
+    batches = [
+        orders.filter(F.year("o_orderdate") <= 1997),
+        orders.filter(F.year("o_orderdate").isin(1998, 1999)),
+        orders.filter(F.year("o_orderdate") >= 2000),
+    ]
+    store.overwrite("rollup", partial_rollup(batches[0], keys, ["o_totalprice"]))
+    for delta in batches[1:]:
+        merged = merge_rollups(
+            [store.read("rollup"), partial_rollup(delta, keys, ["o_totalprice"])],
+            ["o_orderstatus"],
+            ["o_totalprice"],
+        ).localCheckpoint()  # materialize BEFORE overwriting the file we read from
+        store.overwrite("rollup", merged)
+
+    got = {
+        r["o_orderstatus"]: (r[STATE_COUNT], r["o_totalprice_total"])
+        for r in finish_rollup(store.read("rollup"), ["o_totalprice"]).collect()
+    }
+    want = {
+        r["o_orderstatus"]: (r[STATE_COUNT], r["o_totalprice_total"])
+        for r in finish_rollup(
+            partial_rollup(orders, keys, ["o_totalprice"]), ["o_totalprice"]
+        ).collect()
+    }
+    assert got == want
