@@ -173,3 +173,44 @@ def prunable_files(stats: DataFrame, col: str, lo, hi) -> DataFrame:
     skippable if ANY conjunct's envelope misses."""
     overlaps = (F.col(f"{col}_max") >= F.lit(lo)) & (F.col(f"{col}_min") <= F.lit(hi))
     return stats.filter(~overlaps)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    x_expr: str,
+    y_expr: str,
+    n_files: int,
+) -> None:
+    """Rewrite a parquet directory clustered by the Morton (Z-order)
+    interleave of two 8-bit bucket expressions — the engine's
+    ``OPTIMIZE ZORDER BY`` equivalent (functions/layout.py has the
+    interleave; Delta/Iceberg ship the same op as a table service).
+
+    ``repartitionByRange`` on the Morton key range-partitions rows
+    into ``n_files`` files whose Z-ranges don't overlap (Spark samples
+    the key to find balanced cut points), and ``sortWithinPartitions``
+    extends the clustering to row-group grain so parquet footer stats
+    are tight inside each file too. The helper column is dropped
+    before the write — projection preserves partitioning and order.
+
+    Payoff is measured, not assumed:
+    tests/test_bucketing.py::test_optimize_zorder_tightens_file_stats
+    rewrites a key-ordered table and shows :func:`file_skipping_stats`
+    envelopes shrink from full-range to fractions on BOTH queried
+    dimensions. At 100 TB this job runs per partition (day) after the
+    daily load, and the skip rate compounds with every subsequent
+    2-D-predicate read.
+    """
+    from pythondataingestionprocess_spark.functions.layout import morton16
+
+    df = spark.read.parquet(src)
+    (
+        df.withColumn("__zorder", morton16(x_expr, y_expr))
+        .repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )

@@ -82,3 +82,41 @@ def clicks_then_errors(
     return c.join(e, cond).select(
         "user_id", "error_id", "error_ts", "click_id", "click_ts"
     )
+
+
+def enrich_with_scd2_dim(
+    stream: DataFrame,
+    versions: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Event-time-correct dimension enrichment: each stream row joins
+    the SCD2 version whose [valid_from, valid_to) window contains the
+    row's EVENT time — not whatever version is current when the batch
+    happens to run. Late-arriving events therefore enrich against the
+    historically correct attributes; replays are deterministic. The
+    batch twin is `pit_scd2_price_join` (plans/asof_queries.py), whose
+    scale note applies verbatim: the join is an EQUI join on the
+    natural key with the validity window as a residual predicate —
+    never a bare BETWEEN join.
+
+    Stateless on the stream side (each micro-batch probes the version
+    table), so no watermark is needed for the join itself. LEFT join:
+    an event before its key's first version (or for an unknown key)
+    flows through with NULL attributes rather than vanishing.
+
+    Scale: with ``broadcast`` the version table ships once per
+    micro-batch and the probe is map-side. SCD2 tables are
+    |keys|×|versions| — usually broadcastable for catalog dims; for a
+    huge one, pass ``broadcast=False`` and pre-bucket both sides on
+    the key."""
+    d = F.broadcast(versions) if broadcast else versions
+    cond = (
+        (stream[key] == d[key])
+        & (stream[ts_col] >= d[valid_from])
+        & (stream[ts_col] < d[valid_to])
+    )
+    return stream.join(d, cond, "left").drop(d[key]).drop(d[valid_from]).drop(d[valid_to])

@@ -267,3 +267,45 @@ def test_file_stats_zorder_skips_more_files(spark, tmp_path):
     k_skip = skippable(kpath)
     assert z_skip > k_skip, (z_skip, k_skip)
     assert z_skip >= 3, z_skip
+
+
+def test_optimize_zorder_tightens_file_stats(spark, tmp_path):
+    """The OPTIMIZE ZORDER job end-to-end: a key-ordered table whose
+    per-file envelopes span the full price and date ranges is
+    rewritten Morton-clustered; afterwards the per-file envelopes
+    cover a fraction of each dimension, and a 2-D box predicate can
+    skip files it previously had to read."""
+    import datetime as dt
+
+    from pythondataingestionprocess_spark.storage import (
+        file_skipping_stats,
+        optimize_zorder,
+        prunable_files,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    before = str(tmp_path / "keyordered")
+    after = str(tmp_path / "zordered")
+    orders.repartitionByRange(8, "o_orderkey").write.parquet(before)
+
+    optimize_zorder(
+        spark,
+        before,
+        after,
+        "least(CAST(floor(o_totalprice / 2000) AS BIGINT), 255)",
+        "least(CAST(CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) / 10 AS BIGINT), 255)",
+        n_files=8,
+    )
+    # same rows survive the rewrite
+    assert spark.read.parquet(after).count() == orders.count()
+
+    def skips(path: str) -> int:
+        stats = file_skipping_stats(spark, path, ["o_totalprice", "o_orderdate"])
+        a = prunable_files(stats, "o_totalprice", 100_000.0, 150_000.0)
+        b = prunable_files(
+            stats, "o_orderdate", dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
+        )
+        return a.select("file").union(b.select("file")).distinct().count()
+
+    assert skips(before) == 0  # uncorrelated key order: every file spans everything
+    assert skips(after) >= 3

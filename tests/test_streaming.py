@@ -1161,3 +1161,66 @@ def test_streaming_ewma_matches_exact_recursion(spark, tmp_path):
             s = v if s is None else v + a * s
             assert got[(user, i)] == pytest.approx(s, abs=1e-12), (user, i)
     assert len(got) == 8
+
+
+def test_stream_scd2_pit_enrichment_event_time_correct(spark, tmp_path):
+    """SCD2 point-in-time enrichment on a stream: each event joins the
+    dimension VERSION valid at its event time, so a late event from
+    before a price change still enriches with the old version —
+    event-time-correct and replay-deterministic, where a
+    current-version join would stamp whatever happens to be current at
+    processing time. Unknown keys and pre-history events flow through
+    NULL (left join)."""
+    from pythondataingestionprocess_spark.streaming.joins import enrich_with_scd2_dim
+
+    inbox = str(tmp_path / "inbox")
+    # user 1: events at :00..:03; user 2 same shape; user 777 unknown
+    rows = _rows(0, 4, user=1) + [
+        dict(r, event_id=r["event_id"] + 50, user_id=2) for r in _rows(0, 4)
+    ]
+    rows.append(
+        {"event_id": 99, "ts": "2024-01-01T00:01:00.000Z", "user_id": 777,
+         "event_type": "click", "value": 5.0}
+    )
+    _write_json_batch(inbox, "a.json", rows)
+
+    # user 1's tier changes at :02 (SCD2: two contiguous versions);
+    # user 2 has a single version starting at :01 — the :00 event
+    # PRE-DATES it and must enrich NULL
+    versions = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01T00:00:00", "2024-01-01T00:02:00"),
+            (1, "gold", "2024-01-01T00:02:00", "2099-01-01T00:00:00"),
+            (2, "silver", "2024-01-01T00:01:00", "2099-01-01T00:00:00"),
+        ],
+        "user_id long, tier string, valid_from string, valid_to string",
+    ).select(
+        "user_id",
+        "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+
+    stream = file_ingest.file_stream(spark, inbox, EVENTS_SCHEMA)
+    enriched = enrich_with_scd2_dim(stream, versions, "user_id", "ts").select(
+        "event_id", "tier"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("scd2_pit_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM scd2_pit_test").collect()
+    }
+    assert got == {
+        0: "bronze", 1: "bronze",        # user 1 before the change
+        2: "gold", 3: "gold",            # user 1 after the change
+        50: None,                        # user 2 pre-history event
+        51: "silver", 52: "silver", 53: "silver",
+        99: None,                        # unknown key
+    }
