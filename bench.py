@@ -103,6 +103,7 @@ HEADLINE = [
     "feature_winsorize_robust",
     "zorder_layout_cells",
     "copurchase_triangles",
+    "part_clustering_coefficient",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -62,6 +62,17 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     mandatory (GraphX materializes its edge RDDs for the same
     reason). Pass False only for plan inspection of the pure shape.
     """
+    edges, deg, closed = _closed_triangles(edges, materialize)
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_vert = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return n_vert.crossJoin(n_edge).crossJoin(n_tri)
+
+
+def _closed_triangles(edges: DataFrame, materialize: bool):
+    """Shared chain: degrees → orientation → apex wedges → closure.
+    Returns (edges, deg, closed) where ``closed`` has one row
+    (src, x, y) per triangle, emitted at its unique low-order apex."""
     if materialize:
         edges = edges.localCheckpoint()
     deg = (
@@ -95,7 +106,40 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     closed = wedges.join(
         edges.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"], "left_semi"
     )
-    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_vert = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
-    return n_vert.crossJoin(n_edge).crossJoin(n_tri)
+    return edges, deg, closed
+
+
+def clustering_coefficient(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """Per-vertex local clustering coefficient: for each vertex w,
+    tri(w) / C(deg(w), 2) — the fraction of w's neighbor pairs that
+    are themselves connected; the community-density signal on a
+    co-occurrence graph.
+
+    Reuses the oriented triangle chain: every closed triangle
+    (src, x, y) credits its three vertices (one explode, triangle-
+    grain), then a left join back onto the degree table gives every
+    vertex a row (coefficient 0 when it closes no triangle, NULL-free
+    via coalesce). All counts integer-exact; the coefficient is one
+    double division — deterministic cross-engine.
+    """
+    _, deg, closed = _closed_triangles(edges, materialize)
+    tri_v = (
+        closed.select(
+            F.explode(F.array(F.col("src"), F.col("x"), F.col("y"))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = deg.join(tri_v, "w", "left").select(
+        "w",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1) / 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coefficient"),
+    )
+    return out

@@ -144,6 +144,7 @@ NEW_R8_STAGED: list[str] = [
     "feature_winsorize_robust",
     "zorder_layout_cells",
     "copurchase_triangles",
+    "part_clustering_coefficient",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

@@ -19,10 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.catalog import load_table
-from pythondataingestionprocess_spark.operators.graph import triangle_count
+from pythondataingestionprocess_spark.operators.graph import (
+    clustering_coefficient,
+    triangle_count,
+)
 from pythondataingestionprocess_spark.plans.registry import query
 
-_TRIANGLE_ORACLE = """
+# Shared CTE chain for the co-purchase graph — both graph oracles
+# replay the same edge build / degree / orientation / wedge / closure
+# steps, then aggregate differently.
+_GRAPH_CTES = """
 WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 26
 ),
@@ -51,12 +57,32 @@ wedges AS (
     ON o1.src = o2.src AND o1.dst < o2.dst
 ),
 closed AS (
-  SELECT 1 AS hit FROM wedges w
+  SELECT w.src, w.x, w.y FROM wedges w
   WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.u = w.x AND p.v = w.y)
 )
+"""
+
+_TRIANGLE_ORACLE = _GRAPH_CTES + """
 SELECT (SELECT COUNT(*) FROM deg)    AS n_vertices,
        (SELECT COUNT(*) FROM pairs)  AS n_edges,
        (SELECT COUNT(*) FROM closed) AS n_triangles
+"""
+
+_COEFF_ORACLE = _GRAPH_CTES + """
+, verts AS (
+  SELECT unnest([src, x, y]) AS w FROM closed
+),
+tri AS (
+  SELECT w, COUNT(*) AS n_triangles FROM verts GROUP BY 1
+)
+SELECT d.w AS part_id,
+       d.deg,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       ROUND(COALESCE(t.n_triangles, 0) / (d.deg * (d.deg - 1) / 2), 6) AS coefficient
+FROM deg d LEFT JOIN tri t ON d.w = t.w
+WHERE d.deg >= 5
+ORDER BY coefficient DESC, part_id
+LIMIT 20
 """
 
 
@@ -75,6 +101,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes quadratic. All equi-joins and integer counts; the oracle
     replays the identical orientation/wedge/closure chain.
     """
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     li = (
         lineitem.filter(F.col("l_quantity") >= 26)
@@ -83,10 +113,37 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
-    edges = (
+    return (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
     )
-    return triangle_count(edges)
+
+
+@query("part_clustering_coefficient", oracle=_COEFF_ORACLE, tags=("graph", "triangle", "topk"))
+def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 best-connected parts by LOCAL clustering coefficient
+    (tri(w) / C(deg(w), 2), degree ≥ 5): how much of a part's
+    co-purchase neighborhood buys together — the community-density
+    feature for product-graph segmentation.
+
+    Same oriented chain as copurchase_triangles, but each closed
+    triangle credits its three vertices (one triangle-grain explode)
+    before a left join back onto the degree table. The coefficient is
+    one double division over exact integer counts (deterministic
+    cross-engine); ordering is on the ROUNDED value with part_id as
+    tiebreak, so the LIMIT cuts identically in both engines.
+    """
+    cc = clustering_coefficient(_copurchase_edges(spark, sf_dir))
+    return (
+        cc.filter(F.col("deg") >= 5)
+        .select(
+            F.col("w").alias("part_id"),
+            "deg",
+            "n_triangles",
+            F.round("coefficient", 6).alias("coefficient"),
+        )
+        .orderBy(F.col("coefficient").desc(), F.col("part_id"))
+        .limit(20)
+    )

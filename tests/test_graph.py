@@ -72,3 +72,26 @@ def test_normalize_edges_drops_loops_and_dups(spark):
     )
     rows = {(r["u"], r["v"]) for r in normalize_edges(df, "a", "b").collect()}
     assert rows == {(1, 2), (1, 3)}
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from pythondataingestionprocess_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # two triangles sharing edge (1,2): vertices 1,2 have deg 3 and
+    # sit in 2 triangles -> 2/3; vertices 0,3 have deg 2, 1 triangle -> 1.0
+    pairs = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]
+    rows = {
+        r["w"]: (r["deg"], r["n_triangles"], r["coefficient"])
+        for r in clustering_coefficient(_edges(spark, pairs)).collect()
+    }
+    assert rows[0] == (2, 1, 1.0)
+    assert rows[3] == (2, 1, 1.0)
+    assert rows[1][0] == 3 and rows[1][1] == 2 and abs(rows[1][2] - 2 / 3) < 1e-12
+    assert rows[2][0] == 3 and rows[2][1] == 2 and abs(rows[2][2] - 2 / 3) < 1e-12
+
+    # a star closes nothing: hub and leaves all coefficient 0
+    star = [(0, i) for i in range(1, 6)]
+    srows = {r["w"]: r["coefficient"] for r in clustering_coefficient(_edges(spark, star)).collect()}
+    assert set(srows.values()) == {0.0}

@@ -647,3 +647,15 @@ def test_triangle_count_materializes_reuse_no_python(spark):
     )
     assert "EvalPython" not in pure_plan
     assert "CartesianProduct" not in pure_plan
+
+
+def test_clustering_coefficient_materialized_no_python(spark):
+    """Same contract as the triangle count: the registered query's
+    final plan reads the checkpointed chain (no parquet re-scans), no
+    Python, no cartesian; the top-20 cut is a TakeOrderedAndProject,
+    not a data-grain global sort."""
+    plan = _formatted_plan(spark, "part_clustering_coefficient")
+    assert plan.count("Scan parquet") == 0
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
