@@ -104,6 +104,8 @@ HEADLINE = [
     "zorder_layout_cells",
     "copurchase_triangles",
     "part_clustering_coefficient",
+    "pii_pseudonymize_vault",
+    "unpivot_charge_components",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -145,6 +145,8 @@ NEW_R8_STAGED: list[str] = [
     "zorder_layout_cells",
     "copurchase_triangles",
     "part_clustering_coefficient",
+    "pii_pseudonymize_vault",
+    "unpivot_charge_components",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

@@ -845,3 +845,64 @@ def equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: the wide→long reshape (inverse of pivot_status_revenue).
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH charges AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(25,6)) AS base_price,
+         CAST(l_extendedprice * l_discount AS DECIMAL(25,6)) AS discount_amt,
+         CAST(l_extendedprice * (1 - l_discount) * l_tax AS DECIMAL(25,6)) AS tax_amt
+  FROM lineitem
+),
+long AS (
+  SELECT l_returnflag, 'base_price' AS component, base_price AS amount FROM charges
+  UNION ALL
+  SELECT l_returnflag, 'discount_amt', discount_amt FROM charges
+  UNION ALL
+  SELECT l_returnflag, 'tax_amt', tax_amt FROM charges
+)
+SELECT l_returnflag, component,
+       COUNT(*) AS n_rows,
+       CAST(SUM(amount) AS DOUBLE) AS total_amount
+FROM long
+GROUP BY 1, 2
+"""
+
+
+@query("unpivot_charge_components", oracle=_UNPIVOT_ORACLE, tags=("reshape", "unpivot", "agg"))
+def unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of `pivot_status_revenue`): each
+    lineitem's three charge components (base price, discount amount,
+    tax amount) melt into (component, amount) rows via the native
+    ``DataFrame.unpivot`` — Catalyst's Expand node, one pass over the
+    input, no self-union — then roll up per (returnflag, component).
+
+    The oracle spells the same reshape as a 3-way UNION ALL (the
+    portable form); component amounts are decimal-exact BEFORE the
+    melt so the long sums hash-match. Scale: Expand multiplies rows
+    map-side (3× here) ahead of the output-grain exchange — the
+    shuffle carries 15 groups, never the melted rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    charges = li.select(
+        "l_returnflag",
+        ep.cast("decimal(25,6)").alias("base_price"),
+        (ep * disc).cast("decimal(25,6)").alias("discount_amt"),
+        (ep * (1 - disc) * tax).cast("decimal(25,6)").alias("tax_amt"),
+    )
+    long = charges.unpivot(
+        ["l_returnflag"],
+        ["base_price", "discount_amt", "tax_amt"],
+        "component",
+        "amount",
+    )
+    return long.groupBy("l_returnflag", "component").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").cast("double").alias("total_amount"),
+    )

@@ -1362,3 +1362,97 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("total_tokens"),
         (F.max("shard_id") + 1).cast("long").alias("n_shards"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudonymization with a re-identification vault — the
+# step past redaction: replace each detected identifier with a STABLE
+# keyed token (same email → same token everywhere, so joins and
+# analytics still work on the tokenized corpus) and emit the
+# token↔value vault for authorized re-identification. md5 is the
+# portable hash basis (same discipline as text_rolling_fingerprint /
+# dedup_simhash).
+# ---------------------------------------------------------------------------
+
+_VAULT_ORACLE = f"""
+WITH planted AS (
+  SELECT source, doc_id,
+    text || CASE WHEN doc_id % 5 = 0
+      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END AS t
+  FROM documents
+),
+hits AS (
+  SELECT source, doc_id, t,
+         regexp_extract(t, '{_PII_EMAIL}') AS email
+  FROM planted
+  WHERE regexp_extract(t, '{_PII_EMAIL}') <> ''
+),
+tok AS (
+  SELECT source, doc_id, t, email,
+         'tok_' || substr(md5(email), 1, 16) AS token
+  FROM hits
+),
+swapped AS (
+  SELECT source, doc_id, email, token,
+         replace(t, email, token) AS t_tok
+  FROM tok
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT email) AS n_distinct_emails,
+       COUNT(DISTINCT token) AS n_distinct_tokens,
+       CAST(SUM(len(regexp_extract_all(t_tok, '{_PII_EMAIL}'))) AS BIGINT) AS n_leftover,
+       CAST(SUM(CASE WHEN contains(t_tok, token) THEN 1 ELSE 0 END) AS BIGINT) AS n_tokened
+FROM swapped
+GROUP BY source
+"""
+
+
+@query("pii_pseudonymize_vault", oracle=_VAULT_ORACLE, tags=("text", "pii", "privacy"))
+def pii_pseudonymize_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization audit: every detected email is swapped for a
+    stable token ('tok_' + 16 hex chars of md5 — deterministic, so
+    the tokenized corpus still joins/aggregates by identity without
+    exposing it), and the summary proves the contract per source:
+    token count equals email count (injective on this corpus), zero
+    raw emails survive the swap, and every document carries its
+    token. The (email, token) pairs in the ``swapped`` stage ARE the
+    vault a compliance store would persist (restricted-access
+    re-identification table).
+
+    Scale: detection, hashing, and the swap are all map-side
+    expressions; the single exchange is the per-source audit rollup.
+    A salted/keyed variant (concat a secret before hashing) defeats
+    rainbow lookups without changing the plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "source",
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    hits = planted.withColumn(
+        "email", F.regexp_extract("t", _PII_EMAIL, 0)
+    ).filter(F.col("email") != "")
+    tok = hits.withColumn(
+        "token", F.concat(F.lit("tok_"), F.substring(F.md5("email"), 1, 16))
+    )
+    swapped = tok.withColumn("t_tok", F.replace("t", "email", "token"))
+    return swapped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("email").alias("n_distinct_emails"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        F.sum(F.size(F.regexp_extract_all("t_tok", F.lit(_PII_EMAIL), F.lit(0))))
+        .cast("long")
+        .alias("n_leftover"),
+        F.sum(F.when(F.contains("t_tok", F.col("token")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tokened"),
+    )

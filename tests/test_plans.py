@@ -659,3 +659,29 @@ def test_clustering_coefficient_materialized_no_python(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pseudonymize_vault_mapside_single_exchange(spark):
+    """Detection, tokenization, and the swap are pure map-side
+    expressions; the only exchange is the per-source audit rollup —
+    no Python, no joins."""
+    plan = _formatted_plan(spark, "pii_pseudonymize_vault")
+    assert "EvalPython" not in plan
+    njoins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
+        r"CartesianProduct|BroadcastNestedLoopJoin)",
+        plan,
+    ))
+    assert njoins == 0
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2  # distinct-agg may add one
+
+
+def test_unpivot_uses_expand_single_exchange(spark):
+    """The melt must be Catalyst's Expand (one pass, map-side 3x row
+    multiplication), not a 3-way self-union re-scanning the input;
+    the only exchange is the 15-group output aggregation."""
+    plan = _formatted_plan(spark, "unpivot_charge_components")
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert "EvalPython" not in plan
