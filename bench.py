@@ -106,6 +106,8 @@ HEADLINE = [
     "part_clustering_coefficient",
     "pii_pseudonymize_vault",
     "unpivot_charge_components",
+    "hierarchical_revenue_share",
+    "window_edge_values",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

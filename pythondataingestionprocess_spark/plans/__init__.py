@@ -147,6 +147,8 @@ NEW_R8_STAGED: list[str] = [
     "part_clustering_coefficient",
     "pii_pseudonymize_vault",
     "unpivot_charge_components",
+    "hierarchical_revenue_share",
+    "window_edge_values",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

@@ -452,3 +452,120 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("twav")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical ratio-to-parent: share at two grains from ONE aggregate.
+# ---------------------------------------------------------------------------
+
+_HIER_SHARE_ORACLE = """
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 9)
+         AS share_of_region,
+       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 9)
+         AS share_of_total
+FROM nat
+"""
+
+
+@query("hierarchical_revenue_share", oracle=_HIER_SHARE_ORACLE, tags=("window", "ratio", "olap"))
+def hierarchical_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent at two hierarchy levels from a single
+    aggregate: each nation's revenue as a share of its region and of
+    the world. The windows run over the 25-row AGGREGATE (metrics-
+    sized — the partition-by-region and global frames cost nothing),
+    never over fact rows; revenue stays DECIMAL through both window
+    sums so the numerator/denominator pairs are engine-identical, and
+    each share is one IEEE division ROUND(·, 9).
+
+    This is the drill-down OLAP report shape (percent-of-parent in a
+    dimension hierarchy) that generalizes `revenue_share_top_customers`
+    (single-level ratio-to-report) to nested grains.
+    """
+    orders, customer, nation, region = (
+        load_table(spark, sf_dir, t) for t in ("orders", "customer", "nation", "region")
+    )
+    nat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("decimal(25,6)")
+            .alias("rev")
+        )
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_region).cast("double"), 9
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_all).cast("double"), 9
+        ).alias("share_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-edge value picks: first/last/nth over an explicit running frame.
+# ---------------------------------------------------------------------------
+
+_EDGE_ORACLE = """
+SELECT user_id,
+       event_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_val,
+       nth_value(value, 3) OVER w AS third_val
+FROM events
+WHERE user_id % 97 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_edge_values", oracle=_EDGE_ORACLE, tags=("window", "frame"))
+def window_edge_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit frames — the
+    frame-edge picks that complete the window family (lag/lead, ranks,
+    running and range frames already registered). The trap this query
+    pins: last_value over the DEFAULT frame (unbounded preceding →
+    current row) is just the current row, so the full-partition frame
+    must be explicit — both engines agree once the frame is spelled
+    out, and the (ts, event_id) order is total so ties can't pick
+    different rows. nth_value(3) is NULL for the first two rows of
+    each key (no padding). Static whole-partition frames are
+    O(1)/row; the user_id filter keeps driver output bounded."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    order = [F.col("ts"), F.col("event_id")]
+    w_run = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_full = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w_run).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.nth_value("value", 3).over(w_run).alias("third_val"),
+    )

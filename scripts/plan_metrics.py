@@ -63,6 +63,10 @@ DEFAULT_QUERIES = [
     "trend_slope_per_nation",
     "feature_winsorize_robust",
     "zorder_layout_cells",
+    "pii_pseudonymize_vault",
+    "unpivot_charge_components",
+    "hierarchical_revenue_share",
+    "window_edge_values",
 ]
 
 

@@ -685,3 +685,17 @@ def test_unpivot_uses_expand_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
     assert "EvalPython" not in plan
+
+
+def test_hierarchical_share_windows_over_aggregate_only(spark):
+    """Both ratio windows must run over the 25-row aggregate, never
+    the fact rows: the Window nodes sit ABOVE the aggregation (their
+    input is the (region, nation, rev) grain), dims broadcast, no
+    Python."""
+    plan = _formatted_plan(spark, "hierarchical_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    m = re.search(r"\(\d+\) Window\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m and "o_totalprice" not in m.group(1), (
+        "window input must be the aggregate grain, not fact rows"
+    )
