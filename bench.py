@@ -108,6 +108,7 @@ HEADLINE = [
     "unpivot_charge_components",
     "hierarchical_revenue_share",
     "window_edge_values",
+    "recursive_cte_subtree_rollup",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

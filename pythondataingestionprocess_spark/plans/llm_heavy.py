@@ -466,13 +466,15 @@ FROM r GROUP BY depth
 
 @query("hierarchy_depth_rollup", oracle=_HIERARCHY_ORACLE, tags=("hierarchy", "recursive"))
 def hierarchy_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The recursive-CTE workload on an engine without recursive CTEs:
-    a parent-pointer forest synthesized from part keys (parent = key
+    """The recursive-CTE workload solved WITHOUT recursion: a
+    parent-pointer forest synthesized from part keys (parent = key
     DIV 10, roots below 10) resolved to (root, depth) via PATH DOUBLING
     (operators/hierarchy.py) — O(log depth) self-joins, not one join
-    per level — then rolled up per depth. Oracle is DuckDB's actual
-    recursive CTE, so the doubling loop is checked against the real
-    SQL-standard semantics."""
+    per level, which is what survives a deep hierarchy at 100 TB.
+    Oracle is DuckDB's actual recursive CTE, so the doubling loop is
+    checked against the real SQL-standard semantics. (Spark 4 also
+    executes WITH RECURSIVE natively — `recursive_cte_subtree_rollup`
+    is that face, identical SQL text on both engines.)"""
     from pythondataingestionprocess_spark.operators.hierarchy import resolve_roots
 
     part = load_table(spark, sf_dir, "part")
@@ -487,3 +489,47 @@ def hierarchy_depth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.countDistinct("root_id").alias("n_roots"),
     )
+
+
+# The IDENTICAL statement runs on both engines (the spark.sql face,
+# like not_in_null_semantics): Spark 4 executes WITH RECURSIVE
+# natively (UnionLoop — one join per level), DuckDB likewise.
+# floor()+CAST for the parent derivation because DuckDB's
+# INT CAST rounds-half-up while Spark's truncates — floor first makes
+# them agree; `//`/DIV spellings differ per dialect, floor() doesn't.
+_REC_SQL = """
+WITH RECURSIVE r(id, root_id, depth, price) AS (
+  SELECT p_partkey, p_partkey, 0, p_retailprice FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT p.p_partkey, r.root_id, r.depth + 1, p.p_retailprice
+  FROM part p JOIN r ON CAST(floor(p.p_partkey / 10) AS BIGINT) = r.id
+  WHERE p.p_partkey >= 10
+)
+SELECT root_id,
+       COUNT(*) AS n_nodes,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS subtree_value
+FROM r
+GROUP BY root_id
+"""
+
+
+@query("recursive_cte_subtree_rollup", oracle=_REC_SQL, tags=("hierarchy", "recursive", "sql"))
+def recursive_cte_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE), same statement
+    text on both engines: walk the synthesized part forest (parent =
+    floor(key/10), roots below 10) and roll up each root's subtree —
+    node count, max depth, exact-decimal subtree value.
+
+    Complements `hierarchy_depth_rollup`, which solves the same
+    reachability problem with the PATH-DOUBLING operator: native
+    recursion iterates one join per level (fine for the ~4-level
+    forest here; at a 20-level 100 TB hierarchy that is 20 fact-sized
+    joins), while doubling needs O(log depth) self-joins — keep both,
+    and this query cross-checks Spark's recursion semantics against
+    DuckDB's on identical SQL.
+    """
+    from pythondataingestionprocess_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REC_SQL)
