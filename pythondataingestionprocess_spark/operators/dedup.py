@@ -736,3 +736,53 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def choose_containment_form(
+    sh: DataFrame, hot_df_threshold: int = 20_000
+) -> str:
+    """Data-profile-driven algorithm choice for the containment
+    screen. The plain shared-shingle self-join's cost is Σ df² over
+    shingles — one hyper-common shingle turns it quadratic — while
+    the prefix-filter form pays a constant overhead (df ranking + an
+    array verify) that only amortizes on exactly such heavy-tailed
+    corpora (measured: prefix is 10× SLOWER on the uniform test
+    corpus, BASELINE.md negative result). Neither form is right
+    unconditionally; the profile decides.
+
+    The statistic is one cheap aggregation over the shingle table:
+    the maximum per-shingle document frequency. Returns "plain" or
+    "prefix". The default threshold is conservative — a 20k-df
+    shingle contributes 4·10⁸ candidate pairs on its own, well past
+    where the prefix machinery pays for itself.
+    """
+    row = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("max_df"))
+        .collect()[0]
+    )
+    max_df = row["max_df"] or 0
+    return "prefix" if max_df > hot_df_threshold else "plain"
+
+
+def containment_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    hot_df_threshold: int = 20_000,
+) -> DataFrame:
+    """Adaptive containment screen: profile the corpus (one agg —
+    metadata-sized driver scalar, same discipline as pagerank's node
+    count), then run whichever exact-complete form the shingle
+    frequency profile favors. Both forms return identical pairs
+    (test_containment_prefix_matches_exact), so the choice is purely
+    a physical-plan decision — the engine's own tiny cost-based
+    optimizer step for a cost Catalyst cannot see (Σ df² lives in the
+    DATA, not in table stats)."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    if choose_containment_form(sh, hot_df_threshold) == "prefix":
+        return containment_pairs_prefix(df, id_col, text_col, n, threshold)
+    return containment_pairs(sh, id_col, threshold)

@@ -931,3 +931,42 @@ def test_resample_interpolate_property_bounded_and_exact(spark):
         assert min(neighbors) - 1e-9 <= v <= max(neighbors) + 1e-9, r
         if i > 0 and keys[i - 1] == gts:
             assert v == series[i - 1][1]
+
+
+def test_containment_auto_picks_form_by_shingle_profile(spark):
+    """The adaptive screen chooses from the data: a uniform corpus
+    profiles 'plain'; planting a hyper-common shingle in every doc
+    flips the choice to 'prefix'; and on a corpus where both run, the
+    two forms return identical pairs (exact-complete either way)."""
+    import pythondataingestionprocess_spark.operators.dedup as dd
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    ).split()
+    rows = []
+    for i in range(30):
+        words = base[i % 4 :] + [f"uniq{i}a", f"uniq{i}b", f"uniq{i}c"]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingle_sets(df, "doc_id", "text", 3)
+
+    assert dd.choose_containment_form(sh, hot_df_threshold=40) == "plain"
+    # every doc shares the ("alpha","bravo","charlie")-family prefix
+    # shingles ~27 times; drop the threshold under that df and the
+    # profile flips
+    assert dd.choose_containment_form(sh, hot_df_threshold=10) == "prefix"
+
+    auto = {
+        (r.id_a, r.id_b)
+        for r in dd.containment_pairs_auto(df, "doc_id", "text", 3, 0.8).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b)
+        for r in dd.containment_pairs(sh, "doc_id", 0.8).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b)
+        for r in dd.containment_pairs_prefix(df, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert auto == plain == prefix
