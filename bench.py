@@ -109,6 +109,7 @@ HEADLINE = [
     "hierarchical_revenue_share",
     "window_edge_values",
     "recursive_cte_subtree_rollup",
+    "dq_order_reconciliation",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

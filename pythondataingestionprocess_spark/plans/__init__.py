@@ -135,7 +135,7 @@ NEW_R7_STAGED: list[str] = [
 # Staged for ROUND 8 (registered in the round-5 continuation session,
 # outside the r5/r6 windows; r7's window is already full at 39
 # stale-r4 + 11 NEW_R7_STAGED, so these ride r8 together with the 11
-# r4-checked left-overs that front-load it: 11 + 11 = 22 of r8's 50,
+# r4-checked left-overs that front-load it: 11 + 12 = 23 of r8's 50,
 # leaving the rest for r5-checked refresh). Each entry is
 # oracle-verified by scripts/driver_sim.py at sf0.01 before commit.
 NEW_R8_STAGED: list[str] = [
@@ -150,6 +150,7 @@ NEW_R8_STAGED: list[str] = [
     "hierarchical_revenue_share",
     "window_edge_values",
     "recursive_cte_subtree_rollup",
+    "dq_order_reconciliation",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

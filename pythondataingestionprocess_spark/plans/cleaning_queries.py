@@ -690,3 +690,94 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderdate").alias("n_distinct"),
     )
     return num.unionAll(cat).unionAll(dt)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table financial reconciliation: order header total vs the total
+# recomputed from its line items — the audit every warehouse runs
+# between a summary table and its grain-level source.
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS recomputed
+  FROM lineitem
+  GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus, o.o_totalprice, li.recomputed,
+         CASE WHEN li.recomputed IS NULL THEN NULL
+              ELSE abs(o.o_totalprice - li.recomputed) END AS adelta
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+       CAST(SUM(CASE WHEN adelta >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       ROUND(CAST(SUM(CAST(adelta AS DECIMAL(25,9))) AS DOUBLE)
+             / SUM(CASE WHEN adelta IS NOT NULL THEN 1 ELSE 0 END), 6) AS avg_abs_delta,
+       ROUND(MAX(adelta), 6) AS max_abs_delta
+FROM j
+GROUP BY 1
+"""
+
+
+@query("dq_order_reconciliation", oracle=_RECON_ORACLE, tags=("dq", "reconciliation", "join"))
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: recompute each order's total
+    from its line items (extprice · (1−disc) · (1+tax), decimal-
+    accumulated) and report, per status, how many orders have no
+    lines at all (orphans — this corpus has 257 at sf0.01), how many
+    disagree by ≥ 1 cent, and the average/max absolute discrepancy.
+    On THIS synthetic corpus every order mismatches (the generator
+    draws o_totalprice independently) — which is exactly what the
+    audit should surface, loudly.
+
+    Scale shape: the detail side collapses to one row per order
+    BEFORE the join (map-side partial sums), so the join moves order
+    grain, never line grain; per-row delta math is engine-identical
+    doubles; the |delta| sums ride DECIMAL(25,9) so partial-agg order
+    can't show.
+    """
+    orders, lineitem = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    li = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("recomputed")
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderstatus",
+        "o_totalprice",
+        "recomputed",
+        F.when(
+            F.col("recomputed").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(F.abs(F.col("o_totalprice") - F.col("recomputed")))
+        .alias("adelta"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("recomputed").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan"),
+        F.sum(F.when(F.col("adelta") >= 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.round(
+            F.sum(F.col("adelta").cast("decimal(25,9)")).cast("double")
+            / F.sum(F.when(F.col("adelta").isNotNull(), 1).otherwise(0)),
+            6,
+        ).alias("avg_abs_delta"),
+        F.round(F.max("adelta"), 6).alias("max_abs_delta"),
+    )

@@ -699,3 +699,14 @@ def test_hierarchical_share_windows_over_aggregate_only(spark):
     assert m and "o_totalprice" not in m.group(1), (
         "window input must be the aggregate grain, not fact rows"
     )
+
+
+def test_reconciliation_aggregates_detail_before_join(spark):
+    """The line-item side must collapse to order grain BEFORE the
+    join (map-side partial sums) so the join moves orders, never
+    lines; left join survives (orphans must appear), no Python."""
+    plan = _formatted_plan(spark, "dq_order_reconciliation")
+    assert "partial_sum" in plan
+    assert re.search(r"LeftOuter", plan)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
