@@ -33,6 +33,7 @@ from pythondataingestionprocess_spark.plans import tpch_shapes  # noqa: E402,F40
 from pythondataingestionprocess_spark.plans import timeseries_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
+from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
 # --- round-5 rotation ------------------------------------------------
 # Driver-check union after r4 is 136/136 (every registered query has a
@@ -138,6 +139,18 @@ NEW_R7_STAGED: list[str] = [
 # r4-checked left-overs that front-load it: 11 + 12 = 23 of r8's 50,
 # leaving the rest for r5-checked refresh). Each entry is
 # oracle-verified by scripts/driver_sim.py at sf0.01 before commit.
+# Staged for ROUND 9 (registered in the second r5 continuation
+# session; the r6/r7/r8 windows are already fully budgeted above).
+# Each entry is oracle-verified by scripts/driver_sim.py at sf0.01
+# before commit. r9 window math: r8 runs 23 new/stale + 27 r5-refresh,
+# so r9 = these 4 + the stalest evidence at that point.
+NEW_R9_STAGED: list[str] = [
+    "corpus_block_dedup",
+    "doc_chunking_overlap",
+    "inverted_index_postings",
+    "train_val_test_split",
+]
+
 NEW_R8_STAGED: list[str] = [
     "incremental_agg_maintenance",
     "trend_slope_per_nation",
@@ -190,4 +203,5 @@ __all__ = [
     "NEW_R6_STAGED",
     "NEW_R7_STAGED",
     "NEW_R8_STAGED",
+    "NEW_R9_STAGED",
 ]

@@ -1,0 +1,304 @@
+"""Corpus-construction operators (engine-added per the LLM-pipeline
+mandate; staged NEW_R9): the remaining training-data build steps that
+sit between raw documents and a packed training set —
+
+- C4-style block-level exact dedup (drop repeated word-blocks
+  corpus-wide, keep the globally-first occurrence);
+- token-budget chunking with overlap (sliding training windows);
+- inverted-index construction (term -> df/tf + bounded postings);
+- deterministic hash-based train/val/test split.
+
+All four are single- or two-shuffle DataFrame plans with DuckDB
+oracles. Scale notes per query; the common discipline: the only
+per-group materialization anywhere is bounded (top-3 postings), every
+explode happens after projection to the exploded column, and split
+assignment is a map-side hash — no sampling, no driver state.
+
+Reference anchor: the reference has no corpus ops (it is an
+ingest/clean pipeline, import_files_to_postgre.py); these extend the
+engine along the BASELINE.json north star, like plans/llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.plans.llm_ops import _DUP_CORPUS_SQL, _dup_corpus
+from pythondataingestionprocess_spark.plans.registry import query
+
+# Portable hex->int bridge (NEXT.md determinism-traps list):
+# Spark  conv(substr(md5(x),1,8),16,10) == DuckDB ('0x'||substr(md5(x),1,8))::BIGINT
+
+
+def _words(df: DataFrame) -> DataFrame:
+    """text -> ws: array<string> of whitespace tokens (empty docs dropped)."""
+    return df.filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).withColumn("ws", F.split(F.trim(F.col("text")), r"\s+"))
+
+
+# ----------------------------------------------- C4-style block dedup
+
+_BLOCK = 10  # words per dedup block
+
+_LINE_DEDUP_ORACLE = rf"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+blocks AS (
+  SELECT doc_id, b AS block_idx,
+         array_to_string(ws[b*{_BLOCK}+1 : b*{_BLOCK}+{_BLOCK}], ' ') AS block_text
+  FROM words, UNNEST(range(CAST(ceil(len(ws)/{_BLOCK}.0) AS BIGINT))) AS t(b)
+),
+ranked AS (
+  SELECT doc_id, block_idx, block_text,
+         row_number() OVER (PARTITION BY block_text
+                            ORDER BY doc_id, block_idx) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN len(block_text) ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM ranked
+GROUP BY doc_id
+HAVING COUNT(*) > CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+"""
+
+
+@query("corpus_block_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("dedup", "text"))
+def corpus_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style block-level exact dedup over a corpus with planted
+    duplicates: each doc is cut into 10-word blocks; a block survives
+    only if it is the corpus-wide FIRST occurrence of that block text
+    (total order: doc_id, block_idx). Returns per-doc retention for
+    the docs that actually lost blocks.
+
+    This is the span-granular sibling of ``dedup_exact_docs`` — C4 and
+    RefinedWeb drop repeated spans (boilerplate, licence headers)
+    without discarding the whole document.
+
+    Scale: one shuffle, keyed by block TEXT — exactly the dedup key —
+    then one partial-aggregated shuffle back to doc grain. The window
+    per block_text group is O(group) and groups are duplicate
+    multiplicity, not corpus size. At 100 TB, block_text would be
+    replaced by its 128-bit hash as the shuffle key (same plan shape,
+    fixed-width key); the 8-byte-per-word testdata makes that
+    indistinguishable here, so the query keeps the text key the
+    oracle can replay.
+    """
+    corpus = _dup_corpus(spark, sf_dir)
+    words = _words(corpus).select("doc_id", "ws")
+    nb = F.ceil(F.size("ws") / F.lit(float(_BLOCK))).cast("long")
+    blocks = (
+        words.withColumn("block_idx", F.explode(F.sequence(F.lit(0), nb - 1)))
+        .withColumn(
+            "block_text",
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("block_idx") * _BLOCK + 1, _BLOCK)
+            ),
+        )
+        .select("doc_id", "block_idx", "block_text")
+    )
+    w = W.partitionBy("block_text").orderBy("doc_id", "block_idx")
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.length("block_text")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .filter(F.col("n_blocks") > F.col("n_kept"))
+    )
+
+
+# ----------------------------------------------- chunking with overlap
+
+_CHUNK, _STRIDE = 60, 45
+
+_CHUNK_ORACLE = rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+chunks AS (
+  SELECT doc_id, k AS chunk_idx,
+         ws[k*{_STRIDE}+1 : k*{_STRIDE}+{_CHUNK}] AS chunk
+  FROM words, UNNEST(range((len(ws)-1)//{_STRIDE} + 1)) AS t(k)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+       ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 8))::BIGINT
+         AS chunk_hash
+FROM chunks
+"""
+
+
+@query("doc_chunking_overlap", oracle=_CHUNK_ORACLE, tags=("packing", "text"))
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking with overlap: each doc becomes sliding
+    windows of 60 tokens at stride 45 (15-token overlap), the standard
+    context-window carving step before packing. Emits one row per
+    chunk with a portable 32-bit content hash.
+
+    Scale: pure map-side — project (doc_id, ws), explode a computed
+    start-index sequence, slice. No shuffle at all; the fan-out factor
+    is ~n_tokens/stride and rows are emitted streaming per input row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(docs).select("doc_id", "ws")
+    n_chunks = ((F.size("ws") - 1) / _STRIDE).cast("long") + 1
+    chunk = F.slice(F.col("ws"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return (
+        words.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("chunk", chunk)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("chunk_tokens"),
+            F.conv(F.substring(F.md5(F.concat_ws(" ", F.col("chunk"))), 1, 8), 16, 10)
+            .cast("long")
+            .alias("chunk_hash"),
+        )
+    )
+
+
+# ----------------------------------------------- inverted index
+
+_INVIDX_ORACLE = r"""
+WITH terms AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM terms GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+  FROM tf
+)
+SELECT term,
+       COUNT(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(CASE WHEN rn <= 3 THEN doc_id || ':' || tf END, ','
+                  ORDER BY rn) AS top_postings
+FROM ranked
+GROUP BY term
+HAVING COUNT(*) >= 5
+ORDER BY df DESC, total_tf DESC, term
+LIMIT 100
+"""
+
+
+@query("inverted_index_postings", oracle=_INVIDX_ORACLE, tags=("text", "index"))
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency,
+    total term frequency, and the top-3 postings ``doc:tf`` (ranked
+    tf desc, doc_id asc — a total order). Top-100 terms by df.
+
+    Scale: explode -> partial-agg -> shuffle on (term, doc_id) for tf,
+    then one shuffle on term. The per-term postings list is BOUNDED at
+    3 before collection (collect_list over a rn<=3 conditional — nulls
+    are skipped, so a hot term with a million postings still carries
+    exactly 3 structs into the final agg); final top-100 is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = _words(docs).select(
+        "doc_id", F.explode(F.col("ws")).alias("term")
+    )
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    posting = F.when(
+        F.col("rn") <= 3,
+        F.struct(
+            F.col("rn").alias("rn"),
+            F.concat_ws(":", F.col("doc_id"), F.col("tf")).alias("s"),
+        ),
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(posting)), lambda x: x["s"]
+                ),
+                ",",
+            ).alias("top_postings"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.col("df").desc(), F.col("total_tf").desc(), "term")
+        .limit(100)
+    )
+
+
+# ----------------------------------------------- train/val/test split
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT source, lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM assigned
+GROUP BY source, split
+"""
+
+
+@query("train_val_test_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"))
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-free key
+    hash (md5(doc_id) bucket mod 100) with per-source split accounting.
+    Hash-assignment — not sampling — so membership is stable under
+    reprocessing, cluster size, and partitioning: the property a
+    training pipeline needs so val examples can never drift into train
+    between runs.
+
+    Scale: entirely map-side assignment plus one partial-aggregated
+    shuffle keyed by (source, split) — output-group-sized, independent
+    of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )

@@ -29,6 +29,7 @@ from pythondataingestionprocess_spark.plans import (  # noqa: E402
     NEW_R6_STAGED,
     NEW_R7_STAGED,
     NEW_R8_STAGED,
+    NEW_R9_STAGED,
     REGISTRY,
 )
 
@@ -68,7 +69,9 @@ staged = [n for n in NEW_R6_STAGED if n in REGISTRY]
 # Deferred past the NEXT window (r7 staging): evidence-less by design,
 # not holes — they fill the round-after's free slots so the full
 # r3-age stale block can ride first.
-deferred = [n for n in NEW_R7_STAGED + NEW_R8_STAGED if n in REGISTRY]
+deferred = [
+    n for n in NEW_R7_STAGED + NEW_R8_STAGED + NEW_R9_STAGED if n in REGISTRY
+]
 never = sorted(
     n
     for n in REGISTRY
@@ -101,4 +104,4 @@ for n in never + staged:
     print(f'    "{n}",')
 print("]")
 if deferred:
-    print(f"\n# deferred past the next window (staged r7/r8): {deferred}")
+    print(f"\n# deferred past the next window (staged r7/r8/r9): {deferred}")

@@ -710,3 +710,50 @@ def test_reconciliation_aggregates_detail_before_join(spark):
     assert re.search(r"LeftOuter", plan)
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_pure_mapside(spark):
+    """Sliding-window chunking must be a single-stage map plan: scan ->
+    project -> Generate (explode) -> project. ANY Exchange here would
+    mean the carving step shuffles the corpus — at 100 TB that is the
+    whole dataset moved for a per-row transform."""
+    plan = _formatted_plan(spark, "doc_chunking_overlap")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert "struct<doc_id:bigint,text:string>" in plan  # pruned scan
+
+
+def test_block_dedup_shuffles_on_block_text_only(spark):
+    """C4-style block dedup: exactly two exchanges — one keyed by the
+    dedup key (block_text, for the global-first window) and one back
+    to doc grain (partial-aggregated). No Python, no join: the
+    keep/drop decision is a window, not a self-join."""
+    plan = _formatted_plan(spark, "corpus_block_dedup")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "hashpartitioning(block_text" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_inverted_index_bounded_postings_topk(spark):
+    """Inverted index: tf agg on (term, doc_id), then ONE term-keyed
+    exchange reused by both the ranking window and the final agg
+    (collect_list is bounded to rn<=3 before collection); top-100 is
+    TakeOrderedAndProject, never a global sort."""
+    plan = _formatted_plan(spark, "inverted_index_postings")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_split_assignment_is_mapside_hash(spark):
+    """train/val/test split: the md5-bucket assignment happens in the
+    scan stage projection (no pre-agg shuffle of raw docs); the only
+    exchanges are the two-phase distinct aggregate keyed by the OUTPUT
+    grain. The text column must never be read."""
+    plan = _formatted_plan(spark, "train_val_test_split")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "EvalPython" not in plan
+    assert "text" not in re.search(r"ReadSchema: (.*)", plan).group(1)

@@ -14,6 +14,7 @@ from pythondataingestionprocess_spark.plans import (
     NEW_R6_STAGED,
     NEW_R7_STAGED,
     NEW_R8_STAGED,
+    NEW_R9_STAGED,
     PROMOTED_R5,
     REGISTRY,
     STALE_R2,
@@ -149,3 +150,23 @@ def test_r8_staged_queries_sit_outside_the_window():
     # r8 window math: 11 r4-checked left-overs + these must leave room
     # for refreshing r5-checked evidence.
     assert len(NEW_R8_STAGED) <= 12
+
+
+def test_r9_staged_queries_sit_outside_the_window():
+    """Second-continuation registrations beyond r8's budget are staged
+    for r9: outside the current window, known to the rotation
+    calculator as deferred, disjoint from every earlier block, and
+    each oracle-verified by driver_sim at registration time."""
+    names = list(REGISTRY)
+    for n in NEW_R9_STAGED:
+        assert n in REGISTRY
+        assert names.index(n) >= DRIVER_WINDOW, (
+            f"{n} is staged for r9 but sits inside the r5 driver window"
+        )
+    overlap = set(NEW_R9_STAGED) & (
+        set(NEW_R8_STAGED)
+        | set(NEW_R7_STAGED)
+        | set(NEW_R6_STAGED)
+        | set(_intended())
+    )
+    assert not overlap
