@@ -110,6 +110,11 @@ HEADLINE = [
     "window_edge_values",
     "recursive_cte_subtree_rollup",
     "dq_order_reconciliation",
+    # second-continuation additions (staged for r9)
+    "corpus_block_dedup",
+    "doc_chunking_overlap",
+    "inverted_index_postings",
+    "train_val_test_split",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -786,3 +786,44 @@ def containment_pairs_auto(
     if choose_containment_form(sh, hot_df_threshold) == "prefix":
         return containment_pairs_prefix(df, id_col, text_col, n, threshold)
     return containment_pairs(sh, id_col, threshold)
+
+
+def block_dedup_retention(
+    df: DataFrame, id_col: str, text_col: str, block: int = 10
+) -> DataFrame:
+    """C4-style span-granular exact dedup (Raffel et al., JMLR 2020,
+    §2.2 — C4 drops any repeated three-sentence span corpus-wide,
+    keeping one occurrence): cut each doc into fixed ``block``-word
+    blocks; a block survives iff it is the corpus-wide FIRST
+    occurrence of its text under the (id, block_idx) total order.
+    Returns per-doc retention: ``(id, n_blocks, n_kept, kept_chars)``.
+
+    Scale: two shuffles — one keyed by block text (the dedup key; at
+    100 TB swap in its 128-bit hash for a fixed-width key, same plan),
+    one partial-aggregated back to doc grain. Window groups are sized
+    by duplicate multiplicity, never corpus size; there is no join and
+    no unbounded per-group state.
+    """
+    from pyspark.sql import Window as W
+
+    words = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"))
+    nb = F.ceil(F.size("ws") / F.lit(float(block))).cast("long")
+    blocks = (
+        words.withColumn("block_idx", F.explode(F.sequence(F.lit(0), nb - 1)))
+        .withColumn(
+            "block_text",
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("block_idx") * block + 1, block)),
+        )
+        .select(id_col, "block_idx", "block_text")
+    )
+    w = W.partitionBy("block_text").orderBy(id_col, "block_idx")
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.length("block_text")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.catalog import load_table
+from pythondataingestionprocess_spark.operators import dedup as dd
 from pythondataingestionprocess_spark.plans.llm_ops import _DUP_CORPUS_SQL, _dup_corpus
 from pythondataingestionprocess_spark.plans.registry import query
 
@@ -93,33 +94,8 @@ def corpus_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can replay.
     """
     corpus = _dup_corpus(spark, sf_dir)
-    words = _words(corpus).select("doc_id", "ws")
-    nb = F.ceil(F.size("ws") / F.lit(float(_BLOCK))).cast("long")
-    blocks = (
-        words.withColumn("block_idx", F.explode(F.sequence(F.lit(0), nb - 1)))
-        .withColumn(
-            "block_text",
-            F.concat_ws(
-                " ", F.slice(F.col("ws"), F.col("block_idx") * _BLOCK + 1, _BLOCK)
-            ),
-        )
-        .select("doc_id", "block_idx", "block_text")
-    )
-    w = W.partitionBy("block_text").orderBy("doc_id", "block_idx")
-    ranked = blocks.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum(kept).cast("long").alias("n_kept"),
-            F.sum(
-                F.when(F.col("rn") == 1, F.length("block_text")).otherwise(0)
-            )
-            .cast("long")
-            .alias("kept_chars"),
-        )
-        .filter(F.col("n_blocks") > F.col("n_kept"))
+    return dd.block_dedup_retention(corpus, "doc_id", "text", block=_BLOCK).filter(
+        F.col("n_blocks") > F.col("n_kept")
     )
 
 

@@ -67,6 +67,11 @@ DEFAULT_QUERIES = [
     "unpivot_charge_components",
     "hierarchical_revenue_share",
     "window_edge_values",
+    # second-continuation additions (staged for r9)
+    "corpus_block_dedup",
+    "doc_chunking_overlap",
+    "inverted_index_postings",
+    "train_val_test_split",
 ]
 
 

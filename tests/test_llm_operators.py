@@ -970,3 +970,25 @@ def test_containment_auto_picks_form_by_shingle_profile(spark):
         for r in dd.containment_pairs_prefix(df, "doc_id", "text", 3, 0.8).collect()
     }
     assert auto == plain == prefix
+
+
+def test_block_dedup_retention_semantics(spark):
+    """Planted-duplicate semantics for C4-style block dedup: a full
+    copy of a doc keeps zero blocks; a doc sharing only its first
+    block keeps the rest; the first-occurrence winner is the LOWEST
+    (id, block_idx) — so the original always survives intact."""
+    b1 = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10"
+    b2 = "x01 x02 x03 x04 x05 x06 x07 x08 x09 x10"
+    b3 = "y01 y02 y03 y04 y05 y06 y07 y08 y09 y10"
+    rows = [
+        (1, f"{b1} {b2}"),       # original: 2 blocks, keeps both
+        (2, f"{b1} {b2}"),       # exact copy: keeps nothing
+        (3, f"{b1} {b3}"),       # shares block 1 only: keeps b3
+        (4, "short tail"),       # sub-block doc: 1 unique block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"])
+        for r in dd.block_dedup_retention(df, "doc_id", "text").collect()
+    }
+    assert got == {1: (2, 2), 2: (2, 0), 3: (2, 1), 4: (1, 1)}
