@@ -174,3 +174,72 @@ def test_aqe_splits_skewed_join_partition(spark):
 def test_session_keeps_skew_join_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def _walk_executed(node):
+    yield node
+    nm = node.nodeName()
+    if nm == "AdaptiveSparkPlan":
+        yield from _walk_executed(node.executedPlan())
+        return
+    if "QueryStage" in nm:
+        yield from _walk_executed(node.plan())
+        return
+    for i in range(node.children().length()):
+        yield from _walk_executed(node.children().apply(i))
+
+
+def test_dynamic_partition_pruning_skips_fact_partitions(spark, tmp_path):
+    """Dynamic partition pruning — the other runtime filter, and the
+    single biggest scan saver on a date-partitioned 100 TB lake: a
+    selective dim filter must reach the partitioned fact scan as a
+    dynamicpruning PartitionFilter, so unselected partitions are never
+    LISTED, let alone read. Static proof (the pruning expression in
+    the plan) plus executed proof (scan metrics: 1 of ~80 partition
+    files actually read)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    fact = orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+    fact.write.mode("overwrite").partitionBy("o_month").parquet(fact_path)
+    (
+        fact.select("o_month")
+        .distinct()
+        .withColumn(
+            "flag",
+            F.when(F.col("o_month") == "1996-03", "pick").otherwise("skip"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+
+    f = spark.read.parquet(fact_path)
+    d = spark.read.parquet(dim_path).filter(F.col("flag") == "pick")
+    j = f.join(d, "o_month").agg(F.count(F.lit(1)).alias("n"))
+
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruningexpression" in plan, (
+        "DPP did not inject a partition filter:\n" + plan[:2000]
+    )
+
+    assert j.collect()[0]["n"] > 0
+    # executed proof: the fact scan must have read exactly the picked
+    # partition — numFiles far below the static file count
+    scans = []
+    for n in _walk_executed(j._jdf.queryExecution().executedPlan()):
+        if "Scan parquet" in n.nodeName():  # note: trailing space in node name
+            it = n.metrics().iterator()
+            mets = {}
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = kv._2().value()
+            if "staticFilesNum" in mets:
+                scans.append(mets)
+    assert scans, "no partitioned fact scan found in executed plan"
+    m = scans[0]
+    assert m["numPartitions"] == 1, m
+    assert m["numFiles"] < m["staticFilesNum"] / 10, (
+        f"DPP read {m['numFiles']} of {m['staticFilesNum']} files"
+    )
