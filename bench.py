@@ -115,6 +115,7 @@ HEADLINE = [
     "doc_chunking_overlap",
     "inverted_index_postings",
     "train_val_test_split",
+    "corpus_weighted_sample",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

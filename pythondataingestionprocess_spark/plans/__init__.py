@@ -139,18 +139,6 @@ NEW_R7_STAGED: list[str] = [
 # r4-checked left-overs that front-load it: 11 + 12 = 23 of r8's 50,
 # leaving the rest for r5-checked refresh). Each entry is
 # oracle-verified by scripts/driver_sim.py at sf0.01 before commit.
-# Staged for ROUND 9 (registered in the second r5 continuation
-# session; the r6/r7/r8 windows are already fully budgeted above).
-# Each entry is oracle-verified by scripts/driver_sim.py at sf0.01
-# before commit. r9 window math: r8 runs 23 new/stale + 27 r5-refresh,
-# so r9 = these 4 + the stalest evidence at that point.
-NEW_R9_STAGED: list[str] = [
-    "corpus_block_dedup",
-    "doc_chunking_overlap",
-    "inverted_index_postings",
-    "train_val_test_split",
-]
-
 NEW_R8_STAGED: list[str] = [
     "incremental_agg_maintenance",
     "trend_slope_per_nation",
@@ -164,6 +152,20 @@ NEW_R8_STAGED: list[str] = [
     "window_edge_values",
     "recursive_cte_subtree_rollup",
     "dq_order_reconciliation",
+]
+
+# Staged for ROUND 9 (registered in the third r5 continuation
+# session; the r6/r7/r8 windows are already fully budgeted above).
+# Each entry is oracle-verified by scripts/driver_sim.py at sf0.01
+# AND the vanilla-session recipe before commit. r9 window math: r8
+# runs 23 new/stale + 27 r5-refresh, so r9 = these 5 + the stalest
+# evidence at that point.
+NEW_R9_STAGED: list[str] = [
+    "corpus_block_dedup",
+    "doc_chunking_overlap",
+    "inverted_index_postings",
+    "train_val_test_split",
+    "corpus_weighted_sample",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

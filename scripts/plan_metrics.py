@@ -72,6 +72,7 @@ DEFAULT_QUERIES = [
     "doc_chunking_overlap",
     "inverted_index_postings",
     "train_val_test_split",
+    "corpus_weighted_sample",
 ]
 
 
