@@ -25,6 +25,9 @@ SENSITIVE = [
     "incremental_agg_maintenance",# partial-state merge identity
     "window_edge_values",         # frame-edge picks under ties
     "dedup_fingerprint",          # hash-grouped exact dedup
+    "corpus_block_dedup",         # global-first window under block ties
+    "corpus_weighted_sample",     # rounded ln(u)/w keys + rank cut
+    "inverted_index_postings",    # bounded postings + top-100 cut
 ]
 
 
