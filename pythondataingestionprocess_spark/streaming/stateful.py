@@ -408,3 +408,78 @@ def decayed_feature_stream(events: DataFrame, half_life_rows: float = 8.0) -> Da
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- streaming weighted sample (A-ES top-k over keyed state) --------
+
+WSAMPLE_SCHEMA = (
+    "source string, doc_id long, n_chars long, sample_key double, rn int"
+)
+_WSAMPLE_STATE = "keys array<double>, ids array<long>, weights array<long>"
+
+
+def _make_wsample_update(k: int):
+    import hashlib
+    import math
+
+    def upd(key, pdfs, state):
+        (source,) = key
+        if state.exists:
+            keys, ids, weights = (list(x) for x in state.get)
+        else:
+            keys, ids, weights = [], [], []
+        for pdf in pdfs:
+            for did, w in zip(pdf["doc_id"], pdf["n_chars"]):
+                if w is None or w <= 0:
+                    continue
+                u = (
+                    int(hashlib.md5(str(int(did)).encode()).hexdigest()[:8], 16)
+                    + 1
+                ) / 4294967297.0
+                keys.append(round(math.log(u) / float(w), 9))
+                ids.append(int(did))
+                weights.append(int(w))
+        order = sorted(range(len(keys)), key=lambda i: (-keys[i], ids[i]))[:k]
+        keys = [keys[i] for i in order]
+        ids = [ids[i] for i in order]
+        weights = [weights[i] for i in order]
+        state.update((keys, ids, weights))
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(ids),
+                "doc_id": ids,
+                "n_chars": weights,
+                "sample_key": keys,
+                "rn": list(range(1, len(ids) + 1)),
+            }
+        )
+
+    return upd
+
+
+def weighted_sample_stream(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Streaming face of ``corpus_weighted_sample`` (Efraimidis-
+    Spirakis A-ES): the per-source top-k priority keys ARE the
+    sufficient statistic of a weighted sample without replacement, so
+    the keyed state carries exactly k (key, id, weight) triples per
+    source and each micro-batch merges its candidates and re-emits the
+    current sample. After any prefix of the stream the emission equals
+    the batch query over the data seen so far — the online/offline
+    parity the batch-face oracle checks cheaply.
+
+    Priority keys replicate the batch plan bit-for-bit: md5(doc_id)
+    uniform, ROUND(ln(u)/w, 9), doc_id tiebreak. Per-row Python md5 is
+    fine here — state size bounds the work at k per source per batch
+    plus the batch's own rows; the BATCH face keeps md5 JVM-side.
+
+    Scale: O(k) state per source (bounded-cardinality key), no
+    timeout needed; the 100 TB shape for maintaining a fresh training
+    sample while the corpus streams in.
+    """
+    return docs.groupBy("source").applyInPandasWithState(
+        _make_wsample_update(k),
+        outputStructType=WSAMPLE_SCHEMA,
+        stateStructType=_WSAMPLE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1224,3 +1224,66 @@ def test_stream_scd2_pit_enrichment_event_time_correct(spark, tmp_path):
         51: "silver", 52: "silver", 53: "silver",
         99: None,                        # unknown key
     }
+
+
+def test_streaming_weighted_sample_matches_batch_face(spark, tmp_path):
+    """Online/offline parity for A-ES weighted sampling: stream the
+    sf0.001 documents in three micro-batches through the keyed-state
+    sampler; each source's LATEST emission must equal the batch
+    query's top-10 for that source over the full corpus (state is
+    cumulative, so the last touch of a source has seen all its docs)."""
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.plans import REGISTRY
+    from pythondataingestionprocess_spark.streaming.stateful import (
+        weighted_sample_stream,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "source", "doc_id", "n_chars"
+    )
+    rows = [r.asDict() for r in docs.collect()]
+    inbox = str(tmp_path / "inbox")
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        _write_json_batch(
+            inbox, f"{chr(97 + i)}.json", rows[i * third : (i + 1) * third]
+        )
+
+    stream = file_ingest.file_stream(
+        spark, inbox, "source string, doc_id long, n_chars long",
+        max_files_per_trigger=1,
+    )
+    latest: dict[str, object] = {}
+    batch_no: dict[str, int] = {}
+
+    def capture(batch_df, batch_id):
+        pdf = batch_df.toPandas()
+        for src, grp in pdf.groupby("source"):
+            latest[src] = grp.sort_values("rn", ignore_index=True)
+            batch_no[src] = batch_id
+
+    q = (
+        weighted_sample_stream(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expect = (
+        REGISTRY["corpus_weighted_sample"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .toPandas()
+    )
+    assert latest, "stream emitted nothing"
+    assert set(latest) == set(expect["source"])
+    for src, got in latest.items():
+        want = (
+            expect[expect["source"] == src]
+            .sort_values("rn", ignore_index=True)[
+                ["source", "doc_id", "n_chars", "sample_key", "rn"]
+            ]
+        )
+        got = got[["source", "doc_id", "n_chars", "sample_key", "rn"]]
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), src
