@@ -116,6 +116,7 @@ HEADLINE = [
     "inverted_index_postings",
     "train_val_test_split",
     "corpus_weighted_sample",
+    "inverted_index_incremental",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -5,11 +5,14 @@ sit between raw documents and a packed training set —
 - C4-style block-level exact dedup (drop repeated word-blocks
   corpus-wide, keep the globally-first occurrence);
 - token-budget chunking with overlap (sliding training windows);
-- inverted-index construction (term -> df/tf + bounded postings);
-- deterministic hash-based train/val/test split.
+- inverted-index construction (term -> df/tf + bounded postings),
+  plus its incremental-maintenance face (partial states + semilattice
+  top-k merge, proven against the full recompute);
+- deterministic hash-based train/val/test split;
+- Efraimidis-Spirakis weighted sampling (streaming twin in
+  streaming/stateful.py::weighted_sample_stream).
 
-All four are single- or two-shuffle DataFrame plans with DuckDB
-oracles. Scale notes per query; the common discipline: the only
+All are one-to-three-shuffle DataFrame plans with DuckDB oracles. Scale notes per query; the common discipline: the only
 per-group materialization anywhere is bounded (top-3 postings), every
 explode happens after projection to the exploded column, and split
 assignment is a map-side hash — no sampling, no driver state.
@@ -339,4 +342,84 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("source", "doc_id", "n_chars", "sample_key", "rn")
+    )
+
+
+# ------------------------------------- incremental index maintenance
+
+
+def _partial_index(terms: DataFrame) -> DataFrame:
+    """(doc_id, term) -> per-term partial index state:
+    (term, df, total_tf, top array<struct<tf_neg,doc_id>>), postings
+    bounded at 3 BEFORE collection. tf_neg = -tf so ascending struct
+    sort gives (tf desc, doc_id asc)."""
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    posting = F.when(
+        F.col("rn") <= 3,
+        F.struct((-F.col("tf")).alias("tf_neg"), F.col("doc_id").alias("doc_id")),
+    )
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_sort(F.collect_list(posting)).alias("top"),
+    )
+
+
+def merge_index_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two partial inverted-index states built over DISJOINT
+    document sets: df/total_tf add; top-k postings merge because
+    top-k is a semilattice — top-k(A ∪ B) == top-k(top-k(A) ∪
+    top-k(B)) when no (term, doc) pair splits across the two sides
+    (append-only corpora assign each doc wholly to one batch). This
+    is ``incremental_agg_maintenance``'s refresh shape applied to the
+    index: a nightly delta re-indexes ONLY its own docs and the merge
+    shuffles |terms| state rows, never the corpus."""
+    return (
+        a.unionAll(b)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("total_tf").cast("long").alias("total_tf"),
+            F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, 3).alias(
+                "top"
+            ),
+        )
+    )
+
+
+@query("inverted_index_incremental", oracle=_INVIDX_ORACLE, tags=("text", "index"))
+def inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, proven by the merge identity:
+    build partial index states over the two halves of the corpus
+    (doc_id parity split — each doc wholly on one side), merge, and
+    render. The oracle is the FULL recompute
+    (``inverted_index_postings``'s SQL verbatim), so the driver
+    hash-check proves merge(index(A), index(B)) == index(A ∪ B).
+
+    Scale: the delta side indexes only its own docs; the merge
+    shuffles term-grain state rows (vocabulary-sized, corpus-
+    independent), with postings bounded at 3 per term per side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = _words(docs).select(
+        "doc_id", F.explode(F.col("ws")).alias("term")
+    )
+    base = _partial_index(terms.filter(F.col("doc_id") % 2 == 0))
+    delta = _partial_index(terms.filter(F.col("doc_id") % 2 == 1))
+    merged = merge_index_states(base, delta)
+    render = F.array_join(
+        F.transform(
+            F.col("top"),
+            lambda x: F.concat_ws(":", x["doc_id"], -x["tf_neg"]),
+        ),
+        ",",
+    )
+    return (
+        merged.withColumn("top_postings", render)
+        .filter(F.col("df") >= 5)
+        .select("term", "df", "total_tf", "top_postings")
+        .orderBy(F.col("df").desc(), F.col("total_tf").desc(), "term")
+        .limit(100)
     )

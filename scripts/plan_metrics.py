@@ -73,6 +73,7 @@ DEFAULT_QUERIES = [
     "inverted_index_postings",
     "train_val_test_split",
     "corpus_weighted_sample",
+    "inverted_index_incremental",
 ]
 
 
