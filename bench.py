@@ -117,6 +117,7 @@ HEADLINE = [
     "train_val_test_split",
     "corpus_weighted_sample",
     "inverted_index_incremental",
+    "bm25_retrieval_topk",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

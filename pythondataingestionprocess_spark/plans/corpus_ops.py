@@ -423,3 +423,93 @@ def inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("total_tf").desc(), "term")
         .limit(100)
     )
+
+
+# ----------------------------------------------- BM25 retrieval
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("key", "table", "merge")
+
+_BM25_ORACLE = rf"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(ws)) AS avgdl FROM docs
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(ws) AS term FROM docs)
+  WHERE term IN ('key', 'table', 'merge')
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+),
+scored AS (
+  SELECT t.doc_id,
+         SUM(i.idf * (t.tf * ({_BM25_K1} + 1.0)) /
+             (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * len(d.ws) / s.avgdl))) AS score,
+         COUNT(*) AS n_terms_hit
+  FROM tf t
+  JOIN docs d USING (doc_id), stats s
+  JOIN idf i ON t.term = i.term
+  GROUP BY t.doc_id
+)
+SELECT doc_id, ROUND(score, 9) AS score, n_terms_hit
+FROM scored
+ORDER BY ROUND(score, 9) DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("bm25_retrieval_topk", oracle=_BM25_ORACLE, tags=("text", "index", "similarity"))
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza, Found. Trends IR
+    2009; the Okapi BM25 scoring function) for a fixed 3-term query —
+    the lexical-retrieval sibling of the embedding kNN family, and
+    what the inverted index exists to serve. k1=1.2, b=0.75, idf =
+    ln((N-df+0.5)/(df+0.5)+1) (the always-positive variant).
+
+    Scale: TWO corpus scans total, because DataFrame reuse is not CSE
+    (the q20/triangles lesson): one scan feeds the (doc, term) tf
+    aggregate — the query-term filter cuts the explode to query-term
+    postings before any shuffle — and one feeds the N/avgdl aggregate,
+    which rides a broadcast 1-row frame. Per-term df comes from a
+    window over the tf rows' own term key (never a second tf pass),
+    so idf stays in-plan; top-20 is TakeOrderedAndProject. Scores
+    ROUND(·, 9) with doc_id tiebreak per the transcendental-result
+    convention.
+    """
+    docs = _words(load_table(spark, sf_dir, "documents")).select("doc_id", "ws")
+    docs = docs.withColumn("dl", F.size("ws").cast("double"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .crossJoin(F.broadcast(stats))
+    )
+    df_w = F.count(F.lit(1)).over(W.partitionBy("term")).cast("double")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.withColumn("df", df_w)
+        .withColumn("part", idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("part"), 9).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

@@ -74,6 +74,7 @@ DEFAULT_QUERIES = [
     "train_val_test_split",
     "corpus_weighted_sample",
     "inverted_index_incremental",
+    "bm25_retrieval_topk",
 ]
 
 

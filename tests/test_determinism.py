@@ -28,6 +28,7 @@ SENSITIVE = [
     "corpus_block_dedup",         # global-first window under block ties
     "corpus_weighted_sample",     # rounded ln(u)/w keys + rank cut
     "inverted_index_postings",    # bounded postings + top-100 cut
+    "bm25_retrieval_topk",        # rounded ln-based scores + top-20 cut
 ]
 
 

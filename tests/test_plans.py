@@ -769,3 +769,16 @@ def test_weighted_sample_rank_pushes_down_to_partial_limit(spark):
     plan = _formatted_plan(spark, "corpus_weighted_sample")
     assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) == 2  # partial+final
     assert "EvalPython" not in plan
+
+
+def test_bm25_two_scans_windowed_idf(spark):
+    """BM25: exactly TWO corpus scans (tf pass + N/avgdl pass) —
+    reuse is not CSE, so a naive idf-from-tf formulation re-executes
+    the tf subtree and reads the corpus 4x (measured before the fix).
+    df must come from a Window over the tf rows, idf stays in-plan,
+    and the top-20 is TakeOrderedAndProject."""
+    plan = _formatted_plan(spark, "bm25_retrieval_topk")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
