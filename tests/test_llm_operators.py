@@ -992,3 +992,39 @@ def test_block_dedup_retention_semantics(spark):
         for r in dd.block_dedup_retention(df, "doc_id", "text").collect()
     }
     assert got == {1: (2, 2), 2: (2, 0), 3: (2, 1), 4: (1, 1)}
+
+
+def test_incremental_index_composes_store_across_deltas(spark, sf_dir, tmp_path):
+    """Production shape of index maintenance, end-to-end: index state
+    persisted in a ParquetTableStore; each delta batch of documents is
+    indexed ALONE and merged into the stored state; the final state
+    equals a from-scratch index over everything ingested. History docs
+    are never re-read at refresh time."""
+    from pythondataingestionprocess_spark.pipeline.store import ParquetTableStore
+    from pythondataingestionprocess_spark.plans.corpus_ops import (
+        _partial_index,
+        _words,
+        merge_index_states,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = _words(docs).select("doc_id", F.explode(F.col("ws")).alias("term"))
+    store = ParquetTableStore(spark, str(tmp_path / "state"))
+    batches = [terms.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    store.overwrite("index", _partial_index(batches[0]))
+    for delta in batches[1:]:
+        merged = merge_index_states(
+            store.read("index"), _partial_index(delta)
+        ).localCheckpoint()  # materialize BEFORE overwriting the source file
+        store.overwrite("index", merged)
+
+    def canon(df):
+        return {
+            r["term"]: (r["df"], r["total_tf"], tuple(map(tuple, r["top"])))
+            for r in df.collect()
+        }
+
+    got = canon(store.read("index"))
+    want = canon(_partial_index(terms))
+    assert got == want
