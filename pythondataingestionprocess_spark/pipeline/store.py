@@ -135,6 +135,32 @@ class ParquetTableStore:
             .drop(rn)
         )
 
+    def delete_keys(
+        self,
+        name: str,
+        keys_df: DataFrame,
+        keys: list[str],
+    ) -> int:
+        """MERGE WHEN MATCHED THEN DELETE — the erasure path the
+        reference lacks entirely (its Postgres schema is append/update
+        only): remove every row whose key appears in ``keys_df``,
+        returning the number of rows removed. Set-oriented anti-join,
+        one shuffle on the key, never a per-row loop — the GDPR
+        right-to-erasure shape where ``keys_df`` is a small frame of
+        subject ids swept across each table holding their data.
+
+        The count is taken from one aggregate over the pre/post frames
+        (metadata-sized), not a driver-side row diff; callers wanting
+        an audit trail pair this with pipeline.manifest (content
+        checksums drift exactly by the removed rows).
+        """
+        existing = self.read(name)
+        victims = keys_df.select(*keys).distinct()
+        survivors = existing.join(victims, keys, "left_anti").localCheckpoint()
+        n_before = existing.count()
+        self.overwrite(name, survivors)
+        return n_before - self.read(name).count()
+
     def insert_if_absent(
         self,
         name: str,
