@@ -283,3 +283,74 @@ def test_subsequence_match_scale_shift_invariant(spark, scale, shift):
     best = subsequence_match(df, pattern, k=1).collect()[0]
     assert best["end_seq"] == 6
     assert best["dist"] < 1e-6
+
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SET
+@given(st.lists(_WORDS, min_size=1, max_size=8))
+def test_block_dedup_conservation(spark, docs):
+    """On ANY corpus: Σ n_kept == number of DISTINCT block texts, and
+    Σ n_blocks == total blocks — exactly one occurrence of each block
+    survives, no more, no less (the C4 keep-one contract)."""
+    from pythondataingestionprocess_spark.operators.dedup import (
+        block_dedup_retention,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = block_dedup_retention(df, "doc_id", "text", block=3).collect()
+    blocks = []
+    for _, text in rows:
+        ws = text.split()
+        blocks += [" ".join(ws[i : i + 3]) for i in range(0, len(ws), 3)]
+    assert sum(r["n_blocks"] for r in got) == len(blocks)
+    assert sum(r["n_kept"] for r in got) == len(set(blocks))
+
+
+@SET
+@given(st.lists(_WORDS, min_size=1, max_size=6))
+def test_chunking_covers_every_token_in_order(spark, docs):
+    """On ANY corpus: with stride < size, the chunk starts tile the
+    token range — every token appears in ≥1 chunk, chunk 0 starts at
+    token 0, consecutive chunks overlap by size-stride (except the
+    tail), and each chunk's length is min(size, n - start)."""
+    from pythondataingestionprocess_spark.plans import REGISTRY  # noqa: F401
+    from pythondataingestionprocess_spark.plans.corpus_ops import (
+        _CHUNK,
+        _STRIDE,
+        doc_chunking_overlap,  # noqa: F401  (constants only)
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # replicate the registered plan's carve on the synthetic frame
+    words = df.withColumn("ws", F.split(F.trim(F.col("text")), r"\s+"))
+    n_chunks = ((F.size("ws") - 1) / _STRIDE).cast("long") + 1
+    out = (
+        words.withColumn("k", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "k",
+            F.size(F.slice(F.col("ws"), F.col("k") * _STRIDE + 1, _CHUNK)).alias("len"),
+        )
+        .collect()
+    )
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["k"], r["len"]))
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        ks = sorted(per_doc[i])
+        assert ks[0][0] == 0
+        assert ks[-1][0] == (n - 1) // _STRIDE  # starts tile the range
+        for k, ln in ks:
+            assert ln == min(_CHUNK, n - k * _STRIDE)
+        covered = ks[-1][0] * _STRIDE + ks[-1][1]
+        assert covered == n  # the tail chunk reaches the last token
