@@ -193,3 +193,139 @@ def dedup_batch_fn(
         append_to_store(batch_df, store_dir, id_col, text_col, batch_id=batch_id)
 
     return fn
+
+
+# ---- streaming block-level (C4-style) dedup -------------------------
+
+_BLOCK_WORDS = 10
+
+
+def _batch_blocks(
+    batch_df: DataFrame, id_col: str, text_col: str, block: int
+) -> DataFrame:
+    """Carve a batch into ``block``-word blocks keyed by their 64-bit
+    content hash — the fixed-width shuffle/store key (the batch
+    operator keeps text keys only so its DuckDB oracle can replay)."""
+    words = batch_df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"))
+    nb = F.ceil(F.size("ws") / F.lit(float(block))).cast("long")
+    return (
+        words.withColumn("block_idx", F.explode(F.sequence(F.lit(0), nb - 1)))
+        .withColumn(
+            "block_text",
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("block_idx") * block + 1, block)),
+        )
+        .select(
+            id_col,
+            "block_idx",
+            F.length("block_text").alias("block_chars"),
+            F.xxhash64("block_text").alias("block_hash"),
+        )
+    )
+
+
+def block_screen_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = _BLOCK_WORDS,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Streaming face of ``operators.dedup.block_dedup_retention``:
+    per-doc block retention where a block survives iff it is the first
+    occurrence WITHIN the batch (total order (id, block_idx)) AND its
+    hash has never been ingested before (anti-join against the block
+    store). Equals the batch operator run over the concatenation of
+    all batches in arrival order.
+
+    Retry-proof like ``screen_batch``: pass ``batch_id`` and the
+    store read EXCLUDES the ``ingest_batch=batch_id`` partition (the
+    subdir name is a partition column under discovery), so a
+    foreachBatch retry that crashed after the store append does not
+    screen the batch against its own blocks.
+
+    Scale: the store side is a single-column hash table read
+    hash-partitioned for the anti-join; the batch side shuffles its
+    own blocks only — marginal cost per batch stays proportional to
+    the batch, the same contract as the minhash screen above."""
+    from pyspark.sql.window import Window as W
+
+    blocks_path = os.path.join(store_dir, "blocks")
+    blocks = _batch_blocks(batch_df, id_col, text_col, block)
+    w = W.partitionBy("block_hash").orderBy(id_col, "block_idx")
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    if _store_exists(spark, blocks_path):
+        store = spark.read.parquet(blocks_path)
+        if batch_id is not None and "ingest_batch" in store.columns:
+            store = store.filter(F.col("ingest_batch") != batch_id)
+        store = store.select("block_hash").distinct()
+        fresh = ranked.join(store, "block_hash", "left_anti")
+    else:
+        fresh = ranked
+    kept = fresh.filter(F.col("rn") == 1)
+    total = blocks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("block_chars").cast("long").alias("kept_chars"),
+    )
+    return (
+        total.join(kept_agg, id_col, "left")
+        .fillna(0, ["n_kept", "kept_chars"])
+        .select(id_col, "n_blocks", "n_kept", "kept_chars")
+    )
+
+
+def append_blocks_to_store(
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = _BLOCK_WORDS,
+    batch_id: int | None = None,
+) -> None:
+    """Append this batch's DISTINCT block hashes to the store. Same
+    idempotency contract as ``append_to_store``: with ``batch_id``
+    each batch owns an overwrite-mode ``ingest_batch=N`` subdir."""
+    blocks_path = os.path.join(store_dir, "blocks")
+    hashes = (
+        _batch_blocks(batch_df, id_col, text_col, block)
+        .select("block_hash")
+        .distinct()
+    )
+    if batch_id is None:
+        hashes.write.mode("append").parquet(blocks_path)
+    else:
+        hashes.write.mode("overwrite").parquet(
+            os.path.join(blocks_path, f"ingest_batch={batch_id}")
+        )
+
+
+def block_dedup_batch_fn(
+    store_dir: str,
+    retention_out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = _BLOCK_WORDS,
+):
+    """foreachBatch factory: screen blocks → write per-doc retention
+    (idempotent per-batch subdir) → append the batch's block hashes."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
+        retention = block_screen_batch(
+            spark, batch_df, store_dir, id_col, text_col, block, batch_id=batch_id
+        )
+        retention.write.mode("overwrite").parquet(
+            os.path.join(retention_out_dir, f"batch_id={batch_id}")
+        )
+        append_blocks_to_store(
+            batch_df, store_dir, id_col, text_col, block, batch_id=batch_id
+        )
+
+    return fn

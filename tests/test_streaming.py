@@ -1287,3 +1287,69 @@ def test_streaming_weighted_sample_matches_batch_face(spark, tmp_path):
         )
         got = got[["source", "doc_id", "n_chars", "sample_key", "rn"]]
         assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), src
+
+
+def test_streaming_block_dedup_matches_batch_operator(spark, tmp_path):
+    """Streaming C4-style block dedup equals the batch operator run
+    over the concatenation of the batches in arrival order: per-doc
+    retention unioned across micro-batches must match
+    block_dedup_retention on all docs at once. A same-batch duplicate
+    block, a cross-batch duplicate, and a fresh doc are all exercised;
+    a manual RETRY of the last batch (after its store append landed)
+    must reproduce identical retention — the ingest_batch partition
+    exclusion at work."""
+    from pythondataingestionprocess_spark.operators.dedup import (
+        block_dedup_retention,
+    )
+    from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+        block_dedup_batch_fn,
+    )
+
+    b1 = " ".join(f"a{i}" for i in range(10))
+    b2 = " ".join(f"b{i}" for i in range(10))
+    b3 = " ".join(f"c{i}" for i in range(10))
+    docs = [
+        {"doc_id": 1, "text": f"{b1} {b2}"},   # batch 0
+        {"doc_id": 2, "text": f"{b1} {b3}"},   # batch 0: b1 dup within batch
+        {"doc_id": 3, "text": f"{b2} {b3}"},   # batch 1: both cross-batch dups
+        {"doc_id": 4, "text": " ".join(f"d{i}" for i in range(10))},  # fresh
+    ]
+
+    inbox = str(tmp_path / "inbox")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "retention")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    fn = block_dedup_batch_fn(store, out)
+
+    _write_json_batch(inbox, "a.json", docs[:2])
+    stream = file_ingest.file_stream(spark, inbox, schema)
+    file_ingest.run_ingestion(stream, fn, ckpt).awaitTermination(120)
+    _write_json_batch(inbox, "b.json", docs[2:])
+    stream = file_ingest.file_stream(spark, inbox, schema)
+    file_ingest.run_ingestion(stream, fn, ckpt).awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["kept_chars"])
+        for r in spark.read.parquet(out).collect()
+    }
+    full = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["kept_chars"])
+        for r in block_dedup_retention(full, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert got[2] == (2, 1, len(b3))  # within-batch dup dropped b1
+    assert got[3] == (2, 0, 0)        # fully screened by the store
+
+    # retry the last batch: its own ingest_batch=1 hashes are in the
+    # store, but the exclusion makes the re-run reproduce batch output
+    batch1 = full.filter(F.col("doc_id").isin(3, 4)).localCheckpoint()
+    fn(batch1, 1)
+    retry = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["kept_chars"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert retry == want
