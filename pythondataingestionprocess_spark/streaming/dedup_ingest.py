@@ -247,10 +247,15 @@ def block_screen_batch(
     foreachBatch retry that crashed after the store append does not
     screen the batch against its own blocks.
 
-    Scale: the store side is a single-column hash table read
-    hash-partitioned for the anti-join; the batch side shuffles its
-    own blocks only — marginal cost per batch stays proportional to
-    the batch, the same contract as the minhash screen above."""
+    Scale: the store is NEVER shuffled (the r4 semi-prune lesson from
+    the minhash screen): a naive batch-anti-store equi-join would
+    hash-partition the whole store every batch — a per-batch cost that
+    grows with history. Instead the store is semi-joined map-side
+    against the BATCH's broadcast hash set (matched hashes are at most
+    batch-sized), and the batch anti-joins that small broadcast frame.
+    Marginal cost per batch = one map-side store scan + batch-sized
+    shuffles, flat as the store grows; with the store bucketed by
+    block_hash on a metastore the scan prunes too."""
     from pyspark.sql.window import Window as W
 
     blocks_path = os.path.join(store_dir, "blocks")
@@ -261,8 +266,13 @@ def block_screen_batch(
         store = spark.read.parquet(blocks_path)
         if batch_id is not None and "ingest_batch" in store.columns:
             store = store.filter(F.col("ingest_batch") != batch_id)
-        store = store.select("block_hash").distinct()
-        fresh = ranked.join(store, "block_hash", "left_anti")
+        batch_hashes = blocks.select("block_hash").distinct()
+        matched = (
+            store.join(F.broadcast(batch_hashes), "block_hash", "left_semi")
+            .select("block_hash")
+            .distinct()
+        )
+        fresh = ranked.join(F.broadcast(matched), "block_hash", "left_anti")
     else:
         fresh = ranked
     kept = fresh.filter(F.col("rn") == 1)
