@@ -118,6 +118,7 @@ HEADLINE = [
     "corpus_weighted_sample",
     "inverted_index_incremental",
     "bm25_retrieval_topk",
+    "corpus_temperature_mix",
 ]
 
 # The 28-query subset shared by every round's bench since r1 — its

@@ -158,7 +158,7 @@ NEW_R8_STAGED: list[str] = [
 # session; the r6/r7/r8 windows are already fully budgeted above).
 # Each entry is oracle-verified by scripts/driver_sim.py at sf0.01
 # AND the vanilla-session recipe before commit. r9 window math: r8
-# runs 23 new/stale + 27 r5-refresh, so r9 = these 7 + the stalest
+# runs 23 new/stale + 27 r5-refresh, so r9 = these 8 + the stalest
 # evidence at that point.
 NEW_R9_STAGED: list[str] = [
     "corpus_block_dedup",
@@ -168,6 +168,7 @@ NEW_R9_STAGED: list[str] = [
     "corpus_weighted_sample",
     "inverted_index_incremental",
     "bm25_retrieval_topk",
+    "corpus_temperature_mix",
 ]
 
 # Queries whose SEMANTICS/ORACLE changed basis this round (the r4

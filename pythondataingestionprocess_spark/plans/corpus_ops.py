@@ -513,3 +513,91 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ------------------------------------- temperature-rebalanced mixing
+
+_TEMP_MIX_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_in FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT SUM(n_in) AS n_total,
+         CAST(SUM(CAST(sqrt(CAST(n_in AS DOUBLE)) AS DECIMAL(25,12)))
+              AS DOUBLE) AS z
+  FROM counts
+),
+rates AS (
+  SELECT lang, n_in,
+         ROUND(sqrt(CAST(n_in AS DOUBLE)) / z
+               * CAST(n_total AS DOUBLE) / n_in, 9) AS rate
+  FROM counts, tot
+),
+assigned AS (
+  SELECT d.lang, r.n_in, r.rate,
+         CAST(floor(r.rate) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     < (r.rate - floor(r.rate)) * 4294967296.0
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN rates r USING (lang)
+)
+SELECT lang, n_in, rate, CAST(SUM(n_copies) AS BIGINT) AS n_out
+FROM assigned
+GROUP BY lang, n_in, rate
+"""
+
+
+@query("corpus_temperature_mix", oracle=_TEMP_MIX_ORACLE, tags=("mixing", "sampling"))
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixing (the multilingual
+    pretraining recipe: sample language l with q_l ∝ p_l^α, α=0.5 —
+    Conneau et al., XLM-R, ACL 2020 §3; also mT5): low-resource
+    languages are up-sampled, high-resource down-sampled, total corpus
+    size preserved in expectation. Unlike ``corpus_mix_resample``
+    (fixed per-source rates), the rates here are DERIVED FROM THE
+    CORPUS DISTRIBUTION in-plan: counts → α-scaled renormalization →
+    broadcast per-lang rate → deterministic per-doc copy count
+    (floor(rate) + md5-bucket Bernoulli for the fraction).
+
+    Determinism: α=0.5 means the scaling is sqrt, which IEEE-754
+    specifies exactly (unlike libm pow) — the rate is bit-identical
+    across engines before its ROUND(·, 9); the Bernoulli draw is the
+    portable md5 bucket.
+
+    Scale: ONE corpus scan for the lang-grain aggregate plus one for
+    the assignment join (reuse is not CSE, so the normalizers n_total
+    and z come from a window OVER the |langs|-row aggregate — the
+    hierarchical_revenue_share pattern — not a separate agg that would
+    re-execute the counts subtree); the copy-count expression is
+    map-side and the output aggregate shuffles |langs| partial rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in"))
+    w_all = W.partitionBy()  # global window over the tiny lang aggregate
+    rates = counts.select(
+        "lang",
+        "n_in",
+        F.round(
+            F.sqrt(F.col("n_in").cast("double"))
+            # z accumulates exactly in decimal (order-insensitive per
+            # the registry convention), one cast back to double
+            / F.sum(F.sqrt(F.col("n_in").cast("double")).cast("decimal(25,12)"))
+            .over(w_all)
+            .cast("double")
+            * F.sum("n_in").over(w_all).cast("double")
+            / F.col("n_in"),
+            9,
+        ).alias("rate"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    n_copies = F.floor("rate").cast("long") + F.when(
+        bucket < (F.col("rate") - F.floor("rate")) * F.lit(4294967296.0), 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("n_copies", n_copies)
+        .groupBy("lang", "n_in", "rate")
+        .agg(F.sum("n_copies").cast("long").alias("n_out"))
+    )

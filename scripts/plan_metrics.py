@@ -75,6 +75,7 @@ DEFAULT_QUERIES = [
     "corpus_weighted_sample",
     "inverted_index_incremental",
     "bm25_retrieval_topk",
+    "corpus_temperature_mix",
 ]
 
 

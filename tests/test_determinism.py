@@ -29,6 +29,7 @@ SENSITIVE = [
     "corpus_weighted_sample",     # rounded ln(u)/w keys + rank cut
     "inverted_index_postings",    # bounded postings + top-100 cut
     "bm25_retrieval_topk",        # rounded ln-based scores + top-20 cut
+    "corpus_temperature_mix",     # decimal-summed normalizer + md5 Bernoulli
 ]
 
 
