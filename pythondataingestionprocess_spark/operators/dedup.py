@@ -788,6 +788,28 @@ def containment_pairs_auto(
     return containment_pairs(sh, id_col, threshold)
 
 
+def carve_blocks(
+    df: DataFrame, id_col: str, text_col: str, block: int = 10
+) -> DataFrame:
+    """Cut docs into fixed ``block``-word blocks: (id, block_idx,
+    block_text), empty docs dropped. The ONE carve both the batch
+    retention operator and the streaming screen build on — a change
+    to tokenization or the tail-block rule lands in both or neither.
+    """
+    words = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"))
+    nb = F.ceil(F.size("ws") / F.lit(float(block))).cast("long")
+    return (
+        words.withColumn("block_idx", F.explode(F.sequence(F.lit(0), nb - 1)))
+        .withColumn(
+            "block_text",
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("block_idx") * block + 1, block)),
+        )
+        .select(id_col, "block_idx", "block_text")
+    )
+
+
 def block_dedup_retention(
     df: DataFrame, id_col: str, text_col: str, block: int = 10
 ) -> DataFrame:
@@ -806,18 +828,7 @@ def block_dedup_retention(
     """
     from pyspark.sql import Window as W
 
-    words = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"))
-    nb = F.ceil(F.size("ws") / F.lit(float(block))).cast("long")
-    blocks = (
-        words.withColumn("block_idx", F.explode(F.sequence(F.lit(0), nb - 1)))
-        .withColumn(
-            "block_text",
-            F.concat_ws(" ", F.slice(F.col("ws"), F.col("block_idx") * block + 1, block)),
-        )
-        .select(id_col, "block_idx", "block_text")
-    )
+    blocks = carve_blocks(df, id_col, text_col, block)
     w = W.partitionBy("block_text").orderBy(id_col, "block_idx")
     ranked = blocks.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy(id_col).agg(

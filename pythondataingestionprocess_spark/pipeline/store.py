@@ -152,11 +152,15 @@ class ParquetTableStore:
         The count is taken from one aggregate over the pre/post frames
         (metadata-sized), not a driver-side row diff; callers wanting
         an audit trail pair this with pipeline.manifest (content
-        checksums drift exactly by the removed rows).
+        checksums drift exactly by the removed rows). No checkpoint
+        needed: ``overwrite`` stages to a sibling dir and swaps, so
+        writing a frame derived from the path being replaced is safe
+        (the same contract upsert relies on), and the post-count reads
+        the new (smaller) table.
         """
         existing = self.read(name)
         victims = keys_df.select(*keys).distinct()
-        survivors = existing.join(victims, keys, "left_anti").localCheckpoint()
+        survivors = existing.join(victims, keys, "left_anti")
         n_before = existing.count()
         self.overwrite(name, survivors)
         return n_before - self.read(name).count()

@@ -406,8 +406,11 @@ def inverted_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = _words(docs).select(
         "doc_id", F.explode(F.col("ws")).alias("term")
     )
-    base = _partial_index(terms.filter(F.col("doc_id") % 2 == 0))
-    delta = _partial_index(terms.filter(F.col("doc_id") % 2 == 1))
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # doc_id would land in NEITHER half and silently vanish from the
+    # merged index (breaking the merge identity the oracle proves)
+    base = _partial_index(terms.filter(F.pmod(F.col("doc_id"), 2) == 0))
+    delta = _partial_index(terms.filter(F.pmod(F.col("doc_id"), 2) == 1))
     merged = merge_index_states(base, delta)
     render = F.array_join(
         F.transform(
@@ -466,33 +469,22 @@ LIMIT 20
 """
 
 
-@query("bm25_retrieval_topk", oracle=_BM25_ORACLE, tags=("text", "index", "similarity"))
-def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson & Zaragoza, Found. Trends IR
-    2009; the Okapi BM25 scoring function) for a fixed 3-term query —
-    the lexical-retrieval sibling of the embedding kNN family, and
-    what the inverted index exists to serve. k1=1.2, b=0.75, idf =
-    ln((N-df+0.5)/(df+0.5)+1) (the always-positive variant).
-
-    Scale: TWO corpus scans total, because DataFrame reuse is not CSE
-    (the q20/triangles lesson): one scan feeds the (doc, term) tf
-    aggregate — the query-term filter cuts the explode to query-term
-    postings before any shuffle — and one feeds the N/avgdl aggregate,
-    which rides a broadcast 1-row frame. Per-term df comes from a
-    window over the tf rows' own term key (never a second tf pass),
-    so idf stays in-plan; top-20 is TakeOrderedAndProject. Scores
-    ROUND(·, 9) with doc_id tiebreak per the transcendental-result
-    convention.
-    """
-    docs = _words(load_table(spark, sf_dir, "documents")).select("doc_id", "ws")
-    docs = docs.withColumn("dl", F.size("ws").cast("double"))
+def bm25_topk(
+    docs: DataFrame, terms: tuple[str, ...], k: int = 20
+) -> DataFrame:
+    """DataFrame-level BM25 builder — the ONE plan body shared by the
+    registered query and scripts/index_scaling.py, so the scaling
+    curve always measures the shipped shape."""
+    docs = _words(docs).select("doc_id", "ws").withColumn(
+        "dl", F.size("ws").cast("double")
+    )
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     tf = (
         docs.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
+        .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .crossJoin(F.broadcast(stats))
@@ -511,8 +503,30 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
         .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
+        .limit(k)
     )
+
+
+@query("bm25_retrieval_topk", oracle=_BM25_ORACLE, tags=("text", "index", "similarity"))
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza, Found. Trends IR
+    2009; the Okapi BM25 scoring function) for a fixed 3-term query —
+    the lexical-retrieval sibling of the embedding kNN family, and
+    what the inverted index exists to serve. k1=1.2, b=0.75, idf =
+    ln((N-df+0.5)/(df+0.5)+1) (the always-positive variant).
+
+    Scale: TWO corpus scans total, because DataFrame reuse is not CSE
+    (the q20/triangles lesson): one scan feeds the (doc, term) tf
+    aggregate — the query-term filter cuts the explode to query-term
+    postings before any shuffle — and one feeds the N/avgdl aggregate,
+    which rides a broadcast 1-row frame. Per-term df comes from a
+    window over the tf rows' own term key (never a second tf pass),
+    so idf stays in-plan; top-20 is TakeOrderedAndProject. Scores
+    ROUND(·, 9) with doc_id tiebreak per the transcendental-result
+    convention.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
 
 
 # ------------------------------------- temperature-rebalanced mixing

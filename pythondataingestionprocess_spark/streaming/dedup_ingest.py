@@ -205,23 +205,14 @@ def _batch_blocks(
 ) -> DataFrame:
     """Carve a batch into ``block``-word blocks keyed by their 64-bit
     content hash — the fixed-width shuffle/store key (the batch
-    operator keeps text keys only so its DuckDB oracle can replay)."""
-    words = batch_df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"))
-    nb = F.ceil(F.size("ws") / F.lit(float(block))).cast("long")
-    return (
-        words.withColumn("block_idx", F.explode(F.sequence(F.lit(0), nb - 1)))
-        .withColumn(
-            "block_text",
-            F.concat_ws(" ", F.slice(F.col("ws"), F.col("block_idx") * block + 1, block)),
-        )
-        .select(
-            id_col,
-            "block_idx",
-            F.length("block_text").alias("block_chars"),
-            F.xxhash64("block_text").alias("block_hash"),
-        )
+    operator keeps text keys only so its DuckDB oracle can replay).
+    The carve itself is the SHARED ``dd.carve_blocks`` — the batch and
+    streaming faces cannot silently diverge on tokenization."""
+    return dd.carve_blocks(batch_df, id_col, text_col, block).select(
+        id_col,
+        "block_idx",
+        F.length("block_text").alias("block_chars"),
+        F.xxhash64("block_text").alias("block_hash"),
     )
 
 
@@ -233,13 +224,23 @@ def block_screen_batch(
     text_col: str = "text",
     block: int = _BLOCK_WORDS,
     batch_id: int | None = None,
+    blocks_df: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming face of ``operators.dedup.block_dedup_retention``:
     per-doc block retention where a block survives iff it is the first
     occurrence WITHIN the batch (total order (id, block_idx)) AND its
     hash has never been ingested before (anti-join against the block
-    store). Equals the batch operator run over the concatenation of
-    all batches in arrival order.
+    store). Precedence is INGESTION ORDER across batches ((id,
+    block_idx) within a batch): when ids are monotone with arrival —
+    the normal append-only ingest — this equals the batch operator
+    over the concatenation; with out-of-order ids the streaming result
+    keeps the EARLIER-ARRIVED copy where the batch operator would keep
+    the lower id. First-arrival-wins is the semantics a streaming
+    dedup store can implement without reprocessing history.
+
+    ``blocks_df``: pass a pre-carved (ideally checkpointed) frame from
+    ``_batch_blocks`` to avoid re-running the carve; the foreachBatch
+    factory below carves ONCE per batch for both screen and append.
 
     Retry-proof like ``screen_batch``: pass ``batch_id`` and the
     store read EXCLUDES the ``ingest_batch=batch_id`` partition (the
@@ -259,7 +260,13 @@ def block_screen_batch(
     from pyspark.sql.window import Window as W
 
     blocks_path = os.path.join(store_dir, "blocks")
-    blocks = _batch_blocks(batch_df, id_col, text_col, block)
+    blocks = (
+        blocks_df
+        if blocks_df is not None
+        else _batch_blocks(batch_df, id_col, text_col, block).localCheckpoint(
+            eager=True
+        )  # three subtrees below reference it — carve once (reuse != CSE)
+    )
     w = W.partitionBy("block_hash").orderBy(id_col, "block_idx")
     ranked = blocks.withColumn("rn", F.row_number().over(w))
     if _store_exists(spark, blocks_path):
@@ -297,16 +304,19 @@ def append_blocks_to_store(
     text_col: str = "text",
     block: int = _BLOCK_WORDS,
     batch_id: int | None = None,
+    blocks_df: DataFrame | None = None,
 ) -> None:
     """Append this batch's DISTINCT block hashes to the store. Same
     idempotency contract as ``append_to_store``: with ``batch_id``
-    each batch owns an overwrite-mode ``ingest_batch=N`` subdir."""
+    each batch owns an overwrite-mode ``ingest_batch=N`` subdir.
+    ``blocks_df``: reuse a pre-carved frame (see block_screen_batch)."""
     blocks_path = os.path.join(store_dir, "blocks")
-    hashes = (
-        _batch_blocks(batch_df, id_col, text_col, block)
-        .select("block_hash")
-        .distinct()
+    blocks = (
+        blocks_df
+        if blocks_df is not None
+        else _batch_blocks(batch_df, id_col, text_col, block)
     )
+    hashes = blocks.select("block_hash").distinct()
     if batch_id is None:
         hashes.write.mode("append").parquet(blocks_path)
     else:
@@ -327,15 +337,20 @@ def block_dedup_batch_fn(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
+        # carve ONCE per batch; screen (3 subtrees) and append share it
+        blocks = _batch_blocks(batch_df, id_col, text_col, block).localCheckpoint(
+            eager=True
+        )
         retention = block_screen_batch(
-            spark, batch_df, store_dir, id_col, text_col, block, batch_id=batch_id
+            spark, batch_df, store_dir, id_col, text_col, block,
+            batch_id=batch_id, blocks_df=blocks,
         )
         retention.write.mode("overwrite").parquet(
             os.path.join(retention_out_dir, f"batch_id={batch_id}")
         )
         append_blocks_to_store(
-            batch_df, store_dir, id_col, text_col, block, batch_id=batch_id
+            batch_df, store_dir, id_col, text_col, block,
+            batch_id=batch_id, blocks_df=blocks,
         )
 
     return fn

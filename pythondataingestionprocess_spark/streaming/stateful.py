@@ -421,6 +421,14 @@ _WSAMPLE_STATE = "keys array<double>, ids array<long>, weights array<long>"
 def _make_wsample_update(k: int):
     import hashlib
     import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round9_half_up(x: float) -> float:
+        # Replicate Spark's F.round on DOUBLE exactly: BigDecimal.
+        # valueOf(d) (shortest decimal repr, == Python repr) .setScale
+        # (9, HALF_UP). Python's built-in round() is half-to-EVEN and
+        # would diverge from the batch face on 9th-decimal midpoints.
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
 
     def upd(key, pdfs, state):
         (source,) = key
@@ -430,13 +438,17 @@ def _make_wsample_update(k: int):
             keys, ids, weights = [], [], []
         for pdf in pdfs:
             for did, w in zip(pdf["doc_id"], pdf["n_chars"]):
-                if w is None or w <= 0:
+                # Arrow hands NULLs to pandas as float NaN, for which
+                # `w <= 0` is False — pd.isna catches None AND NaN so a
+                # null row skips (the batch face's n_chars > 0 filter)
+                # instead of killing the query on int(NaN).
+                if pd.isna(did) or pd.isna(w) or w <= 0:
                     continue
                 u = (
                     int(hashlib.md5(str(int(did)).encode()).hexdigest()[:8], 16)
                     + 1
                 ) / 4294967297.0
-                keys.append(round(math.log(u) / float(w), 9))
+                keys.append(_round9_half_up(math.log(u) / float(w)))
                 ids.append(int(did))
                 weights.append(int(w))
         order = sorted(range(len(keys)), key=lambda i: (-keys[i], ids[i]))[:k]

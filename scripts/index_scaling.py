@@ -16,16 +16,14 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import Window as W  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from pythondataingestionprocess_spark.catalog import load_table  # noqa: E402
 from pythondataingestionprocess_spark.plans.corpus_ops import (  # noqa: E402
-    _BM25_B,
-    _BM25_K1,
     _BM25_TERMS,
     _partial_index,
     _words,
+    bm25_topk,
     merge_index_states,
 )
 from pythondataingestionprocess_spark.session import get_spark  # noqa: E402
@@ -54,35 +52,10 @@ for mult in mults:
     n_terms = idx.count()
     index_wall = time.monotonic() - t0
 
-    docs = _words(corpus).select("doc_id", "ws").withColumn(
-        "dl", F.size("ws").cast("double")
-    )
     t0 = time.monotonic()
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    tf = (
-        docs.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        .crossJoin(F.broadcast(stats))
-    )
-    df_w = F.count(F.lit(1)).over(W.partitionBy("term")).cast("double")
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    norm = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    hits = (
-        tf.withColumn("df", df_w)
-        .withColumn("part", idf * (F.col("tf") * (_BM25_K1 + 1.0)) / norm)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("part"), 9).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
-        .count()
-    )
+    # the SHARED plan body the registered query runs — the curve can
+    # never silently measure a stale shape
+    hits = bm25_topk(corpus, _BM25_TERMS, k=20).count()
     bm25_wall = time.monotonic() - t0
 
     print(

@@ -1010,7 +1010,7 @@ def test_incremental_index_composes_store_across_deltas(spark, sf_dir, tmp_path)
     docs = load_table(spark, sf_dir, "documents")
     terms = _words(docs).select("doc_id", F.explode(F.col("ws")).alias("term"))
     store = ParquetTableStore(spark, str(tmp_path / "state"))
-    batches = [terms.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    batches = [terms.filter(F.pmod(F.col("doc_id"), 3) == i) for i in range(3)]
 
     store.overwrite("index", _partial_index(batches[0]))
     for delta in batches[1:]:
