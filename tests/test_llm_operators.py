@@ -1028,3 +1028,24 @@ def test_incremental_index_composes_store_across_deltas(spark, sf_dir, tmp_path)
     got = canon(store.read("index"))
     want = canon(_partial_index(terms))
     assert got == want
+
+
+def test_temperature_mix_invariants(spark, sf_dir):
+    """α-sampling contract on the real corpus: expected post-mix size
+    equals the input size (Σ rate·n_in == N up to rounding), realized
+    n_out is within binomial noise of rate·n_in per lang, and rates
+    are ANTI-monotone in n_in — rarer languages up-sample, dominant
+    ones down-sample (the whole point of temperature rebalancing)."""
+    from pythondataingestionprocess_spark.plans import REGISTRY
+
+    rows = REGISTRY["corpus_temperature_mix"].fn(spark, sf_dir).collect()
+    n_total = sum(r["n_in"] for r in rows)
+    expected = sum(r["rate"] * r["n_in"] for r in rows)
+    assert abs(expected - n_total) < 1e-3 * n_total
+    for r in rows:
+        mu = r["rate"] * r["n_in"]
+        sd = max(1.0, (r["n_in"] * 0.25) ** 0.5)
+        assert abs(r["n_out"] - mu) <= 6 * sd, (r["lang"], r["n_out"], mu)
+    by_size = sorted(rows, key=lambda r: r["n_in"])
+    rates = [r["rate"] for r in by_size]
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
