@@ -197,14 +197,39 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "r1_subset_wall": subset,
+        "calib_sec": calib,
+    }
+    # Full per-query detail: one JSON line (for humans/judge reading
+    # the stream) plus a committed-path file, since the driver keeps
+    # only the last 2000 chars of output.
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    # FINAL line = compact summary (~200 chars). The driver parses the
+    # tail of stdout; with 88 queries the detailed line above is ~2.8 KB
+    # and its head (including "value") falls outside the tail buffer —
+    # BENCH_r05.json recorded parsed:null exactly because of that
+    # (VERDICT r5 item 1). This line must stay well under 2000 chars
+    # and must be printed LAST.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
                 "r1_subset_wall": subset,
                 "calib_sec": calib,
             }

@@ -35,83 +35,76 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-5 rotation ------------------------------------------------
-# Driver-check union after r4 is 136/136 (every registered query has a
-# green CORRECTNESS row; latest evidence: 50 from r4, 48 from r3, 38
-# from r2 — computed from CORRECTNESS_r0{1..4}.json). The window
-# refreshes the STALEST evidence: the 38 last-checked-in-r2 queries go
-# first, then this round's 10 new registrations, then the 2 queries
-# whose oracle BASIS changed this round (determinism fixes) — exactly
-# 50, so the r3/r4-checked queries sit in the tail.
-STALE_R2 = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
-    "corr_moments_stats",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_price_outliers_mad",
-    "embedding_knn_brute",
-    "embedding_norms",
-    "events_asof_last_click",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
-    "exists_agg_discounted_orders",
-    "exists_not_exists_orders",
-    "funnel_three_step",
-    "funnel_view_to_purchase",
-    "having_large_orders",
-    "idle_customers_segment",
-    "monthly_revenue_trend",
-    "multimodal_binary_meta",
-    "multimodal_decode_stats",
-    "percentile_cont_prices",
-    "pit_scd2_price_join",
-    "qualify_above_avg_suppliers",
-    "range_join_quantity_bands",
-    "revenue_share_top_customers",
-    "scalar_subquery_small_qty",
-    "skewed_join_salted",
-    "string_agg_nations",
-    "text_bpe_token_count",
-    "text_contamination_check",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "unnest_top_words",
+# --- round-6 rotation ------------------------------------------------
+# Driver-check union after r5 is 146/146 green (evidence ages from
+# CORRECTNESS_r0{1..5}.json: 48 last-checked-r3, 48 r4, 50 r5; the 33
+# staged r7/r8/r9 queries carry driver_sim evidence only). The window
+# refreshes the STALEST evidence: the 48 last-checked-in-r3 queries go
+# first, then the 2 queries staged late in r5 for this round's free
+# slots — exactly 50. Derived by scripts/rotation_calc.py over the
+# committed CORRECTNESS files (the era-pinned test replays exactly
+# that derivation from an explicit r01..r05 file list).
+STALE_R3 = [
+    "anti_join_dedup",
+    "broadcast_dim_join",
+    "clean_excel_serial_date",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
+    "corpus_mix_resample",
+    "dedup_embedding_cosine",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_per_source",
+    "distinct_dims",
+    "doc_packing_shard_histogram",
+    "dq_malformed_json_rate",
+    "dq_profile_orders",
+    "dq_referential_integrity",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "events_distinct_users_sketch",
+    "filter_nonempty_text",
+    "filter_not_contains",
+    "first_match_pick",
+    "flagship_revenue_by_nation",
+    "forward_fill_locf",
+    "full_outer_reconciliation",
+    "fuzzy_join_symdelete",
+    "hierarchy_depth_rollup",
+    "json_variant_props_stats",
+    "left_join_enrich",
+    "left_join_reverse_agg",
+    "margin_defaults",
+    "multi_agg_stats",
+    "multimodal_frame_sample",
+    "pagerank_nations",
+    "positional_attach",
+    "pricing_summary",
+    "projection_narrow",
+    "rollup_agg",
+    "semi_join_membership",
+    "tiered_pricing",
+    "top_orders_by_price",
+    "topk_per_group_agg",
+    "union_all_slices",
+    "url_canonicalize",
+    "url_store_name",
 ]
 
-# Queries first registered in round 5 — never checked, so they ride
-# inside the 50-row window. Append here when registering a new query.
-NEW_R5: list[str] = [
-    "q21_waiting_suppliers",
-    "q13_order_count_distribution",
-    "q4_priority_order_checks",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "dedup_containment",
-    "events_funnel_watermark",
-]
-
-# Staged for ROUND 6 (registered late in r5, deliberately OUTSIDE the
-# r5 window — the 50 slots were already committed). Round 6's rotation
-# is fully determined: the 48 queries last checked in r3 become the
-# stale front-load, and these 2 fill the window to exactly 50. The r6
-# session should rename this to NEW_R6-applied by folding it into the
-# priority list after rebuilding STALE from CORRECTNESS_r05.
-NEW_R6_STAGED: list[str] = [
+# Queries riding the r6 window's two free slots (registered late in
+# r5, outside the r5 window, staged as NEW_R6_STAGED then folded in
+# at the start of round 6). Append here only if window budget allows.
+NEW_R6: list[str] = [
     "stream_static_revenue_rollup",
     "q9_profit_by_nation_year",
 ]
 
 # Staged for ROUND 7 (registered late in r5; r6's two free slots are
-# already spent by NEW_R6_STAGED, and r7's stale front-load — the 50
+# already spent by NEW_R6, and r7's stale front-load — the 50
 # r4-checked queries minus whatever r6 re-rides — leaves room: r7 =
 # 39 stale-r4 + these 11; the r4 left-overs front-load r8). Every
 # entry is oracle-checked by scripts/driver_sim.py at sf0.01 AND the
@@ -171,21 +164,8 @@ NEW_R9_STAGED: list[str] = [
     "corpus_temperature_mix",
 ]
 
-# Queries whose SEMANTICS/ORACLE changed basis this round (the r4
-# ADVICE determinism fixes: merge_event_intervals now running-sums
-# over the flag window's (s, event_id) total order on both sides;
-# events_asof_next_purchase pre-dedupes purchases per (user_id, ts)):
-# they were green in r4, but never against these definitions — ride
-# inside the window so the change gets a driver row the round it
-# lands.
-PROMOTED_R5: list[str] = [
-    "merge_event_intervals",
-    "events_asof_next_purchase",
-]
-
-
 def _apply_rotation() -> None:
-    priority = STALE_R2 + NEW_R5 + PROMOTED_R5
+    priority = STALE_R3 + NEW_R6
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -198,14 +178,19 @@ def _apply_rotation() -> None:
 
 _apply_rotation()
 
+# Stable alias for tooling (scripts/rotation_calc.py): the applied
+# current-round NEW block, whatever its era-specific name is. Queries
+# here ride THIS round's driver window, so their lack of evidence
+# mid-round is expected, not a hole.
+NEW_CURRENT = NEW_R6
+
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R2",
-    "NEW_R5",
-    "PROMOTED_R5",
-    "NEW_R6_STAGED",
+    "STALE_R3",
+    "NEW_R6",
+    "NEW_CURRENT",
     "NEW_R7_STAGED",
     "NEW_R8_STAGED",
     "NEW_R9_STAGED",

@@ -1,19 +1,22 @@
 """Compute the next round's driver-window rotation from evidence age.
 
-Reads every CORRECTNESS_r0*.json in the repo root, derives each
+Reads every CORRECTNESS_r0*.json in the repo root (or an explicit
+``--files`` list, used by the era-pinned test fixture), derives each
 query's LAST-CHECKED round (presence in a round's file = the driver
 checked it that round), and prints the next round's priority lists
 ready to paste into plans/__init__.py:
 
 - STALE: the oldest-evidence queries, front-loaded;
-- then the staged new registrations (NEW_R6_STAGED etc.), which have
-  no evidence at all;
+- then the next staged block (the first NEW_R*_STAGED constant still
+  present on the plans package), which has no driver evidence yet;
 - sized so stale + staged == 50 (the driver window).
 
-Usage: python scripts/rotation_calc.py [--window 50]
+Usage: python scripts/rotation_calc.py [--window 50] [--files f1 f2 ...]
 Run at the START of a round, after the driver wrote the previous
-round's CORRECTNESS file. Queries never seen in any file (beyond the
-declared staged list) are flagged loudly — they are evidence holes.
+round's CORRECTNESS file. Exit codes: 1 = a registered query's latest
+driver row FAILED; 2 = evidence-lag tripwire (some registered query's
+last green evidence is older than MAX_EVIDENCE_AGE rounds — a
+regression there could have been hiding for that long).
 """
 
 from __future__ import annotations
@@ -25,22 +28,31 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from pythondataingestionprocess_spark.plans import (  # noqa: E402
-    NEW_R6_STAGED,
-    NEW_R7_STAGED,
-    NEW_R8_STAGED,
-    NEW_R9_STAGED,
-    REGISTRY,
-)
+import pythondataingestionprocess_spark.plans as plans  # noqa: E402
+
+REGISTRY = plans.REGISTRY
+
+# Any registered query whose last green driver row is older than this
+# many rounds trips a hard failure: with a 50-row window over ~180
+# queries the natural worst-case lag is ~3 rounds; 4+ means the
+# rotation has a hole (VERDICT r5 item 8).
+MAX_EVIDENCE_AGE = 4
 
 WINDOW = 50
 if "--window" in sys.argv:
     WINDOW = int(sys.argv[sys.argv.index("--window") + 1])
 
+if "--files" in sys.argv:
+    files = sys.argv[sys.argv.index("--files") + 1 :]
+else:
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json"))
+
 last_checked: dict[str, int] = {}
 failed_latest: set[str] = set()
-for path in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+current_round = 0
+for path in sorted(files):
     rnd = int(re.search(r"r0*(\d+)", path).group(1))
+    current_round = max(current_round, rnd)
     with open(path) as f:
         for name, row in json.load(f).items():
             if name not in REGISTRY:
@@ -61,25 +73,55 @@ for path in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
             elif not ok and rnd >= last_checked.get(name, 0):
                 failed_latest.add(name)
 
+rc = 0
 if failed_latest:
     print(f"ALERT: latest driver row FAILED for {sorted(failed_latest)} — "
           f"fix and front-load these first", file=sys.stderr)
+    rc = 1
 
-staged = [n for n in NEW_R6_STAGED if n in REGISTRY]
-# Deferred past the NEXT window (r7 staging): evidence-less by design,
-# not holes — they fill the round-after's free slots so the full
-# r3-age stale block can ride first.
-deferred = [
-    n for n in NEW_R7_STAGED + NEW_R8_STAGED + NEW_R9_STAGED if n in REGISTRY
+# The next staged block is the first NEW_R*_STAGED constant still on
+# the package (each round's session folds the consumed one into the
+# applied rotation and deletes the constant); later blocks are
+# deferred — evidence-less by design, not holes.
+_staged_blocks = [
+    getattr(plans, attr)
+    for attr in ("NEW_R7_STAGED", "NEW_R8_STAGED", "NEW_R9_STAGED")
+    if hasattr(plans, attr)
 ]
+staged = [n for n in (_staged_blocks[0] if _staged_blocks else []) if n in REGISTRY]
+deferred = [n for blk in _staged_blocks[1:] for n in blk if n in REGISTRY]
+
+# The applied current-round NEW block rides THIS round's window; its
+# queries lack driver evidence mid-round by construction — expected,
+# not a hole (they'll appear in the next CORRECTNESS file).
+pending_current = [
+    n for n in getattr(plans, "NEW_CURRENT", []) if n not in last_checked
+]
+
 never = sorted(
     n
     for n in REGISTRY
-    if n not in last_checked and n not in staged and n not in deferred
+    if n not in last_checked
+    and n not in staged
+    and n not in deferred
+    and n not in pending_current
 )
 if never:
     print(f"WARNING: {len(never)} registered queries have NO evidence and "
           f"are not staged: {never}", file=sys.stderr)
+
+# Evidence-lag tripwire: checked queries whose evidence has aged past
+# the bound. Staged/deferred queries carry driver_sim evidence at
+# registration and are budgeted into named future windows, so they are
+# exempt until first driver contact; unstaged-never already WARNs.
+overdue = sorted(
+    n for n, r in last_checked.items() if current_round - r > MAX_EVIDENCE_AGE
+)
+if overdue:
+    print(f"ALERT: evidence older than {MAX_EVIDENCE_AGE} rounds for "
+          f"{overdue} — the rotation has a hole; front-load these",
+          file=sys.stderr)
+    rc = max(rc, 2)
 
 budget = WINDOW - len(staged) - len(never)
 by_age = sorted(last_checked.items(), key=lambda kv: (kv[1], kv[0]))
@@ -103,5 +145,9 @@ print("\nNEW = [")
 for n in never + staged:
     print(f'    "{n}",')
 print("]")
+if pending_current:
+    print(f"\n# riding the CURRENT round's window, driver row pending: "
+          f"{pending_current}")
 if deferred:
-    print(f"\n# deferred past the next window (staged r7/r8/r9): {deferred}")
+    print(f"\n# deferred past the next window (later staged blocks): {deferred}")
+sys.exit(rc)
