@@ -121,6 +121,12 @@ HEADLINE = [
     "corpus_temperature_mix",
 ]
 
+# Where the full per-query detail lands (module-level so tests can
+# redirect it to a tmp dir instead of stomping the committed file).
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
 # The 28-query subset shared by every round's bench since r1 — its
 # total is the round-over-round comparable number (VERDICT r2 item 8);
 # the full HEADLINE total moves whenever new queries land.
@@ -211,8 +217,7 @@ def main() -> None:
     # only the last 2000 chars of output.
     print(json.dumps(detail))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
+        with open(DETAIL_PATH, "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass

@@ -35,84 +35,64 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-6 rotation ------------------------------------------------
-# Driver-check union after r5 is 146/146 green (evidence ages from
-# CORRECTNESS_r0{1..5}.json: 48 last-checked-r3, 48 r4, 50 r5; the 33
+# --- round-7 rotation ------------------------------------------------
+# Driver-check union after r6 is 148/148 green (evidence ages from
+# CORRECTNESS_r0{1..6}.json: 48 last-checked-r4, 50 r5, 50 r6; the 31
 # staged r7/r8/r9 queries carry driver_sim evidence only). The window
-# refreshes the STALEST evidence: the 48 last-checked-in-r3 queries go
-# first, then the 2 queries staged late in r5 for this round's free
-# slots — exactly 50. Derived by scripts/rotation_calc.py over the
+# refreshes the STALEST evidence: 39 of the 48 last-checked-in-r4
+# queries go first (alphabetical cut; the 9 same-age left-overs
+# front-load r8), then the 11 queries staged since late r5 for this
+# round — exactly 50. Derived by scripts/rotation_calc.py over the
 # committed CORRECTNESS files (the era-pinned test replays exactly
-# that derivation from an explicit r01..r05 file list).
-STALE_R3 = [
-    "anti_join_dedup",
-    "broadcast_dim_join",
-    "clean_excel_serial_date",
-    "clean_safe_float",
-    "clean_signed_money",
-    "clean_stmt_date_roundtrip",
-    "corpus_mix_resample",
-    "dedup_embedding_cosine",
-    "dedup_groups_cc",
-    "dedup_incremental_minhash",
-    "dedup_keep_one",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "deterministic_sample_per_source",
-    "distinct_dims",
-    "doc_packing_shard_histogram",
-    "dq_malformed_json_rate",
-    "dq_profile_orders",
-    "dq_referential_integrity",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "events_distinct_users_sketch",
-    "filter_nonempty_text",
-    "filter_not_contains",
-    "first_match_pick",
-    "flagship_revenue_by_nation",
-    "forward_fill_locf",
-    "full_outer_reconciliation",
-    "fuzzy_join_symdelete",
-    "hierarchy_depth_rollup",
-    "json_variant_props_stats",
-    "left_join_enrich",
-    "left_join_reverse_agg",
-    "margin_defaults",
-    "multi_agg_stats",
-    "multimodal_frame_sample",
-    "pagerank_nations",
-    "positional_attach",
-    "pricing_summary",
-    "projection_narrow",
-    "rollup_agg",
-    "semi_join_membership",
-    "tiered_pricing",
-    "top_orders_by_price",
-    "topk_per_group_agg",
-    "union_all_slices",
-    "url_canonicalize",
-    "url_store_name",
+# that derivation from an explicit r01..r06 file list).
+STALE_R4 = [
+    "approx_distinct_customers",
+    "cdc_snapshot_latest",
+    "cube_agg",
+    "dedup_exact_docs",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "doc_packing_greedy",
+    "doc_packing_lookahead",
+    "dq_orders_expectations",
+    "events_bounce_rate",
+    "events_concurrency_peak",
+    "events_interval_join",
+    "events_session_window",
+    "events_sessionize_manual",
+    "events_sliding_window",
+    "events_time_weighted_value",
+    "events_tumbling_window",
+    "except_all_slices",
+    "except_keys",
+    "fuzzy_name_distance",
+    "grouping_sets_agg",
+    "histogram_quantity",
+    "intersect_all_slices",
+    "intersect_keys",
+    "islands_user_activity",
+    "json_extract_props",
+    "json_map_functions",
+    "lateral_top_orders",
+    "not_in_null_semantics",
+    "percent_rank_ntile",
+    "pivot_status_revenue",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "quantile_disc_prices",
+    "rolling_median_user_value",
+    "scd2_build_user_state",
+    "state_change_compression",
 ]
 
-# Queries riding the r6 window's two free slots (registered late in
-# r5, outside the r5 window, staged as NEW_R6_STAGED then folded in
-# at the start of round 6). Append here only if window budget allows.
-NEW_R6: list[str] = [
-    "stream_static_revenue_rollup",
-    "q9_profit_by_nation_year",
-]
-
-# Staged for ROUND 7 (registered late in r5; r6's two free slots are
-# already spent by NEW_R6, and r7's stale front-load — the 50
-# r4-checked queries minus whatever r6 re-rides — leaves room: r7 =
-# 39 stale-r4 + these 11; the r4 left-overs front-load r8). Every
-# entry is oracle-checked by scripts/driver_sim.py at sf0.01 AND the
-# vanilla-session recipe before commit; the two time-series entries
-# additionally carry proven cross-engine tests
-# (test_subsequence_match_matches_duckdb_oracle,
-# test_decayed_feature_matches_python_recursion).
-NEW_R7_STAGED: list[str] = [
+# Queries riding the r7 window's 11 free slots (registered late in r5,
+# staged as NEW_R7_STAGED through r5/r6, folded in at the start of
+# round 7). Every entry was oracle-checked by scripts/driver_sim.py at
+# sf0.01 AND the vanilla-session recipe at registration, then
+# re-verified by the r6 judge's independent sim run (31/31 green).
+NEW_R7: list[str] = [
     "events_pattern_match",
     "events_decayed_feature",
     "events_resample_interpolate",
@@ -127,11 +107,11 @@ NEW_R7_STAGED: list[str] = [
 ]
 
 # Staged for ROUND 8 (registered in the round-5 continuation session,
-# outside the r5/r6 windows; r7's window is already full at 39
-# stale-r4 + 11 NEW_R7_STAGED, so these ride r8 together with the 11
-# r4-checked left-overs that front-load it: 11 + 12 = 23 of r8's 50,
-# leaving the rest for r5-checked refresh). Each entry is
-# oracle-verified by scripts/driver_sim.py at sf0.01 before commit.
+# outside the r5/r6/r7 windows; r7's window is full at 39 stale-r4 +
+# 11 NEW_R7, so these ride r8 together with the 9 r4-checked
+# left-overs that front-load it: 9 + 12 = 21 of r8's 50, leaving the
+# rest for r5-checked refresh). Each entry is oracle-verified by
+# scripts/driver_sim.py at sf0.01 before commit.
 NEW_R8_STAGED: list[str] = [
     "incremental_agg_maintenance",
     "trend_slope_per_nation",
@@ -165,7 +145,7 @@ NEW_R9_STAGED: list[str] = [
 ]
 
 def _apply_rotation() -> None:
-    priority = STALE_R3 + NEW_R6
+    priority = STALE_R4 + NEW_R7
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -182,16 +162,15 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R6
+NEW_CURRENT = NEW_R7
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R3",
-    "NEW_R6",
+    "STALE_R4",
+    "NEW_R7",
     "NEW_CURRENT",
-    "NEW_R7_STAGED",
     "NEW_R8_STAGED",
     "NEW_R9_STAGED",
 ]

@@ -203,16 +203,22 @@ _BLOCK_WORDS = 10
 def _batch_blocks(
     batch_df: DataFrame, id_col: str, text_col: str, block: int
 ) -> DataFrame:
-    """Carve a batch into ``block``-word blocks keyed by their 64-bit
+    """Carve a batch into ``block``-word blocks keyed by their 128-bit
     content hash — the fixed-width shuffle/store key (the batch
     operator keeps text keys only so its DuckDB oracle can replay).
+    The key is a 16-byte binary md5, NOT xxhash64: the store is
+    persistent and grows with corpus history, and at C4-scale block
+    counts (billions) a 64-bit birthday collision is *expected* —
+    P(collision) ≈ n²/2⁶⁵ ≈ 5% at n=10⁹ — which would silently drop a
+    never-ingested block (VERDICT r6 item 2). At 128 bits the same
+    bound is ~10⁻²⁰; 16 bytes/key keeps shuffle and store width fixed.
     The carve itself is the SHARED ``dd.carve_blocks`` — the batch and
     streaming faces cannot silently diverge on tokenization."""
     return dd.carve_blocks(batch_df, id_col, text_col, block).select(
         id_col,
         "block_idx",
         F.length("block_text").alias("block_chars"),
-        F.xxhash64("block_text").alias("block_hash"),
+        F.unhex(F.md5(F.col("block_text").cast("binary"))).alias("block_hash"),
     )
 
 

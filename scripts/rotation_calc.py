@@ -21,8 +21,10 @@ regression there could have been hiding for that long).
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
+import os
 import re
 import sys
 
@@ -38,20 +40,35 @@ REGISTRY = plans.REGISTRY
 # rotation has a hole (VERDICT r5 item 8).
 MAX_EVIDENCE_AGE = 4
 
-WINDOW = 50
-if "--window" in sys.argv:
-    WINDOW = int(sys.argv[sys.argv.index("--window") + 1])
 
-if "--files" in sys.argv:
-    files = sys.argv[sys.argv.index("--files") + 1 :]
-else:
-    files = sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json"))
+def _round_of(path: str) -> int:
+    """Round number from a CORRECTNESS file name, anchored to the
+    basename so path segments like 'user2/' or 'r2024/' can't
+    misparse (ADVICE r6)."""
+    m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", os.path.basename(path))
+    if not m:
+        sys.exit(f"rotation_calc: not a CORRECTNESS_r<N>.json file: {path!r}")
+    return int(m.group(1))
+
+
+_ap = argparse.ArgumentParser(description=__doc__)
+_ap.add_argument("--window", type=int, default=50)
+_ap.add_argument("--files", nargs="+", default=None)
+_args = _ap.parse_args()
+WINDOW = _args.window
+
+# zero-padded and unpadded round numbers both match; sort by the
+# PARSED round, not lexicographically (r10 sorts after r2 — ADVICE r6)
+files = _args.files if _args.files is not None else glob.glob(
+    "/root/repo/CORRECTNESS_r*.json"
+)
+files = sorted(files, key=_round_of)
 
 last_checked: dict[str, int] = {}
 failed_latest: set[str] = set()
 current_round = 0
-for path in sorted(files):
-    rnd = int(re.search(r"r0*(\d+)", path).group(1))
+for path in files:
+    rnd = _round_of(path)
     current_round = max(current_round, rnd)
     with open(path) as f:
         for name, row in json.load(f).items():
@@ -123,7 +140,11 @@ if overdue:
           file=sys.stderr)
     rc = max(rc, 2)
 
-budget = WINDOW - len(staged) - len(never)
+budget = max(0, WINDOW - len(staged) - len(never))
+if WINDOW - len(staged) - len(never) < 0:
+    print(f"# NOTE: window over-subscribed (staged {len(staged)} + "
+          f"unstaged-never {len(never)} > {WINDOW}) — no stale refresh "
+          f"this round", file=sys.stderr)
 by_age = sorted(last_checked.items(), key=lambda kv: (kv[1], kv[0]))
 stale = [n for n, _ in by_age[:budget]]
 cut_round = last_checked[stale[-1]] if stale else None

@@ -24,6 +24,9 @@ def test_compact_final_line_is_parseable_and_small(monkeypatch, capsys,
                         ["projection_narrow", "distinct_dims"])
     monkeypatch.setattr(bench, "R1_SUBSET", ["projection_narrow"])
     monkeypatch.setattr(bench, "calibrate", lambda spark: 0.001)
+    # never stomp the committed BENCH_DETAIL.json from a test run
+    monkeypatch.setattr(bench, "DETAIL_PATH",
+                        str(tmp_path / "BENCH_DETAIL.json"))
 
     bench.main()
     out = capsys.readouterr().out
@@ -64,15 +67,28 @@ def test_compact_line_stays_small_at_full_headline():
     assert len(synthetic) < 500
 
 
-def test_bench_detail_file_written(monkeypatch):
-    """The full per-query detail survives on disk next to bench.py
-    (the stdout tail can't carry it)."""
+def test_bench_detail_file_written(monkeypatch, capsys, tmp_path):
+    """The full per-query detail survives on disk (the stdout tail
+    can't carry it). Self-contained (ADVICE r6): runs bench.main()
+    itself with the same cheap monkeypatched HEADLINE instead of
+    depending on a previous test's side effect, and FAILS (not
+    silently passes) if the file is missing."""
     import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
-                        "BENCH_DETAIL.json")
-    # written by the previous test's run of bench.main(); re-check shape
-    if os.path.exists(path):
-        with open(path) as f:
-            detail = json.load(f)
-        assert "queries" in detail and "value" in detail
+    path = str(tmp_path / "BENCH_DETAIL.json")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "HEADLINE",
+                        ["projection_narrow", "distinct_dims"])
+    monkeypatch.setattr(bench, "R1_SUBSET", ["projection_narrow"])
+    monkeypatch.setattr(bench, "calibrate", lambda spark: 0.001)
+    monkeypatch.setattr(bench, "DETAIL_PATH", path)
+
+    bench.main()
+    capsys.readouterr()  # drain; stdout contract is the other test's job
+
+    assert os.path.exists(path), "bench.main() must write the detail file"
+    with open(path) as f:
+        detail = json.load(f)
+    assert set(detail["queries"]) == {"projection_narrow", "distinct_dims"}
+    assert detail["value"] > 0
+    assert "r1_subset_wall" in detail and "calib_sec" in detail

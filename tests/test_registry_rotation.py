@@ -2,14 +2,15 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-6 window refreshes the stalest evidence (the 48
-last-checked-r3 queries first, then the 2 late-r5 registrations that
-were staged for r6's free slots) — exactly 50. These tests make the
-rotation explicit and fail loudly if a later registration or refactor
-silently reorders the window.
+The round-7 window refreshes the stalest evidence (39 of the 48
+last-checked-r4 queries first — alphabetical cut, the 9 same-age
+left-overs front-load r8 — then the 11 queries staged since late r5
+for this round) — exactly 50. These tests make the rotation explicit
+and fail loudly if a later registration or refactor silently reorders
+the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r05 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r06 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
@@ -23,33 +24,32 @@ import sys
 import pytest
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R6,
-    NEW_R7_STAGED,
+    NEW_R7,
     NEW_R8_STAGED,
     NEW_R9_STAGED,
     REGISTRY,
-    STALE_R3,
+    STALE_R4,
 )
 
 DRIVER_WINDOW = 50
 
 # The file set the committed rotation was derived from. Frozen: later
-# rounds' files must NOT retroactively change what r6's window was.
-R6_EVIDENCE_FILES = sorted(
+# rounds' files must NOT retroactively change what r7's window was.
+R7_EVIDENCE_FILES = sorted(
     f for f in glob.glob("/root/repo/CORRECTNESS_r0*.json")
-    if re.search(r"r0*([1-5])\.json$", f)
+    if re.search(r"r0*([1-6])\.json$", f)
 )
 
 
 def _intended():
-    return STALE_R3 + NEW_R6
+    return STALE_R4 + NEW_R7
 
 
 def test_stalest_queries_front_loaded():
-    """The 48 queries whose latest driver row is from round 3 sit
-    first — no query's evidence may age past two rounds."""
-    assert list(REGISTRY)[: len(STALE_R3)] == STALE_R3
-    assert len(STALE_R3) == 48
+    """The 39 front-loaded queries (r4-checked, the stalest evidence
+    era after r6's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R4)] == STALE_R4
+    assert len(STALE_R4) == 39
 
 
 def test_first_50_is_the_intended_rotation():
@@ -61,9 +61,9 @@ def test_new_queries_ride_inside_the_window():
     this round: those names sit immediately after the stale block,
     inside the 50-row window."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R6):
-        assert names[len(STALE_R3) + i] == n
-    assert len(STALE_R3) + len(NEW_R6) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R7):
+        assert names[len(STALE_R4) + i] == n
+    assert len(STALE_R4) + len(NEW_R7) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -89,38 +89,41 @@ def test_registry_intact_after_rotation():
     assert len(names) >= 148
 
 
-def test_rotation_calculator_reproduces_r6_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r7_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r05 CORRECTNESS files alone (48
-    r3-stale; the 2 NEW_R6 queries show as pending-current). Pinned to
-    an explicit --files list so the driver writing CORRECTNESS_r06+
-    later cannot flip this assertion (the r5 pin broke exactly that
-    way — VERDICT r5 item 2)."""
-    assert len(R6_EVIDENCE_FILES) == 5, R6_EVIDENCE_FILES
+    window composition from the r01..r06 CORRECTNESS files alone.
+    Pinned to an explicit --files list so the driver writing
+    CORRECTNESS_r07+ later cannot flip this assertion (the r5 pin
+    broke exactly that way — VERDICT r5 item 2).
+
+    Era note: NEW_R7 is already folded into the applied rotation, so
+    the calculator's next staged block is NEW_R8_STAGED (12 entries →
+    a 38-query stale budget); its derived stale set is therefore a
+    strict subset of the committed 39-query STALE_R4 front-load, and
+    the 11 NEW_R7 queries must be recognized as riding the current
+    window (pending driver row), not flagged as evidence holes.
+    """
+    assert len(R7_EVIDENCE_FILES) == 6, R7_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R6_EVIDENCE_FILES],
+         "--files", *R7_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
     )
     assert proc.returncode == 0, proc.stderr
     assert "ALERT" not in proc.stderr
-    # the stale block it derives must equal the committed r6 front-load
-    # (budget = 50 - 11 r7-staged - 0 never = 39 of the 48 r3-age
-    # queries; the committed window took all 48 because NEW_R6's two
-    # slots were already spent — so assert containment, not equality).
     stale = re.search(r"STALE = \[(.*?)\]", proc.stdout, re.S).group(1)
     names = re.findall(r'"([^"]+)"', stale)
-    assert set(names) <= set(STALE_R3)
+    assert set(names) <= set(STALE_R4)
     # every derived-stale query the calculator wants checked IS in the
     # committed window
     assert set(names) <= set(_intended())
-    # the two NEW_R6 queries are recognized as riding the current
+    # the 11 NEW_R7 queries are recognized as riding the current
     # window, not flagged as evidence holes
     assert "WARNING" not in proc.stderr
     assert "riding the CURRENT round's window" in proc.stdout
-    for n in NEW_R6:
+    for n in NEW_R7:
         assert n in proc.stdout
 
 
@@ -146,14 +149,14 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     MAX_EVIDENCE_AGE rounds before the newest file."""
     import json
 
-    victim = STALE_R3[0]
+    victim = STALE_R4[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     old.write_text(json.dumps({victim: ok_row}))
-    new.write_text(json.dumps({STALE_R3[1]: ok_row}))
+    new.write_text(json.dumps({STALE_R4[1]: ok_row}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -171,7 +174,7 @@ def test_rotation_calculator_failed_row_alert(tmp_path):
     are not evidence and must ride the next window again."""
     import json
 
-    victim = STALE_R3[0]
+    victim = STALE_R4[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({
         victim: {"rows_match": True, "schema_match": True,
@@ -189,10 +192,79 @@ def test_rotation_calculator_failed_row_alert(tmp_path):
     assert victim in proc.stderr
 
 
+def test_rotation_calculator_round_ten_ordering(tmp_path):
+    """ADVICE r6: round >= 10 files must be globbed and processed in
+    PARSED-round order, not lexicographic (CORRECTNESS_r010 sorts
+    before r02 as a string). A green r10 row must clear an r2 failure
+    for the same query — and the unpadded r10 spelling must parse."""
+    import json
+
+    victim = STALE_R4[0]
+    ok_row = {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None}
+    bad_row = {"rows_match": True, "schema_match": True,
+               "hash_match": False, "err": None}
+    f2 = tmp_path / "CORRECTNESS_r02.json"
+    f10 = tmp_path / "CORRECTNESS_r10.json"
+    f2.write_text(json.dumps({victim: bad_row}))
+    f10.write_text(json.dumps({victim: ok_row}))
+    # pass files in the WRONG (lexicographic-looking) order on purpose
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(f10), str(f2)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    # r10 green supersedes the r2 failure → no FAILED alert (exit 0
+    # would need fresh evidence for everything; only assert the
+    # failure-clearing and that exit is not 1)
+    assert "FAILED" not in proc.stderr, proc.stderr
+    assert proc.returncode != 1, (proc.returncode, proc.stderr)
+
+
+def test_rotation_calculator_rejects_bad_filename(tmp_path):
+    """ADVICE r6: a --files entry that is not a CORRECTNESS_r<N>.json
+    file must fail with a clear message, not an AttributeError."""
+    bogus = tmp_path / "notes.json"
+    bogus.write_text("{}")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(bogus)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "not a CORRECTNESS" in proc.stderr
+
+
+def test_rotation_calculator_oversubscribed_window(tmp_path):
+    """ADVICE r6: when staged + never exceed the window, the stale
+    budget must clamp to zero (an empty STALE list), not silently
+    select items from the end of the age list."""
+    import json
+
+    ok_row = {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None}
+    f = tmp_path / "CORRECTNESS_r01.json"
+    f.write_text(json.dumps({n: ok_row for n in STALE_R4}))
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(f), "--window", "5"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    stale = re.search(r"STALE = \[(.*?)\]", proc.stdout, re.S).group(1)
+    names = re.findall(r'"([^"]+)"', stale)
+    assert names == [], names
+    assert "over-subscribed" in proc.stderr
+
+
 @pytest.mark.parametrize(
     "block_name,block,budget",
     [
-        ("NEW_R7_STAGED", NEW_R7_STAGED, 11),
         ("NEW_R8_STAGED", NEW_R8_STAGED, 12),
         ("NEW_R9_STAGED", NEW_R9_STAGED, 8),
     ],
@@ -211,7 +283,6 @@ def test_staged_blocks_sit_outside_the_window(block_name, block, budget):
     assert len(block) <= budget
     others = set(_intended())
     for other_name, other in [
-        ("NEW_R7_STAGED", NEW_R7_STAGED),
         ("NEW_R8_STAGED", NEW_R8_STAGED),
         ("NEW_R9_STAGED", NEW_R9_STAGED),
     ]:

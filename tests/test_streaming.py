@@ -1353,3 +1353,12 @@ def test_streaming_block_dedup_matches_batch_operator(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert retry == want
+
+    # VERDICT r6 item 2: the PERSISTENT store key must be 128-bit
+    # (16-byte binary md5), not xxhash64 — a 64-bit key has an
+    # expected birthday collision at C4-scale block counts and would
+    # silently drop a never-ingested block.
+    store_df = spark.read.parquet(str(tmp_path / "store" / "blocks"))
+    assert dict(store_df.dtypes)["block_hash"] == "binary"
+    key_lens = {r[0] for r in store_df.select(F.length("block_hash")).collect()}
+    assert key_lens == {16}, key_lens
