@@ -1,21 +1,36 @@
 """Dependency-free PDF text extraction (stdlib zlib + byte parsing).
 
-Narrow by design: enough of ISO 32000 to pull TEXT out of
-standard-encoded PDFs — the statement-shaped documents the reference
-feeds PyMuPDF (pdf_to_xlsx.py:27-30). Handles content streams stored
-raw or FlateDecode-compressed, literal `(…)` strings (escapes, octal,
+Narrow by design: enough of ISO 32000 to pull TEXT out of the
+statement-shaped documents the reference feeds PyMuPDF
+(pdf_to_xlsx.py:27-30). Handles content streams stored raw or
+FlateDecode-compressed, literal `(…)` strings (escapes, octal,
 nesting), hex `<…>` strings, and the text-showing operators
 Tj / ' / " / TJ, with Td/TD/T*/ET treated as line breaks (matching
 how a line-oriented statement lays out one Td+Tj per row).
 
-NOT handled (out of scope, PyMuPDF territory): CID/Type0 composite
-fonts (bytes are glyph ids, not characters — extraction yields
-garbage, same as any encoding-unaware extractor), encrypted PDFs,
-object streams (/ObjStm), positional reading order (streams are
-emitted in file order). ``extract_pdf_text`` therefore PREFERS
-PyMuPDF when importable and falls back here, so simple text PDFs
-work in this container and full-fidelity returns wherever fitz
-exists.
+CID/Type0 composite fonts (VERDICT r6 item 3): shown string bytes are
+GLYPH CODES, not characters, so an encoding-unaware extractor emits
+garbage. Two defenses:
+
+- **ToUnicode CMap decode**: when a Type0 font carries a /ToUnicode
+  stream (generators embed one so copy-paste works — the common case
+  for generated statements), its bfchar/bfrange mappings are parsed
+  and shown strings are decoded code-by-code through them. The
+  current font is tracked via the `Tf` operator against the page
+  /Font resource dicts.
+- **Decode-confidence quarantine**: ``extract_with_confidence``
+  returns ``(text, confidence, status)`` where confidence is the
+  mapped fraction of shown code units (a Type0 font with no usable
+  ToUnicode maps nothing; unknown codes under a CMap count as
+  misses). Callers dead-letter anything below the threshold instead
+  of silently ingesting mojibake.
+
+Still NOT handled (PyMuPDF territory): encrypted PDFs, object streams
+(/ObjStm), CIDFont /Encoding CMaps other than the embedded ToUnicode,
+positional reading order (streams are emitted in file order).
+``extract_pdf_text`` therefore PREFERS PyMuPDF when importable and
+falls back here, so statement PDFs work in this container and
+full-fidelity returns wherever fitz exists.
 """
 
 from __future__ import annotations
@@ -26,6 +41,16 @@ import zlib
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
 
 _ESCAPES = {
     ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
@@ -77,11 +102,133 @@ def _parse_literal(buf: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-def _text_from_content(buf: bytes) -> str:
-    """Walk a content stream's tokens; emit shown strings, newlines on
-    text-positioning operators."""
+def _objects(data: bytes) -> dict[int, bytes]:
+    """Indirect objects by number (brute-force scan; no xref needed —
+    matches the narrow no-/ObjStm scope above)."""
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _obj_stream(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    raw = m.group(1)
+    try:
+        return zlib.decompress(raw)
+    except zlib.error:
+        return raw
+
+
+def _parse_cmap(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """(code_byte_len, {glyph code -> unicode string}) from a
+    ToUnicode CMap's codespacerange / bfchar / bfrange sections.
+    Destination hex is UTF-16BE per the CMap spec."""
+    m = _CODESPACE_RE.search(cmap)
+    code_len = len(m.group(1)) // 2 if m else 2
+    table: dict[int, str] = {}
+
+    def dst_str(hexs: bytes) -> str:
+        raw = bytes.fromhex(hexs.decode())
+        return raw.decode("utf-16-be", errors="replace")
+
+    for sec in _BFCHAR_RE.finditer(cmap):
+        hexes = _HEX_RE.findall(sec.group(1))
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            table[int(src, 16)] = dst_str(dst)
+    for sec in _BFRANGE_RE.finditer(cmap):
+        body = sec.group(1)
+        # two forms: <lo> <hi> <dstStart>  |  <lo> <hi> [<d0> <d1> ...]
+        for m3 in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            body,
+        ):
+            lo, hi = int(m3.group(1), 16), int(m3.group(2), 16)
+            dst = m3.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEX_RE.findall(dst)
+                for off, d in enumerate(dsts):
+                    if lo + off <= hi:
+                        table[lo + off] = dst_str(d)
+            else:
+                start = bytes.fromhex(dst[1:-1].decode())
+                base = int.from_bytes(start, "big")
+                width = len(start)
+                for code in range(lo, hi + 1):
+                    table[code] = (base + code - lo).to_bytes(
+                        max(width, 2), "big"
+                    ).decode("utf-16-be", errors="replace")
+    return code_len, table
+
+
+# font modes for the content-stream walker
+_SIMPLE = ("simple",)          # 1 byte = 1 latin-1 char
+_CID_UNMAPPED = ("cid",)       # Type0 with no usable ToUnicode
+
+
+def _font_maps(data: bytes) -> dict[bytes, tuple]:
+    """Resource font name (e.g. b'F1') → decode mode: ('cmap',
+    code_len, table) when a ToUnicode CMap resolves, _CID_UNMAPPED for
+    a Type0 font without one, _SIMPLE otherwise. Names colliding
+    across pages keep the first binding — fine for the one-font
+    statement shape this codec targets (fitz handles the rest)."""
+    objects = _objects(data)
+    fonts: dict[bytes, tuple] = {}
+    for fd in _FONTDICT_RE.finditer(data):
+        for name, num in _FONTREF_RE.findall(fd.group(1)):
+            if name in fonts:
+                continue
+            body = objects.get(int(num))
+            if body is None:
+                continue
+            tu = _TOUNI_RE.search(body)
+            if tu is not None:
+                tbody = objects.get(int(tu.group(1)))
+                cmap = _obj_stream(tbody) if tbody is not None else None
+                if cmap:
+                    code_len, table = _parse_cmap(cmap)
+                    if table:
+                        fonts[name] = ("cmap", code_len, table)
+                        continue
+            fonts[name] = _CID_UNMAPPED if _TYPE0_RE.search(body) else _SIMPLE
+    return fonts
+
+
+def _decode_shown(s: bytes, font: tuple) -> tuple[str, int, int]:
+    """(text, total_code_units, mapped_code_units) for one shown
+    string under the current font's decode mode."""
+    if font[0] == "cmap":
+        _, code_len, table = font
+        out: list[str] = []
+        total = mapped = 0
+        for k in range(0, len(s) - code_len + 1, code_len):
+            code = int.from_bytes(s[k : k + code_len], "big")
+            total += 1
+            hit = table.get(code)
+            if hit is None:
+                out.append("�")
+            else:
+                out.append(hit)
+                mapped += 1
+        return "".join(out), total, mapped
+    if font[0] == "cid":
+        # glyph ids with no mapping: every 2-byte code is a miss
+        n = max(1, len(s) // 2)
+        return "�" * n, n, 0
+    return s.decode("latin-1"), len(s), len(s)
+
+
+def _text_from_content(
+    buf: bytes, fonts: dict[bytes, tuple] | None = None
+) -> tuple[str, int, int]:
+    """Walk a content stream's tokens; emit shown strings (decoded per
+    the current `Tf` font), newlines on text-positioning operators.
+    Returns (text, total_code_units, mapped_code_units)."""
+    fonts = fonts or {}
     out: list[str] = []
     pending: list[bytes] = []
+    cur: tuple = _SIMPLE
+    last_name: bytes | None = None
+    total = mapped = 0
     i, n = 0, len(buf)
     while i < n:
         c = buf[i]
@@ -108,8 +255,11 @@ def _text_from_content(buf: bytes) -> str:
             i += 1
         elif c == 0x2F:  # /Name
             i += 1
-            while i < n and buf[i] not in _WS and buf[i] not in _DELIM:
-                i += 1
+            j = i
+            while j < n and buf[j] not in _WS and buf[j] not in _DELIM:
+                j += 1
+            last_name = buf[i:j]
+            i = j
         else:  # operator or number token
             j = i
             while j < n and buf[j] not in _WS and buf[j] not in _DELIM:
@@ -117,19 +267,25 @@ def _text_from_content(buf: bytes) -> str:
             tok = buf[i:j]
             i = j if j > i else i + 1
             if tok in (b"Tj", b"'", b'"', b"TJ"):
-                out.append("".join(s.decode("latin-1") for s in pending))
+                for s in pending:
+                    t, tt, mm = _decode_shown(s, cur)
+                    out.append(t)
+                    total += tt
+                    mapped += mm
                 pending = []
             elif tok in (b"Td", b"TD", b"T*", b"ET"):
                 out.append("\n")
                 pending = []
+            elif tok == b"Tf":
+                if last_name is not None:
+                    cur = fonts.get(last_name, _SIMPLE)
+                pending = []
             elif tok and not re.fullmatch(rb"[-+.0-9]+", tok):
                 pending = []  # strings consumed by a non-showing op
-    return "".join(out)
+    return "".join(out), total, mapped
 
 
-def extract_text(data: bytes) -> str:
-    """All text from a PDF's content streams, in file order."""
-    pages: list[str] = []
+def _content_streams(data: bytes):
     for m in _STREAM_RE.finditer(data):
         raw = m.group(1)
         try:
@@ -139,5 +295,30 @@ def extract_text(data: bytes) -> str:
         if b"BT" in payload and (
             b"Tj" in payload or b"TJ" in payload or b"'" in payload
         ):
-            pages.append(_text_from_content(payload))
-    return "\n".join(pages)
+            yield payload
+
+
+def extract_with_confidence(data: bytes) -> tuple[str, float, str]:
+    """(text, decode_confidence, status) over all content streams in
+    file order. Confidence = mapped fraction of shown code units —
+    1.0 for simple-font or fully CMap-mapped documents, 0.0 for a
+    Type0 document with no ToUnicode (glyph ids, undecodable here).
+    Status: 'ok' at confidence ≥ 0.9, else 'quarantine' — the caller
+    dead-letters quarantined files instead of parsing mojibake
+    (VERDICT r6 item 3; reference anchor pdf_to_xlsx.py:27-30 gets
+    this for free from PyMuPDF)."""
+    fonts = _font_maps(data)
+    pages: list[str] = []
+    total = mapped = 0
+    for payload in _content_streams(data):
+        t, tt, mm = _text_from_content(payload, fonts)
+        pages.append(t)
+        total += tt
+        mapped += mm
+    conf = (mapped / total) if total else 1.0
+    return "\n".join(pages), conf, ("ok" if conf >= 0.9 else "quarantine")
+
+
+def extract_text(data: bytes) -> str:
+    """All text from a PDF's content streams, in file order."""
+    return extract_with_confidence(data)[0]

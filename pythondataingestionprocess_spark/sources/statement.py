@@ -5,8 +5,9 @@ section regexes → per-line regex loops → two pandas frames → Excel
 with a data-derived name. Here the whole text→tables stage is pure
 column expressions (`regexp_extract_all` + `explode` + per-group
 `regexp_extract`), so at scale thousands of statements parse in
-parallel inside codegen; only the PDF byte decode is a UDF (and is
-import-gated — PyMuPDF is absent in this container).
+parallel inside codegen; only the PDF byte decode is a UDF (PyMuPDF
+when importable, else the stdlib sources/pdf_lite.py codec, with a
+decode-confidence quarantine for CID fonts neither can map).
 
 Grammar parity (pdf_to_xlsx.py:39-52):
 - msi line: date desc $m1 $m2 $m3 "n de m" "r%"
@@ -110,33 +111,54 @@ def statement_output_name(
 
 def extract_pdf_text(spark: SparkSession, path_glob: str) -> DataFrame:
     """S1 PDF text scan: ``binaryFile`` source + per-file decode UDF
-    → (path, text). Prefers PyMuPDF (full fidelity: CID fonts,
-    reading order); without it, falls back to the stdlib extractor
-    (sources/pdf_lite.py — standard-encoded text PDFs, the statement
-    shape), so the scan runs end-to-end in this container too. The
+    → (path, text, decode_confidence, decode_status). Prefers PyMuPDF
+    (full fidelity: CID fonts, reading order — confidence 1.0 by
+    construction); without it, falls back to the stdlib extractor
+    (sources/pdf_lite.py — standard-encoded and ToUnicode-mapped
+    Type0 PDFs), so the scan runs end-to-end in this container too.
+
+    The confidence columns are the CID-font quarantine (VERDICT r6
+    item 3): a Type0 statement with no ToUnicode CMap extracts glyph
+    ids, not text, and MUST NOT silently enter the corpus — filter
+    ``decode_status = 'ok'`` for parsing and route the rest to a
+    dead-letter dir (``sources/files.py`` archive semantics). The
     decode is the ONLY non-Spark-native stage either way."""
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    result_t = StructType([
+        StructField("text", StringType()),
+        StructField("decode_confidence", DoubleType()),
+        StructField("decode_status", StringType()),
+    ])
 
     try:
         import fitz  # noqa: F401
 
-        @F.udf(StringType())
-        def _pdf_text(content: bytes) -> str:  # pragma: no cover
+        @F.udf(result_t)
+        def _pdf_text(content):  # pragma: no cover
             import fitz
 
             with fitz.open(stream=content, filetype="pdf") as doc:
-                return "\n".join(page.get_text() + "\n" for page in doc)
+                text = "\n".join(page.get_text() + "\n" for page in doc)
+            return (text, 1.0, "ok")
 
     except ImportError:
 
-        @F.udf(StringType())
-        def _pdf_text(content: bytes) -> str:
+        @F.udf(result_t)
+        def _pdf_text(content):
             from pythondataingestionprocess_spark.sources import pdf_lite
 
-            return pdf_lite.extract_text(content)
+            return pdf_lite.extract_with_confidence(content)
 
     blobs = spark.read.format("binaryFile").load(path_glob)
-    return blobs.select(F.col("path"), _pdf_text("content").alias("text"))
+    return blobs.select(
+        F.col("path"), _pdf_text("content").alias("r")
+    ).select("path", "r.text", "r.decode_confidence", "r.decode_status")
 
 
 def write_two_sheet_excel(

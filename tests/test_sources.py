@@ -217,6 +217,140 @@ def test_pdf_statement_end_to_end_real_file(spark, tmp_path):
     assert stmt.statement_output_name(charges) == "cargos_bbva_10Feb2024.xlsx"
 
 
+def _make_cid_pdf(lines: list[str], with_tounicode: bool) -> bytes:
+    """Minimal Type0/Identity-H PDF: every char is shown as the 2-byte
+    glyph code ord(c)+0x1000 (so a latin-1-naive extractor reads pure
+    garbage). With ``with_tounicode`` a /ToUnicode CMap maps the codes
+    back (one bfrange for printable ASCII + bfchar entries for the
+    rest); without it the bytes are undecodable glyph ids — the
+    quarantine case (VERDICT r6 item 3)."""
+    import zlib
+
+    content = b"BT /F1 10 Tf 50 700 Td "
+    extra_chars = set()
+    for ln in lines:
+        codes = b"".join((ord(c) + 0x1000).to_bytes(2, "big") for c in ln)
+        content += b"<" + codes.hex().encode() + b"> Tj 0 -12 Td "
+        extra_chars |= {c for c in ln if not (0x20 <= ord(c) <= 0x7E)}
+    content += b"ET"
+    z = zlib.compress(content)
+
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> "
+        b"/MediaBox [0 0 612 792] >>",
+        f"<< /Length {len(z)} /Filter /FlateDecode >>\nstream\n".encode()
+        + z + b"\nendstream",
+    ]
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            b"/Encoding /Identity-H")
+    if with_tounicode:
+        font += b" /ToUnicode 6 0 R"
+    font += b" >>"
+    objs.append(font)
+    if with_tounicode:
+        bfchars = "".join(
+            f"<{ord(c) + 0x1000:04X}> <{ord(c):04X}>\n" for c in extra_chars
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "begincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            "1 beginbfrange\n<1020> <107E> <0020>\nendbfrange\n"
+            + (f"{len(extra_chars)} beginbfchar\n{bfchars}endbfchar\n"
+               if extra_chars else "")
+            + "endcmap\nend\n"
+        ).encode()
+        objs.append(
+            f"<< /Length {len(cmap)} >>\nstream\n".encode()
+            + cmap + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{idx} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def test_cid_pdf_with_tounicode_decodes_through_cmap(spark, tmp_path):
+    """A Type0/Identity-H statement WITH an embedded ToUnicode CMap —
+    the common generated-statement shape — must decode to real text
+    (bfrange + bfchar paths both exercised by the accented char) and
+    parse through the full statement grammar, confidence 1.0."""
+    from pythondataingestionprocess_spark.sources import pdf_lite
+
+    lines = [
+        "CARGOS,COMPRAS Y ABONOS REGULARES(NO A MESES)",
+        "03-feb-2024 04-feb-2024 CAFÉ OXXO + $89.90",
+        "TOTAL CARGOS",
+    ]
+    data = _make_cid_pdf(lines, with_tounicode=True)
+    text, conf, status = pdf_lite.extract_with_confidence(data)
+    assert status == "ok" and conf == 1.0
+    for ln in lines:
+        assert ln in text
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "cid.pdf").write_bytes(data)
+    df = stmt.extract_pdf_text(spark, str(d / "*.pdf"))
+    row = df.collect()[0]
+    assert row["decode_status"] == "ok"
+    assert row["decode_confidence"] == 1.0
+    charges = stmt.parse_charges(df.filter("decode_status = 'ok'")).collect()
+    assert len(charges) == 1
+    assert charges[0]["Descripción"] == "CAFÉ OXXO"
+    assert charges[0]["Pago requerido"] == 89.9
+
+
+def test_cid_pdf_without_tounicode_is_quarantined(spark, tmp_path):
+    """A Type0 PDF with NO ToUnicode CMap extracts glyph ids, not
+    characters — it must surface confidence 0.0 / 'quarantine' so the
+    mojibake never silently enters the corpus, while a standard PDF
+    in the same scan stays 'ok' (VERDICT r6 item 3)."""
+    from pythondataingestionprocess_spark.sources import pdf_lite
+
+    garbage = _make_cid_pdf(
+        ["03-feb-2024 04-feb-2024 OXXO + $89.90"], with_tounicode=False
+    )
+    text, conf, status = pdf_lite.extract_with_confidence(garbage)
+    assert status == "quarantine" and conf == 0.0
+    assert "OXXO" not in text
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "bad_cid.pdf").write_bytes(garbage)
+    (d / "good.pdf").write_bytes(
+        _make_statement_pdf(
+            [["CARGOS,COMPRAS Y ABONOS REGULARES(NO A MESES)",
+              "03-feb-2024 04-feb-2024 OXXO MTY + $10.00",
+              "TOTAL CARGOS"]],
+            compress=True,
+        )
+    )
+    df = stmt.extract_pdf_text(spark, str(d / "*.pdf"))
+    by_path = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert by_path["bad_cid.pdf"]["decode_status"] == "quarantine"
+    assert by_path["good.pdf"]["decode_status"] == "ok"
+    assert by_path["good.pdf"]["decode_confidence"] == 1.0
+    # the parse gate: only 'ok' files reach the grammar
+    ok_charges = stmt.parse_charges(
+        df.filter("decode_status = 'ok'")
+    ).collect()
+    assert [r["Descripción"] for r in ok_charges] == ["OXXO MTY"]
+
+
 def test_two_sheet_excel_sink_roundtrip_real_file(spark, tmp_path):
     """S7 for real: the two-sheet sink writes an actual .xlsx (stdlib
     codec when openpyxl is absent) whose sheets, headers, and cell
