@@ -60,6 +60,10 @@ class JdbcTableStore:
         self.properties = {"driver": driver, **(properties or {})}
         self._known: set[str] = set()
 
+    def exists(self, name: str) -> bool:
+        """Whether the table exists on the target (probe query)."""
+        return self._exists(name)
+
     def _exists(self, name: str) -> bool:
         if name in self._known:
             return True
