@@ -41,6 +41,7 @@ from pythondataingestionprocess_spark.functions.text import (
     shingles_of_tokens,
     tokens,
 )
+from pythondataingestionprocess_spark.operators.parallel import rebalance_scan
 
 _MERSENNE_31 = (1 << 31) - 1
 _RANGE_31 = 1 << 31
@@ -394,6 +395,11 @@ def _signatures_banded(
     signature stage of the self-join and incremental paths (explode →
     per-hash min aggregates → band hashes, one shuffle on id)."""
     rows_per_band = num_hashes // bands
+    # CPU-dense stage (shingle explode + 64 hashes/row): don't inherit
+    # a single-split scan's task count — see operators/parallel.py.
+    # Keyed on id, the shuffle replaces (not adds to) the groupBy(id)
+    # exchange below.
+    df = rebalance_scan(df.select(id_col, text_col), id_col)
     raw_sh = df.select(
         F.col(id_col), tokens(text_col).alias("_w")
     ).select(
@@ -403,26 +409,31 @@ def _signatures_banded(
         F.pmod(F.xxhash64("shingle"), F.lit(_RANGE_31)).alias("hx"),
     )
     params = minhash_params(num_hashes, seed)
+    # Expression trees built as SQL text, not Column-by-Column: the
+    # 64-agg + 16-band tree costs ~1.2 s of DRIVER time per query via
+    # py4j Column construction vs ~0.1 s through the JVM SQL parser —
+    # measured r7; identical analyzed plan either way. Driver-side
+    # build cost is constant in data size, so this matters for bench
+    # latency, not the 100 TB story.
     sig_tbl = raw_sh.groupBy(id_col).agg(
         *[
-            F.min(F.pmod(F.col("hx") * a + b, F.lit(_MERSENNE_31))).alias(f"mh_{i}")
+            F.expr(
+                f"min(pmod(hx * {a}L + {b}L, {_MERSENNE_31}L)) AS mh_{i}"
+            )
             for i, (a, b) in enumerate(params)
         ]
     )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    "_",
-                    F.lit(j),
-                    *[
-                        F.col(f"mh_{j * rows_per_band + i}").cast("string")
-                        for i in range(rows_per_band)
-                    ],
-                )
+    band_hashes = F.expr(
+        "array(" + ", ".join(
+            "xxhash64(concat_ws('_', '{j}', {parts}))".format(
+                j=j,
+                parts=", ".join(
+                    f"cast(mh_{j * rows_per_band + i} as string)"
+                    for i in range(rows_per_band)
+                ),
             )
             for j in range(bands)
-        ]
+        ) + ")"
     )
     return sig_tbl.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
