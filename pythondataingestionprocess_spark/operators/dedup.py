@@ -740,6 +740,79 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    dim: int = 64,
+    bits_per_table: int = 12,
+    n_tables: int = 8,
+    seed: int = 7,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs between a NEW batch and the corpus —
+    the daily-ingest twin of :func:`cosine_near_dup_pairs`, same shape
+    as :func:`minhash_lsh_pairs_incremental`: corpus×corpus pairs are
+    never regenerated; candidates come from a (table, bucket)
+    equi-join of the new batch's hyperplane buckets against the
+    corpus's. At 100 TB the corpus side is a precomputed bucket table
+    (one ``_buckets_udf`` pass at index build, bucketed storage
+    co-locates the join) — the marginal cost per batch is one matmul
+    over the batch plus a batch-sized join, independent of corpus
+    growth. ``bucket_cap`` keeps degenerate buckets (duplicate-heavy
+    corpora collapse many vectors into one signature) bounded by
+    min-id anchoring, exactly as in the text path.
+
+    Output: (new_id, corpus_id, cos) with cos ≥ threshold,
+    exact-verified on candidates only.
+    """
+    from pyspark.sql import Window as W
+
+    from pythondataingestionprocess_spark.functions.vectors import cosine
+    from pythondataingestionprocess_spark.operators.similarity import (
+        _buckets_udf,
+        hyperplanes,
+    )
+
+    tables = [hyperplanes(dim, bits_per_table, seed + 101 * t) for t in range(n_tables)]
+    bucketize = _buckets_udf(tables)
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), bucketize(F.col(vec_col)).alias("bs")
+        ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+
+    corpus_capped = (
+        banded(corpus)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("table", "bucket").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn") <= bucket_cap)
+        .select(F.col(id_col).alias("corpus_id"), "table", "bucket")
+    )
+    candidates = (
+        banded(new_docs)
+        .select(F.col(id_col).alias("new_id"), "table", "bucket")
+        .join(corpus_capped, ["table", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    va = new_docs.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vb"))
+    return (
+        candidates.join(va, "new_id")
+        .join(vb, "corpus_id")
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("new_id", "corpus_id", "cos")
+    )
+
+
 def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on the normalized-text md5 fingerprint."""
     return (

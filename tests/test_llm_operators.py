@@ -175,6 +175,66 @@ def test_cosine_near_dup_finds_planted_dups(spark):
     assert pairs == {(i, i + 1000) for i in range(0, 40, 4)}
 
 
+def test_cosine_near_dup_incremental_matches_batch_cross_pairs(spark):
+    """Daily-ingest embedding dedup: the incremental new×corpus pair
+    list equals the cross-side subset of the batch operator run over
+    corpus ∪ new (identical vectors share every bucket, so LSH recall
+    at the dup end is exactly 1 on both paths), and corpus×corpus
+    pairs are never emitted."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    corpus_rows = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(40)
+    ]
+    # today's crawl: re-crawls of every 4th corpus vector + 5 fresh ones
+    new_rows = [(i + 1000, vec) for i, vec in corpus_rows if i % 4 == 0] + [
+        (2000 + j, [float(x) for x in rng.standard_normal(64)])
+        for j in range(5)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dd.cosine_near_dup_pairs_incremental(
+            corpus, new, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got == {(i + 1000, i) for i in range(0, 40, 4)}
+
+    # parity with the batch face restricted to cross pairs
+    both = corpus.unionAll(new)
+    batch_cross = {
+        (r.id_b, r.id_a)  # batch emits (min,max); new ids are larger
+        for r in dd.cosine_near_dup_pairs(both, "vec_id", "embedding").collect()
+        if r.id_b >= 1000 and r.id_a < 1000
+    }
+    assert got == batch_cross
+
+
+def test_cosine_near_dup_incremental_bucket_cap_keeps_anchor(spark):
+    """A duplicate-heavy corpus bucket is capped by min-id anchoring:
+    a new re-crawl of the mega-cluster still matches the kept anchor
+    members instead of star-expanding against the whole cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    v = [float(x) for x in rng.standard_normal(64)]
+    cluster = [(i, v) for i in range(300)]  # 300 identical corpus vectors
+    corpus = spark.createDataFrame(cluster, "vec_id long, embedding array<float>")
+    new = spark.createDataFrame([(9000, v)], "vec_id long, embedding array<float>")
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dd.cosine_near_dup_pairs_incremental(
+            corpus, new, "vec_id", "embedding", bucket_cap=4
+        ).collect()
+    }
+    # capped: exactly the 4 min-id anchors, so the dup IS detected and
+    # candidate volume stays bounded
+    assert got == {(9000, i) for i in range(4)}
+
+
 def test_bpe_token_count_known_strings(spark):
     from pythondataingestionprocess_spark.functions.text import bpe_token_count
 
