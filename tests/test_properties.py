@@ -354,3 +354,91 @@ def test_chunking_covers_every_token_in_order(spark, docs):
             assert ln == min(_CHUNK, n - k * _STRIDE)
         covered = ks[-1][0] * _STRIDE + ks[-1][1]
         assert covered == n  # the tail chunk reaches the last token
+
+
+# ---------------------------------------------------------------- pdf_lite
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FFF),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pdf_literal_string_escape_roundtrip(s):
+    """A `(...)` literal built with the spec's escaping rules parses
+    back byte-identically (latin-1-representable payloads; escapes,
+    parens, backslashes)."""
+    from pythondataingestionprocess_spark.sources import pdf_lite
+
+    try:
+        payload = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return  # literal strings carry 8-bit bytes; CMaps carry the rest
+    esc = (
+        payload.replace(b"\\", rb"\\")
+        .replace(b"(", rb"\(")
+        .replace(b")", rb"\)")
+        .replace(b"\r", rb"\r")  # bare CR would normalize per spec
+    )
+    buf = b"(" + esc + b")"
+    out, idx = pdf_lite._parse_literal(buf, 0)
+    assert out == payload
+    assert idx == len(buf)
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=0xFFFF),
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xD700),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cmap_bfchar_roundtrip(mapping):
+    """A ToUnicode CMap written as bfchar entries parses back to the
+    exact mapping (destinations are UTF-16BE per the spec — multi-unit
+    destinations included)."""
+    from pythondataingestionprocess_spark.sources import pdf_lite
+
+    entries = "".join(
+        f"<{code:04X}> <{dst.encode('utf-16-be').hex().upper()}>\n"
+        for code, dst in mapping.items()
+    )
+    cmap = (
+        "begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(mapping)} beginbfchar\n{entries}endbfchar\nendcmap\n"
+    ).encode()
+    code_len, table = pdf_lite._parse_cmap(cmap)
+    assert code_len == 2
+    assert table == mapping
+
+
+@given(
+    st.integers(min_value=0, max_value=0xF000),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=0x20, max_value=0xD000),
+)
+@settings(max_examples=200, deadline=None)
+def test_cmap_bfrange_start_form(lo, span, dst_start):
+    """The `<lo> <hi> <dstStart>` bfrange form maps code lo+k to
+    dst_start+k across the whole range."""
+    from pythondataingestionprocess_spark.sources import pdf_lite
+
+    hi = min(lo + span, 0xFFFF)
+    cmap = (
+        "begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"1 beginbfrange\n<{lo:04X}> <{hi:04X}> <{dst_start:04X}>\nendbfrange\n"
+        "endcmap\n"
+    ).encode()
+    _, table = pdf_lite._parse_cmap(cmap)
+    assert len(table) == hi - lo + 1
+    for k in (0, (hi - lo) // 2, hi - lo):
+        assert table[lo + k] == chr(dst_start + k)

@@ -460,3 +460,23 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     # column pruning still works through the merged schema
     plan = merged.select("id").filter(F.col("id") > 1)._jdf.queryExecution().executedPlan().toString()
     assert "score" not in plan
+
+
+def test_pdf_extract_is_total_over_garbage_bytes():
+    """One poison file must never fail an ingest batch: arbitrary
+    bytes, a truncated PDF, and an overflowing bfrange destination all
+    come back as a quarantine verdict (or degraded glyphs), never an
+    exception."""
+    from pythondataingestionprocess_spark.sources import pdf_lite
+
+    for blob in [
+        b"",
+        b"\x00\xff" * 100,
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog\nstream\n\xde\xad",
+        _make_cid_pdf(["x"], with_tounicode=True).replace(
+            b"<1020> <107E> <0020>", b"<1020> <107E> <FFFF>"
+        ),  # range overflows its 2-byte destination width mid-range
+    ]:
+        text, conf, status = pdf_lite.extract_with_confidence(blob)
+        assert status in ("ok", "quarantine")
+        assert 0.0 <= conf <= 1.0
