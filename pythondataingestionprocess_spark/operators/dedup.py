@@ -158,9 +158,12 @@ def bucket_candidate_pairs(
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the exploded form used by both
     exact-Jaccard and the LSH verify step. Tokenizes once per row
-    (bound column) before gram expansion."""
+    (bound column) before gram expansion. The gram explode is
+    CPU-dense — guarded against single-split scans
+    (operators/parallel.py)."""
     return (
-        df.select(F.col(id_col), tokens(text_col).alias("_w"))
+        rebalance_scan(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), tokens(text_col).alias("_w"))
         .select(F.col(id_col), F.explode(shingles_of_tokens("_w", n)).alias("shingle"))
         .distinct()
     )
@@ -446,8 +449,12 @@ def shingle_array_table(
     """(id, sh) with sh = the doc's DISTINCT shingle array — the
     compact verify-side representation (used to exact-Jaccard candidate
     pairs without re-reading text). At 100 TB this is the table a
-    persistent dedup store keeps alongside the band buckets."""
-    return df.select(F.col(id_col), tokens(text_col).alias("_w")).select(
+    persistent dedup store keeps alongside the band buckets.
+    Single-split-scan guarded like shingle_sets (the join it feeds
+    shuffles on id anyway, so the keyed rebalance adds nothing)."""
+    return rebalance_scan(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), tokens(text_col).alias("_w")
+    ).select(
         F.col(id_col),
         F.array_distinct(shingles_of_tokens("_w", n)).alias("sh"),
     )
