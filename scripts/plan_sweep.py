@@ -1,0 +1,98 @@
+"""Anti-pattern sweep over EVERY registered query's physical plan.
+
+Builds (never executes) the plan for all registry entries at the given
+sf dir and flags the scale killers:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — O(n*m) joins;
+  only sanctioned where every input is a metrics-sized aggregate
+  (the graph family's three 1-row frames).
+- ``BatchEvalPython`` — row-at-a-time Python in the plan; never
+  sanctioned in a registered query (Arrow ``ArrowEvalPython`` /
+  ``FlatMapGroupsInPandas`` / ``MapInPandas`` are the sanctioned
+  vectorized escapes and are counted separately for visibility).
+
+The hand-written plan guards in tests/test_plans.py pin the DESIGNED
+shape of ~30 flagship queries; this sweep is the broad tripwire that
+catches a regression sneaking into any of the other ~150 (e.g. a
+refactor dropping a broadcast hint and resurrecting a nested-loop
+join). Run per round; exits non-zero on any unsanctioned hit.
+
+Usage: python scripts/plan_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pythondataingestionprocess_spark.plans import REGISTRY  # noqa: E402
+from pythondataingestionprocess_spark.session import get_spark  # noqa: E402
+
+# Queries allowed to carry a nested-loop/cartesian node, reviewed by
+# hand. Two sanctioned patterns:
+#
+# (a) graph family — three 1-row metric frames crossJoined
+#     (operators/graph.py:69); every input is a global aggregate.
+NESTED_LOOP_OK = {
+    "pagerank_nations",
+    "copurchase_triangles",
+    "part_clustering_coefficient",
+    "dedup_groups_cc",
+    "dedup_keep_one",
+}
+# (b) scalar-broadcast joins — the build side is a 1-row (or
+#     contract-small) aggregate attached under a non-equi or
+#     conditionless join, so the "nested loop" is one broadcast row
+#     probed per input row, O(n): Q11's value-fraction threshold,
+#     funnel/idle-segment scalar gates, tf-idf's corpus N, BM25's
+#     avgdl, winsorize's clamp scalars, and brute-kNN's
+#     declared-small query side (its only non-scalar member — the
+#     small side is the operator's documented contract).
+NESTED_LOOP_OK |= {
+    "q11_important_parts",
+    "funnel_view_to_purchase",
+    "idle_customers_segment",
+    "embedding_knn_brute",
+    "text_tfidf_top_terms",
+    "feature_winsorize_robust",
+    "bm25_retrieval_topk",
+}
+
+ANTI = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+VECTORIZED = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    bad: dict[str, list[str]] = {}
+    vec: dict[str, list[str]] = {}
+    t0 = time.monotonic()
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [a for a in ANTI if a in plan]
+        if "BroadcastNestedLoopJoin" in hits or "CartesianProduct" in hits:
+            if name in NESTED_LOOP_OK:
+                hits = [h for h in hits if h == "BatchEvalPython"]
+        if hits:
+            bad[name] = hits
+        v = [a for a in VECTORIZED if a in plan]
+        if v:
+            vec[name] = v
+    out = {
+        "n_queries": len(REGISTRY),
+        "wall_sec": round(time.monotonic() - t0, 1),
+        "unsanctioned": bad,
+        "vectorized_python": vec,
+    }
+    print(json.dumps(out, indent=1))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
