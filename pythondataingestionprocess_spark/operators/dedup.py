@@ -486,6 +486,39 @@ def verify_jaccard_pairs(
     )
 
 
+def _incremental_bucket_candidates(
+    corpus_banded: DataFrame,
+    new_banded: DataFrame,
+    id_col: str,
+    bucket_keys: tuple[str, ...],
+    cap: int,
+) -> DataFrame:
+    """(new_id, corpus_id) candidates from a new batch's bucket
+    membership joined against the corpus's — the shared skeleton of
+    the incremental minhash and incremental embedding screens (r7
+    review: the cap/anchor rule must live once). Corpus rows are
+    capped per bucket by min-id anchoring: a degenerate mega-bucket
+    contributes at most ``cap`` candidates per new doc while its kept
+    min-id members preserve dup connectivity."""
+    from pyspark.sql import Window as W
+
+    keys = list(bucket_keys)
+    corpus_capped = (
+        corpus_banded.withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy(*keys).orderBy(F.col(id_col))),
+        )
+        .filter(F.col("_rn") <= cap)
+        .select(F.col(id_col).alias("corpus_id"), *keys)
+    )
+    return (
+        new_banded.select(F.col(id_col).alias("new_id"), *keys)
+        .join(corpus_capped, keys)
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs_incremental(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -514,26 +547,11 @@ def minhash_lsh_pairs_incremental(
     boilerplate bucket contributes at most ``cap`` candidates per new
     doc instead of the whole cluster — identical-content mega-clusters
     still match via the kept min-id members."""
-    from pyspark.sql import Window as W
-
     kw = dict(shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed)
     corpus_b = _signatures_banded(corpus, id_col, text_col, **kw)
     new_b = _signatures_banded(new_docs, id_col, text_col, **kw)
-    corpus_capped = (
-        corpus_b.withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("band", "band_hash").orderBy(F.col(id_col))
-            ),
-        )
-        .filter(F.col("_rn") <= bucket_cap)
-        .select(F.col(id_col).alias("corpus_id"), "band", "band_hash")
-    )
-    candidates = (
-        new_b.select(F.col(id_col).alias("new_id"), "band", "band_hash")
-        .join(corpus_capped, ["band", "band_hash"])
-        .select("new_id", "corpus_id")
-        .distinct()
+    candidates = _incremental_bucket_candidates(
+        corpus_b, new_b, id_col, ("band", "band_hash"), bucket_cap
     )
     sh_new = shingle_array_table(new_docs, id_col, text_col, shingle_n).withColumnRenamed(
         id_col, "new_id"
@@ -775,8 +793,6 @@ def cosine_near_dup_pairs_incremental(
     Output: (new_id, corpus_id, cos) with cos ≥ threshold,
     exact-verified on candidates only.
     """
-    from pyspark.sql import Window as W
-
     from pythondataingestionprocess_spark.functions.vectors import cosine
     from pythondataingestionprocess_spark.operators.similarity import (
         _buckets_udf,
@@ -791,23 +807,8 @@ def cosine_near_dup_pairs_incremental(
             F.col(id_col), bucketize(F.col(vec_col)).alias("bs")
         ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
 
-    corpus_capped = (
-        banded(corpus)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("table", "bucket").orderBy(F.col(id_col))
-            ),
-        )
-        .filter(F.col("_rn") <= bucket_cap)
-        .select(F.col(id_col).alias("corpus_id"), "table", "bucket")
-    )
-    candidates = (
-        banded(new_docs)
-        .select(F.col(id_col).alias("new_id"), "table", "bucket")
-        .join(corpus_capped, ["table", "bucket"])
-        .select("new_id", "corpus_id")
-        .distinct()
+    candidates = _incremental_bucket_candidates(
+        banded(corpus), banded(new_docs), id_col, ("table", "bucket"), bucket_cap
     )
     va = new_docs.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vb"))

@@ -64,7 +64,22 @@ class JdbcTableStore:
         """Whether the table exists on the target (probe query)."""
         return self._exists(name)
 
+    # Dialect "relation does not exist" markers: Derby SQLState 42X05,
+    # Postgres 42P01, SQL Server error 208 ("Invalid object name").
+    _MISSING_MARKERS = (
+        "42X05", "42P01", "Invalid object name",
+        "does not exist", "not found",
+    )
+
     def _exists(self, name: str) -> bool:
+        """True/False ONLY for a definitive answer. A probe failure
+        that does not look like \"table missing\" (network blip, auth,
+        timeout) RE-RAISES: r7 code review — swallowing it returned
+        False, which routed an existing populated table into the
+        first-load DROP+CREATE path (rds_import) and made upsert read
+        an empty frame and overwrite away every existing row. A
+        transient error must fail the batch, never masquerade as an
+        empty table."""
         if name in self._known:
             return True
         try:
@@ -73,8 +88,11 @@ class JdbcTableStore:
             ).collect()
             self._known.add(name)
             return True
-        except Exception:
-            return False
+        except Exception as e:
+            msg = str(e)
+            if any(m in msg for m in self._MISSING_MARKERS):
+                return False
+            raise
 
     def read(self, name: str) -> DataFrame:
         """Read a table; empty (typed) DataFrame if never written."""

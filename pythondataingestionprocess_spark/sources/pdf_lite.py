@@ -44,7 +44,11 @@ _DELIM = b"()<>[]{}/%"
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
-_FONTREF_RE = re.compile(rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R")
+_FONTDICT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+# PDF name chars: underscore is common in generator font names (/C2_0);
+# '#' starts a hex escape — matched literally, good enough for lookup
+# symmetry with the content-stream name scanner
+_FONTREF_RE = re.compile(rb"/([A-Za-z0-9._#+-]+)\s+(\d+)\s+\d+\s+R")
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -174,13 +178,20 @@ _CID_UNMAPPED = ("cid",)       # Type0 with no usable ToUnicode
 def _font_maps(data: bytes) -> dict[bytes, tuple]:
     """Resource font name (e.g. b'F1') → decode mode: ('cmap',
     code_len, table) when a ToUnicode CMap resolves, _CID_UNMAPPED for
-    a Type0 font without one, _SIMPLE otherwise. Names colliding
-    across pages keep the first binding — fine for the one-font
-    statement shape this codec targets (fitz handles the rest)."""
+    a Type0 font without one, _SIMPLE otherwise. Covers both inline
+    ``/Font << ... >>`` resource dicts and the (common) indirect form
+    ``/Font 7 0 R``. Names colliding across pages keep the first
+    binding — fine for the one-font statement shape this codec
+    targets (fitz handles the rest)."""
     objects = _objects(data)
     fonts: dict[bytes, tuple] = {}
-    for fd in _FONTDICT_RE.finditer(data):
-        for name, num in _FONTREF_RE.findall(fd.group(1)):
+    dict_bodies = [fd.group(1) for fd in _FONTDICT_RE.finditer(data)]
+    for ref in _FONTDICT_REF_RE.finditer(data):
+        body = objects.get(int(ref.group(1)))
+        if body is not None:
+            dict_bodies.append(body)
+    for fd in dict_bodies:
+        for name, num in _FONTREF_RE.findall(fd):
             if name in fonts:
                 continue
             body = objects.get(int(num))
@@ -215,6 +226,8 @@ def _decode_shown(s: bytes, font: tuple) -> tuple[str, int, int]:
             else:
                 out.append(hit)
                 mapped += 1
+        if len(s) % code_len:  # dangling partial code = a miss, not free
+            total += 1
         return "".join(out), total, mapped
     if font[0] == "cid":
         # glyph ids with no mapping: every 2-byte code is a miss
@@ -224,15 +237,23 @@ def _decode_shown(s: bytes, font: tuple) -> tuple[str, int, int]:
 
 
 def _text_from_content(
-    buf: bytes, fonts: dict[bytes, tuple] | None = None
+    buf: bytes,
+    fonts: dict[bytes, tuple] | None = None,
+    default: tuple = _SIMPLE,
 ) -> tuple[str, int, int]:
     """Walk a content stream's tokens; emit shown strings (decoded per
     the current `Tf` font), newlines on text-positioning operators.
-    Returns (text, total_code_units, mapped_code_units)."""
+    Returns (text, total_code_units, mapped_code_units).
+
+    ``default`` is the decode mode for font names NOT in ``fonts`` —
+    callers pass _CID_UNMAPPED when the document declares a Type0
+    font anywhere, so an unresolvable font resource (exotic object
+    layout, /ObjStm) FAILS CLOSED into the quarantine instead of
+    emitting latin-1 mojibake at confidence 1.0."""
     fonts = fonts or {}
     out: list[str] = []
     pending: list[bytes] = []
-    cur: tuple = _SIMPLE
+    cur: tuple = default
     last_name: bytes | None = None
     total = mapped = 0
     i, n = 0, len(buf)
@@ -284,7 +305,7 @@ def _text_from_content(
                 pending = []
             elif tok == b"Tf":
                 if last_name is not None:
-                    cur = fonts.get(last_name, _SIMPLE)
+                    cur = fonts.get(last_name, default)
                 pending = []
             elif tok and not re.fullmatch(rb"[-+.0-9]+", tok):
                 pending = []  # strings consumed by a non-showing op
@@ -326,10 +347,15 @@ def extract_with_confidence(data: bytes) -> tuple[str, float, str]:
 
 def _extract_with_confidence(data: bytes) -> tuple[str, float, str]:
     fonts = _font_maps(data)
+    # fail CLOSED: a document that declares a Type0 font anywhere gets
+    # _CID_UNMAPPED for any font name the resolver could NOT bind
+    # (indirect layouts, /ObjStm resources) — unresolvable composite
+    # fonts must land in the quarantine, never decode as latin-1
+    default = _CID_UNMAPPED if _TYPE0_RE.search(data) else _SIMPLE
     pages: list[str] = []
     total = mapped = 0
     for payload in _content_streams(data):
-        t, tt, mm = _text_from_content(payload, fonts)
+        t, tt, mm = _text_from_content(payload, fonts, default)
         pages.append(t)
         total += tt
         mapped += mm

@@ -200,6 +200,24 @@ def dedup_batch_fn(
 _BLOCK_WORDS = 10
 
 
+def _require_v2_block_store(store: DataFrame) -> None:
+    """Refuse a legacy 64-bit (bigint xxhash64) block store with an
+    actionable error instead of an AnalysisException deep in the
+    semi-join — or worse, a mixed-type append that poisons the store
+    files. No in-place migration exists: block texts are not
+    recoverable from their 64-bit hashes, so the store must be
+    rebuilt from the corpus (one batch run of
+    operators.dedup.block_dedup_retention's carve, appended fresh)."""
+    dtype = dict(store.dtypes).get("block_hash")
+    if dtype != "binary":
+        raise RuntimeError(
+            f"legacy block store (block_hash: {dtype}): the store key "
+            "is 16-byte binary md5 since r7 (64-bit keys collide at "
+            "C4 scale). Rebuild the store from the corpus; old hashes "
+            "cannot be migrated."
+        )
+
+
 def _batch_blocks(
     batch_df: DataFrame, id_col: str, text_col: str, block: int
 ) -> DataFrame:
@@ -277,6 +295,7 @@ def block_screen_batch(
     ranked = blocks.withColumn("rn", F.row_number().over(w))
     if _store_exists(spark, blocks_path):
         store = spark.read.parquet(blocks_path)
+        _require_v2_block_store(store)
         if batch_id is not None and "ingest_batch" in store.columns:
             store = store.filter(F.col("ingest_batch") != batch_id)
         batch_hashes = blocks.select("block_hash").distinct()
@@ -317,6 +336,11 @@ def append_blocks_to_store(
     each batch owns an overwrite-mode ``ingest_batch=N`` subdir.
     ``blocks_df``: reuse a pre-carved frame (see block_screen_batch)."""
     blocks_path = os.path.join(store_dir, "blocks")
+    spark = batch_df.sparkSession
+    if _store_exists(spark, blocks_path):
+        # footer-only read: never append binary keys into a legacy
+        # bigint store (mixed part-file types fail on every later read)
+        _require_v2_block_store(spark.read.parquet(blocks_path))
     blocks = (
         blocks_df
         if blocks_df is not None

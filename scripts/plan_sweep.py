@@ -65,10 +65,13 @@ ANTI = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 VECTORIZED = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
+def sweep(spark, sf_dir: str) -> dict:
+    """Build every registered plan; return {unsanctioned, vectorized_
+    python, n_queries, wall_sec}. Shared by the CLI below and
+    tests/test_plan_sweep.py (r7 review: the sanctioning policy must
+    live once). The NESTED_LOOP_OK whitelist excuses ONLY nested-loop
+    nodes — a BatchEvalPython hit is never sanctioned, whitelist or
+    not."""
     bad: dict[str, list[str]] = {}
     vec: dict[str, list[str]] = {}
     t0 = time.monotonic()
@@ -76,22 +79,28 @@ def main() -> int:
         df = spec.fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         hits = [a for a in ANTI if a in plan]
-        if "BroadcastNestedLoopJoin" in hits or "CartesianProduct" in hits:
-            if name in NESTED_LOOP_OK:
-                hits = [h for h in hits if h == "BatchEvalPython"]
+        if name in NESTED_LOOP_OK:
+            hits = [h for h in hits if h == "BatchEvalPython"]
         if hits:
             bad[name] = hits
         v = [a for a in VECTORIZED if a in plan]
         if v:
             vec[name] = v
-    out = {
+    return {
         "n_queries": len(REGISTRY),
         "wall_sec": round(time.monotonic() - t0, 1),
         "unsanctioned": bad,
         "vectorized_python": vec,
     }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    out = sweep(spark, sf_dir)
     print(json.dumps(out, indent=1))
-    return 1 if bad else 0
+    return 1 if out["unsanctioned"] else 0
 
 
 if __name__ == "__main__":

@@ -255,3 +255,28 @@ def test_import_files_to_rds_end_to_end(spark, jdbc_store, tmp_path):
     )
     rows = {r.id_store: r.store_name for r in jdbc_store.read("rds_stores").collect()}
     assert rows == {1: "Store A", 2: "Store B", 3: "Store C v2"}
+
+
+def test_exists_reraises_non_missing_probe_failures(spark):
+    """r7 code review: a probe failure that is NOT 'table missing'
+    (wrong driver, network, auth) must raise — returning False routed
+    existing tables into destructive first-load/overwrite paths."""
+    from pythondataingestionprocess_spark.pipeline.jdbc_store import (
+        JdbcTableStore,
+    )
+
+    bogus = JdbcTableStore(
+        spark,
+        "jdbc:nosuchscheme://db.example.com/x",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    with pytest.raises(Exception) as ei:
+        bogus.exists("any_table")
+    assert "does not exist" not in str(ei.value)
+
+
+def test_exists_false_only_for_missing_table(spark, jdbc_store):
+    assert jdbc_store.exists("never_written_table") is False
+    df = spark.createDataFrame([(1,)], "x long")
+    jdbc_store.overwrite("now_written", df)
+    assert jdbc_store.exists("now_written") is True

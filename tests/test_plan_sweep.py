@@ -36,19 +36,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_no_unsanctioned_plan_antipatterns_anywhere(spark):
-    bad: dict[str, list[str]] = {}
-    vec: set[str] = set()
-    for name, qspec in REGISTRY.items():
-        df = qspec.fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        hits = [a for a in plan_sweep.ANTI if a in plan]
-        if name in plan_sweep.NESTED_LOOP_OK:
-            hits = [h for h in hits if h == "BatchEvalPython"]
-        if hits:
-            bad[name] = hits
-        if any(a in plan for a in plan_sweep.VECTORIZED):
-            vec.add(name)
-    assert bad == {}, bad
-    assert vec == SANCTIONED_VECTORIZED, vec
+    out = plan_sweep.sweep(spark, SF_DIR)
+    assert out["unsanctioned"] == {}, out["unsanctioned"]
+    assert set(out["vectorized_python"]) == SANCTIONED_VECTORIZED
+    assert out["n_queries"] == len(REGISTRY)
     # whitelists must not rot: every entry still registered
     assert plan_sweep.NESTED_LOOP_OK <= set(REGISTRY)

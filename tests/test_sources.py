@@ -217,16 +217,24 @@ def test_pdf_statement_end_to_end_real_file(spark, tmp_path):
     assert stmt.statement_output_name(charges) == "cargos_bbva_10Feb2024.xlsx"
 
 
-def _make_cid_pdf(lines: list[str], with_tounicode: bool) -> bytes:
+def _make_cid_pdf(
+    lines: list[str],
+    with_tounicode: bool,
+    font_name: str = "F1",
+    indirect_font_dict: bool = False,
+) -> bytes:
     """Minimal Type0/Identity-H PDF: every char is shown as the 2-byte
     glyph code ord(c)+0x1000 (so a latin-1-naive extractor reads pure
     garbage). With ``with_tounicode`` a /ToUnicode CMap maps the codes
     back (one bfrange for printable ASCII + bfchar entries for the
     rest); without it the bytes are undecodable glyph ids — the
-    quarantine case (VERDICT r6 item 3)."""
+    quarantine case (VERDICT r6 item 3). ``font_name`` exercises
+    generator-style names (/C2_0); ``indirect_font_dict`` routes the
+    page's /Font through an indirect object reference instead of an
+    inline dict."""
     import zlib
 
-    content = b"BT /F1 10 Tf 50 700 Td "
+    content = f"BT /{font_name} 10 Tf 50 700 Td ".encode()
     extra_chars = set()
     for ln in lines:
         codes = b"".join((ord(c) + 0x1000).to_bytes(2, "big") for c in ln)
@@ -235,12 +243,19 @@ def _make_cid_pdf(lines: list[str], with_tounicode: bool) -> bytes:
     content += b"ET"
     z = zlib.compress(content)
 
+    if indirect_font_dict:
+        # page → /Font 7 0 R; object 7 holds the name→font-obj dict
+        resources = b"/Resources << /Font 7 0 R >> "
+    else:
+        resources = (
+            f"/Resources << /Font << /{font_name} 5 0 R >> >> ".encode()
+        )
     objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
-        b"/Resources << /Font << /F1 5 0 R >> >> "
-        b"/MediaBox [0 0 612 792] >>",
+        + resources
+        + b"/MediaBox [0 0 612 792] >>",
         f"<< /Length {len(z)} /Filter /FlateDecode >>\nstream\n".encode()
         + z + b"\nendstream",
     ]
@@ -267,6 +282,10 @@ def _make_cid_pdf(lines: list[str], with_tounicode: bool) -> bytes:
             f"<< /Length {len(cmap)} >>\nstream\n".encode()
             + cmap + b"\nendstream"
         )
+    if indirect_font_dict:
+        while len(objs) < 6:  # keep the dict at object 7
+            objs.append(b"<< >>")
+        objs.append(f"<< /{font_name} 5 0 R >>".encode())
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for idx, body in enumerate(objs, 1):
@@ -460,6 +479,39 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     # column pruning still works through the merged schema
     plan = merged.select("id").filter(F.col("id") > 1)._jdf.queryExecution().executedPlan().toString()
     assert "score" not in plan
+
+
+def test_cid_pdf_generator_layouts_do_not_fail_open():
+    """The r7 code-review findings: (a) an INDIRECT /Font resource
+    reference (`/Resources << /Font 7 0 R >>`) must still resolve the
+    CMap; (b) generator font names with underscores (/C2_0) must
+    match the resource scanner; (c) a Type0 document whose font the
+    resolver CANNOT bind must fail CLOSED into the quarantine, never
+    decode glyph ids as latin-1 at confidence 1.0."""
+    from pythondataingestionprocess_spark.sources import pdf_lite
+
+    line = "03-feb-2024 04-feb-2024 OXXO + $89.90"
+
+    # (a) indirect font dict, CMap present → decodes fine
+    text, conf, status = pdf_lite.extract_with_confidence(
+        _make_cid_pdf([line], with_tounicode=True, indirect_font_dict=True)
+    )
+    assert status == "ok" and conf == 1.0 and line in text
+
+    # (b) underscore font name, CMap present → decodes fine
+    text, conf, status = pdf_lite.extract_with_confidence(
+        _make_cid_pdf([line], with_tounicode=True, font_name="C2_0")
+    )
+    assert status == "ok" and conf == 1.0 and line in text
+
+    # (c) Type0 declared but the resource dict is unresolvable (name
+    # mismatch between content stream and resources) → quarantine
+    broken = _make_cid_pdf([line], with_tounicode=True).replace(
+        b"/Font << /F1 5 0 R >>", b"/Font << /G9 5 0 R >>"
+    )
+    text, conf, status = pdf_lite.extract_with_confidence(broken)
+    assert status == "quarantine" and conf == 0.0
+    assert "OXXO" not in text
 
 
 def test_pdf_extract_is_total_over_garbage_bytes():

@@ -1362,3 +1362,27 @@ def test_streaming_block_dedup_matches_batch_operator(spark, tmp_path):
     assert dict(store_df.dtypes)["block_hash"] == "binary"
     key_lens = {r[0] for r in store_df.select(F.length("block_hash")).collect()}
     assert key_lens == {16}, key_lens
+
+
+def test_legacy_block_store_is_refused_with_actionable_error(spark, tmp_path):
+    """r7 code review: a store written by the pre-r7 64-bit key scheme
+    must fail FAST with rebuild instructions — not an AnalysisException
+    in the semi-join, and never a mixed-type append."""
+    import pytest as _pytest
+
+    from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+        append_blocks_to_store,
+        block_screen_batch,
+    )
+
+    store = tmp_path / "store"
+    legacy = spark.createDataFrame([(123456789,)], "block_hash long")
+    legacy.write.parquet(str(store / "blocks"))
+
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    with _pytest.raises(RuntimeError, match="legacy block store"):
+        block_screen_batch(spark, batch, str(store))
+    with _pytest.raises(RuntimeError, match="legacy block store"):
+        append_blocks_to_store(batch, str(store))
