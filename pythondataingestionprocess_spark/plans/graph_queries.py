@@ -104,7 +104,19 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
+# Per-(session, sf_dir) memo of the materialized co-purchase edge
+# list: both graph queries consume the SAME edge table, and an engine
+# would materialize it once — same pattern (and session-identity
+# keying) as llm_heavy._lsh_pairs_cached. The localCheckpoint also
+# means each query's own checkpoint chain starts from a computed
+# frame instead of re-running the lineitem self-join.
+_EDGE_MEMO: list[tuple[SparkSession, str, DataFrame]] = []
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for sess, cached_dir, df in _EDGE_MEMO:
+        if sess is spark and cached_dir == sf_dir:
+            return df
     lineitem = load_table(spark, sf_dir, "lineitem")
     li = (
         lineitem.filter(F.col("l_quantity") >= 26)
@@ -113,12 +125,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
-    return (
+    edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    _EDGE_MEMO.append((spark, sf_dir, edges))
+    return edges
 
 
 @query("part_clustering_coefficient", oracle=_COEFF_ORACLE, tags=("graph", "triangle", "topk"))
