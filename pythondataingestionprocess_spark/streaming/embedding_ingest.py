@@ -1,0 +1,171 @@
+"""Streaming embedding near-dup screening against a persistent
+hyperplane-bucket store — the vector twin of ``dedup_ingest``'s
+minhash pipeline (engine-added; completes the daily-ingest dedup
+architecture across both modalities a training-data pipeline dedups
+on: text shingles and embedding vectors).
+
+Each micro-batch of incoming vectors is:
+
+1. screened WITHIN the batch (``cosine_near_dup_pairs`` on the batch
+   alone);
+2. screened AGAINST EVERYTHING PREVIOUSLY INGESTED via a
+   (table, bucket) equi-join with the store — corpus×corpus work is
+   never repeated, so the marginal cost of a batch stays proportional
+   to the batch;
+3. appended to the store (its bucket membership + its raw vectors),
+   making it "corpus" for every later batch.
+
+The store is two parquet tables under one root:
+
+- ``vec_buckets/`` (id, table, bucket) — hyperplane-LSH membership
+  rows the cross-batch candidate join probes;
+- ``vectors/``     (id, embedding) — the verify-side representation
+  (exact cosine without re-reading the source).
+
+Scale/failure semantics are IDENTICAL to dedup_ingest (see its module
+docstring): bucket the ``vec_buckets`` table BY (table, bucket) on a
+metastore for a co-located candidate join; foreachBatch retries are
+idempotent via ``ingest_batch=N`` overwrite subdirs; the batch's own
+ids are anti-joined out of the store side so a crash after the store
+append cannot screen a batch against itself; the store's vector
+payloads are semi-pruned to candidate ids before the verify join so
+payload movement is bounded by the batch, not the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.operators import dedup as dd
+from pythondataingestionprocess_spark.operators.similarity import (
+    _buckets_udf,
+    hyperplanes,
+)
+from pythondataingestionprocess_spark.streaming.dedup_ingest import _store_exists
+
+_DIM = 64
+_BITS = 12
+_TABLES = 8
+_SEED = 7
+
+
+def _store_paths(store_dir: str) -> tuple[str, str]:
+    return os.path.join(store_dir, "vec_buckets"), os.path.join(store_dir, "vectors")
+
+
+def _banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    tables = [hyperplanes(_DIM, _BITS, _SEED + 101 * t) for t in range(_TABLES)]
+    return df.select(
+        F.col(id_col), _buckets_udf(tables)(F.col(vec_col)).alias("bs")
+    ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+
+
+def screen_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Near-dup pairs for one incoming vector batch: within-batch
+    pairs plus cross pairs against the store (empty store →
+    within-batch only). Returns (id_a, id_b, cos, kind) with ``kind``
+    'within' or 'cross'; for cross pairs id_a is the NEW vector. Does
+    NOT mutate the store — append via :func:`append_to_store` after
+    consuming the result."""
+    from pythondataingestionprocess_spark.functions.vectors import cosine
+
+    buckets_path, vectors_path = _store_paths(store_dir)
+    within = dd.cosine_near_dup_pairs(
+        batch_df, id_col, vec_col,
+        threshold=threshold, dim=_DIM, bits_per_table=_BITS,
+        n_tables=_TABLES, seed=_SEED,
+    ).withColumn("kind", F.lit("within"))
+    if not _store_exists(spark, buckets_path):
+        return within
+    new_banded = _banded(batch_df, id_col, vec_col)
+    batch_ids = batch_df.select(F.col(id_col).alias("id_b")).distinct()
+    store_buckets = (
+        spark.read.parquet(buckets_path)
+        .select(F.col(id_col).alias("id_b"), "table", "bucket")
+        .join(F.broadcast(batch_ids), "id_b", "left_anti")
+    )
+    candidates = (
+        new_banded.select(F.col(id_col).alias("id_a"), "table", "bucket")
+        .join(store_buckets, ["table", "bucket"])
+        .select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # probed twice below (reuse != CSE)
+    )
+    va = batch_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    cand_ids = candidates.select("id_b").distinct()
+    vb = (
+        spark.read.parquet(vectors_path)
+        .select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        .join(cand_ids, "id_b", "left_semi")
+    )
+    cross = (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("kind", F.lit("cross"))
+    )
+    return within.unionByName(cross)
+
+
+def append_to_store(
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> None:
+    """Append this batch's bucket membership and vectors to the store.
+    Same idempotency contract as dedup_ingest.append_to_store: with
+    ``batch_id`` each batch owns an ``ingest_batch=N`` overwrite
+    subdir."""
+    buckets_path, vectors_path = _store_paths(store_dir)
+    buckets = _banded(batch_df, id_col, vec_col)
+    vectors = batch_df.select(id_col, vec_col)
+    if batch_id is None:
+        buckets.write.mode("append").parquet(buckets_path)
+        vectors.write.mode("append").parquet(vectors_path)
+    else:
+        sub = f"ingest_batch={batch_id}"
+        buckets.write.mode("overwrite").parquet(os.path.join(buckets_path, sub))
+        vectors.write.mode("overwrite").parquet(os.path.join(vectors_path, sub))
+
+
+def embedding_dedup_batch_fn(
+    store_dir: str,
+    pairs_out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+):
+    """foreachBatch factory: screen → write pairs (idempotent
+    per-batch subdir) → append bucket membership + vectors. Note the
+    screen here does NOT need the batch-id store exclusion: the
+    batch's own ids are anti-joined out of the store side inside
+    screen_batch, which covers the crashed-append retry case."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
+        pairs = screen_batch(
+            spark, batch_df, store_dir, id_col, vec_col, threshold
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_out_dir, f"batch_id={batch_id}")
+        )
+        append_to_store(batch_df, store_dir, id_col, vec_col, batch_id=batch_id)
+
+    return fn

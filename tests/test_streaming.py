@@ -1386,3 +1386,75 @@ def test_legacy_block_store_is_refused_with_actionable_error(spark, tmp_path):
         block_screen_batch(spark, batch, str(store))
     with _pytest.raises(RuntimeError, match="legacy block store"):
         append_blocks_to_store(batch, str(store))
+
+
+def test_streaming_embedding_dedup_matches_incremental_operator(spark, tmp_path):
+    """The embedding twin of the minhash ingest pipeline: two
+    micro-batches of vectors through a real file stream; the persisted
+    pair output must carry exactly the planted within-batch and
+    cross-batch duplicates, the cross side must equal the batch
+    incremental operator over the same split, and a manual RETRY of
+    the last batch (after its store append landed) must reproduce
+    identical pairs — the self-screen exclusion at work."""
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators.dedup import (
+        cosine_near_dup_pairs_incremental,
+    )
+    from pythondataingestionprocess_spark.streaming.embedding_ingest import (
+        embedding_dedup_batch_fn,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [[float(x) for x in rng.standard_normal(64)] for _ in range(10)]
+    b0 = [{"vec_id": i, "embedding": vecs[i]} for i in range(8)]
+    b1 = [
+        {"vec_id": 102, "embedding": vecs[2]},      # cross dup of 2
+        {"vec_id": 200, "embedding": vecs[9]},      # fresh
+        {"vec_id": 201, "embedding": vecs[9]},      # within dup of 200
+    ]
+
+    inbox = str(tmp_path / "inbox")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    fn = embedding_dedup_batch_fn(store, out)
+
+    _write_json_batch(inbox, "a.json", b0)
+    stream = file_ingest.file_stream(spark, inbox, schema)
+    file_ingest.run_ingestion(stream, fn, ckpt).awaitTermination(120)
+    _write_json_batch(inbox, "b.json", b1)
+    stream = file_ingest.file_stream(spark, inbox, schema)
+    file_ingest.run_ingestion(stream, fn, ckpt).awaitTermination(120)
+
+    got = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(102, 2, "cross"), (200, 201, "within")}
+
+    # cross face equals the batch incremental operator over the split
+    corpus = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in b0], schema
+    )
+    new = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in b1], schema
+    )
+    incr = {
+        (r["new_id"], r["corpus_id"])
+        for r in cosine_near_dup_pairs_incremental(
+            corpus, new, "vec_id", "embedding"
+        ).collect()
+    }
+    assert incr == {(a, b) for a, b, k in got if k == "cross"}
+
+    # retry batch 1: its vectors are already in the store; the screen's
+    # own-id exclusion must keep the output identical
+    batch1 = new.localCheckpoint()
+    fn(batch1, 1)
+    retry = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert retry == got
