@@ -384,3 +384,68 @@ def block_dedup_batch_fn(
         )
 
     return fn
+
+
+# ---- store maintenance ----------------------------------------------
+
+# Every signature-store table this engine writes (minhash:
+# buckets/shingles, block: blocks, embedding: vec_buckets/vectors).
+# Rows are value-identical across retries/backfills, so full-row
+# DISTINCT is the compaction dedup for all of them (a given id always
+# carries the same signature/payload; array/binary distinct is fine).
+_STORE_TABLES = ("buckets", "shingles", "blocks", "vec_buckets", "vectors")
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, int]]:
+    """Fold a signature store's accreted ``ingest_batch=N`` subdirs
+    (one-plus parquet file per micro-batch per table — a year of daily
+    ingest is hundreds of list-and-open operations per screen) into a
+    single consolidated ``ingest_batch=-1`` layout per table, rows
+    deduplicated. Returns {table: (files_before, files_after)}.
+
+    Run QUIESCED (stream stopped, checkpoint committed): the
+    consolidated subdir deliberately uses batch id -1, which no real
+    foreachBatch id ever takes, so later appends compose normally —
+    but the BLOCK store's retry exclusion is partition-based, so a
+    batch that crashed BEFORE its checkpoint commit must be re-run
+    before compacting (the minhash/embedding screens are id-based and
+    unaffected). Swap is per-table rewrite-to-sibling + delete +
+    rename — a crash mid-swap leaves tables either fully old or fully
+    new, both correct. A compacted table is partition-laid-out, so
+    later appends must use the ``batch_id`` form (the streaming path
+    always does); a root-level plain append would conflict with
+    partition discovery."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    stats: dict[str, tuple[int, int]] = {}
+    for table in _STORE_TABLES:
+        path = os.path.join(store_dir, table)
+        if not _store_exists(spark, path):
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+
+        def n_parquet_files(root) -> int:
+            it = fs.listFiles(root, True)
+            n = 0
+            while it.hasNext():
+                if it.next().getPath().getName().endswith(".parquet"):
+                    n += 1
+            return n
+
+        before = n_parquet_files(p)
+        df = spark.read.parquet(path)
+        if "ingest_batch" in df.columns:
+            df = df.drop("ingest_batch")
+        staging = path + "__compacting"
+        (
+            df.distinct()
+            .coalesce(max(1, before // 64))
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "ingest_batch=-1"))
+        )
+        sp = jvm.org.apache.hadoop.fs.Path(staging)
+        fs.delete(p, True)
+        fs.rename(sp, p)
+        stats[table] = (before, n_parquet_files(p))
+    return stats

@@ -1458,3 +1458,51 @@ def test_streaming_embedding_dedup_matches_incremental_operator(spark, tmp_path)
         for r in spark.read.parquet(out).collect()
     }
     assert retry == got
+
+
+def test_compact_store_preserves_screen_results(spark, tmp_path):
+    """Store maintenance: after folding the per-batch ingest subdirs
+    into one consolidated layout, a later batch screens IDENTICALLY
+    (same cross pairs) and the file count shrinks."""
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    store = str(tmp_path / "store")
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+    ]
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(docs[:1], schema)
+    b1 = spark.createDataFrame(docs[1:2], schema)
+    di.append_to_store(b0, store, batch_id=0)
+    di.append_to_store(b1, store, batch_id=1)
+
+    probe = spark.createDataFrame(docs[2:], schema)
+    before = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in di.screen_batch(spark, probe, store).collect()
+    }
+    assert before == {(3, 1, "cross")}
+
+    stats = di.compact_store(spark, store)
+    assert set(stats) == {"buckets", "shingles"}
+    for table, (n_before, n_after) in stats.items():
+        assert n_after <= n_before, table
+
+    after = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in di.screen_batch(spark, probe, store).collect()
+    }
+    assert after == before
+
+    # the stream continues: a post-compaction append composes normally
+    di.append_to_store(probe, store, batch_id=2)
+    fresh = spark.createDataFrame(
+        [(9, "one two three four five six seven eight")], schema
+    )
+    final = {
+        (r["id_a"], r["id_b"])
+        for r in di.screen_batch(spark, fresh, store).collect()
+    }
+    assert final == {(9, 2)}
