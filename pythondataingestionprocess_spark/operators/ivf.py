@@ -148,3 +148,113 @@ def ivf_search(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---- persistent index ------------------------------------------------
+
+
+def save_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index at rest: ``centroids/`` (list_id,
+    centroid) and ``vectors/`` PARTITIONED BY ivf_list — the layout
+    the module docstring promises, so a probed search reads ONLY its
+    lists' files (partition pruning), which is the entire IVF payoff
+    at corpus scale: (n_probe / k) of the bytes, enforced by the
+    storage layout rather than a post-scan filter."""
+    import os
+
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in row]) for i, row in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    ivf_assign(corpus, centroids, vec_col).select(
+        id_col, vec_col, "ivf_list"
+    ).write.mode("overwrite").partitionBy("ivf_list").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+
+
+def load_centroids(spark, index_dir: str) -> np.ndarray:
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def append_to_index(
+    batch: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental add (the daily-ingest shape): assign the batch to
+    the EXISTING lists and append into their partitions — no refit, no
+    rewrite of resident lists. Centroid drift under sustained inserts
+    is the classic IVF trade; refit + save_index when list-size skew
+    degrades recall."""
+    import os
+
+    spark = batch.sparkSession
+    centroids = load_centroids(spark, index_dir)
+    ivf_assign(batch, centroids, vec_col).select(
+        id_col, vec_col, "ivf_list"
+    ).write.mode("append").partitionBy("ivf_list").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+
+
+def search_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against the PERSISTED index. The probed list ids of the
+    (contract-small) query side are collected driver-side and pushed
+    into the vectors read as a literal IN-filter on the partition
+    column, so unprobed lists are pruned at file-listing time — the
+    scan metrics read n_probe-ish partitions out of k, never the
+    corpus. Scoring then mirrors ivf_search."""
+    import os
+
+    centroids = load_centroids(spark, index_dir)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(_probe_udf(centroids, n_probe)(F.col(vec_col))).alias("ivf_list"),
+    ).localCheckpoint(eager=True)  # probed twice: list collect + join
+    lists = [r["ivf_list"] for r in probed.select("ivf_list").distinct().collect()]
+    indexed = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("ivf_list").isin(lists))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighbor_vec"),
+            "ivf_list",
+        )
+    )
+    scored = (
+        indexed.join(F.broadcast(probed), "ivf_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("query_vec", "neighbor_vec"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

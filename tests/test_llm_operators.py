@@ -1109,3 +1109,54 @@ def test_temperature_mix_invariants(spark, sf_dir):
     by_size = sorted(rows, key=lambda r: r["n_in"])
     rates = [r["rate"] for r in by_size]
     assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+
+
+def test_ivf_persistent_index_roundtrip_prune_and_append(spark, tmp_path):
+    """The at-rest IVF index: search_index over the saved layout must
+    equal ivf_search over the in-session frames; the vectors scan must
+    carry the probed-list partition filter (unprobed lists pruned at
+    listing time); an incremental append lands in existing lists and
+    is immediately searchable."""
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.standard_normal(32)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 4)
+    centroids = ivf.kmeans_fit(df, k=8, max_iter=5)
+
+    idx = str(tmp_path / "ivf_index")
+    ivf.save_index(df, centroids, idx)
+    assert np.allclose(ivf.load_centroids(spark, idx), centroids)
+
+    live = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.ivf_search(df, queries, centroids, k=5, n_probe=2).collect()
+    }
+    persisted_df = ivf.search_index(spark, idx, queries, k=5, n_probe=2)
+    persisted = {
+        (r["query_id"], r["neighbor_id"]) for r in persisted_df.collect()
+    }
+    assert persisted == live
+
+    # the partition filter reached the scan (pruning, not post-scan)
+    plan = persisted_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+
+    # incremental add: a near-duplicate of query 0's center, new id
+    new = spark.createDataFrame(
+        [(9000, [float(x) for x in centers[0] + 0.01 * rng.standard_normal(32)])],
+        "vec_id long, embedding array<float>",
+    )
+    ivf.append_to_index(new, idx)
+    after = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.search_index(spark, idx, queries, k=5, n_probe=2).collect()
+    }
+    assert (0, 9000) in after
