@@ -159,13 +159,22 @@ def save_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> None:
     """Materialize the IVF index at rest: ``centroids/`` (list_id,
     centroid) and ``vectors/`` PARTITIONED BY ivf_list — the layout
     the module docstring promises, so a probed search reads ONLY its
     lists' files (partition pruning), which is the entire IVF payoff
     at corpus scale: (n_probe / k) of the bytes, enforced by the
-    storage layout rather than a post-scan filter."""
+    storage layout rather than a post-scan filter.
+
+    ``quantized=True`` stores the resident vectors as per-vector
+    symmetric int8 (``qvec``) instead of floats — the IVF-SQ8 layout
+    (Jégou et al.'s IVF with a scalar quantizer): 1/8 the bytes per
+    resident vector on top of the list pruning, and the asymmetric
+    int8-corpus × float-query cosine is exact in expectation because
+    the per-vector scale cancels in the corpus side's norm ratio
+    (same argument as operators/similarity.quantize_int8)."""
     import os
 
     spark = corpus.sparkSession
@@ -177,10 +186,26 @@ def save_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
-    ivf_assign(corpus, centroids, vec_col).select(
-        id_col, vec_col, "ivf_list"
-    ).write.mode("overwrite").partitionBy("ivf_list").parquet(
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    if quantized:
+        assigned = assigned.select(
+            id_col, _int8_col(vec_col).alias("qvec"), "ivf_list"
+        )
+    else:
+        assigned = assigned.select(id_col, vec_col, "ivf_list")
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
         os.path.join(index_dir, "vectors")
+    )
+
+
+def _int8_col(vec_col: str) -> F.Column:
+    """Per-vector symmetric int8 quantization as a column expression
+    (shared shape with similarity.quantize_int8)."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, 127.0 / absmax).otherwise(F.lit(0.0))
+    return F.transform(
+        v, lambda x: F.round(x.cast("double") * scale).cast("tinyint")
     )
 
 
@@ -203,16 +228,23 @@ def append_to_index(
 ) -> None:
     """Incremental add (the daily-ingest shape): assign the batch to
     the EXISTING lists and append into their partitions — no refit, no
-    rewrite of resident lists. Centroid drift under sustained inserts
-    is the classic IVF trade; refit + save_index when list-size skew
-    degrades recall."""
+    rewrite of resident lists; the batch is stored in the INDEX's own
+    vector format (float or int8, sniffed from the resident schema).
+    Centroid drift under sustained inserts is the classic IVF trade;
+    refit + save_index when list-size skew degrades recall."""
     import os
 
     spark = batch.sparkSession
     centroids = load_centroids(spark, index_dir)
-    ivf_assign(batch, centroids, vec_col).select(
-        id_col, vec_col, "ivf_list"
-    ).write.mode("append").partitionBy("ivf_list").parquet(
+    resident = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    assigned = ivf_assign(batch, centroids, vec_col)
+    if "qvec" in resident.columns:
+        assigned = assigned.select(
+            id_col, _int8_col(vec_col).alias("qvec"), "ivf_list"
+        )
+    else:
+        assigned = assigned.select(id_col, vec_col, "ivf_list")
+    assigned.write.mode("append").partitionBy("ivf_list").parquet(
         os.path.join(index_dir, "vectors")
     )
 
@@ -241,12 +273,14 @@ def search_index(
         F.explode(_probe_udf(centroids, n_probe)(F.col(vec_col))).alias("ivf_list"),
     ).localCheckpoint(eager=True)  # probed twice: list collect + join
     lists = [r["ivf_list"] for r in probed.select("ivf_list").distinct().collect()]
+    resident = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    stored_vec = "qvec" if "qvec" in resident.columns else vec_col
     indexed = (
-        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        resident
         .filter(F.col("ivf_list").isin(lists))
         .select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("neighbor_vec"),
+            F.col(stored_vec).alias("neighbor_vec"),
             "ivf_list",
         )
     )

@@ -1160,3 +1160,52 @@ def test_ivf_persistent_index_roundtrip_prune_and_append(spark, tmp_path):
         for r in ivf.search_index(spark, idx, queries, k=5, n_probe=2).collect()
     }
     assert (0, 9000) in after
+
+
+def test_ivf_sq8_quantized_index_recall(spark, tmp_path):
+    """IVF-SQ8: the int8-resident index (1/8 bytes/vector on top of
+    list pruning) must recover ≥0.9 of the float index's results on
+    clustered data — the asymmetric int8-corpus × float-query cosine
+    is exact in expectation. Appends inherit the index's format."""
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.standard_normal(32)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 4)
+    centroids = ivf.kmeans_fit(df, k=8, max_iter=5)
+
+    fidx = str(tmp_path / "float_idx")
+    qidx = str(tmp_path / "q_idx")
+    ivf.save_index(df, centroids, fidx)
+    ivf.save_index(df, centroids, qidx, quantized=True)
+
+    fres = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.search_index(spark, fidx, queries, k=5, n_probe=2).collect()
+    }
+    qres = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.search_index(spark, qidx, queries, k=5, n_probe=2).collect()
+    }
+    assert len(fres & qres) / len(fres) >= 0.9
+
+    # appended vectors land quantized and searchable
+    new = spark.createDataFrame(
+        [(9000, [float(x) for x in centers[0] + 0.01 * rng.standard_normal(32)])],
+        "vec_id long, embedding array<float>",
+    )
+    ivf.append_to_index(new, qidx)
+    resident = spark.read.parquet(str(tmp_path / "q_idx" / "vectors"))
+    assert dict(resident.dtypes)["qvec"] == "array<tinyint>"
+    after = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.search_index(spark, qidx, queries, k=5, n_probe=2).collect()
+    }
+    assert (0, 9000) in after
