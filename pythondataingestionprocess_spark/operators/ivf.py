@@ -292,3 +292,21 @@ def search_index(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def index_ingest_batch_fn(index_dir: str, id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """foreachBatch factory: stream vectors into the persisted index
+    (assign to existing lists → partitioned append). Composes with
+    streaming.file_ingest like every other ingest face. Plain append
+    is NOT idempotent under foreachBatch retries — wrap the batch in
+    an id-level dedup against the index when the source can replay
+    (the minhash/embedding stores solve this with ingest_batch
+    subdirs; an index partitioned by ivf_list cannot also partition
+    by batch, so exactly-once here relies on the file source's
+    checkpointed tracking, which is the normal deployment)."""
+
+    def fn(batch_df, batch_id: int) -> None:
+        append_to_index(batch_df, index_dir, id_col, vec_col)
+
+    return fn

@@ -1209,3 +1209,47 @@ def test_ivf_sq8_quantized_index_recall(spark, tmp_path):
         for r in ivf.search_index(spark, qidx, queries, k=5, n_probe=2).collect()
     }
     assert (0, 9000) in after
+
+
+def test_ivf_streaming_ingest_appends_to_index(spark, tmp_path):
+    """File stream → index_ingest_batch_fn: streamed vectors are
+    assigned into the persisted index's lists and immediately
+    searchable."""
+    import json
+    import os
+
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+    from pythondataingestionprocess_spark.streaming import file_ingest
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.standard_normal(32)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = ivf.kmeans_fit(df, k=8, max_iter=5)
+    idx = str(tmp_path / "idx")
+    ivf.save_index(df, centroids, idx)
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    new_vec = [float(x) for x in centers[3] + 0.01 * rng.standard_normal(32)]
+    with open(os.path.join(inbox, "a.json"), "w") as f:
+        f.write(json.dumps({"vec_id": 9000, "embedding": new_vec}) + "\n")
+
+    stream = file_ingest.file_stream(
+        spark, inbox, "vec_id long, embedding array<float>"
+    )
+    file_ingest.run_ingestion(
+        stream, ivf.index_ingest_batch_fn(idx), str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+
+    queries = df.filter(F.col("vec_id") == 3)
+    got = {
+        r["neighbor_id"]
+        for r in ivf.search_index(spark, idx, queries, k=5, n_probe=2).collect()
+    }
+    assert 9000 in got
