@@ -188,24 +188,25 @@ def save_index(
     )
     assigned = ivf_assign(corpus, centroids, vec_col)
     if quantized:
+        from pythondataingestionprocess_spark.operators.similarity import (
+            int8_qvec_col,
+        )
+
         assigned = assigned.select(
-            id_col, _int8_col(vec_col).alias("qvec"), "ivf_list"
+            id_col, int8_qvec_col(vec_col).alias("qvec"), "ivf_list"
         )
     else:
         assigned = assigned.select(id_col, vec_col, "ivf_list")
     assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(
         os.path.join(index_dir, "vectors")
     )
-
-
-def _int8_col(vec_col: str) -> F.Column:
-    """Per-vector symmetric int8 quantization as a column expression
-    (shared shape with similarity.quantize_int8)."""
-    v = F.col(vec_col)
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(absmax > 0, 127.0 / absmax).otherwise(F.lit(0.0))
-    return F.transform(
-        v, lambda x: F.round(x.cast("double") * scale).cast("tinyint")
+    # format marker: one tiny file so the streaming append path never
+    # has to partition-discover the whole vectors dir per micro-batch
+    # just to learn a boolean (r7 review)
+    spark.createDataFrame(
+        [(bool(quantized),)], "quantized boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "meta")
     )
 
 
@@ -225,28 +226,66 @@ def append_to_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_resident: bool = False,
 ) -> None:
     """Incremental add (the daily-ingest shape): assign the batch to
     the EXISTING lists and append into their partitions — no refit, no
     rewrite of resident lists; the batch is stored in the INDEX's own
-    vector format (float or int8, sniffed from the resident schema).
+    vector format (float or int8, read from the meta marker).
     Centroid drift under sustained inserts is the classic IVF trade;
-    refit + save_index when list-size skew degrades recall."""
+    refit + save_index when list-size skew degrades recall.
+
+    ``dedup_resident=True`` makes the append idempotent under replay:
+    the batch's ids are anti-joined against the resident ids of ONLY
+    the lists the batch lands in (a partition-pruned read — cost
+    bounded by the touched lists, not the index), so re-delivering the
+    same batch appends nothing. The streaming face uses this; plain
+    batch backfills can skip the read."""
     import os
 
     spark = batch.sparkSession
     centroids = load_centroids(spark, index_dir)
-    resident = spark.read.parquet(os.path.join(index_dir, "vectors"))
     assigned = ivf_assign(batch, centroids, vec_col)
-    if "qvec" in resident.columns:
+    if dedup_resident:
+        assigned = assigned.localCheckpoint(eager=True)  # probed twice
+        lists = [
+            r["ivf_list"]
+            for r in assigned.select("ivf_list").distinct().collect()
+        ]
+        resident_ids = (
+            spark.read.parquet(os.path.join(index_dir, "vectors"))
+            .filter(F.col("ivf_list").isin(lists))
+            .select(id_col)
+        )
+        assigned = assigned.join(resident_ids, id_col, "left_anti")
+    if _index_quantized(spark, index_dir):
+        from pythondataingestionprocess_spark.operators.similarity import (
+            int8_qvec_col,
+        )
+
         assigned = assigned.select(
-            id_col, _int8_col(vec_col).alias("qvec"), "ivf_list"
+            id_col, int8_qvec_col(vec_col).alias("qvec"), "ivf_list"
         )
     else:
         assigned = assigned.select(id_col, vec_col, "ivf_list")
     assigned.write.mode("append").partitionBy("ivf_list").parquet(
         os.path.join(index_dir, "vectors")
     )
+
+
+def _index_quantized(spark, index_dir: str) -> bool:
+    """Read the one-row format marker (fallback: sniff the vectors
+    schema, for indexes written before the marker existed)."""
+    import os
+
+    try:
+        return bool(
+            spark.read.parquet(os.path.join(index_dir, "meta")).first()["quantized"]
+        )
+    except Exception:
+        return "qvec" in spark.read.parquet(
+            os.path.join(index_dir, "vectors")
+        ).columns
 
 
 def search_index(
@@ -298,15 +337,22 @@ def index_ingest_batch_fn(index_dir: str, id_col: str = "vec_id",
                           vec_col: str = "embedding"):
     """foreachBatch factory: stream vectors into the persisted index
     (assign to existing lists → partitioned append). Composes with
-    streaming.file_ingest like every other ingest face. Plain append
-    is NOT idempotent under foreachBatch retries — wrap the batch in
-    an id-level dedup against the index when the source can replay
-    (the minhash/embedding stores solve this with ingest_batch
-    subdirs; an index partitioned by ivf_list cannot also partition
-    by batch, so exactly-once here relies on the file source's
-    checkpointed tracking, which is the normal deployment)."""
+    streaming.file_ingest like every other ingest face.
+
+    Retry semantics (r7 review — foreachBatch is AT-LEAST-once even
+    with a checkpointed source: a crash after the append but before
+    the epoch commit re-delivers the same batch): the append runs
+    with ``dedup_resident=True``, so a replayed batch's ids anti-join
+    against the already-resident ids of its target lists
+    (partition-pruned) and the retry appends nothing. An index
+    partitioned by ivf_list cannot also partition by batch, so the
+    ingest_batch-subdir trick the signature stores use is not
+    available here."""
 
     def fn(batch_df, batch_id: int) -> None:
-        append_to_index(batch_df, index_dir, id_col, vec_col)
+        append_to_index(
+            batch_df.localCheckpoint(eager=True), index_dir, id_col, vec_col,
+            dedup_resident=True,
+        )
 
     return fn

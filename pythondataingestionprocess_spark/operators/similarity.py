@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.functions.vectors import cosine
@@ -200,14 +200,18 @@ def quantize_int8(
     Zero vectors quantize to zero vectors (NULL-safe guard on the
     scale divisor).
     """
+    return df.select(F.col(id_col), int8_qvec_col(vec_col).alias("qvec"))
+
+
+def int8_qvec_col(vec_col: str) -> Column:
+    """The per-vector symmetric int8 quantization as a reusable column
+    expression — the ONE implementation of the SQ8 rule (shared with
+    the IVF-SQ8 index layout in operators/ivf.py)."""
     v = F.col(vec_col)
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(absmax > 0, 127.0 / absmax).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col),
-        F.transform(
-            v, lambda x: F.round(x.cast("double") * scale).cast("tinyint")
-        ).alias("qvec"),
+    return F.transform(
+        v, lambda x: F.round(x.cast("double") * scale).cast("tinyint")
     )
 
 

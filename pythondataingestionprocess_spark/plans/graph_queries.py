@@ -107,9 +107,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-(session, sf_dir) memo of the materialized co-purchase edge
 # list: both graph queries consume the SAME edge table, and an engine
 # would materialize it once — same pattern (and session-identity
-# keying) as llm_heavy._lsh_pairs_cached. The localCheckpoint also
-# means each query's own checkpoint chain starts from a computed
-# frame instead of re-running the lineitem self-join.
+# keying) as llm_heavy._lsh_pairs_cached. persist(), NOT
+# localCheckpoint (r7 review): a checkpoint severs lineage, so lost
+# executor blocks would kill every later graph query in the session;
+# persist recomputes transparently. Each query's own internal
+# checkpoints then start from the cached blocks.
 _EDGE_MEMO: list[tuple[SparkSession, str, DataFrame]] = []
 
 
@@ -130,7 +132,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     _EDGE_MEMO.append((spark, sf_dir, edges))
     return edges

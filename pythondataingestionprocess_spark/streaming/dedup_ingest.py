@@ -62,6 +62,60 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def capped_store_candidates(
+    store_banded: DataFrame,
+    new_banded: DataFrame,
+    batch_ids: DataFrame,
+    bucket_keys: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """(id_a=new, id_b=store) candidates from a batch's bucket
+    membership against a PERSISTENT store's, with the same per-bucket
+    min-id cap as the batch operators — r7 review: the streaming
+    screens joined the store uncapped, reintroducing the mega-bucket
+    expansion ``bucket_cap`` exists to bound (VERDICT r1 item 2).
+
+    Store-shuffle discipline preserved: the store side is first
+    SEMI-pruned map-side to the batch's bucket keys (broadcast — at
+    most batch×tables keys) and anti-joined against the batch's own
+    ids (retry hygiene), so only the matched subset — bounded by the
+    store rows in the batch's buckets, not the store — reaches the
+    capping window. Within a probed bucket that subset IS the full
+    bucket membership, so the min-id ranking (and therefore the kept
+    candidate set) is identical to the batch incremental operators'
+    ``_incremental_bucket_candidates``."""
+    from pyspark.sql import Window as W
+
+    batch_buckets = new_banded.select(*bucket_keys).distinct()
+    matched = (
+        store_banded
+        .join(F.broadcast(batch_buckets), bucket_keys, "left_semi")
+        .join(
+            F.broadcast(batch_ids.select(F.col("id_b").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+    )
+    capped = (
+        matched.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(*bucket_keys).orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn") <= cap)
+        .select(F.col(id_col).alias("id_b"), *bucket_keys)
+    )
+    return (
+        new_banded.select(F.col(id_col).alias("id_a"), *bucket_keys)
+        .join(capped, bucket_keys)
+        .select("id_a", "id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+
+
 def screen_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -69,20 +123,26 @@ def screen_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs for one incoming batch: within-batch pairs plus
-    cross pairs against the signature store (empty store → within-batch
-    only). Returns (id_a, id_b, jaccard, kind) where ``kind`` is
-    'within' or 'cross'; for cross pairs id_a is the NEW doc. Does NOT
-    mutate the store — callers append via :func:`append_to_store` after
-    consuming the result (see module docstring for retry semantics)."""
+    cross pairs against the signature store (empty or half-written
+    store → within-batch only: a crash between the two
+    append_to_store writes must not wedge every retry on the missing
+    second table). Returns (id_a, id_b, jaccard, kind) where ``kind``
+    is 'within' or 'cross'; for cross pairs id_a is the NEW doc. Does
+    NOT mutate the store — callers append via :func:`append_to_store`
+    after consuming the result (see module docstring for retry
+    semantics). Cross candidates are per-bucket capped exactly like
+    the batch operators (see :func:`capped_store_candidates`)."""
     buckets_path, shingles_path = _store_paths(store_dir)
     within = dd.minhash_lsh_pairs(
         batch_df, id_col, text_col,
         shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=threshold, seed=_SEED,
     ).withColumn("kind", F.lit("within"))
-    if not _store_exists(spark, buckets_path):
+    if not (_store_exists(spark, buckets_path)
+            and _store_exists(spark, shingles_path)):
         return within
     new_banded = dd._signatures_banded(
         batch_df, id_col, text_col,
@@ -90,24 +150,15 @@ def screen_batch(
     )
     # Retry hygiene: a crash between append_to_store and checkpoint
     # commit replays the batch with its own signatures already in the
-    # store. Exclude the batch's ids from the store side (broadcast
-    # anti-join — the batch id set is small, and an anti-join keeps the
-    # store side shuffle-free) and guard id_a != id_b. Store-side
-    # duplicate rows cannot arise (appends are idempotent by batch id);
-    # candidate distinct() + an output-sized pair dedup cover legacy
-    # append-mode stores without shuffling the store.
+    # store; capped_store_candidates anti-joins the batch's own ids
+    # out of the store side and caps per-bucket expansion.
     batch_ids = batch_df.select(F.col(id_col).alias("id_b")).distinct()
-    store_buckets = (
-        spark.read.parquet(buckets_path)
-        .select(F.col(id_col).alias("id_b"), "band", "band_hash")
-        .join(F.broadcast(batch_ids), "id_b", "left_anti")
+    store_buckets = spark.read.parquet(buckets_path).select(
+        id_col, "band", "band_hash"
     )
-    candidates = (
-        new_banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-        .join(store_buckets, ["band", "band_hash"])
-        .select("id_a", "id_b")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
+    candidates = capped_store_candidates(
+        store_buckets, new_banded, batch_ids,
+        ["band", "band_hash"], id_col, bucket_cap,
     )
     # DataFrame reuse is NOT common-subexpression elimination: without
     # this, cand_ids below re-evaluates the whole band-probe join over
@@ -409,21 +460,34 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
     but the BLOCK store's retry exclusion is partition-based, so a
     batch that crashed BEFORE its checkpoint commit must be re-run
     before compacting (the minhash/embedding screens are id-based and
-    unaffected). Swap is per-table rewrite-to-sibling + delete +
-    rename — a crash mid-swap leaves tables either fully old or fully
-    new, both correct. A compacted table is partition-laid-out, so
-    later appends must use the ``batch_id`` form (the streaming path
-    always does); a root-level plain append would conflict with
-    partition discovery."""
+    unaffected). Swap per table (r7 review — the naive delete+rename
+    had a table-missing crash window): rename old aside → rename
+    staging in → delete old; every rename return value is checked,
+    and a crash between the two renames is SELF-HEALED on the next
+    compact_store run (the leftover ``__old`` / ``__compacting`` pair
+    is detected and the swap completed before compacting again). A
+    compacted table is partition-laid-out, so later appends must use
+    the ``batch_id`` form (the streaming path always does); a
+    root-level plain append would conflict with partition
+    discovery."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     stats: dict[str, tuple[int, int]] = {}
     for table in _STORE_TABLES:
         path = os.path.join(store_dir, table)
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        sp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+        op = jvm.org.apache.hadoop.fs.Path(path + "__old")
+        fs = p.getFileSystem(conf)
+
+        # self-heal a crash between the two renames of a prior run:
+        # table missing but staging present → finish the swap
+        if not fs.exists(p) and fs.exists(sp):
+            if not fs.rename(sp, p):
+                raise IOError(f"compact_store: heal rename failed for {path}")
+            fs.delete(op, True)
         if not _store_exists(spark, path):
             continue
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(conf)
 
         def n_parquet_files(root) -> int:
             it = fs.listFiles(root, True)
@@ -437,15 +501,20 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
         df = spark.read.parquet(path)
         if "ingest_batch" in df.columns:
             df = df.drop("ingest_batch")
-        staging = path + "__compacting"
+        fs.delete(sp, True)  # stale staging from an aborted rewrite
         (
             df.distinct()
             .coalesce(max(1, before // 64))
             .write.mode("overwrite")
-            .parquet(os.path.join(staging, "ingest_batch=-1"))
+            .parquet(os.path.join(path + "__compacting", "ingest_batch=-1"))
         )
-        sp = jvm.org.apache.hadoop.fs.Path(staging)
-        fs.delete(p, True)
-        fs.rename(sp, p)
+        fs.delete(op, True)
+        if not fs.rename(p, op):
+            raise IOError(f"compact_store: aside rename failed for {path}")
+        if not fs.rename(sp, p):
+            # old data intact under __old; restore and fail loudly
+            fs.rename(op, p)
+            raise IOError(f"compact_store: swap rename failed for {path}")
+        fs.delete(op, True)
         stats[table] = (before, n_parquet_files(p))
     return stats

@@ -44,7 +44,10 @@ from pythondataingestionprocess_spark.operators.similarity import (
     _buckets_udf,
     hyperplanes,
 )
-from pythondataingestionprocess_spark.streaming.dedup_ingest import _store_exists
+from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+    _store_exists,
+    capped_store_candidates,
+)
 
 _DIM = 64
 _BITS = 12
@@ -56,11 +59,23 @@ def _store_paths(store_dir: str) -> tuple[str, str]:
     return os.path.join(store_dir, "vec_buckets"), os.path.join(store_dir, "vectors")
 
 
-def _banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    tables = [hyperplanes(_DIM, _BITS, _SEED + 101 * t) for t in range(_TABLES)]
+def _banded(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    tables = [hyperplanes(dim, _BITS, _SEED + 101 * t) for t in range(_TABLES)]
     return df.select(
         F.col(id_col), _buckets_udf(tables)(F.col(vec_col)).alias("bs")
     ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+
+
+def _check_dim(batch_df: DataFrame, vec_col: str, dim: int) -> None:
+    """Fail FAST with a clear message on a dimension mismatch instead
+    of an opaque numpy shape error inside the pandas UDF (r7 review).
+    One tiny job over an already-checkpointed batch."""
+    row = batch_df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != dim:
+        raise ValueError(
+            f"embedding dimension {row['d']} != store dimension {dim}; "
+            f"pass dim= matching your model to the ingest factory"
+        )
 
 
 def screen_batch(
@@ -70,38 +85,41 @@ def screen_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    dim: int = _DIM,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs for one incoming vector batch: within-batch
-    pairs plus cross pairs against the store (empty store →
-    within-batch only). Returns (id_a, id_b, cos, kind) with ``kind``
+    pairs plus cross pairs against the store (empty or half-written
+    store → within-batch only — a crash between the two
+    append_to_store writes must not wedge retries on the missing
+    vectors table). Returns (id_a, id_b, cos, kind) with ``kind``
     'within' or 'cross'; for cross pairs id_a is the NEW vector. Does
     NOT mutate the store — append via :func:`append_to_store` after
-    consuming the result."""
+    consuming the result. Cross candidates are per-bucket capped
+    exactly like the batch operators (shared
+    :func:`dedup_ingest.capped_store_candidates` — within a probed
+    bucket the matched store subset IS the full bucket membership, so
+    the kept set equals ``cosine_near_dup_pairs_incremental``'s)."""
     from pythondataingestionprocess_spark.functions.vectors import cosine
 
     buckets_path, vectors_path = _store_paths(store_dir)
     within = dd.cosine_near_dup_pairs(
         batch_df, id_col, vec_col,
-        threshold=threshold, dim=_DIM, bits_per_table=_BITS,
+        threshold=threshold, dim=dim, bits_per_table=_BITS,
         n_tables=_TABLES, seed=_SEED,
     ).withColumn("kind", F.lit("within"))
-    if not _store_exists(spark, buckets_path):
+    if not (_store_exists(spark, buckets_path)
+            and _store_exists(spark, vectors_path)):
         return within
-    new_banded = _banded(batch_df, id_col, vec_col)
+    new_banded = _banded(batch_df, id_col, vec_col, dim)
     batch_ids = batch_df.select(F.col(id_col).alias("id_b")).distinct()
-    store_buckets = (
-        spark.read.parquet(buckets_path)
-        .select(F.col(id_col).alias("id_b"), "table", "bucket")
-        .join(F.broadcast(batch_ids), "id_b", "left_anti")
+    store_buckets = spark.read.parquet(buckets_path).select(
+        id_col, "table", "bucket"
     )
-    candidates = (
-        new_banded.select(F.col(id_col).alias("id_a"), "table", "bucket")
-        .join(store_buckets, ["table", "bucket"])
-        .select("id_a", "id_b")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-        .localCheckpoint(eager=True)  # probed twice below (reuse != CSE)
-    )
+    candidates = capped_store_candidates(
+        store_buckets, new_banded, batch_ids,
+        ["table", "bucket"], id_col, bucket_cap,
+    ).localCheckpoint(eager=True)  # probed twice below (reuse != CSE)
     va = batch_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     cand_ids = candidates.select("id_b").distinct()
     vb = (
@@ -127,13 +145,14 @@ def append_to_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    dim: int = _DIM,
 ) -> None:
     """Append this batch's bucket membership and vectors to the store.
     Same idempotency contract as dedup_ingest.append_to_store: with
     ``batch_id`` each batch owns an ``ingest_batch=N`` overwrite
     subdir."""
     buckets_path, vectors_path = _store_paths(store_dir)
-    buckets = _banded(batch_df, id_col, vec_col)
+    buckets = _banded(batch_df, id_col, vec_col, dim)
     vectors = batch_df.select(id_col, vec_col)
     if batch_id is None:
         buckets.write.mode("append").parquet(buckets_path)
@@ -150,22 +169,28 @@ def embedding_dedup_batch_fn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    dim: int = _DIM,
 ):
     """foreachBatch factory: screen → write pairs (idempotent
     per-batch subdir) → append bucket membership + vectors. Note the
     screen here does NOT need the batch-id store exclusion: the
     batch's own ids are anti-joined out of the store side inside
-    screen_batch, which covers the crashed-append retry case."""
+    screen_batch, which covers the crashed-append retry case.
+    ``dim`` must match the embedding model; every batch is checked
+    up-front with a clear error (r7 review)."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
+        _check_dim(batch_df, vec_col, dim)
         pairs = screen_batch(
-            spark, batch_df, store_dir, id_col, vec_col, threshold
+            spark, batch_df, store_dir, id_col, vec_col, threshold, dim=dim
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_out_dir, f"batch_id={batch_id}")
         )
-        append_to_store(batch_df, store_dir, id_col, vec_col, batch_id=batch_id)
+        append_to_store(
+            batch_df, store_dir, id_col, vec_col, batch_id=batch_id, dim=dim
+        )
 
     return fn

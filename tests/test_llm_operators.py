@@ -1253,3 +1253,33 @@ def test_ivf_streaming_ingest_appends_to_index(spark, tmp_path):
         for r in ivf.search_index(spark, idx, queries, k=5, n_probe=2).collect()
     }
     assert 9000 in got
+
+
+def test_ivf_index_append_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same batch to
+    index_ingest_batch_fn must append nothing (id anti-join against
+    the touched lists), so top-k never sees duplicate neighbors."""
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.standard_normal(32)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = ivf.kmeans_fit(df, k=8, max_iter=5)
+    idx = str(tmp_path / "idx")
+    ivf.save_index(df, centroids, idx)
+
+    new = spark.createDataFrame(
+        [(9000, [float(x) for x in centers[0] + 0.01 * rng.standard_normal(32)])],
+        "vec_id long, embedding array<float>",
+    )
+    fn = ivf.index_ingest_batch_fn(idx)
+    fn(new, 0)
+    fn(new, 0)  # replay
+    resident = spark.read.parquet(str(tmp_path / "idx" / "vectors"))
+    assert resident.filter(F.col("vec_id") == 9000).count() == 1
