@@ -1506,3 +1506,28 @@ def test_compact_store_preserves_screen_results(spark, tmp_path):
         for r in di.screen_batch(spark, fresh, store).collect()
     }
     assert final == {(9, 2)}
+
+
+def test_streaming_screen_caps_megabucket_expansion(spark, tmp_path):
+    """A duplicate-heavy store bucket (the expected input of a dedup
+    pipeline) must expand to at most bucket_cap candidates per new
+    doc — min-id anchoring, identical to the batch incremental
+    operators — while the duplicate is still detected."""
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    clone_text = "exact same boilerplate page body repeated verbatim again"
+    corpus = spark.createDataFrame(
+        [(i, clone_text) for i in range(300)], "doc_id long, text string"
+    )
+    di.append_to_store(corpus, str(tmp_path / "store"), batch_id=0)
+
+    probe = spark.createDataFrame(
+        [(9000, clone_text)], "doc_id long, text string"
+    )
+    pairs = di.screen_batch(
+        spark, probe, str(tmp_path / "store"), bucket_cap=4
+    ).filter("kind = 'cross'")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # capped to the 4 min-id anchors of the mega-bucket — dup found,
+    # expansion bounded
+    assert got == {(9000, i) for i in range(4)}
