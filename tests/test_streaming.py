@@ -1531,3 +1531,41 @@ def test_streaming_screen_caps_megabucket_expansion(spark, tmp_path):
     # capped to the 4 min-id anchors of the mega-bucket — dup found,
     # expansion bounded
     assert got == {(9000, i) for i in range(4)}
+
+
+def test_streaming_screen_capped_set_equals_incremental_operator(spark, tmp_path):
+    """The docstring claim pinned: under an ACTIVE cap, the streaming
+    screen's cross pairs equal minhash_lsh_pairs_incremental's with
+    the same bucket_cap — the min-id ranking runs over the same
+    per-bucket membership on both paths."""
+    from pythondataingestionprocess_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    clone = "exact same boilerplate page body repeated verbatim again"
+    corpus_rows = [(i, clone) for i in range(50)] + [
+        (100 + i, " ".join(f"u{100 + i}w{j}" for j in range(30)))
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    di.append_to_store(corpus, str(tmp_path / "store"), batch_id=0)
+
+    probe_rows = [(9000, clone), (9001, corpus_rows[-1][1])]
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+
+    stream_cross = {
+        (r["id_a"], r["id_b"])
+        for r in di.screen_batch(
+            spark, probe, str(tmp_path / "store"), bucket_cap=7
+        ).filter("kind = 'cross'").collect()
+    }
+    operator = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_pairs_incremental(
+            corpus, probe, "doc_id", "text", bucket_cap=7
+        ).collect()
+    }
+    assert stream_cross == operator
+    # the cap actually bit: clone cluster is 50 wide, kept 7
+    assert len([p for p in stream_cross if p[0] == 9000]) == 7
