@@ -91,3 +91,22 @@ def test_minhash_outputs_identical_across_partitionings(spark):
         ).collect()
     }
     assert base == pre
+
+
+def test_gzip_text_source_single_split_is_rebalanced(spark, tmp_path):
+    """The guard's second motivating case: a gzip text/JSON file is
+    UNSPLITTABLE (codec, not row groups), so however large, it scans
+    as one task — rebalance_scan lifts the CPU stage behind it."""
+    import gzip
+    import json
+
+    path = tmp_path / "docs.json.gz"
+    with gzip.open(path, "wt") as f:
+        for i in range(2000):
+            f.write(json.dumps({"doc_id": i, "text": f"doc {i} body words"}) + "\n")
+
+    df = spark.read.schema("doc_id long, text string").json(str(path))
+    assert df.rdd.getNumPartitions() == 1  # the unsplittable premise
+    out = rebalance_scan(df, "doc_id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 2000
