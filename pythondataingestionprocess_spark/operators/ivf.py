@@ -350,9 +350,10 @@ def index_ingest_batch_fn(index_dir: str, id_col: str = "vec_id",
     available here."""
 
     def fn(batch_df, batch_id: int) -> None:
+        # no outer checkpoint: dedup_resident already checkpoints the
+        # assigned frame, which evaluates the source exactly once
         append_to_index(
-            batch_df.localCheckpoint(eager=True), index_dir, id_col, vec_col,
-            dedup_resident=True,
+            batch_df, index_dir, id_col, vec_col, dedup_resident=True
         )
 
     return fn

@@ -98,7 +98,11 @@ def capped_store_candidates(
         )
     )
     capped = (
-        matched.withColumn(
+        # legacy plain-append stores (and an id re-appended across
+        # batches) can hold duplicate (id, bucket) rows — dedup BEFORE
+        # ranking so copies never consume cap slots (r7 review)
+        matched.dropDuplicates([id_col, *bucket_keys])
+        .withColumn(
             "_rn",
             F.row_number().over(
                 W.partitionBy(*bucket_keys).orderBy(F.col(id_col))
@@ -226,17 +230,21 @@ def dedup_batch_fn(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    bucket_cap: int = 1000,
 ):
     """foreachBatch function factory: screen → write pairs (idempotent
     per-batch subdir) → append signatures. Wire it up with
     file_ingest.file_stream + run_ingestion for the full drop-dir →
-    dedup-screen → store pipeline."""
+    dedup-screen → store pipeline. ``bucket_cap`` tunes the per-bucket
+    cross-candidate bound (tighter for boilerplate-skewed corpora,
+    looser when recall past the min-id anchors matters)."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
         pairs = screen_batch(
-            spark, batch_df, store_dir, id_col, text_col, threshold
+            spark, batch_df, store_dir, id_col, text_col, threshold,
+            bucket_cap=bucket_cap,
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_out_dir, f"batch_id={batch_id}")
@@ -460,33 +468,40 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
     but the BLOCK store's retry exclusion is partition-based, so a
     batch that crashed BEFORE its checkpoint commit must be re-run
     before compacting (the minhash/embedding screens are id-based and
-    unaffected). Swap per table (r7 review — the naive delete+rename
-    had a table-missing crash window): rename old aside → rename
-    staging in → delete old; every rename return value is checked,
-    and a crash between the two renames is SELF-HEALED on the next
-    compact_store run (the leftover ``__old`` / ``__compacting`` pair
-    is detected and the swap completed before compacting again). A
-    compacted table is partition-laid-out, so later appends must use
-    the ``batch_id`` form (the streaming path always does); a
-    root-level plain append would conflict with partition
-    discovery."""
+    unaffected).
+
+    Crash-safety design (two r7 review rounds — the naive
+    delete+rename had a table-missing window, and a heal-on-next-run
+    patch was itself defeated when a restarted stream recreated the
+    table between crash and heal, after which the "heal" deleted both
+    history copies): LEFTOVERS ARE INPUTS, NEVER TRASH. Every sibling
+    dir that may hold history (``__next`` staging, ``__old`` aside,
+    and the live table) is UNIONED into the consolidation read, and
+    nothing is deleted until the new consolidated ``__next`` has been
+    renamed in. Sequence per table: read union(live, __next, __old) →
+    write dedup to fresh __next → aside-rename live → rename __next
+    in → delete aside. A crash at ANY point leaves at least one
+    complete copy of history among the three names, and the next run
+    folds whatever remains back together. The only loss mode left is
+    operational, not data: screens between a mid-swap crash and the
+    next compact_store run may see a thin table (run compact_store at
+    stream start to heal before ingesting). A compacted table is
+    partition-laid-out, so later appends must use the ``batch_id``
+    form (the streaming path always does); a root-level plain append
+    would conflict with partition discovery."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     stats: dict[str, tuple[int, int]] = {}
     for table in _STORE_TABLES:
         path = os.path.join(store_dir, table)
         p = jvm.org.apache.hadoop.fs.Path(path)
-        sp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+        nxt = jvm.org.apache.hadoop.fs.Path(path + "__next")
         op = jvm.org.apache.hadoop.fs.Path(path + "__old")
         fs = p.getFileSystem(conf)
 
-        # self-heal a crash between the two renames of a prior run:
-        # table missing but staging present → finish the swap
-        if not fs.exists(p) and fs.exists(sp):
-            if not fs.rename(sp, p):
-                raise IOError(f"compact_store: heal rename failed for {path}")
-            fs.delete(op, True)
-        if not _store_exists(spark, path):
+        sources = [s for s in (path, path + "__next", path + "__old")
+                   if _store_exists(spark, s)]
+        if not sources:
             continue
 
         def n_parquet_files(root) -> int:
@@ -497,23 +512,38 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
                     n += 1
             return n
 
-        before = n_parquet_files(p)
-        df = spark.read.parquet(path)
-        if "ingest_batch" in df.columns:
-            df = df.drop("ingest_batch")
-        fs.delete(sp, True)  # stale staging from an aborted rewrite
+        before = sum(
+            n_parquet_files(jvm.org.apache.hadoop.fs.Path(s)) for s in sources
+        )
+        parts = []
+        for s in sources:
+            df = spark.read.parquet(s)
+            if "ingest_batch" in df.columns:
+                df = df.drop("ingest_batch")
+            parts.append(df)
+        merged = parts[0]
+        for df in parts[1:]:
+            merged = merged.unionByName(df)
+        # fresh staging: never overwrite a __next that is itself a
+        # source mid-read — write to a temp name, then move it to
+        # __next only after the sources are no longer needed
+        tmp = path + "__building"
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
         (
-            df.distinct()
+            merged.distinct()
             .coalesce(max(1, before // 64))
             .write.mode("overwrite")
-            .parquet(os.path.join(path + "__compacting", "ingest_batch=-1"))
+            .parquet(os.path.join(tmp, "ingest_batch=-1"))
         )
-        fs.delete(op, True)
-        if not fs.rename(p, op):
+        # promote tmp over any stale __next (its rows are in tmp now)
+        fs.delete(nxt, True)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), nxt):
+            raise IOError(f"compact_store: staging rename failed for {path}")
+        fs.delete(op, True)  # rows already folded into __next
+        if fs.exists(p) and not fs.rename(p, op):
             raise IOError(f"compact_store: aside rename failed for {path}")
-        if not fs.rename(sp, p):
-            # old data intact under __old; restore and fail loudly
-            fs.rename(op, p)
+        if not fs.rename(nxt, p):
+            # history still intact under __old (and re-foldable)
             raise IOError(f"compact_store: swap rename failed for {path}")
         fs.delete(op, True)
         stats[table] = (before, n_parquet_files(p))

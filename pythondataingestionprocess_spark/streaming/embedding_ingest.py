@@ -69,13 +69,39 @@ def _banded(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
 def _check_dim(batch_df: DataFrame, vec_col: str, dim: int) -> None:
     """Fail FAST with a clear message on a dimension mismatch instead
     of an opaque numpy shape error inside the pandas UDF (r7 review).
-    One tiny job over an already-checkpointed batch."""
-    row = batch_df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is not None and row["d"] != dim:
+    One tiny aggregate over an already-checkpointed batch; min AND max
+    so a single corrupt row inside an otherwise-clean batch is caught
+    too (first-row sniffing was not enough — second r7 review)."""
+    row = batch_df.select(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None:
+        return  # empty batch
+    if row["lo"] != dim or row["hi"] != dim:
         raise ValueError(
-            f"embedding dimension {row['d']} != store dimension {dim}; "
-            f"pass dim= matching your model to the ingest factory"
+            f"embedding dimensions [{row['lo']}, {row['hi']}] != store "
+            f"dimension {dim}; pass dim= matching your model to the "
+            f"ingest factory"
         )
+
+
+def _store_dim(spark: SparkSession, store_dir: str) -> int | None:
+    """The store's persisted dimension marker (None when the store is
+    new). Without this, redeploying with a different model/dim would
+    hash meaningless buckets and null-pad every verify cosine —
+    silently reporting ZERO cross duplicates forever (second r7
+    review); with it, the mismatch is one clear error."""
+    meta = os.path.join(store_dir, "meta")
+    if not _store_exists(spark, meta):
+        return None
+    return int(spark.read.parquet(meta).first()["dim"])
+
+
+def _write_store_dim(spark: SparkSession, store_dir: str, dim: int) -> None:
+    spark.createDataFrame([(int(dim),)], "dim int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_dir, "meta"))
 
 
 def screen_batch(
@@ -103,6 +129,12 @@ def screen_batch(
     from pythondataingestionprocess_spark.functions.vectors import cosine
 
     buckets_path, vectors_path = _store_paths(store_dir)
+    stored = _store_dim(spark, store_dir)
+    if stored is not None and stored != dim:
+        raise ValueError(
+            f"store at {store_dir} was built with dim={stored}; "
+            f"got dim={dim} — buckets would be meaningless"
+        )
     within = dd.cosine_near_dup_pairs(
         batch_df, id_col, vec_col,
         threshold=threshold, dim=dim, bits_per_table=_BITS,
@@ -152,6 +184,15 @@ def append_to_store(
     ``batch_id`` each batch owns an ``ingest_batch=N`` overwrite
     subdir."""
     buckets_path, vectors_path = _store_paths(store_dir)
+    spark = batch_df.sparkSession
+    stored = _store_dim(spark, store_dir)
+    if stored is None:
+        _write_store_dim(spark, store_dir, dim)
+    elif stored != dim:
+        raise ValueError(
+            f"store at {store_dir} was built with dim={stored}; "
+            f"got dim={dim} — buckets would be meaningless"
+        )
     buckets = _banded(batch_df, id_col, vec_col, dim)
     vectors = batch_df.select(id_col, vec_col)
     if batch_id is None:
@@ -170,6 +211,7 @@ def embedding_dedup_batch_fn(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     dim: int = _DIM,
+    bucket_cap: int = 1000,
 ):
     """foreachBatch factory: screen → write pairs (idempotent
     per-batch subdir) → append bucket membership + vectors. Note the
@@ -177,14 +219,17 @@ def embedding_dedup_batch_fn(
     batch's own ids are anti-joined out of the store side inside
     screen_batch, which covers the crashed-append retry case.
     ``dim`` must match the embedding model; every batch is checked
-    up-front with a clear error (r7 review)."""
+    up-front (min AND max vector size) with a clear error, and the
+    store persists its dimension so a redeploy with a different model
+    fails loudly instead of silently finding zero duplicates."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
         _check_dim(batch_df, vec_col, dim)
         pairs = screen_batch(
-            spark, batch_df, store_dir, id_col, vec_col, threshold, dim=dim
+            spark, batch_df, store_dir, id_col, vec_col, threshold, dim=dim,
+            bucket_cap=bucket_cap,
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_out_dir, f"batch_id={batch_id}")

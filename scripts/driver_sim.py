@@ -7,13 +7,14 @@ Usage: python scripts/driver_sim.py [sf_dir] [name_filter ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pythondataingestionprocess_spark.session import get_spark  # noqa: E402
 from pythondataingestionprocess_spark.plans import REGISTRY  # noqa: E402

@@ -23,10 +23,11 @@ Usage: python scripts/plan_sweep.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pythondataingestionprocess_spark.plans import REGISTRY  # noqa: E402
 from pythondataingestionprocess_spark.session import get_spark  # noqa: E402

@@ -28,7 +28,7 @@ import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pythondataingestionprocess_spark.plans as plans  # noqa: E402
 

@@ -1569,3 +1569,82 @@ def test_streaming_screen_capped_set_equals_incremental_operator(spark, tmp_path
     assert stream_cross == operator
     # the cap actually bit: clone cluster is 50 wide, kept 7
     assert len([p for p in stream_cross if p[0] == 9000]) == 7
+
+
+def test_embedding_store_dim_mismatch_fails_loudly(spark, tmp_path):
+    """Second r7 review: a store built at one dimension must REFUSE a
+    differently-dimensioned screen/append with a clear error — the
+    silent alternative was meaningless buckets and null-padded
+    cosines reporting zero duplicates forever."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pythondataingestionprocess_spark.streaming import embedding_ingest as ei
+
+    rng = np.random.default_rng(5)
+    store = str(tmp_path / "store")
+    b32 = spark.createDataFrame(
+        [(1, [float(x) for x in rng.standard_normal(32)])],
+        "vec_id long, embedding array<float>",
+    )
+    ei.append_to_store(b32, store, batch_id=0, dim=32)
+
+    b64 = spark.createDataFrame(
+        [(2, [float(x) for x in rng.standard_normal(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="built with dim=32"):
+        ei.append_to_store(b64, store, batch_id=1, dim=64)
+    with _pytest.raises(ValueError, match="built with dim=32"):
+        ei.screen_batch(spark, b64, store, dim=64)
+    # a mixed-dimension batch is caught by the min/max check
+    mixed = spark.createDataFrame(
+        [(3, [1.0] * 32), (4, [1.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="dimensions"):
+        ei._check_dim(mixed, "embedding", 32)
+
+
+def test_compact_store_folds_leftover_siblings(spark, tmp_path):
+    """Second r7 review (the heal-defeat data-loss path): leftovers
+    are INPUTS — a mid-swap crash leaving history only in __old (or
+    __next) while the stream recreates a thin live table must fold
+    ALL copies together on the next compact_store run, never delete
+    them."""
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    store = str(tmp_path / "store")
+    old_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    di.append_to_store(old_docs, store, batch_id=0)
+
+    # simulate the crash: live buckets/shingles renamed aside to
+    # __old, live table then recreated by a post-crash batch
+    import os
+    import shutil
+
+    for table in ("buckets", "shingles"):
+        shutil.move(os.path.join(store, table), os.path.join(store, table + "__old"))
+    new_docs = spark.createDataFrame(
+        [(2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    di.append_to_store(new_docs, store, batch_id=1)
+
+    di.compact_store(spark, store)
+
+    # BOTH histories must screen: dups of doc 1 (pre-crash) and doc 2
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in di.screen_batch(spark, probe, store)
+        .filter("kind = 'cross'").collect()
+    }
+    assert got == {(10, 1), (11, 2)}
