@@ -499,8 +499,15 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
         op = jvm.org.apache.hadoop.fs.Path(path + "__old")
         fs = p.getFileSystem(conf)
 
-        sources = [s for s in (path, path + "__next", path + "__old")
-                   if _store_exists(spark, s)]
+        # __building included: a crash after the stale-__next delete
+        # but before the tmp→__next promotion leaves the only complete
+        # copy under __building — it must be an input too, never
+        # orphaned
+        sources = [
+            s for s in (path, path + "__next", path + "__old",
+                        path + "__building")
+            if _store_exists(spark, s)
+        ]
         if not sources:
             continue
 
@@ -528,12 +535,13 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
         # source mid-read — write to a temp name, then move it to
         # __next only after the sources are no longer needed
         tmp = path + "__building"
+        out = merged.distinct().coalesce(max(1, before // 64))
+        if tmp in sources:
+            # the lazy union reads tmp; materialize BEFORE deleting it
+            out = out.localCheckpoint(eager=True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-        (
-            merged.distinct()
-            .coalesce(max(1, before // 64))
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "ingest_batch=-1"))
+        out.write.mode("overwrite").parquet(
+            os.path.join(tmp, "ingest_batch=-1")
         )
         # promote tmp over any stale __next (its rows are in tmp now)
         fs.delete(nxt, True)

@@ -1648,3 +1648,47 @@ def test_compact_store_folds_leftover_siblings(spark, tmp_path):
         .filter("kind = 'cross'").collect()
     }
     assert got == {(10, 1), (11, 2)}
+
+
+def test_compact_store_recovers_orphaned_building_dir(spark, tmp_path):
+    """The __building staging dir is a compaction INPUT too: when a
+    crash left the only complete copy there (stale __next deleted,
+    promotion not reached) and the live table was recreated thin, the
+    next run must fold it back."""
+    import os
+    import shutil
+
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    store = str(tmp_path / "store")
+    old_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    di.append_to_store(old_docs, store, batch_id=0)
+    # simulate: history moved into __building (as the crash leaves it),
+    # live table recreated by a later batch
+    for table in ("buckets", "shingles"):
+        shutil.move(
+            os.path.join(store, table), os.path.join(store, table + "__building")
+        )
+    di.append_to_store(
+        spark.createDataFrame(
+            [(2, "one two three four five six seven eight")],
+            "doc_id long, text string",
+        ),
+        store,
+        batch_id=1,
+    )
+    di.compact_store(spark, store)
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in di.screen_batch(spark, probe, store)
+        .filter("kind = 'cross'").collect()
+    }
+    assert got == {(10, 1), (11, 2)}
