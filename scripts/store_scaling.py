@@ -76,3 +76,39 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def embedding_probe(n_batches: int = 16, per_batch: int = 400) -> None:
+    """Same marginal-cost probe for the EMBEDDING store: fixed probe
+    batch, growing vector store, 5% planted duplicates."""
+    import numpy as np
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    from pythondataingestionprocess_spark.streaming import (
+        embedding_ingest as ei,
+    )
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="emb_scaling_")
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((per_batch, 64))
+
+    def batch(offset, reuse_frac=0.05):
+        rows = []
+        fresh = rng.standard_normal((per_batch, 64))
+        for i in range(per_batch):
+            vec = base[i] if i < per_batch * reuse_frac else fresh[i]
+            rows.append((offset + i, [float(x) for x in vec]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    probe = batch(10_000_000).localCheckpoint()
+    checkpoints = {max(1, n_batches // 4), n_batches // 2, n_batches}
+    print(f"# embedding-store probe: {n_batches} batches x {per_batch} vecs")
+    print("store_batches  screen_wall_s  n_pairs")
+    for b in range(1, n_batches + 1):
+        ei.append_to_store(batch(b * per_batch), store, batch_id=b)
+        if b in checkpoints:
+            t0 = time.perf_counter()
+            n = ei.screen_batch(spark, probe, store).count()
+            print(f"{b:13d}  {time.perf_counter() - t0:12.2f}  {n}")
