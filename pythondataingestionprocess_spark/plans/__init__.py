@@ -35,84 +35,65 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-7 rotation ------------------------------------------------
-# Driver-check union after r6 is 148/148 green (evidence ages from
-# CORRECTNESS_r0{1..6}.json: 48 last-checked-r4, 50 r5, 50 r6; the 31
-# staged r7/r8/r9 queries carry driver_sim evidence only). The window
-# refreshes the STALEST evidence: 39 of the 48 last-checked-in-r4
-# queries go first (alphabetical cut; the 9 same-age left-overs
-# front-load r8), then the 11 queries staged since late r5 for this
-# round — exactly 50. Derived by scripts/rotation_calc.py over the
-# committed CORRECTNESS files (the era-pinned test replays exactly
-# that derivation from an explicit r01..r06 file list).
-STALE_R4 = [
-    "approx_distinct_customers",
-    "cdc_snapshot_latest",
-    "cube_agg",
-    "dedup_exact_docs",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "doc_packing_greedy",
-    "doc_packing_lookahead",
-    "dq_orders_expectations",
-    "events_bounce_rate",
-    "events_concurrency_peak",
-    "events_interval_join",
-    "events_session_window",
-    "events_sessionize_manual",
-    "events_sliding_window",
-    "events_time_weighted_value",
-    "events_tumbling_window",
-    "except_all_slices",
-    "except_keys",
-    "fuzzy_name_distance",
-    "grouping_sets_agg",
-    "histogram_quantity",
-    "intersect_all_slices",
-    "intersect_keys",
-    "islands_user_activity",
-    "json_extract_props",
-    "json_map_functions",
-    "lateral_top_orders",
-    "not_in_null_semantics",
-    "percent_rank_ntile",
-    "pivot_status_revenue",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_dominant_suppliers",
-    "quantile_disc_prices",
-    "rolling_median_user_value",
-    "scd2_build_user_state",
-    "state_change_compression",
+# --- round-8 rotation ------------------------------------------------
+# Driver-check union after r7 is 159/179 green (evidence ages from
+# CORRECTNESS_r0{1..7}.json: 9 last-checked-r4, 50 r5, 50 r6, 50 r7;
+# the 20 staged r8/r9 queries carry driver_sim evidence only). The
+# window refreshes the STALEST evidence: the 9 r4-checked left-overs
+# plus 29 of the 50 last-checked-in-r5 queries (alphabetical cut; the
+# 21 same-age left-overs front-load r9), then the 12 queries staged
+# since the round-5 continuation for this round — exactly 50. Derived
+# by scripts/rotation_calc.py over the committed CORRECTNESS files
+# (the era-pinned test replays exactly that derivation from an
+# explicit r01..r07 file list).
+STALE_R5 = [
+    "argmax_customer_balance",
+    "bilateral_trade_volume",
+    "conditional_agg_priority",
+    "corr_moments_stats",
+    "dedup_containment",
+    "disjunctive_predicate_revenue",
+    "doc_packing_shards",
+    "dq_price_outliers_mad",
+    "embedding_knn_brute",
+    "embedding_norms",
+    "events_asof_last_click",
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+    "events_funnel_watermark",
+    "exists_agg_discounted_orders",
+    "exists_not_exists_orders",
+    "funnel_three_step",
+    "funnel_view_to_purchase",
+    "having_large_orders",
+    "idle_customers_segment",
+    "merge_event_intervals",
+    "monthly_revenue_trend",
+    "multimodal_binary_meta",
+    "multimodal_decode_stats",
+    "percentile_cont_prices",
+    "pit_scd2_price_join",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "stmt_charge_line_grammar",
+    "stratified_sample_events",
+    "text_bigram_lm",
+    "text_rolling_fingerprint",
+    "topk_per_group",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_dense",
+    "window_running_total",
 ]
 
-# Queries riding the r7 window's 11 free slots (registered late in r5,
-# staged as NEW_R7_STAGED through r5/r6, folded in at the start of
-# round 7). Every entry was oracle-checked by scripts/driver_sim.py at
-# sf0.01 AND the vanilla-session recipe at registration, then
-# re-verified by the r6 judge's independent sim run (31/31 green).
-NEW_R7: list[str] = [
-    "events_pattern_match",
-    "events_decayed_feature",
-    "events_resample_interpolate",
-    "corpus_curation_filter",
-    "text_bpe_pair_counts",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q12_lateness_priority",
-    "events_next_event_training",
-    "corpus_build_pipeline",
-    "equidepth_price_bands",
-]
-
-# Staged for ROUND 8 (registered in the round-5 continuation session,
-# outside the r5/r6/r7 windows; r7's window is full at 39 stale-r4 +
-# 11 NEW_R7, so these ride r8 together with the 9 r4-checked
-# left-overs that front-load it: 9 + 12 = 21 of r8's 50, leaving the
-# rest for r5-checked refresh). Each entry is oracle-verified by
-# scripts/driver_sim.py at sf0.01 before commit.
-NEW_R8_STAGED: list[str] = [
+# Queries riding the r8 window's 12 free slots (registered in the
+# round-5 continuation session, staged as NEW_R8_STAGED through
+# r5/r6/r7, folded in at the start of round 8). Every entry was
+# oracle-checked by scripts/driver_sim.py at sf0.01 AND the
+# vanilla-session recipe at registration, then re-verified by the r7
+# judge's independent sim run (20/20 green over the staged set).
+NEW_R8: list[str] = [
     "incremental_agg_maintenance",
     "trend_slope_per_nation",
     "feature_winsorize_robust",
@@ -130,9 +111,9 @@ NEW_R8_STAGED: list[str] = [
 # Staged for ROUND 9 (registered in the third r5 continuation
 # session; the r6/r7/r8 windows are already fully budgeted above).
 # Each entry is oracle-verified by scripts/driver_sim.py at sf0.01
-# AND the vanilla-session recipe before commit. r9 window math: r8
-# runs 23 new/stale + 27 r5-refresh, so r9 = these 8 + the stalest
-# evidence at that point.
+# AND the vanilla-session recipe before commit. r9 window math: the
+# 21 r5-checked left-overs front-load, then these 8, then r6-checked
+# refresh fills the remainder of the 50.
 NEW_R9_STAGED: list[str] = [
     "corpus_block_dedup",
     "doc_chunking_overlap",
@@ -145,7 +126,7 @@ NEW_R9_STAGED: list[str] = [
 ]
 
 def _apply_rotation() -> None:
-    priority = STALE_R4 + NEW_R7
+    priority = STALE_R5 + NEW_R8
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -162,15 +143,14 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R7
+NEW_CURRENT = NEW_R8
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R4",
-    "NEW_R7",
+    "STALE_R5",
+    "NEW_R8",
     "NEW_CURRENT",
-    "NEW_R8_STAGED",
     "NEW_R9_STAGED",
 ]

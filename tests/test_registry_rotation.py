@@ -2,15 +2,15 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-7 window refreshes the stalest evidence (39 of the 48
-last-checked-r4 queries first — alphabetical cut, the 9 same-age
-left-overs front-load r8 — then the 11 queries staged since late r5
-for this round) — exactly 50. These tests make the rotation explicit
-and fail loudly if a later registration or refactor silently reorders
-the window.
+The round-8 window refreshes the stalest evidence (the 9 r4-checked
+left-overs plus 29 of the 50 last-checked-r5 queries — alphabetical
+cut, the 21 same-age left-overs front-load r9 — then the 12 queries
+staged since the round-5 continuation for this round) — exactly 50.
+These tests make the rotation explicit and fail loudly if a later
+registration or refactor silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r06 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r07 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
@@ -24,32 +24,59 @@ import sys
 import pytest
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R7,
-    NEW_R8_STAGED,
+    NEW_R8,
     NEW_R9_STAGED,
     REGISTRY,
-    STALE_R4,
+    STALE_R5,
 )
 
 DRIVER_WINDOW = 50
 
 # The file set the committed rotation was derived from. Frozen: later
-# rounds' files must NOT retroactively change what r7's window was.
-R7_EVIDENCE_FILES = sorted(
+# rounds' files must NOT retroactively change what r8's window was.
+R8_EVIDENCE_FILES = sorted(
     f for f in glob.glob("/root/repo/CORRECTNESS_r0*.json")
-    if re.search(r"r0*([1-6])\.json$", f)
+    if re.search(r"r0*([1-7])\.json$", f)
 )
 
 
+# The 21 r5-checked queries the alphabetical cut left out of STALE_R5
+# (same evidence age); they front-load round 9's window. Recorded
+# verbatim from scripts/rotation_calc.py's round-8 derivation.
+R9_FRONT_LOAD_LEFT_OVERS = [
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q4_priority_order_checks",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "qualify_above_avg_suppliers",
+    "range_join_quantity_bands",
+    "revenue_share_top_customers",
+    "scalar_subquery_small_qty",
+    "skewed_join_salted",
+    "string_agg_nations",
+    "text_bpe_token_count",
+    "text_contamination_check",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "unnest_top_words",
+]
+
+
 def _intended():
-    return STALE_R4 + NEW_R7
+    return STALE_R5 + NEW_R8
 
 
 def test_stalest_queries_front_loaded():
-    """The 39 front-loaded queries (r4-checked, the stalest evidence
-    era after r6's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R4)] == STALE_R4
-    assert len(STALE_R4) == 39
+    """The 38 front-loaded queries (9 r4-checked + 29 r5-checked, the
+    stalest evidence eras after r7's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R5)] == STALE_R5
+    assert len(STALE_R5) == 38
 
 
 def test_first_50_is_the_intended_rotation():
@@ -61,9 +88,9 @@ def test_new_queries_ride_inside_the_window():
     this round: those names sit immediately after the stale block,
     inside the 50-row window."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R7):
-        assert names[len(STALE_R4) + i] == n
-    assert len(STALE_R4) + len(NEW_R7) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R8):
+        assert names[len(STALE_R5) + i] == n
+    assert len(STALE_R5) + len(NEW_R8) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -89,24 +116,28 @@ def test_registry_intact_after_rotation():
     assert len(names) >= 148
 
 
-def test_rotation_calculator_reproduces_r7_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r8_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r06 CORRECTNESS files alone.
+    window composition from the r01..r07 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r07+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r08+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: NEW_R7 is already folded into the applied rotation, so
-    the calculator's next staged block is NEW_R8_STAGED (12 entries →
-    a 38-query stale budget); its derived stale set is therefore a
-    strict subset of the committed 39-query STALE_R4 front-load, and
-    the 11 NEW_R7 queries must be recognized as riding the current
-    window (pending driver row), not flagged as evidence holes.
+    Era note: NEW_R8 is already folded into the applied rotation, so
+    the calculator's next staged block is NEW_R9_STAGED (8 entries →
+    a 42-query stale budget, larger than the 38-budget the committed
+    window was derived under with NEW_R8 still staged at 12). The
+    derived stale set must therefore be a strict SUPERSET of the
+    committed STALE_R5 front-load, with the extras drawn from the
+    documented 21 same-age r5-checked left-overs that front-load r9;
+    and the 12 NEW_R8 queries must be recognized as riding the
+    current window (pending driver row), not flagged as evidence
+    holes.
     """
-    assert len(R7_EVIDENCE_FILES) == 6, R7_EVIDENCE_FILES
+    assert len(R8_EVIDENCE_FILES) == 7, R8_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R7_EVIDENCE_FILES],
+         "--files", *R8_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -115,15 +146,18 @@ def test_rotation_calculator_reproduces_r7_window_from_frozen_files():
     assert "ALERT" not in proc.stderr
     stale = re.search(r"STALE = \[(.*?)\]", proc.stdout, re.S).group(1)
     names = re.findall(r'"([^"]+)"', stale)
-    assert set(names) <= set(STALE_R4)
-    # every derived-stale query the calculator wants checked IS in the
-    # committed window
-    assert set(names) <= set(_intended())
-    # the 11 NEW_R7 queries are recognized as riding the current
+    # everything the committed window front-loads, the calculator
+    # also wants checked
+    assert set(STALE_R5) <= set(names)
+    # and the budget-difference extras are exactly next-round
+    # front-load material (the r9 left-overs), nothing else
+    extras = set(names) - set(STALE_R5)
+    assert extras <= set(R9_FRONT_LOAD_LEFT_OVERS), extras
+    # the 12 NEW_R8 queries are recognized as riding the current
     # window, not flagged as evidence holes
     assert "WARNING" not in proc.stderr
     assert "riding the CURRENT round's window" in proc.stdout
-    for n in NEW_R7:
+    for n in NEW_R8:
         assert n in proc.stdout
 
 
@@ -149,14 +183,14 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     MAX_EVIDENCE_AGE rounds before the newest file."""
     import json
 
-    victim = STALE_R4[0]
+    victim = STALE_R5[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     old.write_text(json.dumps({victim: ok_row}))
-    new.write_text(json.dumps({STALE_R4[1]: ok_row}))
+    new.write_text(json.dumps({STALE_R5[1]: ok_row}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -174,7 +208,7 @@ def test_rotation_calculator_failed_row_alert(tmp_path):
     are not evidence and must ride the next window again."""
     import json
 
-    victim = STALE_R4[0]
+    victim = STALE_R5[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({
         victim: {"rows_match": True, "schema_match": True,
@@ -199,7 +233,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     for the same query — and the unpadded r10 spelling must parse."""
     import json
 
-    victim = STALE_R4[0]
+    victim = STALE_R5[0]
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     bad_row = {"rows_match": True, "schema_match": True,
@@ -248,7 +282,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: ok_row for n in STALE_R4}))
+    f.write_text(json.dumps({n: ok_row for n in STALE_R5}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
@@ -265,7 +299,6 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
 @pytest.mark.parametrize(
     "block_name,block,budget",
     [
-        ("NEW_R8_STAGED", NEW_R8_STAGED, 12),
         ("NEW_R9_STAGED", NEW_R9_STAGED, 8),
     ],
 )
@@ -282,10 +315,4 @@ def test_staged_blocks_sit_outside_the_window(block_name, block, budget):
         )
     assert len(block) <= budget
     others = set(_intended())
-    for other_name, other in [
-        ("NEW_R8_STAGED", NEW_R8_STAGED),
-        ("NEW_R9_STAGED", NEW_R9_STAGED),
-    ]:
-        if other_name != block_name:
-            others |= set(other)
     assert not (set(block) & others)
