@@ -34,11 +34,26 @@ from pyspark.sql import functions as F
 
 def rebalance_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism on
-    ``key_cols`` iff it currently has fewer partitions — the
+    ``key_cols`` iff its scan parallelism falls below it — the
     unsplittable-input guard for CPU-heavy map stages. No-op (and no
-    added plan nodes) whenever the source is already parallel."""
+    added plan nodes) whenever the source is already parallel.
+
+    The parallelism probe reads ``df.inputFiles()`` — driver-side
+    metadata off the logical plan's file index — instead of
+    ``df.rdd.getNumPartitions()``, which forces a full physical
+    plan → RDD conversion per invocation (~0.1 s of driver time on
+    every signature/shingle build, and it bypasses AQE planning for
+    that subtree — r7 ADVICE). File count can UNDERcount splits when
+    a file holds several row groups; the cost of that miss is one
+    keyed exchange that ALIGNS with the downstream ``groupBy(key)``
+    (the exchange moves, it is never added — see module docstring),
+    accepted for a probe that never plans physically. Non-file
+    sources (local relations, in-memory frames) return no input
+    files; only they fall back to the RDD probe."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    files = df.inputFiles()
+    n = len(files) if files else df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target, *[F.col(c) for c in key_cols])

@@ -64,22 +64,52 @@ class JdbcTableStore:
         """Whether the table exists on the target (probe query)."""
         return self._exists(name)
 
-    # Dialect "relation does not exist" markers: Derby SQLState 42X05,
-    # Postgres 42P01, SQL Server error 208 ("Invalid object name").
-    _MISSING_MARKERS = (
-        "42X05", "42P01", "Invalid object name",
-        "does not exist", "not found",
-    )
+    # Dialect "relation does not exist" SQLStates: Derby 42X05,
+    # Postgres 42P01, SQL Server S0002 (vendor error code 208,
+    # "Invalid object name"). Matched against the java.sql.SQLException
+    # cause chain, NEVER free-text messages: r7 ADVICE — a
+    # case-sensitive substring like "does not exist" also matches
+    # unrelated failures (missing database/schema, Derby "connection
+    # does not exist"), silently routing a transient error into the
+    # first-load create path.
+    _MISSING_STATES = frozenset({"42X05", "42P01", "S0002"})
+    _MISSING_VENDOR_CODES = frozenset({208})
+
+    @staticmethod
+    def _is_relation_missing(exc: Exception) -> bool:
+        """Walk the Java cause chain under a py4j/captured error and
+        return True iff some java.sql.SQLException carries a known
+        relation-missing SQLState (or SQL Server's vendor code 208)."""
+        jt = getattr(exc, "java_exception", None)
+        if jt is None:
+            jt = getattr(exc, "_origin", None)  # CapturedException
+        depth = 0
+        while jt is not None and depth < 20:
+            try:
+                state = jt.getSQLState()
+                code = jt.getErrorCode()
+            except Exception:
+                state, code = None, None  # not a SQLException node
+            if state in JdbcTableStore._MISSING_STATES:
+                return True
+            if code in JdbcTableStore._MISSING_VENDOR_CODES:
+                return True
+            try:
+                jt = jt.getCause()
+            except Exception:
+                break
+            depth += 1
+        return False
 
     def _exists(self, name: str) -> bool:
         """True/False ONLY for a definitive answer. A probe failure
-        that does not look like \"table missing\" (network blip, auth,
-        timeout) RE-RAISES: r7 code review — swallowing it returned
-        False, which routed an existing populated table into the
-        first-load DROP+CREATE path (rds_import) and made upsert read
-        an empty frame and overwrite away every existing row. A
-        transient error must fail the batch, never masquerade as an
-        empty table."""
+        that is not provably \"relation missing\" (network blip, auth,
+        timeout, missing database/schema) RE-RAISES: r7 code review —
+        swallowing it returned False, which routed an existing
+        populated table into the first-load DROP+CREATE path
+        (rds_import) and made upsert read an empty frame and overwrite
+        away every existing row. A transient error must fail the
+        batch, never masquerade as an empty table."""
         if name in self._known:
             return True
         try:
@@ -89,8 +119,7 @@ class JdbcTableStore:
             self._known.add(name)
             return True
         except Exception as e:
-            msg = str(e)
-            if any(m in msg for m in self._MISSING_MARKERS):
+            if self._is_relation_missing(e):
                 return False
             raise
 

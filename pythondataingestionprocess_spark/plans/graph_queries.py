@@ -111,7 +111,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # localCheckpoint (r7 review): a checkpoint severs lineage, so lost
 # executor blocks would kill every later graph query in the session;
 # persist recomputes transparently. Each query's own internal
-# checkpoints then start from the cached blocks.
+# checkpoints then start from the cached blocks. BOUNDED (r7 ADVICE):
+# one entry per session — switching sf_dir (or a long-lived process
+# cycling sessions) unpersists and evicts the stale entry instead of
+# accreting cached blocks and session references for process life.
 _EDGE_MEMO: list[tuple[SparkSession, str, DataFrame]] = []
 
 
@@ -119,6 +122,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sess, cached_dir, df in _EDGE_MEMO:
         if sess is spark and cached_dir == sf_dir:
             return df
+    # evict everything else: entries for other sf_dirs on this session
+    # and entries pinned to dead/other sessions alike
+    for sess, _cached_dir, df in _EDGE_MEMO:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped session can't (and needn't) unpersist
+    _EDGE_MEMO.clear()
     lineitem = load_table(spark, sf_dir, "lineitem")
     li = (
         lineitem.filter(F.col("l_quantity") >= 26)

@@ -39,6 +39,7 @@ write would otherwise make the batch "corpus" for its own retry), and
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -476,13 +477,18 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
     table between crash and heal, after which the "heal" deleted both
     history copies): LEFTOVERS ARE INPUTS, NEVER TRASH. Every sibling
     dir that may hold history (``__next`` staging, ``__old`` aside,
-    and the live table) is UNIONED into the consolidation read, and
-    nothing is deleted until the new consolidated ``__next`` has been
-    renamed in. Sequence per table: read union(live, __next, __old) →
-    write dedup to fresh __next → aside-rename live → rename __next
-    in → delete aside. A crash at ANY point leaves at least one
-    complete copy of history among the three names, and the next run
-    folds whatever remains back together. The only loss mode left is
+    and the live table, plus any ``__building*`` staging leftover) is
+    UNIONED into the consolidation read, and NOTHING is deleted until
+    the new consolidated copy has been durably written — staging goes
+    to a fresh uuid-suffixed ``__building_<id>`` name that no crash
+    leftover can occupy, so there is no localCheckpoint-only window
+    where a source is gone but its replacement is memory-resident
+    (r7 ADVICE). Sequence per table: read union(live, __next, __old,
+    __building*) → write dedup to fresh __building_<id> → delete old
+    staging leftovers → promote staging to __next → aside-rename
+    live → rename __next in → delete aside. A crash at ANY point
+    leaves at least one complete durable copy of history among the
+    names, and the next run folds whatever remains back together. The only loss mode left is
     operational, not data: screens between a mid-swap crash and the
     next compact_store run may see a thin table (run compact_store at
     stream start to heal before ingesting). A compacted table is
@@ -499,17 +505,20 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
         op = jvm.org.apache.hadoop.fs.Path(path + "__old")
         fs = p.getFileSystem(conf)
 
-        # __building included: a crash after the stale-__next delete
-        # but before the tmp→__next promotion leaves the only complete
-        # copy under __building — it must be an input too, never
-        # orphaned
+        # every __building* staging leftover included: a crash after
+        # the old-staging delete but before the __next promotion can
+        # leave the only complete copy under a staging name — each one
+        # is an input too, never orphaned
+        building = [
+            str(st.getPath().toUri().getPath())
+            for st in fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(path + "__building*")
+            )
+        ]
         sources = [
-            s for s in (path, path + "__next", path + "__old",
-                        path + "__building")
+            s for s in (path, path + "__next", path + "__old", *building)
             if _store_exists(spark, s)
         ]
-        if not sources:
-            continue
 
         def n_parquet_files(root) -> int:
             it = fs.listFiles(root, True)
@@ -518,6 +527,16 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
                 if it.next().getPath().getName().endswith(".parquet"):
                     n += 1
             return n
+
+        # a staging dir killed mid-write may hold zero complete parquet
+        # files (only _temporary debris) — no data to fold, and reading
+        # it would fail schema inference; drop it from the union
+        sources = [
+            s for s in sources
+            if n_parquet_files(jvm.org.apache.hadoop.fs.Path(s)) > 0
+        ]
+        if not sources:
+            continue
 
         before = sum(
             n_parquet_files(jvm.org.apache.hadoop.fs.Path(s)) for s in sources
@@ -531,18 +550,19 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
         merged = parts[0]
         for df in parts[1:]:
             merged = merged.unionByName(df)
-        # fresh staging: never overwrite a __next that is itself a
-        # source mid-read — write to a temp name, then move it to
-        # __next only after the sources are no longer needed
-        tmp = path + "__building"
+        # fresh staging under a name no source can occupy (uuid
+        # suffix): the consolidated copy is durably written BEFORE any
+        # source is deleted, so every crash point leaves at least one
+        # complete durable copy — leftovers-are-inputs holds with no
+        # in-memory-only (localCheckpoint) window (r7 ADVICE)
+        tmp = path + "__building_" + uuid.uuid4().hex[:8]
         out = merged.distinct().coalesce(max(1, before // 64))
-        if tmp in sources:
-            # the lazy union reads tmp; materialize BEFORE deleting it
-            out = out.localCheckpoint(eager=True)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
         out.write.mode("overwrite").parquet(
             os.path.join(tmp, "ingest_batch=-1")
         )
+        # old staging leftovers' rows are durably in tmp now
+        for b in building:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(b), True)
         # promote tmp over any stale __next (its rows are in tmp now)
         fs.delete(nxt, True)
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), nxt):

@@ -71,12 +71,24 @@ def _check_dim(batch_df: DataFrame, vec_col: str, dim: int) -> None:
     of an opaque numpy shape error inside the pandas UDF (r7 review).
     One tiny aggregate over an already-checkpointed batch; min AND max
     so a single corrupt row inside an otherwise-clean batch is caught
-    too (first-row sniffing was not enough — second r7 review)."""
+    too (first-row sniffing was not enough — second r7 review). NULL
+    vectors are counted separately: min/max skip NULLs, so a null
+    embedding row would pass the size check and still blow up with
+    the opaque shape/NPE inside the pandas UDF (r7 ADVICE)."""
     row = batch_df.select(
         F.min(F.size(F.col(vec_col))).alias("lo"),
         F.max(F.size(F.col(vec_col))).alias("hi"),
+        F.count(F.when(F.col(vec_col).isNull(), 1)).alias("nulls"),
     ).first()
-    if row is None or row["lo"] is None:
+    if row is None:
+        return  # empty batch
+    if row["nulls"]:
+        raise ValueError(
+            f"{row['nulls']} row(s) have a NULL {vec_col}; drop or "
+            f"impute them before ingest — the store cannot hash a "
+            f"missing embedding"
+        )
+    if row["lo"] is None:
         return  # empty batch
     if row["lo"] != dim or row["hi"] != dim:
         raise ValueError(

@@ -280,3 +280,38 @@ def test_exists_false_only_for_missing_table(spark, jdbc_store):
     df = spark.createDataFrame([(1,)], "x long")
     jdbc_store.overwrite("now_written", df)
     assert jdbc_store.exists("now_written") is True
+
+
+def test_relation_missing_matches_sqlstate_not_message(spark):
+    """r7 ADVICE: classification must come from the SQLException
+    cause chain's SQLState / vendor code, never message text. A
+    Derby 'connection does not exist' (08003) whose message contains
+    the old substring must NOT classify as relation-missing; 42X05 /
+    42P01 / S0002 / vendor 208 must — including when wrapped in a
+    non-SQL exception."""
+    from pythondataingestionprocess_spark.pipeline.jdbc_store import (
+        JdbcTableStore,
+    )
+
+    jvm = spark._jvm
+
+    class Captured(Exception):
+        def __init__(self, jt):
+            super().__init__("probe failed")
+            self.java_exception = jt
+
+    dead_conn = jvm.java.sql.SQLException("connection does not exist", "08003")
+    assert not JdbcTableStore._is_relation_missing(Captured(dead_conn))
+
+    assert JdbcTableStore._is_relation_missing(
+        Captured(jvm.java.sql.SQLException("x", "42X05"))
+    )
+    wrapped = jvm.java.lang.RuntimeException(
+        "wrap", jvm.java.sql.SQLException("relation missing", "42P01")
+    )
+    assert JdbcTableStore._is_relation_missing(Captured(wrapped))
+    assert JdbcTableStore._is_relation_missing(
+        Captured(jvm.java.sql.SQLException("Invalid object name", "S0002", 208))
+    )
+    # no java exception attached at all → not provably missing
+    assert not JdbcTableStore._is_relation_missing(ValueError("boom"))

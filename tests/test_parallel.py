@@ -110,3 +110,21 @@ def test_gzip_text_source_single_split_is_rebalanced(spark, tmp_path):
     out = rebalance_scan(df, "doc_id")
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 2000
+
+
+def test_file_source_probe_never_converts_to_rdd(spark, monkeypatch):
+    """r7 ADVICE: for file-backed inputs the probe must come from the
+    logical plan's file index (inputFiles), never a physical-plan→RDD
+    conversion — that conversion cost ~0.1 s of driver time per
+    signature build and bypassed AQE for the subtree."""
+    from pyspark.sql import DataFrame
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    def _boom(self):
+        raise AssertionError("rebalance_scan forced a plan→RDD conversion")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    out = rebalance_scan(docs, "doc_id")
+    # still rebalances the single-file scan, decided from metadata only
+    assert "repartitionbyexpression" in out._jdf.queryExecution().logical().toString().lower()

@@ -1604,6 +1604,14 @@ def test_embedding_store_dim_mismatch_fails_loudly(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="dimensions"):
         ei._check_dim(mixed, "embedding", 32)
+    # r7 ADVICE: min/max(size) skip NULLs — a null embedding row must
+    # raise the same clear error, not the opaque in-UDF NPE
+    with_null = spark.createDataFrame(
+        [(5, [1.0] * 32), (6, None)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        ei._check_dim(with_null, "embedding", 32)
 
 
 def test_compact_store_folds_leftover_siblings(spark, tmp_path):
@@ -1692,3 +1700,106 @@ def test_compact_store_recovers_orphaned_building_dir(spark, tmp_path):
         .filter("kind = 'cross'").collect()
     }
     assert got == {(10, 1), (11, 2)}
+
+
+def test_compact_store_folds_multiple_staging_leftovers(spark, tmp_path):
+    """r7 ADVICE (medium): the consolidated copy must be durably
+    written BEFORE any staging leftover is deleted, so staging now
+    goes to a fresh uuid-suffixed __building_<id> name and EVERY
+    __building* leftover (legacy unsuffixed and suffixed alike) is a
+    compaction input. Two leftovers holding disjoint history halves
+    must both fold back, and no __building* dir may survive the run."""
+    import glob
+    import os
+    import shutil
+
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    store = str(tmp_path / "store")
+    di.append_to_store(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        ),
+        store,
+        batch_id=0,
+    )
+    # first crash leftover: legacy unsuffixed __building name
+    for table in ("buckets", "shingles"):
+        shutil.move(
+            os.path.join(store, table), os.path.join(store, table + "__building")
+        )
+    di.append_to_store(
+        spark.createDataFrame(
+            [(2, "one two three four five six seven eight")],
+            "doc_id long, text string",
+        ),
+        store,
+        batch_id=1,
+    )
+    # second crash leftover: uuid-suffixed staging name
+    for table in ("buckets", "shingles"):
+        shutil.move(
+            os.path.join(store, table),
+            os.path.join(store, table + "__building_deadbeef"),
+        )
+    di.append_to_store(
+        spark.createDataFrame(
+            [(3, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+            "doc_id long, text string",
+        ),
+        store,
+        batch_id=2,
+    )
+
+    di.compact_store(spark, store)
+
+    assert not glob.glob(os.path.join(store, "*__building*"))
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "one two three four five six seven eight"),
+         (12, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in di.screen_batch(spark, probe, store)
+        .filter("kind = 'cross'").collect()
+    }
+    assert got == {(10, 1), (11, 2), (12, 3)}
+
+
+def test_compact_store_skips_debris_only_staging_dir(spark, tmp_path):
+    """A staging dir killed mid-write may hold only _temporary debris
+    (zero complete parquet files): compaction must skip it — not fail
+    schema inference — while still folding the real sources."""
+    import os
+
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    store = str(tmp_path / "store")
+    di.append_to_store(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        ),
+        store,
+        batch_id=0,
+    )
+    debris = os.path.join(store, "buckets__building_0badc0de", "_temporary")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-0000.parquet.crc"), "w") as f:
+        f.write("junk")
+
+    di.compact_store(spark, store)
+
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in di.screen_batch(spark, probe, store)
+        .filter("kind = 'cross'").collect()
+    }
+    assert got == {(10, 1)}
