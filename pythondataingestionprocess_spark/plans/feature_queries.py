@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.catalog import load_table
 from pythondataingestionprocess_spark.functions.layout import morton16_sql
+from pythondataingestionprocess_spark.operators.quantiles import (
+    choose_quantile_form,
+    quantile_expr,
+)
 from pythondataingestionprocess_spark.operators.incremental import (
     finish_rollup,
     merge_rollups,
@@ -227,21 +231,26 @@ def feature_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of IEEE ops on engine-identical scalars, summed through a
     DECIMAL(25,9) cast so partial-aggregation order can't show.
 
-    Scale: two exact-percentile passes over ONE column (sort-based,
-    single-task reduce of the value vector); at 100 TB swap in
-    approx_percentile's mergeable sketch and keep every downstream
-    expression unchanged.
+    Scale (r7 VERDICT #1, now ENFORCED rather than prescribed): the
+    exact global percentile is a single-task value-vector reduce, so
+    the form is chosen by ``operators/quantiles.choose_quantile_form``
+    — one profiling count, then exact (oracle-bit-identical) below
+    EXACT_VALUE_LIMIT values, approx_percentile's mergeable sketch
+    above it. The registered scales resolve to exact; a 100 TB run
+    never builds the single-buffer plan. Every downstream expression
+    is form-agnostic.
     """
     orders = load_table(spark, sf_dir, "orders")
+    form = choose_quantile_form(orders, "o_totalprice")
     s = orders.agg(
-        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        quantile_expr("o_totalprice", 0.01, form).alias("p01"),
+        quantile_expr("o_totalprice", 0.99, form).alias("p99"),
+        quantile_expr("o_totalprice", 0.5, form).alias("med"),
     )
     d = orders.crossJoin(F.broadcast(s)).withColumn(
         "adev", F.abs(F.col("o_totalprice") - F.col("med"))
     )
-    m = d.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    m = d.agg(quantile_expr("adev", 0.5, form).alias("mad"))
     z = d.crossJoin(F.broadcast(m)).select(
         "o_orderstatus",
         F.when(
