@@ -184,6 +184,13 @@ def calibrate(spark) -> float:
     return round(best, 3)
 
 
+def _loadavg_1m() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -192,6 +199,7 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     # warmup: JVM/codegen/parquet footer caches
+    load_start = _loadavg_1m()
     materialize(REGISTRY[names[0]].fn(spark, sf_dir))
     calib = calibrate(spark)
 
@@ -200,6 +208,21 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Host-context fields (r7 VERDICT #2 / item 4): the official r7
+    # artifact recorded 127.7 s on a contended host while a same-day
+    # equal-calib rerun measured 105.6 s — the start-of-run calib
+    # scalar alone cannot certify a run. A SECOND calib at the end
+    # plus 1-min load averages make contention visible inside the
+    # artifact itself: calib_sec_end diverging from calib_sec, or
+    # load averages far above the core count's idle baseline, mark
+    # the totals as ambient-noise-suspect (read with BASELINE.md's
+    # s-per-calib ledger; never compare absolute seconds across
+    # rounds). A per-query second pass is deliberately NOT taken: the
+    # dedup/graph families memoize within a session, so warm reps
+    # measure cache hits, not plans.
+    calib_end = calibrate(spark)
+    load_end = _loadavg_1m()
 
     total = round(sum(timings.values()), 3)
     subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
@@ -211,6 +234,9 @@ def main() -> None:
         "sf": sf,
         "r1_subset_wall": subset,
         "calib_sec": calib,
+        "calib_sec_end": calib_end,
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": load_end,
     }
     # Full per-query detail: one JSON line (for humans/judge reading
     # the stream) plus a committed-path file, since the driver keeps
@@ -237,6 +263,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "r1_subset_wall": subset,
                 "calib_sec": calib,
+                "calib_sec_end": calib_end,
+                "loadavg_1m_start": load_start,
+                "loadavg_1m_end": load_end,
             }
         )
     )

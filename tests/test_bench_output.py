@@ -42,6 +42,11 @@ def test_compact_final_line_is_parseable_and_small(monkeypatch, capsys,
     assert compact["value"] > 0
     assert compact["n_queries"] == 2
     assert "r1_subset_wall" in compact and "calib_sec" in compact
+    # r7 VERDICT item 4: the artifact must be self-interpreting on a
+    # contended host — end-of-run calib and load averages ride both
+    # the compact and detailed lines
+    assert "calib_sec_end" in compact
+    assert "loadavg_1m_start" in compact and "loadavg_1m_end" in compact
     assert "queries" not in compact, "per-query detail belongs to the " \
         "detailed line/file, never the tail-parsed final line"
 
@@ -63,6 +68,9 @@ def test_compact_line_stays_small_at_full_headline():
         "n_queries": len(bench.HEADLINE),
         "r1_subset_wall": 99999.999,
         "calib_sec": 99.999,
+        "calib_sec_end": 99.999,
+        "loadavg_1m_start": 999.99,
+        "loadavg_1m_end": 999.99,
     })
     assert len(synthetic) < 500
 
@@ -92,3 +100,5 @@ def test_bench_detail_file_written(monkeypatch, capsys, tmp_path):
     assert set(detail["queries"]) == {"projection_narrow", "distinct_dims"}
     assert detail["value"] > 0
     assert "r1_subset_wall" in detail and "calib_sec" in detail
+    assert "calib_sec_end" in detail
+    assert "loadavg_1m_start" in detail and "loadavg_1m_end" in detail
