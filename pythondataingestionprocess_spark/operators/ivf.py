@@ -357,3 +357,138 @@ def index_ingest_batch_fn(index_dir: str, id_col: str = "vec_id",
         )
 
     return fn
+
+
+# ---- index maintenance ----------------------------------------------
+
+
+def index_list_stats(spark, index_dir: str) -> DataFrame:
+    """Per-list maintenance statistics off the persisted index:
+    ``(ivf_list, n_rows, n_files)``. One partition-discovering scan of
+    footers plus a count aggregate — metadata-sized output (k rows)."""
+    import os
+
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    rows = vectors.groupBy("ivf_list").agg(F.count(F.lit(1)).alias("n_rows"))
+    files = (
+        vectors.select("ivf_list", F.input_file_name().alias("f"))
+        .groupBy("ivf_list")
+        .agg(F.countDistinct("f").alias("n_files"))
+    )
+    return rows.join(files, "ivf_list")
+
+
+def needs_refit(spark, index_dir: str, skew_threshold: float = 8.0) -> bool:
+    """The refit trigger ``append_to_index``'s docstring defers
+    (r7 VERDICT item 5): True when the largest list holds more than
+    ``skew_threshold`` × the mean list size (over k, counting
+    centroid-empty lists as zero). Sustained inserts drift away from
+    the fitted centroids; a hot list degrades BOTH sides of the IVF
+    trade — probes that hit it scan a large fraction of the corpus
+    (cost), probes that miss it lose its overflow mass (recall).
+    Driver payload is one k-row collect."""
+    import os
+
+    k = spark.read.parquet(os.path.join(index_dir, "centroids")).count()
+    if k == 0:
+        return False
+    stats = index_list_stats(spark, index_dir).collect()
+    total = sum(r["n_rows"] for r in stats)
+    if total == 0:
+        return False
+    mean = total / k
+    return max(r["n_rows"] for r in stats) > skew_threshold * mean
+
+
+def refit_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iter: int = 5,
+) -> np.ndarray:
+    """Re-fit centroids on the CURRENT corpus and rewrite the index in
+    place (save_index), preserving the stored-vector format from the
+    meta marker. The caller supplies the float corpus: an IVF-SQ8
+    index stores int8 residents, which must not seed a re-fit (the
+    quantization error would compound across refits). Returns the new
+    centroids. Run quiesced, like compact_index."""
+    spark = corpus.sparkSession
+    quantized = _index_quantized(spark, index_dir)
+    centroids = kmeans_fit(corpus, id_col, vec_col, k=k, max_iter=max_iter)
+    save_index(corpus, centroids, index_dir, id_col, vec_col,
+               quantized=quantized)
+    return centroids
+
+
+def compact_index(spark, index_dir: str) -> tuple[int, int]:
+    """Fold the streaming append path's accreted small files (one-plus
+    per touched list per micro-batch) back to ONE file per ivf_list
+    partition, preserving the partition-pruned layout search_index
+    depends on. Returns (files_before, files_after).
+
+    Same crash-safety discipline as streaming.dedup_ingest.
+    compact_store — LEFTOVERS ARE INPUTS, NEVER TRASH: the live
+    ``vectors`` table, any ``__next``/``__old`` swap remnant, and any
+    ``__building*`` staging leftover are all unioned (full-row
+    DISTINCT — resident rows are value-identical across replays), the
+    consolidated copy is durably written to a fresh uuid-suffixed
+    staging name BEFORE anything is deleted, and the swap is
+    rename-based. Run quiesced (stream stopped, checkpoint
+    committed). One task per list (hash repartition on the partition
+    column) → exactly one output file per list directory."""
+    import os
+    import uuid as _uuid
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = os.path.join(index_dir, "vectors")
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    nxt = jvm.org.apache.hadoop.fs.Path(path + "__next")
+    op = jvm.org.apache.hadoop.fs.Path(path + "__old")
+    fs = p.getFileSystem(conf)
+
+    building = [
+        str(st.getPath().toUri().getPath())
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + "__building*"))
+    ]
+
+    def n_parquet_files(root: str) -> int:
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(root), True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    exists = lambda s: fs.exists(jvm.org.apache.hadoop.fs.Path(s))  # noqa: E731
+    sources = [
+        s for s in (path, path + "__next", path + "__old", *building)
+        if exists(s) and n_parquet_files(s) > 0
+    ]
+    if not sources:
+        return (0, 0)
+
+    before = sum(n_parquet_files(s) for s in sources)
+    parts = [spark.read.parquet(s) for s in sources]
+    merged = parts[0]
+    for df in parts[1:]:
+        merged = merged.unionByName(df)
+    n_lists = merged.select("ivf_list").distinct().count()
+    out = merged.distinct().repartition(max(1, n_lists), "ivf_list")
+
+    tmp = path + "__building_" + _uuid.uuid4().hex[:8]
+    out.write.mode("overwrite").partitionBy("ivf_list").parquet(tmp)
+    for b in building:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(b), True)
+    fs.delete(nxt, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), nxt):
+        raise IOError(f"compact_index: staging rename failed for {path}")
+    fs.delete(op, True)
+    if fs.exists(p) and not fs.rename(p, op):
+        raise IOError(f"compact_index: aside rename failed for {path}")
+    if not fs.rename(nxt, p):
+        raise IOError(f"compact_index: swap rename failed for {path}")
+    fs.delete(op, True)
+    return (before, n_parquet_files(path))

@@ -1283,3 +1283,118 @@ def test_ivf_index_append_replay_is_idempotent(spark, tmp_path):
     fn(new, 0)  # replay
     resident = spark.read.parquet(str(tmp_path / "idx" / "vectors"))
     assert resident.filter(F.col("vec_id") == 9000).count() == 1
+
+
+def test_ivf_compact_index_folds_files_and_preserves_search(spark, tmp_path):
+    """r7 VERDICT item 5: the streaming append accretes one-plus file
+    per touched list per batch; compact_index must fold the vectors
+    table to one file per list, leave search results invariant, and
+    clean up every staging leftover — including recovering a
+    crash-orphaned __building_* dir as an INPUT."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((4, 16)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.standard_normal(16)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3)
+    centroids = ivf.kmeans_fit(df, k=4, max_iter=4)
+    idx = str(tmp_path / "ivf_index")
+    ivf.save_index(df, centroids, idx)
+
+    # accrete: five appends, each touching every list
+    for b in range(5):
+        batch = spark.createDataFrame(
+            [
+                (1000 + 10 * b + j,
+                 [float(x) for x in centers[j % 4] + rng.standard_normal(16)])
+                for j in range(8)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        ivf.append_to_index(batch, idx)
+
+    before_set = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.search_index(spark, idx, queries, k=5, n_probe=2).collect()
+    }
+    n_before = len(glob.glob(os.path.join(idx, "vectors", "*", "*.parquet")))
+
+    fb, fa = ivf.compact_index(spark, idx)
+    assert fb == n_before
+    assert fa == 4  # one file per list
+    assert not glob.glob(os.path.join(idx, "vectors__*"))
+
+    after_set = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.search_index(spark, idx, queries, k=5, n_probe=2).collect()
+    }
+    assert after_set == before_set
+
+    # idempotent: a second run is a no-op fold of an already-compact table
+    fb2, fa2 = ivf.compact_index(spark, idx)
+    assert (fb2, fa2) == (4, 4)
+
+    # crash recovery: the only copy orphaned under a staging name must
+    # fold back (leftovers are inputs)
+    shutil.move(
+        os.path.join(idx, "vectors"),
+        os.path.join(idx, "vectors__building_cafe01"),
+    )
+    ivf.compact_index(spark, idx)
+    recovered = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.search_index(spark, idx, queries, k=5, n_probe=2).collect()
+    }
+    assert recovered == before_set
+
+
+def test_ivf_refit_trigger_and_refit(spark, tmp_path):
+    """needs_refit fires on list-size skew (hot list > threshold ×
+    mean) and stays quiet on a balanced index; refit_index rebalances
+    and preserves the stored-vector format marker."""
+    import numpy as np
+
+    from pythondataingestionprocess_spark.operators import ivf
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((4, 16)) * 10
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.standard_normal(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = ivf.kmeans_fit(df, k=4, max_iter=4)
+    idx = str(tmp_path / "ivf_index")
+    ivf.save_index(df, centroids, idx, quantized=True)
+    assert ivf.needs_refit(spark, idx, skew_threshold=3.0) is False
+
+    # drift: a flood of inserts near ONE center → hot list
+    flood = spark.createDataFrame(
+        [
+            (5000 + j, [float(x) for x in centers[0] + rng.standard_normal(16)])
+            for j in range(600)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ivf.append_to_index(flood, idx)
+    assert ivf.needs_refit(spark, idx, skew_threshold=3.0) is True
+
+    # refit on the full float corpus rebalances and keeps IVF-SQ8
+    full = df.unionByName(flood)
+    ivf.refit_index(full, idx, k=4, max_iter=4)
+    assert ivf.needs_refit(spark, idx, skew_threshold=3.0) is False
+    assert ivf._index_quantized(spark, idx) is True
+    got = ivf.search_index(
+        spark, idx, df.filter(F.col("vec_id") < 2), k=3, n_probe=2
+    )
+    assert got.count() == 6
