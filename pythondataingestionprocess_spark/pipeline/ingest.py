@@ -147,6 +147,8 @@ def stage_batch(
     store: ParquetTableStore,
     current_date: date | None = None,
     collect_metrics: bool = True,
+    verify_urls: bool = False,
+    url_transport=None,
 ) -> IngestResult:
     """Build all staged dim/fact frames from cleaned sheets.
 
@@ -212,8 +214,12 @@ def stage_batch(
 
     # provider: keyed (id_store, provider_url), canonicalized link
     # (database_utils.py:90-100). is_active is verify_url() in the
-    # reference — a network HEAD; deterministically stubbed True here
-    # (SURVEY §7 risk 5: nondeterministic UDF, excluded from parity).
+    # reference — a network HEAD; deterministically stubbed True by
+    # default (SURVEY §7 risk 5: nondeterministic UDF, excluded from
+    # parity/oracles). ``verify_urls=True`` opts into the reference's
+    # live behavior via functions/url_verify: the probe runs ONLY on
+    # the distinct url miss-set after an anti-join against the urls
+    # the store has already verified — never at row grain.
     providers = (
         rows.select(
             _sk("store", "store_name").alias("id_store"),
@@ -224,9 +230,24 @@ def stage_batch(
             _sk("provider", "id_store", "provider_url").alias("id_provider"),
             "id_store",
             "provider_url",
-            F.lit(True).alias("is_active"),
         )
     )
+    if verify_urls:
+        from pythondataingestionprocess_spark.functions.url_verify import (
+            verify_url_statuses,
+        )
+
+        statuses = verify_url_statuses(
+            providers,
+            store.read("provider"),
+            url_col="provider_url",
+            transport=url_transport,
+        )
+        providers = providers.join(statuses, "provider_url").select(
+            "id_provider", "id_store", "provider_url", "is_active"
+        )
+    else:
+        providers = providers.withColumn("is_active", F.lit(True))
 
     # product: keyed by name; brand+category only when BOTH present
     # (database_utils.py:155-168); image from the positionally-attached
@@ -338,6 +359,8 @@ def ingest_batch(
     store: ParquetTableStore,
     current_date: date | None = None,
     collect_metrics: bool = True,
+    verify_urls: bool = False,
+    url_transport=None,
 ) -> IngestResult:
     """Stage + commit one batch into the table store.
 
@@ -345,10 +368,14 @@ def ingest_batch(
     (post-dedup); price applies the SCD stamping. Each upsert is one
     MERGE-shaped write — per-batch, not per-row. Pass
     ``collect_metrics=False`` from high-rate streaming callers (see
-    stage_batch).
+    stage_batch). ``verify_urls``/``url_transport`` opt into the
+    reference's live provider-link verification (see stage_batch).
     """
     current_date = current_date or date.today()
-    result = stage_batch(compras, precios, store, current_date, collect_metrics)
+    result = stage_batch(
+        compras, precios, store, current_date, collect_metrics,
+        verify_urls=verify_urls, url_transport=url_transport,
+    )
     store.insert_if_absent("payment_type", rows_payment(result), ["payment_type"])
     store.insert_if_absent("store", result.stores, ["store_name"])
     store.insert_if_absent("provider", result.providers, ["id_store", "provider_url"])
