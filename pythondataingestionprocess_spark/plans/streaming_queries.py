@@ -511,3 +511,88 @@ def stream_static_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         dec_sum("value", "revenue"),
     )
+
+
+_SCD2_ENRICH_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  TIMESTAMP '9999-01-01') AS valid_to
+  FROM events WHERE user_id < 50 AND event_type <> 'purchase'
+), p AS (
+  SELECT user_id, event_id, ts
+  FROM events WHERE user_id < 50 AND event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       v.state,
+       strftime(v.valid_from, '%Y-%m-%d %H:%M:%S.%f') AS state_since
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.valid_from AND p.ts < v.valid_to
+"""
+
+
+@query(
+    "events_scd2_enrich",
+    oracle=_SCD2_ENRICH_ORACLE,
+    tags=("streaming", "scd2", "join"),
+)
+def events_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of streaming/joins.py::enrich_with_scd2_dim
+    (registered r8 after funnel_view_to_purchase retired — r7 VERDICT
+    item 2): every purchase event is stamped with the SCD2 state
+    version whose [valid_from, valid_to) window contains the
+    purchase's EVENT time — the non-purchase events build the version
+    chain (the scd2_build_user_state interval construction), and the
+    purchases probe it through the exact helper the stream runs per
+    micro-batch. Late or replayed events therefore enrich against the
+    historically correct state, never whatever is current at batch
+    time. LEFT face: a purchase before its user's first state version
+    flows through with NULL attributes.
+
+    Scale: the version build is one shuffle on user_id; the probe is
+    an EQUI join on the key with the validity window as a residual
+    predicate (never a bare BETWEEN join), broadcast while the dim
+    fits. Intervals partition each key's timeline, so the probe
+    matches at most one version per event — (ts, event_id) ordering
+    keeps the chain total on timestamp ties, and a tie-degenerate
+    empty interval [t, t) can match nothing in either engine. The
+    open current version carries a far-future sentinel so the
+    helper's closed-interval condition stays NULL-free."""
+    from pythondataingestionprocess_spark.streaming.joins import (
+        enrich_with_scd2_dim,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    # version chain ordered by (ts, event_id) like the oracle — the
+    # event_id tiebreak keeps the intervals total on timestamp ties
+    versions = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_id", F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"))
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from").over(
+                    W.partitionBy("user_id").orderBy("valid_from", "event_id")
+                ),
+                F.expr("TIMESTAMP_NTZ '9999-01-01 00:00:00'"),
+            ),
+        )
+        .withColumn(
+            "state_since",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        )
+        .drop("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    enriched = enrich_with_scd2_dim(purchases, versions, "user_id", "ts")
+    return enriched.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "state",
+        "state_since",
+    )

@@ -112,11 +112,24 @@ def enrich_with_scd2_dim(
     micro-batch and the probe is map-side. SCD2 tables are
     |keys|×|versions| — usually broadcastable for catalog dims; for a
     huge one, pass ``broadcast=False`` and pre-bucket both sides on
-    the key."""
-    d = F.broadcast(versions) if broadcast else versions
+    the key.
+
+    Both sides are explicitly aliased: a version table DERIVED FROM
+    the probe's own source (the batch face builds its dim from the
+    same events relation) would otherwise resolve ``stream[key] ==
+    versions[key]`` to one attribute — a trivially-true predicate and
+    an ambiguous drop (r8, found registering events_scd2_enrich)."""
+    s = stream.alias("__scd2_stream")
+    d0 = versions.alias("__scd2_dim")
+    d = F.broadcast(d0) if broadcast else d0
     cond = (
-        (stream[key] == d[key])
-        & (stream[ts_col] >= d[valid_from])
-        & (stream[ts_col] < d[valid_to])
+        (F.col(f"__scd2_stream.{key}") == F.col(f"__scd2_dim.{key}"))
+        & (F.col(f"__scd2_stream.{ts_col}") >= F.col(f"__scd2_dim.{valid_from}"))
+        & (F.col(f"__scd2_stream.{ts_col}") < F.col(f"__scd2_dim.{valid_to}"))
     )
-    return stream.join(d, cond, "left").drop(d[key]).drop(d[valid_from]).drop(d[valid_to])
+    return (
+        s.join(d, cond, "left")
+        .drop(F.col(f"__scd2_dim.{key}"))
+        .drop(F.col(f"__scd2_dim.{valid_from}"))
+        .drop(F.col(f"__scd2_dim.{valid_to}"))
+    )
