@@ -42,17 +42,41 @@ _USER_AGENT = (
 _TIMEOUT_S = 10
 
 
+def _head_preserving_opener():
+    """An opener whose redirect handler keeps the HEAD method. Stock
+    urllib rewrites every redirected request as a GET — which would
+    both diverge from the reference (``requests.head`` with
+    ``allow_redirects=True`` stays HEAD) and pull full response bodies
+    for every redirected link in the miss-set. Pinned by the
+    live-server test: its handler implements ONLY do_HEAD, so a GET
+    after redirect comes back 501."""
+    import urllib.request
+
+    class _KeepHead(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            new = super().redirect_request(req, fp, code, msg, headers, newurl)
+            if new is not None and req.get_method() == "HEAD":
+                new = urllib.request.Request(
+                    new.full_url, headers=req.headers,
+                    origin_req_host=req.origin_req_host,
+                    unverifiable=True, method="HEAD",
+                )
+            return new
+
+    return urllib.request.build_opener(_KeepHead)
+
+
 def default_transport(url: str) -> int:
-    """HEAD ``url`` (redirects followed, 10 s timeout, browser UA) and
-    return the final status code. Raises on transport failure — the
-    UDF maps exceptions to inactive, like the reference's
+    """HEAD ``url`` (redirects followed as HEAD, 10 s timeout, browser
+    UA) and return the final status code. Raises on transport failure —
+    the UDF maps exceptions to inactive, like the reference's
     ``except RequestException: return False``."""
     import urllib.request
 
     req = urllib.request.Request(
         url, method="HEAD", headers={"User-Agent": _USER_AGENT}
     )
-    with urllib.request.urlopen(req, timeout=_TIMEOUT_S) as resp:
+    with _head_preserving_opener().open(req, timeout=_TIMEOUT_S) as resp:
         return int(resp.status)
 
 
@@ -84,7 +108,17 @@ def verify_url_statuses(
     transport = transport or default_transport
     distinct = urls.select(url_col).distinct()
     if known is not None:
-        known = known.select(url_col, "is_active").distinct()
+        # Collapse to ONE row per url: the store may hold conflicting
+        # statuses for the same url (a stub-True row written by a
+        # verify_urls=False batch alongside a probed-False row); a
+        # plain distinct() passes both through and the inner join back
+        # in stage_batch then duplicates provider rows (r8 ADVICE).
+        # Policy: any True wins (optimistic — a url ever seen active
+        # stays active until a probe of the miss-set demotes it).
+        known = (
+            known.groupBy(url_col)
+            .agg(F.max("is_active").alias("is_active"))
+        )
         misses = distinct.join(known, url_col, "left_anti")
     else:
         known = None

@@ -35,86 +35,72 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-8 rotation ------------------------------------------------
-# Driver-check union after r7 is 159/179 green (evidence ages from
-# CORRECTNESS_r0{1..7}.json: 9 last-checked-r4, 50 r5, 50 r6, 50 r7;
-# the 20 staged r8/r9 queries carry driver_sim evidence only). The
-# window refreshes the STALEST evidence: the 9 r4-checked left-overs
-# plus 29 of the 50 last-checked-in-r5 queries (alphabetical cut; the
-# 21 same-age left-overs front-load r9), then the 12 queries staged
-# since the round-5 continuation for this round — exactly 50. Derived
-# by scripts/rotation_calc.py over the committed CORRECTNESS files
-# (the era-pinned test replays exactly that derivation from an
-# explicit r01..r07 file list).
-STALE_R5 = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
-    "corr_moments_stats",
-    "dedup_containment",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_price_outliers_mad",
-    "embedding_knn_brute",
-    "embedding_norms",
-    "events_asof_last_click",
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
-    "events_funnel_watermark",
-    "exists_agg_discounted_orders",
-    "exists_not_exists_orders",
-    "funnel_three_step",
-    "funnel_view_to_purchase",
-    "having_large_orders",
-    "idle_customers_segment",
-    "merge_event_intervals",
-    "monthly_revenue_trend",
-    "multimodal_binary_meta",
-    "multimodal_decode_stats",
-    "percentile_cont_prices",
-    "pit_scd2_price_join",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "stmt_charge_line_grammar",
-    "stratified_sample_events",
-    "text_bigram_lm",
-    "text_rolling_fingerprint",
-    "topk_per_group",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_dense",
-    "window_running_total",
+# --- round-9 rotation ------------------------------------------------
+# Driver-check union after r8 is 171/182 green (evidence ages from
+# CORRECTNESS_r0{1..8}.json: 21 last-checked-r5, 50 r6, 50 r7, 50 r8;
+# the 8 NEW_R9_STAGED queries + the 3 registered late in r8 carry
+# driver_sim evidence only). The window refreshes the STALEST
+# evidence: the 21 r5-checked left-overs plus 18 of the 50
+# last-checked-in-r6 queries (alphabetical cut; the 32 same-age
+# left-overs front-load r10), then the 11 never-driver-checked
+# queries (3 late-r8 registrations + the 8 staged since the round-5
+# continuation) — exactly 50. Derived by scripts/rotation_calc.py
+# over the committed CORRECTNESS files (the era-pinned test replays
+# exactly that derivation from an explicit r01..r08 file list).
+STALE_R6 = [
+    "anti_join_dedup",
+    "broadcast_dim_join",
+    "clean_excel_serial_date",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
+    "corpus_mix_resample",
+    "dedup_embedding_cosine",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_per_source",
+    "distinct_dims",
+    "doc_packing_shard_histogram",
+    "dq_malformed_json_rate",
+    "dq_profile_orders",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q4_priority_order_checks",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "qualify_above_avg_suppliers",
+    "range_join_quantity_bands",
+    "revenue_share_top_customers",
+    "scalar_subquery_small_qty",
+    "skewed_join_salted",
+    "string_agg_nations",
+    "text_bpe_token_count",
+    "text_contamination_check",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "unnest_top_words",
 ]
 
-# Queries riding the r8 window's 12 free slots (registered in the
-# round-5 continuation session, staged as NEW_R8_STAGED through
-# r5/r6/r7, folded in at the start of round 8). Every entry was
-# oracle-checked by scripts/driver_sim.py at sf0.01 AND the
-# vanilla-session recipe at registration, then re-verified by the r7
-# judge's independent sim run (20/20 green over the staged set).
-NEW_R8: list[str] = [
-    "incremental_agg_maintenance",
-    "trend_slope_per_nation",
-    "feature_winsorize_robust",
-    "zorder_layout_cells",
-    "copurchase_triangles",
-    "part_clustering_coefficient",
-    "pii_pseudonymize_vault",
-    "unpivot_charge_components",
-    "hierarchical_revenue_share",
-    "window_edge_values",
-    "recursive_cte_subtree_rollup",
-    "dq_order_reconciliation",
-]
-
-# Staged for ROUND 9 (registered in the third r5 continuation
-# session; the r6/r7/r8 windows are already fully budgeted above).
-# Each entry is oracle-verified by scripts/driver_sim.py at sf0.01
-# AND the vanilla-session recipe before commit. r9 window math: the
-# 21 r5-checked left-overs front-load, then these 8, then r6-checked
-# refresh fills the remainder of the 50.
-NEW_R9_STAGED: list[str] = [
+# Queries riding the r9 window's 11 free slots: the 3 registered at
+# the very end of round 8 WITHOUT staging bookkeeping (the r8 judge's
+# headline finding — dedup_cosine_incremental, events_scd2_enrich,
+# zorder_file_skipping; each was driver_sim-green at registration and
+# re-verified 11/11 by the r8 judge's independent sim) followed by
+# the 8 long-staged NEW_R9_STAGED queries (registered in the third r5
+# continuation session, oracle-verified at sf0.01 at registration and
+# re-verified by the r8 judge's sim).
+NEW_R9: list[str] = [
+    "dedup_cosine_incremental",
+    "events_scd2_enrich",
+    "zorder_file_skipping",
     "corpus_block_dedup",
     "doc_chunking_overlap",
     "inverted_index_postings",
@@ -126,7 +112,7 @@ NEW_R9_STAGED: list[str] = [
 ]
 
 def _apply_rotation() -> None:
-    priority = STALE_R5 + NEW_R8
+    priority = STALE_R6 + NEW_R9
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -143,14 +129,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R8
+NEW_CURRENT = NEW_R9
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R5",
-    "NEW_R8",
+    "STALE_R6",
+    "NEW_R9",
     "NEW_CURRENT",
-    "NEW_R9_STAGED",
 ]

@@ -638,41 +638,6 @@ def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "except_all_slices",
-    oracle="""
-SELECT o_custkey FROM orders WHERE o_totalprice > 100000
-EXCEPT ALL
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-""",
-    tags=("setops",),
-)
-def except_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL — multiset difference (duplicates preserved by
-    count), the bag-semantics sibling of the except_keys query."""
-    (orders,) = _t(spark, sf_dir, "orders")
-    hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
-    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return hi.exceptAll(fin)
-
-
-@query(
-    "intersect_all_slices",
-    oracle="""
-SELECT o_custkey FROM orders WHERE o_totalprice > 100000
-INTERSECT ALL
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-""",
-    tags=("setops",),
-)
-def intersect_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL — multiset intersection (min of per-side counts)."""
-    (orders,) = _t(spark, sf_dir, "orders")
-    hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
-    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return hi.intersectAll(fin)
-
-
 _FUZZY_ORACLE = """
 WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 97 = 0)
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

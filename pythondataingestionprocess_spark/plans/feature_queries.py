@@ -282,7 +282,7 @@ def _zorder_oracle() -> str:
     return f"""
 WITH b AS (
   SELECT least(CAST(floor(o_totalprice / 2000) AS BIGINT), 255) AS px,
-         least(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) // 10, 255) AS py,
+         greatest(least(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) // 10, 255), 0) AS py,
          o_totalprice
   FROM orders
 ),
@@ -316,10 +316,17 @@ def zorder_layout_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     b = orders.select(
         F.least(F.floor(F.col("o_totalprice") / 2000).cast("long"), F.lit(255)).alias("px"),
-        F.least(
-            (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long") / 10)
-            .cast("long"),
-            F.lit(255),
+        # ~43% of TPC-H orders predate the 1995-01-01 epoch; clamp at 0
+        # so py honors the layout's documented 0..255 bucket contract
+        # instead of relying on both engines truncating toward zero and
+        # &255 wrapping identically (r8 ADVICE).
+        F.greatest(
+            F.least(
+                (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long") / 10)
+                .cast("long"),
+                F.lit(255),
+            ),
+            F.lit(0),
         ).alias("py"),
         "o_totalprice",
     )
@@ -337,7 +344,7 @@ def _zorder_skipping_oracle() -> str:
     return f"""
 WITH b AS (
   SELECT least(CAST(floor(o_totalprice / 2000) AS BIGINT), 255) AS px,
-         least(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) // 10, 255) AS py
+         greatest(least(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) // 10, 255), 0) AS py
   FROM orders
 ),
 mz AS (SELECT {morton} AS morton, px, py FROM b)
@@ -359,7 +366,9 @@ GROUP BY 1
 )
 def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The file-skipping DECISION over a Z-ordered layout (registered
-    r8 after the set-op ALL micro-shapes retired — r7 VERDICT item 2):
+    net-new at the tail of r8 WITHOUT the offsetting retirement the
+    capacity rule requires — flagged in the r8 VERDICT; staged into
+    the r9 driver window, capacity restored by the r9 retirements):
     storage.zorder_manifest computes the per-cell (per-file) min/max
     envelopes of both layout dimensions — the manifest a lakehouse
     reader consults — and each cell gets the prunable verdict for a
@@ -379,10 +388,17 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     b = orders.select(
         F.least(F.floor(F.col("o_totalprice") / 2000).cast("long"), F.lit(255)).alias("px"),
-        F.least(
-            (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long") / 10)
-            .cast("long"),
-            F.lit(255),
+        # ~43% of TPC-H orders predate the 1995-01-01 epoch; clamp at 0
+        # so py honors the layout's documented 0..255 bucket contract
+        # instead of relying on both engines truncating toward zero and
+        # &255 wrapping identically (r8 ADVICE).
+        F.greatest(
+            F.least(
+                (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long") / 10)
+                .cast("long"),
+                F.lit(255),
+            ),
+            F.lit(0),
         ).alias("py"),
     )
     manifest = zorder_manifest(b, "px", "py", cell_bits=6)

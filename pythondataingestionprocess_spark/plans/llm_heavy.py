@@ -287,9 +287,11 @@ WHERE list_sum(list_transform(list_zip(b.e, c.e), z -> z[1] * z[2]))
 
 @query("dedup_cosine_incremental", oracle=_COSINE_INCR_ORACLE, tags=("dedup", "similarity"))
 def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The daily-ingest twin of dedup_embedding_cosine (registered r8
-    after window_lag_lead/window_rank_dense retired — r7 VERDICT item
-    2): near-dup pairs between a NEW embedding batch (copies of every
+    """The daily-ingest twin of dedup_embedding_cosine (registered
+    net-new at the tail of r8 WITHOUT the offsetting retirement the
+    capacity rule requires — flagged in the r8 VERDICT; staged into
+    the r9 driver window, capacity restored by the r9 retirements):
+    near-dup pairs between a NEW embedding batch (copies of every
     vec_id ≡ 0 mod 10, re-keyed +1e6 — the corpus is near-orthogonal
     noise, so natural pairs don't exist and LSH recall at the planted
     dup end is exactly 1) and the existing corpus, via a hyperplane

@@ -539,8 +539,10 @@ FROM p LEFT JOIN v
 )
 def events_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch face of streaming/joins.py::enrich_with_scd2_dim
-    (registered r8 after funnel_view_to_purchase retired — r7 VERDICT
-    item 2): every purchase event is stamped with the SCD2 state
+    (registered net-new at the tail of r8 WITHOUT the offsetting
+    retirement the capacity rule requires — flagged in the r8
+    VERDICT; staged into the r9 driver window, capacity restored by
+    the r9 retirements): every purchase event is stamped with the SCD2 state
     version whose [valid_from, valid_to) window contains the
     purchase's EVENT time — the non-purchase events build the version
     chain (the scd2_build_user_state interval construction), and the

@@ -408,68 +408,6 @@ def unnest_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Sequence funnel — A-then-B-within-window conversion.
-# ---------------------------------------------------------------------------
-
-_FUNNEL_ORACLE = """
-WITH first_view AS (
-    SELECT user_id, MIN(ts) AS view_ts
-    FROM events
-    WHERE event_type = 'view'
-    GROUP BY user_id
-),
-converted AS (
-    SELECT DISTINCT f.user_id
-    FROM first_view f
-    JOIN events p
-      ON p.user_id = f.user_id
-     AND p.event_type = 'purchase'
-     AND p.ts > f.view_ts
-     AND p.ts <= f.view_ts + INTERVAL 1 HOUR
-)
-SELECT COUNT(*) AS n_viewers,
-       (SELECT COUNT(*) FROM converted) AS n_converted
-FROM first_view
-"""
-
-
-@query("funnel_view_to_purchase", oracle=_FUNNEL_ORACLE, tags=("funnel", "sequence", "join"))
-def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-sequence funnel: of users with a 'view' event, how many
-    made a 'purchase' within one hour of their FIRST view — the
-    A-then-B-within-Δt pattern behind every conversion dashboard.
-
-    Spark-first: first-view is a partial-aggregable min per user; the
-    sequence condition is a semi-join on user_id with the time-range
-    predicate as a join residual (left_semi keeps one row per converted
-    user, no DISTINCT needed). Both sides shuffle once on user_id.
-
-    Scale: at 100 TB of events the range predicate bounds state only
-    per matched pair — and because the build side is one row per
-    viewer, AQE can broadcast it once the event filter has cut it down.
-    """
-    events = load_table(spark, sf_dir, "events")
-    first_view = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    converted = first_view.join(
-        purchases,
-        (F.col("p_user") == F.col("user_id"))
-        & (F.col("p_ts") > F.col("view_ts"))
-        & (F.col("p_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_semi",
-    )
-    return first_view.agg(F.count(F.lit(1)).alias("n_viewers")).crossJoin(
-        converted.agg(F.count(F.lit(1)).alias("n_converted"))
-    )
-
-
 _DISJUNCTIVE_ORACLE = f"""
 SELECT p.p_brand AS brand,
        COUNT(*) AS n_items,

@@ -96,68 +96,6 @@ def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_lag_lead",
-    oracle="""
-SELECT event_id, user_id,
-       lag(value)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
-       lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type,
-       CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)) AS BIGINT) AS gap_us
-FROM events
-WHERE user_id < 20
-""",
-    tags=("window",),
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over a per-user event sequence (engine-added §2.5
-    breadth; the gap_us column is the sessionization building block).
-    """
-    events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("event_id")
-    return (
-        events.filter(F.col("user_id") < 20)
-        .select(
-            "event_id",
-            "user_id",
-            F.lag("value").over(w).alias("prev_value"),
-            F.lead("event_type").over(w).alias("next_type"),
-            # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ alike
-            # (events.ts arrives NTZ from micros parquet) — unlike
-            # unix_micros, which rejects NTZ under a vanilla session.
-            F.timestamp_diff(
-                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
-            ).alias("gap_us"),
-        )
-    )
-
-
-@query(
-    "window_rank_dense",
-    oracle="""
-SELECT o_custkey, o_orderkey, price_bucket,
-       rank()       OVER (PARTITION BY o_custkey ORDER BY price_bucket DESC) AS rnk,
-       dense_rank() OVER (PARTITION BY o_custkey ORDER BY price_bucket DESC) AS drnk
-FROM (
-  SELECT o_custkey, o_orderkey, CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket
-  FROM orders WHERE o_custkey < 200
-) t
-""",
-    tags=("window",),
-)
-def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank with genuine ties (bucketed prices) — tie-stable
-    and so deterministic without a tiebreaker (engine-added §2.5)."""
-    orders = load_table(spark, sf_dir, "orders")
-    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
-    w = W.partitionBy("o_custkey").orderBy(F.col("price_bucket").desc())
-    return (
-        orders.filter(F.col("o_custkey") < 200)
-        .select("o_custkey", "o_orderkey", bucket.alias("price_bucket"))
-        .withColumn("rnk", F.rank().over(w))
-        .withColumn("drnk", F.dense_rank().over(w))
-    )
-
-
-@query(
     "window_running_total",
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,

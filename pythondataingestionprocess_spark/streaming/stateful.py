@@ -223,11 +223,13 @@ def _funnel_update(key, pdfs, state):
 
 def funnel_stream(events: DataFrame) -> DataFrame:
     """Streaming view→purchase funnel (30-min conversion window) with
-    one timestamp of keyed state per user. The batch twin is
-    plans/subqueries.py::funnel_view_to_purchase (semi-join with
-    time-range residual); this operator is its incremental form for
-    unbounded streams, including conversions that straddle micro-batch
-    boundaries. State never expires — for unbounded key spaces use
+    one timestamp of keyed state per user. The batch twins are the
+    registered funnel_three_step and events_funnel_watermark queries
+    (the narrower funnel_view_to_purchase micro-shape they subsume was
+    retired in r9 — semi-join with time-range residual); this operator
+    is the incremental form for unbounded streams, including
+    conversions that straddle micro-batch boundaries. State never
+    expires — for unbounded key spaces use
     :func:`funnel_stream_expiring`."""
     return events.groupBy("user_id").applyInPandasWithState(
         _funnel_update,

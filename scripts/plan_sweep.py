@@ -54,7 +54,6 @@ NESTED_LOOP_OK = {
 #     small side is the operator's documented contract).
 NESTED_LOOP_OK |= {
     "q11_important_parts",
-    "funnel_view_to_purchase",
     "idle_customers_segment",
     "embedding_knn_brute",
     "text_tfidf_top_terms",
@@ -64,6 +63,65 @@ NESTED_LOOP_OK |= {
 
 ANTI = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 VECTORIZED = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+
+# Queries allowed to run a no-partition window over NON-aggregate
+# input, reviewed by hand. equidepth_price_bands exists to pin the
+# global-NTILE shape itself: its docstring documents that a global
+# NTILE is a single-partition sort, wrong in a hot path, and names the
+# scale path (quantile_disc cut points + width_bucket join, both
+# registered). Everything else must put global windows above an
+# aggregate at bounded grain (r8 VERDICT item 4).
+GLOBAL_WINDOW_OK = {
+    "equidepth_price_bands",
+}
+
+# Physical window nodes that sort/buffer a single partition when the
+# partitionSpec is empty; "Aggregate" substring matches HashAggregate /
+# ObjectHashAggregate / SortAggregate.
+_WINDOW_NODES = ("Window", "WindowInPandas", "WindowGroupLimit")
+
+
+def _walk(node):
+    yield node
+    # AQE and query-stage wrappers hold their subtree outside
+    # children(); unwrap so the wrapped plan is traversed too.
+    for unwrap in ("initialPlan", "plan"):
+        try:
+            inner = getattr(node, unwrap)()
+        except Exception:
+            continue
+        yield from _walk(inner)
+        break
+    children = node.children()
+    for i in range(children.length()):
+        yield from _walk(children.apply(i))
+
+
+def _global_windows_over_raw_input(df) -> list[str]:
+    """r8 VERDICT item 4: a no-partition WindowExec serializes the
+    whole input through ONE task — acceptable ONLY over aggregate-grain
+    rows (a grouped result bounded by its own key domain), never over
+    raw scan rows. Returns the node names of global windows whose
+    input subtree contains no aggregate — the scale-killer shape."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    if "Window" not in jplan.toString():
+        return []
+    bad = []
+    for node in _walk(jplan):
+        name = node.nodeName()
+        if not any(name.startswith(w) for w in _WINDOW_NODES):
+            continue
+        try:
+            if not node.partitionSpec().isEmpty():
+                continue
+        except Exception:
+            continue
+        has_agg = any(
+            "Aggregate" in child.nodeName() for child in _walk(node)
+        )
+        if not has_agg:
+            bad.append(name)
+    return bad
 
 
 def sweep(spark, sf_dir: str) -> dict:
@@ -75,6 +133,7 @@ def sweep(spark, sf_dir: str) -> dict:
     not."""
     bad: dict[str, list[str]] = {}
     vec: dict[str, list[str]] = {}
+    gw: dict[str, list[str]] = {}
     t0 = time.monotonic()
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, sf_dir)
@@ -87,11 +146,16 @@ def sweep(spark, sf_dir: str) -> dict:
         v = [a for a in VECTORIZED if a in plan]
         if v:
             vec[name] = v
+        if name not in GLOBAL_WINDOW_OK:
+            raw_gw = _global_windows_over_raw_input(df)
+            if raw_gw:
+                gw[name] = raw_gw
     return {
         "n_queries": len(REGISTRY),
         "wall_sec": round(time.monotonic() - t0, 1),
         "unsanctioned": bad,
         "vectorized_python": vec,
+        "global_window_raw": gw,
     }
 
 
@@ -101,7 +165,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     out = sweep(spark, sf_dir)
     print(json.dumps(out, indent=1))
-    return 1 if out["unsanctioned"] else 0
+    return 1 if out["unsanctioned"] or out["global_window_raw"] else 0
 
 
 if __name__ == "__main__":

@@ -40,6 +40,17 @@ REGISTRY = plans.REGISTRY
 # rotation has a hole (VERDICT r5 item 8).
 MAX_EVIDENCE_AGE = 4
 
+# Registry capacity cap (r8 VERDICT item 3). At WINDOW rows per round
+# the refresh cycle is ceil(len(REGISTRY) / WINDOW); at
+# WINDOW * MAX_EVIDENCE_AGE queries the cycle equals the evidence-age
+# tripwire bound with ZERO slack — one short round or one mid-round
+# registration then silently pushes worst-case evidence age past the
+# bound (that exact failure shipped at the end of r8: registry grew
+# 179 -> 182 with three unstaged registrations). CAP_BUFFER keeps
+# real slack; registering past the cap requires retiring equals
+# FIRST, mechanically.
+CAP_BUFFER = 20
+
 
 def _round_of(path: str) -> int:
     """Round number from a CORRECTNESS file name, anchored to the
@@ -96,15 +107,24 @@ if failed_latest:
           f"fix and front-load these first", file=sys.stderr)
     rc = 1
 
-# The next staged block is the first NEW_R*_STAGED constant still on
-# the package (each round's session folds the consumed one into the
-# applied rotation and deletes the constant); later blocks are
-# deferred — evidence-less by design, not holes.
-_staged_blocks = [
-    getattr(plans, attr)
-    for attr in ("NEW_R7_STAGED", "NEW_R8_STAGED", "NEW_R9_STAGED")
-    if hasattr(plans, attr)
-]
+hard_cap = WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER
+if len(REGISTRY) > hard_cap:
+    print(f"ALERT: registry size {len(REGISTRY)} exceeds the capacity "
+          f"cap {hard_cap} (= window {WINDOW} x MAX_EVIDENCE_AGE "
+          f"{MAX_EVIDENCE_AGE} - buffer {CAP_BUFFER}) — retire queries "
+          f"before registering more", file=sys.stderr)
+    rc = max(rc, 2)
+
+# The next staged block is the first NEW_R<N>_STAGED constant still on
+# the package, discovered by pattern so r10+ blocks need no edit here
+# (each round's session folds the consumed one into the applied
+# rotation and deletes the constant); later blocks are deferred —
+# evidence-less by design, not holes.
+_staged_attrs = sorted(
+    (a for a in dir(plans) if re.fullmatch(r"NEW_R(\d+)_STAGED", a)),
+    key=lambda a: int(re.fullmatch(r"NEW_R(\d+)_STAGED", a).group(1)),
+)
+_staged_blocks = [getattr(plans, attr) for attr in _staged_attrs]
 staged = [n for n in (_staged_blocks[0] if _staged_blocks else []) if n in REGISTRY]
 deferred = [n for blk in _staged_blocks[1:] for n in blk if n in REGISTRY]
 

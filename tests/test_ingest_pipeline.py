@@ -375,6 +375,35 @@ def test_verify_url_statuses_probes_only_the_miss_set(spark, tmp_path):
     }
 
 
+def test_verify_url_statuses_collapses_conflicting_known_rows(spark):
+    """r8 ADVICE: the store can hold conflicting statuses for one url
+    (stub-True written by a verify_urls=False batch next to a
+    probed-False row). The pass-through must collapse to ONE row per
+    url (any-True wins) — two rows here would duplicate provider rows
+    at the join back in stage_batch — and a conflicted url is still
+    known, so it must never reach the transport."""
+    from pythondataingestionprocess_spark.functions.url_verify import (
+        verify_url_statuses,
+    )
+
+    def transport(url: str) -> int:
+        raise AssertionError(f"probed a known url: {url}")
+
+    urls = spark.createDataFrame(
+        [("https://x.mx/conflict-1",), ("https://x.mx/conflict-1",)],
+        "provider_url string",
+    )
+    known = spark.createDataFrame(
+        [("https://x.mx/conflict-1", True),
+         ("https://x.mx/conflict-1", False)],
+        "provider_url string, is_active boolean",
+    )
+    rows = verify_url_statuses(urls, known, transport=transport).collect()
+    assert len(rows) == 1
+    assert rows[0]["provider_url"] == "https://x.mx/conflict-1"
+    assert rows[0]["is_active"] is True
+
+
 def test_ingest_with_live_url_verification_flag(spark, store, tmp_path):
     """Flag-gated integration: verify_urls=True stamps provider
     is_active from the (stubbed) transport at first sight of each

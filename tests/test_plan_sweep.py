@@ -30,6 +30,11 @@ SANCTIONED_VECTORIZED = {
     "dedup_embedding_cosine",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    # r9: the incremental twin of dedup_embedding_cosine — same
+    # sanctioned Arrow embedding-kernel shape (one ArrowEvalPython
+    # computing the batch's hyperplane signs/norms), registered with
+    # the r9 rotation after the r8 governance fix.
+    "dedup_cosine_incremental",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -39,6 +44,31 @@ def test_no_unsanctioned_plan_antipatterns_anywhere(spark):
     out = plan_sweep.sweep(spark, SF_DIR)
     assert out["unsanctioned"] == {}, out["unsanctioned"]
     assert set(out["vectorized_python"]) == SANCTIONED_VECTORIZED
+    # r8 VERDICT item 4: every no-partition WindowExec must sit above
+    # an aggregate (bounded grain) — a global window over raw scan
+    # rows single-threads the whole input and is never sanctioned.
+    assert out["global_window_raw"] == {}, out["global_window_raw"]
     assert out["n_queries"] == len(REGISTRY)
     # whitelists must not rot: every entry still registered
     assert plan_sweep.NESTED_LOOP_OK <= set(REGISTRY)
+    assert plan_sweep.GLOBAL_WINDOW_OK <= set(REGISTRY)
+
+
+def test_global_window_detector_catches_raw_input(spark):
+    """The detector itself must fire on the anti-shape: a global
+    row_number over raw rows (no aggregate below) is flagged; the
+    same window over an aggregate-grain input is not."""
+    from pyspark.sql import Window, functions as F
+
+    raw = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert plan_sweep._global_windows_over_raw_input(raw) == ["Window"]
+
+    agged = (
+        spark.range(100)
+        .groupBy((F.col("id") % 5).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("g")))
+    )
+    assert plan_sweep._global_windows_over_raw_input(agged) == []

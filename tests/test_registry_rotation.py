@@ -2,18 +2,26 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-8 window refreshes the stalest evidence (the 9 r4-checked
-left-overs plus 29 of the 50 last-checked-r5 queries — alphabetical
-cut, the 21 same-age left-overs front-load r9 — then the 12 queries
-staged since the round-5 continuation for this round) — exactly 50.
+The round-9 window refreshes the stalest evidence (the 21 r5-checked
+left-overs plus 18 of the 50 last-checked-r6 queries — alphabetical
+cut, the 32 same-age left-overs front-load r10 — then the 11
+never-driver-checked queries: the 3 late-r8 registrations the r8
+VERDICT flagged plus the 8 long-staged NEW_R9_STAGED) — exactly 50.
 These tests make the rotation explicit and fail loudly if a later
 registration or refactor silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r07 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r08 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
+
+Capacity (r8 VERDICT item 3): the registry shrank 182 -> 177 in r9
+(five thin micro-shapes retired: funnel_view_to_purchase,
+window_lag_lead, window_rank_dense, intersect_all_slices,
+except_all_slices) and rotation_calc now hard-fails above
+WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
+retiring is mechanically impossible, not just a written rule.
 """
 
 import glob
@@ -21,62 +29,81 @@ import re
 import subprocess
 import sys
 
-import pytest
-
 from pythondataingestionprocess_spark.plans import (
-    NEW_R8,
-    NEW_R9_STAGED,
+    NEW_R9,
     REGISTRY,
-    STALE_R5,
+    STALE_R6,
 )
 
 DRIVER_WINDOW = 50
 
 # The file set the committed rotation was derived from. Frozen: later
-# rounds' files must NOT retroactively change what r8's window was.
-R8_EVIDENCE_FILES = sorted(
+# rounds' files must NOT retroactively change what r9's window was.
+R9_EVIDENCE_FILES = sorted(
     f for f in glob.glob("/root/repo/CORRECTNESS_r0*.json")
-    if re.search(r"r0*([1-7])\.json$", f)
+    if re.search(r"r0*([1-8])\.json$", f)
 )
 
 
-# The 21 r5-checked queries the alphabetical cut left out of STALE_R5
-# (same evidence age); they front-load round 9's window. Recorded
-# verbatim from scripts/rotation_calc.py's round-8 derivation.
-R9_FRONT_LOAD_LEFT_OVERS = [
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q4_priority_order_checks",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "qualify_above_avg_suppliers",
-    "range_join_quantity_bands",
-    "revenue_share_top_customers",
-    "scalar_subquery_small_qty",
-    "skewed_join_salted",
-    "string_agg_nations",
-    "text_bpe_token_count",
-    "text_contamination_check",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "unnest_top_words",
+# The 32 r6-checked queries the alphabetical cut left out of STALE_R6
+# (same evidence age); they front-load round 10's window. Recorded
+# verbatim from scripts/rotation_calc.py's round-9 derivation.
+R10_FRONT_LOAD_LEFT_OVERS = [
+    "dq_referential_integrity",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "events_distinct_users_sketch",
+    "filter_nonempty_text",
+    "filter_not_contains",
+    "first_match_pick",
+    "flagship_revenue_by_nation",
+    "forward_fill_locf",
+    "full_outer_reconciliation",
+    "fuzzy_join_symdelete",
+    "hierarchy_depth_rollup",
+    "json_variant_props_stats",
+    "left_join_enrich",
+    "left_join_reverse_agg",
+    "margin_defaults",
+    "multi_agg_stats",
+    "multimodal_frame_sample",
+    "pagerank_nations",
+    "positional_attach",
+    "pricing_summary",
+    "projection_narrow",
+    "q9_profit_by_nation_year",
+    "rollup_agg",
+    "semi_join_membership",
+    "stream_static_revenue_rollup",
+    "tiered_pricing",
+    "top_orders_by_price",
+    "topk_per_group_agg",
+    "union_all_slices",
+    "url_canonicalize",
+    "url_store_name",
+]
+
+# Retired in r9 (the capacity offset for the three late-r8
+# registrations now in NEW_R9): these names must never silently
+# reappear in the registry.
+RETIRED_R9 = [
+    "funnel_view_to_purchase",
+    "window_lag_lead",
+    "window_rank_dense",
+    "intersect_all_slices",
+    "except_all_slices",
 ]
 
 
 def _intended():
-    return STALE_R5 + NEW_R8
+    return STALE_R6 + NEW_R9
 
 
 def test_stalest_queries_front_loaded():
-    """The 38 front-loaded queries (9 r4-checked + 29 r5-checked, the
-    stalest evidence eras after r7's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R5)] == STALE_R5
-    assert len(STALE_R5) == 38
+    """The 39 front-loaded queries (21 r5-checked + 18 r6-checked, the
+    stalest evidence eras after r8's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R6)] == STALE_R6
+    assert len(STALE_R6) == 39
 
 
 def test_first_50_is_the_intended_rotation():
@@ -88,9 +115,9 @@ def test_new_queries_ride_inside_the_window():
     this round: those names sit immediately after the stale block,
     inside the 50-row window."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R8):
-        assert names[len(STALE_R5) + i] == n
-    assert len(STALE_R5) + len(NEW_R8) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R9):
+        assert names[len(STALE_R6) + i] == n
+    assert len(STALE_R6) + len(NEW_R9) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -116,28 +143,65 @@ def test_registry_intact_after_rotation():
     assert len(names) >= 148
 
 
-def test_rotation_calculator_reproduces_r8_window_from_frozen_files():
+def test_retired_queries_stay_retired():
+    for n in RETIRED_R9:
+        assert n not in REGISTRY, f"{n} was retired in r9"
+
+
+def test_registry_within_capacity_cap():
+    """ceil(N / 50) driver rounds to refresh everything must stay
+    comfortably under MAX_EVIDENCE_AGE=4; rotation_calc enforces
+    N <= 50*4 - 20 = 180 (exit 2 above it). Mirror the bound here so
+    a plain pytest run catches a breach without invoking the script."""
+    assert len(REGISTRY) <= 180, (
+        f"registry at {len(REGISTRY)} exceeds the capacity cap — "
+        "retire queries before registering more"
+    )
+
+
+def test_no_staged_blocks_inside_the_window():
+    """Any NEW_R*_STAGED block still on the package (none as of r9 —
+    the r9 fold consumed the last one) must sit entirely outside the
+    current 50-row window and stay disjoint from it."""
+    import pythondataingestionprocess_spark.plans as plans
+
+    names = list(REGISTRY)
+    window = set(_intended())
+    for attr in dir(plans):
+        if not re.fullmatch(r"NEW_R(\d+)_STAGED", attr):
+            continue
+        for n in getattr(plans, attr):
+            assert n in REGISTRY
+            assert names.index(n) >= DRIVER_WINDOW, (
+                f"{n} is staged ({attr}) but sits inside the current "
+                f"driver window"
+            )
+            assert n not in window
+
+
+def test_rotation_calculator_reproduces_r9_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r07 CORRECTNESS files alone.
+    window composition from the r01..r08 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r08+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r09+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: NEW_R8 is already folded into the applied rotation, so
-    the calculator's next staged block is NEW_R9_STAGED (8 entries →
-    a 42-query stale budget, larger than the 38-budget the committed
-    window was derived under with NEW_R8 still staged at 12). The
-    derived stale set must therefore be a strict SUPERSET of the
-    committed STALE_R5 front-load, with the extras drawn from the
-    documented 21 same-age r5-checked left-overs that front-load r9;
-    and the 12 NEW_R8 queries must be recognized as riding the
+    Era note: NEW_R9 is already folded into the applied rotation and
+    the last staged block was consumed, so the calculator sees an
+    empty staged set -> a 50-query stale budget, larger than the
+    39-budget the committed window was derived under (the 11 NEW_R9
+    queries then occupied window slots as unstaged-never + staged).
+    The derived stale set must therefore be a strict SUPERSET of the
+    committed STALE_R6 front-load, with the extras drawn from the
+    documented 32 same-age r6-checked left-overs that front-load r10;
+    and the 11 NEW_R9 queries must be recognized as riding the
     current window (pending driver row), not flagged as evidence
     holes.
     """
-    assert len(R8_EVIDENCE_FILES) == 7, R8_EVIDENCE_FILES
+    assert len(R9_EVIDENCE_FILES) == 8, R9_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R8_EVIDENCE_FILES],
+         "--files", *R9_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -148,24 +212,25 @@ def test_rotation_calculator_reproduces_r8_window_from_frozen_files():
     names = re.findall(r'"([^"]+)"', stale)
     # everything the committed window front-loads, the calculator
     # also wants checked
-    assert set(STALE_R5) <= set(names)
+    assert set(STALE_R6) <= set(names)
     # and the budget-difference extras are exactly next-round
-    # front-load material (the r9 left-overs), nothing else
-    extras = set(names) - set(STALE_R5)
-    assert extras <= set(R9_FRONT_LOAD_LEFT_OVERS), extras
-    # the 12 NEW_R8 queries are recognized as riding the current
+    # front-load material (the r10 left-overs), nothing else
+    extras = set(names) - set(STALE_R6)
+    assert extras <= set(R10_FRONT_LOAD_LEFT_OVERS), extras
+    # the 11 NEW_R9 queries are recognized as riding the current
     # window, not flagged as evidence holes
     assert "WARNING" not in proc.stderr
     assert "riding the CURRENT round's window" in proc.stdout
-    for n in NEW_R8:
+    for n in NEW_R9:
         assert n in proc.stdout
 
 
 def test_rotation_calculator_live_run_is_healthy():
     """Era-agnostic health check over whatever CORRECTNESS files exist:
-    no failed latest rows (exit 1), no evidence-lag tripwire (exit 2),
-    no unstaged evidence holes. Deliberately does NOT pin the window
-    composition — that's the frozen-files test's job."""
+    no failed latest rows (exit 1), no evidence-lag tripwire or
+    capacity breach (exit 2), no unstaged evidence holes. Deliberately
+    does NOT pin the window composition — that's the frozen-files
+    test's job."""
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py"],
         capture_output=True,
@@ -177,20 +242,36 @@ def test_rotation_calculator_live_run_is_healthy():
     assert "WARNING" not in proc.stderr
 
 
+def test_rotation_calculator_capacity_cap_trips():
+    """r8 VERDICT item 3: shrinking the window shrinks the cap
+    (window * 4 - 20); at --window 40 the cap is 140 < the live
+    registry, so the calculator must exit 2 with the capacity ALERT."""
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--window", "40"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stderr)
+    assert "capacity cap" in proc.stderr
+    assert "retire queries" in proc.stderr
+
+
 def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     """VERDICT r5 item 8: the calculator must exit non-zero on a
     synthetic evidence hole — a query last checked more than
     MAX_EVIDENCE_AGE rounds before the newest file."""
     import json
 
-    victim = STALE_R5[0]
+    victim = STALE_R6[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     old.write_text(json.dumps({victim: ok_row}))
-    new.write_text(json.dumps({STALE_R5[1]: ok_row}))
+    new.write_text(json.dumps({STALE_R6[1]: ok_row}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -208,7 +289,7 @@ def test_rotation_calculator_failed_row_alert(tmp_path):
     are not evidence and must ride the next window again."""
     import json
 
-    victim = STALE_R5[0]
+    victim = STALE_R6[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({
         victim: {"rows_match": True, "schema_match": True,
@@ -233,7 +314,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     for the same query — and the unpadded r10 spelling must parse."""
     import json
 
-    victim = STALE_R5[0]
+    victim = STALE_R6[0]
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     bad_row = {"rows_match": True, "schema_match": True,
@@ -282,7 +363,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: ok_row for n in STALE_R5}))
+    f.write_text(json.dumps({n: ok_row for n in STALE_R6}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
@@ -294,25 +375,3 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     names = re.findall(r'"([^"]+)"', stale)
     assert names == [], names
     assert "over-subscribed" in proc.stderr
-
-
-@pytest.mark.parametrize(
-    "block_name,block,budget",
-    [
-        ("NEW_R9_STAGED", NEW_R9_STAGED, 8),
-    ],
-)
-def test_staged_blocks_sit_outside_the_window(block_name, block, budget):
-    """Registrations staged for future rounds must NOT displace
-    anything in the current 50-row window; each block stays within its
-    planned window budget and is disjoint from every other block."""
-    names = list(REGISTRY)
-    for n in block:
-        assert n in REGISTRY
-        assert names.index(n) >= DRIVER_WINDOW, (
-            f"{n} is staged ({block_name}) but sits inside the current "
-            f"driver window"
-        )
-    assert len(block) <= budget
-    others = set(_intended())
-    assert not (set(block) & others)
