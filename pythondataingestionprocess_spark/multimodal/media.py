@@ -47,9 +47,14 @@ def binary_meta(df: DataFrame, bin_col: str) -> DataFrame:
 def real_decode(content: bytes, media_type: str) -> dict:
     """Decode one media blob into stats. Images: PIL when importable,
     else the stdlib PNG decoder (multimodal/png_lite.py — 8-bit
-    gray/RGB/RGBA, all scanline filters), so REAL image decode runs
-    in this container for the default-encoded format. Audio/video
-    remain stubbed (no torchaudio/pyav and no stdlib codec exists)."""
+    gray/RGB/RGBA, all scanline filters; full pixel stats) or the
+    stdlib JPEG header parser (multimodal/jpeg_lite.py — real
+    width/height/depth, ``mean_intensity`` NULL because pixel stats
+    need a codec). Video: ISO-BMFF container metadata is REAL
+    (multimodal/mp4_lite.py — duration, tracks, dimensions, sample
+    count; ``mean_intensity`` NULL) while frame decode stays stubbed
+    (no PyAV/ffmpeg and no stdlib codec exists). Audio: PCM WAV real,
+    compressed codecs stubbed."""
     if media_type == "image":
         try:
             from PIL import Image  # noqa: F401  # pragma: no cover
@@ -68,18 +73,42 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "mean_intensity": mean,
                 }
         except ImportError:
-            from pythondataingestionprocess_spark.multimodal import png_lite
+            if content[:8] == b"\x89PNG\r\n\x1a\n":
+                from pythondataingestionprocess_spark.multimodal import png_lite
 
-            stats = png_lite.decode(content)
-            return {
-                "byte_len": len(content),
-                "width": stats["width"],
-                "height": stats["height"],
-                "n_frames": 1,
-                "mean_intensity": stats["mean_intensity"],
-            }
+                stats = png_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": 1,
+                    "mean_intensity": stats["mean_intensity"],
+                }
+            if content[:2] == b"\xff\xd8":
+                from pythondataingestionprocess_spark.multimodal import jpeg_lite
+
+                hdr = jpeg_lite.parse_header(content)
+                return {
+                    "byte_len": len(content),
+                    "width": hdr["width"],
+                    "height": hdr["height"],
+                    "n_frames": 1,
+                    "mean_intensity": None,  # pixel stats need a codec
+                }
+            raise ValueError("unrecognized image format (no PIL in env)")
     if media_type == "audio":
         return _decode_wav(content)
+    if media_type == "video":
+        from pythondataingestionprocess_spark.multimodal import mp4_lite
+
+        meta = mp4_lite.parse_meta(content)
+        return {
+            "byte_len": len(content),
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": meta["n_samples"],
+            "mean_intensity": None,  # frame decode needs a codec
+        }
     raise NotImplementedError(
         f"{media_type} decoding requires libraries not present in this "
         "environment; use fake_decode_stats for pipeline tests"
@@ -164,6 +193,14 @@ def decode_media(
                 for content, mt in zip(pdf["content"], pdf["media_type"])
             ]
             out = pd.DataFrame(stats)
+            # header-only decodes (JPEG/MP4 without a codec) carry a
+            # NULL mean_intensity — and an audio-only MP4 has no
+            # width/height/n_frames; nullable pandas dtypes map to SQL
+            # NULL through Arrow instead of NaN-poisoning the ints.
+            out["mean_intensity"] = out["mean_intensity"].astype("Float64")
+            for int_col in ("width", "height", "n_frames"):
+                out[int_col] = out[int_col].astype("Int32")
+            out["byte_len"] = out["byte_len"].astype("Int64")
             out.insert(0, "media_type", list(pdf["media_type"]))
             out.insert(0, "id", list(pdf["id"]))
             yield out

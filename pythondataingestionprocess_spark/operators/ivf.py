@@ -119,6 +119,23 @@ def ivf_assign(
     return df.withColumn("ivf_list", _assign_udf(centroids)(F.col(vec_col)))
 
 
+def ivf_probe_lists(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """``(id_col, probe_lists array<int>)`` — the n_probe nearest list
+    ids per query, exposed for callers that drive their own pruned
+    scan (e.g. the IVFADC composition in operators/pq.py, or a reader
+    turning the lists into partition filters on an at-rest index)."""
+    return queries.select(
+        F.col(id_col),
+        _probe_udf(centroids, n_probe)(F.col(vec_col)).alias("probe_lists"),
+    )
+
+
 def ivf_search(
     corpus: DataFrame,
     queries: DataFrame,

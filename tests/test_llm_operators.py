@@ -128,10 +128,12 @@ def test_multimodal_decode_plumbing(spark):
     assert out == out2
 
 
-def test_real_decode_video_still_stubbed():
-    # image (png_lite) and audio (stdlib wave) decode are REAL now;
-    # video remains gated — no stdlib container/codec parser
-    with pytest.raises(NotImplementedError):
+def test_real_decode_video_junk_fails_loudly():
+    # image (png_lite/jpeg_lite), audio (stdlib wave), and video
+    # CONTAINER metadata (mp4_lite, r9) are real now; junk video bytes
+    # must fail loudly (quarantine discipline), and frame decode stays
+    # codec territory — see tests/test_multimodal_headers.py.
+    with pytest.raises(ValueError):
         media.real_decode(b"bytes", "video")
 
 
@@ -894,7 +896,7 @@ def test_png_decode_real_images_all_filters(spark):
 
     with _pytest.raises(ValueError):
         media.real_decode(b"not a png", "image")
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         media.real_decode(b"bytes", "video")
 
 

@@ -1,0 +1,145 @@
+"""Stdlib media HEADER parsers (r9): jpeg_lite (SOF frame header) and
+mp4_lite (ISO-BMFF container boxes) — real metadata without any codec
+library, failing loudly on junk (the quarantine discipline), wired
+through real_decode and the Arrow decode plumbing."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pythondataingestionprocess_spark.multimodal import jpeg_lite, media, mp4_lite
+
+
+# ---------------------------------------------------------------- JPEG
+
+def _jpeg(width=640, height=480, n_comp=3, sof=0xC0, with_exif=False):
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if with_exif:
+        exif = b"Exif\x00\x00MM\x00\x2a\x00\x00\x00\x08"
+        out += b"\xff\xe1" + struct.pack(">H", 2 + len(exif)) + exif
+    dqt = bytes(65)  # fake quant table
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof_body = struct.pack(">BHHB", 8, height, width, n_comp) + bytes(3 * n_comp)
+    out += bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_jpeg_header_baseline():
+    hdr = jpeg_lite.parse_header(_jpeg(width=1920, height=1080))
+    assert (hdr["width"], hdr["height"]) == (1920, 1080)
+    assert hdr["n_components"] == 3 and hdr["bit_depth"] == 8
+    assert hdr["progressive"] is False and hdr["has_exif"] is False
+
+
+def test_jpeg_header_progressive_grayscale_exif():
+    hdr = jpeg_lite.parse_header(
+        _jpeg(width=32, height=16, n_comp=1, sof=0xC2, with_exif=True)
+    )
+    assert (hdr["width"], hdr["height"]) == (32, 16)
+    assert hdr["n_components"] == 1
+    assert hdr["progressive"] is True and hdr["has_exif"] is True
+
+
+def test_jpeg_header_rejects_junk():
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg_lite.parse_header(b"\x89PNG not a jpeg")
+    # SOI but truncated before any SOF
+    with pytest.raises(ValueError, match="no SOF"):
+        jpeg_lite.parse_header(b"\xff\xd8\xff\xd9")
+    # segment length pointing past the buffer
+    bad = b"\xff\xd8\xff\xe0\xff\xff"
+    with pytest.raises(ValueError, match="truncated segment"):
+        jpeg_lite.parse_header(bad)
+
+
+def test_jpeg_via_real_decode_image_route():
+    stats = media.real_decode(_jpeg(width=800, height=600), "image")
+    assert (stats["width"], stats["height"], stats["n_frames"]) == (800, 600, 1)
+    assert stats["mean_intensity"] is None  # pixel stats need a codec
+
+
+# ----------------------------------------------------------------- MP4
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _fullbox(btype: bytes, body: bytes, version=0) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+def _mp4(timescale=1000, duration=90_000, video=True, n_samples=2700,
+         width=1280, height=720):
+    tracks = b""
+    if video:
+        tkhd = _fullbox(
+            b"tkhd",
+            bytes(4 * 19) + struct.pack(">II", width << 16, height << 16),
+        )
+        hdlr = _fullbox(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"h\x00")
+        stsz = _fullbox(b"stsz", struct.pack(">II", 0, n_samples))
+        stbl = _box(b"stbl", stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", hdlr + minf)
+        tracks += _box(b"trak", tkhd + mdia)
+    hdlr_a = _fullbox(b"hdlr", bytes(4) + b"soun" + bytes(12) + b"a\x00")
+    tracks += _box(b"trak", _box(b"mdia", hdlr_a))
+    mvhd = _fullbox(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration) + bytes(80),
+    )
+    moov = _box(b"moov", mvhd + tracks)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat = _box(b"mdat", b"\x00" * 32)  # payload never parsed
+    return ftyp + moov + mdat
+
+
+def test_mp4_meta_video_and_audio_tracks():
+    meta = mp4_lite.parse_meta(_mp4())
+    assert meta["duration_sec"] == pytest.approx(90.0)
+    assert meta["n_tracks"] == 2
+    assert meta["track_types"] == ["soun", "vide"]
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["n_samples"] == 2700
+
+
+def test_mp4_meta_audio_only():
+    meta = mp4_lite.parse_meta(_mp4(video=False, duration=5000))
+    assert meta["duration_sec"] == pytest.approx(5.0)
+    assert meta["track_types"] == ["soun"]
+    assert meta["width"] is None and meta["n_samples"] is None
+
+
+def test_mp4_meta_rejects_junk():
+    with pytest.raises(ValueError):
+        mp4_lite.parse_meta(b"\x00\x00\x00\x08free")  # no ftyp/moov
+    with pytest.raises(ValueError):
+        mp4_lite.parse_meta(b"RIFF....WAVE")
+    # truncated box (size past buffer)
+    with pytest.raises(ValueError):
+        mp4_lite.parse_meta(struct.pack(">I", 100) + b"ftyp" + b"\x00" * 8)
+
+
+def test_mp4_via_real_decode_and_arrow_plumbing(spark):
+    """Video metadata end-to-end: real_decode routes video to mp4_lite,
+    and decode_media(use_fake=False) carries a NULL mean_intensity
+    (nullable Float64 → SQL NULL, not NaN) next to real dimensions."""
+    blob = _mp4(width=320, height=240, n_samples=48)
+    stats = media.real_decode(blob, "video")
+    assert (stats["width"], stats["height"], stats["n_frames"]) == (320, 240, 48)
+    assert stats["mean_intensity"] is None
+
+    df = spark.createDataFrame(
+        [(1, "video", blob), (2, "image", _jpeg(width=64, height=32))],
+        "id long, media_type string, content binary",
+    )
+    rows = {r.id: r for r in media.decode_media(df, use_fake=False).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (320, 240, 48)
+    assert rows[1].mean_intensity is None
+    assert (rows[2].width, rows[2].height) == (64, 32)
+    assert rows[2].mean_intensity is None
