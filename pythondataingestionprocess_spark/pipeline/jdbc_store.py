@@ -113,8 +113,16 @@ class JdbcTableStore:
         if name in self._known:
             return True
         try:
+            # the probe column MUST be aliased: an unnamed `SELECT 1`
+            # surfaces to Spark as a column literally named "1", and
+            # the collect then issues SELECT "1" FROM ... — which the
+            # database rejects, making exists() RAISE on a table that
+            # exists but was created outside this store instance
+            # (r9 finding, reproduced on live Derby).
             self.spark.read.jdbc(
-                self.url, f"(SELECT 1 FROM {name} WHERE 1=0) probe", properties=self.properties
+                self.url,
+                f"(SELECT 1 AS probe_one FROM {name} WHERE 1=0) probe",
+                properties=self.properties,
             ).collect()
             self._known.add(name)
             return True

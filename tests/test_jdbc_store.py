@@ -315,3 +315,22 @@ def test_relation_missing_matches_sqlstate_not_message(spark):
     )
     # no java exception attached at all → not provably missing
     assert not JdbcTableStore._is_relation_missing(ValueError("boom"))
+
+
+def test_jdbc_exists_on_table_created_elsewhere(spark, tmp_path):
+    """r9 regression: exists() must return True for a table that
+    exists but was created OUTSIDE this store instance (fresh process
+    after a crash, a second consumer, raw-DDL tables). The unaliased
+    probe `SELECT 1 FROM t` surfaced a column literally named "1" and
+    the collect's SELECT "1" then made exists() RAISE on live Derby."""
+    from pythondataingestionprocess_spark.pipeline.jdbc_store import (
+        JdbcTableStore,
+        derby_url,
+    )
+
+    url = derby_url(str(tmp_path / "derbydb_e"))
+    writer = JdbcTableStore(spark, url)
+    writer.append("made_elsewhere", spark.createDataFrame([(1,)], "id long"))
+    fresh = JdbcTableStore(spark, url)  # empty _known cache
+    assert fresh.exists("made_elsewhere") is True
+    assert fresh.exists("never_made") is False
