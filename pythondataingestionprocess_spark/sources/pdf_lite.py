@@ -25,12 +25,28 @@ garbage. Two defenses:
   misses). Callers dead-letter anything below the threshold instead
   of silently ingesting mojibake.
 
-Still NOT handled (PyMuPDF territory): encrypted PDFs, object streams
-(/ObjStm), CIDFont /Encoding CMaps other than the embedded ToUnicode,
-positional reading order (streams are emitted in file order).
-``extract_pdf_text`` therefore PREFERS PyMuPDF when importable and
-falls back here, so statement PDFs work in this container and
-full-fidelity returns wherever fitz exists.
+r9 additions closing two former PyMuPDF-territory gaps:
+
+- **RC4 standard-security-handler decryption** (ISO 32000 §7.6.3,
+  revisions R2/R3/R4 with RC4 stream ciphers): the empty user
+  password (the overwhelmingly common "owner-locked" case — printing
+  restricted, reading open) is VERIFIED against /U before any decrypt;
+  a real password, a failed check, or an AES (/AESV2 /AESV3) or R5/R6
+  handler raises and lands in the quarantine — never mojibake. RC4 is
+  length-preserving, so stream payloads are decrypted IN PLACE and
+  every downstream offset/regex keeps working.
+- **/ObjStm object streams** (§7.5.7): compressed objects are unpacked
+  and appended to the scan buffer as ordinary ``n 0 obj`` bodies, so
+  font dicts / ToUnicode refs hiding in object streams resolve through
+  the same brute-force object table. (Streams themselves cannot live
+  in an ObjStm, so content/CMap extraction is unaffected.)
+
+Still NOT handled (PyMuPDF territory): AES-encrypted PDFs (no stdlib
+AES), non-empty user passwords, CIDFont /Encoding CMaps other than the
+embedded ToUnicode, positional reading order (streams are emitted in
+file order). ``extract_pdf_text`` therefore PREFERS PyMuPDF when
+importable and falls back here, so statement PDFs work in this
+container and full-fidelity returns wherever fitz exists.
 """
 
 from __future__ import annotations
@@ -121,6 +137,171 @@ def _obj_stream(body: bytes) -> bytes | None:
         return zlib.decompress(raw)
     except zlib.error:
         return raw
+
+
+# --- standard security handler (RC4) + object streams -----------------
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_OBJ_SPAN_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+# the spec's fixed 32-byte password pad (ISO 32000-1 §7.6.3.3, Table 21
+# algorithm 2 step a — a public constant)
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _dict_string(body: bytes, name: bytes) -> bytes | None:
+    """The string value of /name in a dictionary body — literal or hex
+    form (O and U entries use either)."""
+    m = re.search(rb"/" + name + rb"\s*(\(|<)", body)
+    if m is None:
+        return None
+    if m.group(1) == b"(":
+        s, _ = _parse_literal(body, m.end() - 1)
+        return s
+    h = re.match(rb"<([0-9A-Fa-f\s]*)>", body[m.end() - 1:])
+    return bytes.fromhex(h.group(1).decode().replace(" ", "")) if h else None
+
+
+def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int]:
+    """(file encryption key, revision R) for the standard handler with
+    the EMPTY user password, verified against /U. Raises ValueError on
+    anything this codec cannot decrypt honestly."""
+    import hashlib
+    import struct as _struct
+
+    if re.search(rb"/Filter\s*/Standard\b", enc) is None:
+        raise ValueError("non-standard security handler")
+    if re.search(rb"/AESV[23]\b", enc):
+        raise ValueError("AES encryption (no stdlib AES)")
+    r_m = re.search(rb"/R\s+(\d+)", enc)
+    v_m = re.search(rb"/V\s+(\d+)", enc)
+    p_m = re.search(rb"/P\s+(-?\d+)", enc)
+    o = _dict_string(enc, b"O")
+    u = _dict_string(enc, b"U")
+    if not (r_m and p_m and o and u):
+        raise ValueError("malformed /Encrypt dictionary")
+    rev = int(r_m.group(1))
+    if rev not in (2, 3, 4) or (v_m and int(v_m.group(1)) > 2):
+        raise ValueError(f"unsupported security revision R={rev}")
+    length_m = re.search(rb"/Length\s+(\d+)", enc)
+    key_len = 5 if rev == 2 else (int(length_m.group(1)) // 8 if length_m else 5)
+
+    h = hashlib.md5()
+    h.update(_PW_PAD)                                  # empty user pw
+    h.update(o[:32])
+    h.update(_struct.pack("<i", int(p_m.group(1))))
+    h.update(file_id)
+    if rev == 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if rev >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    key = key[:key_len]
+
+    # verify the empty USER password (algorithms 4/5) — wrong password
+    # must quarantine, never emit RC4 noise as text
+    if rev == 2:
+        expect = _rc4(key, _PW_PAD)
+        ok = expect == u[:32]
+    else:
+        step = hashlib.md5(_PW_PAD + file_id).digest()
+        step = _rc4(key, step)
+        for i in range(1, 20):
+            step = _rc4(bytes(b ^ i for b in key), step)
+        ok = step == u[:16]
+    if not ok:
+        raise ValueError("user password required (empty-password check failed)")
+    return key, rev
+
+
+def _decrypt_rc4(data: bytes) -> bytes:
+    """Decrypt every stream payload in place (RC4 preserves length) and
+    return the rebuilt buffer. No-op for unencrypted input."""
+    enc_ref = _ENCRYPT_REF_RE.search(data)
+    if enc_ref is None:
+        return data
+    id_m = _ID_RE.search(data)
+    enc_body = _objects(data).get(int(enc_ref.group(1)))
+    if enc_body is None:
+        raise ValueError("dangling /Encrypt reference")
+    key, _rev = _std_handler_key(
+        enc_body, bytes.fromhex(id_m.group(1).decode()) if id_m else b""
+    )
+    import hashlib
+
+    out = bytearray(data)
+    enc_num = int(enc_ref.group(1))
+    for m in _OBJ_SPAN_RE.finditer(data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        if num == enc_num:
+            continue  # the encrypt dict itself is never encrypted
+        end = data.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        sm = _STREAM_RE.search(data, m.end(), end + 9)
+        if sm is None or sm.start() > end:
+            continue
+        obj_key = hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(len(key) + 5, 16)]
+        out[sm.start(1):sm.end(1)] = _rc4(obj_key, data[sm.start(1):sm.end(1)])
+    return bytes(out)
+
+
+def _expand_object_streams(data: bytes) -> bytes:
+    """Append every /ObjStm member as an ordinary top-level object so
+    the brute-force object scan resolves refs into compressed
+    cross-reference layouts."""
+    extra = bytearray()
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(2)
+        if re.search(rb"/Type\s*/ObjStm\b", body) is None:
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", body)
+        first_m = re.search(rb"/First\s+(\d+)", body)
+        payload = _obj_stream(body)
+        if not (n_m and first_m and payload):
+            continue
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = payload[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [
+            (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+        ]
+        for j, (num, off) in enumerate(pairs):
+            end = first + pairs[j + 1][1] if j + 1 < n else len(payload)
+            extra += (
+                b"\n%d 0 obj\n" % num + payload[first + off:end] + b"\nendobj\n"
+            )
+    return bytes(data) + bytes(extra) if extra else data
+
+
+def _preprocess(data: bytes) -> bytes:
+    """Decrypt (RC4 standard handler), then surface /ObjStm members.
+    Raises on undecryptable input — the caller quarantines."""
+    return _expand_object_streams(_decrypt_rc4(data))
 
 
 def _parse_cmap(cmap: bytes) -> tuple[int, dict[int, str]]:
@@ -346,6 +527,7 @@ def extract_with_confidence(data: bytes) -> tuple[str, float, str]:
 
 
 def _extract_with_confidence(data: bytes) -> tuple[str, float, str]:
+    data = _preprocess(data)
     fonts = _font_maps(data)
     # fail CLOSED: a document that declares a Type0 font anywhere gets
     # _CID_UNMAPPED for any font name the resolver could NOT bind
