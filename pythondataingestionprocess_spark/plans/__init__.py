@@ -35,84 +35,78 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-9 rotation ------------------------------------------------
-# Driver-check union after r8 is 171/182 green (evidence ages from
-# CORRECTNESS_r0{1..8}.json: 21 last-checked-r5, 50 r6, 50 r7, 50 r8;
-# the 8 NEW_R9_STAGED queries + the 3 registered late in r8 carry
-# driver_sim evidence only). The window refreshes the STALEST
-# evidence: the 21 r5-checked left-overs plus 18 of the 50
-# last-checked-in-r6 queries (alphabetical cut; the 32 same-age
-# left-overs front-load r10), then the 11 never-driver-checked
-# queries (3 late-r8 registrations + the 8 staged since the round-5
-# continuation) — exactly 50. Derived by scripts/rotation_calc.py
-# over the committed CORRECTNESS files (the era-pinned test replays
-# exactly that derivation from an explicit r01..r08 file list).
-STALE_R6 = [
-    "anti_join_dedup",
-    "broadcast_dim_join",
-    "clean_excel_serial_date",
-    "clean_safe_float",
-    "clean_signed_money",
-    "clean_stmt_date_roundtrip",
-    "corpus_mix_resample",
-    "dedup_embedding_cosine",
-    "dedup_groups_cc",
-    "dedup_incremental_minhash",
-    "dedup_keep_one",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "deterministic_sample_per_source",
-    "distinct_dims",
-    "doc_packing_shard_histogram",
-    "dq_malformed_json_rate",
-    "dq_profile_orders",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q4_priority_order_checks",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "qualify_above_avg_suppliers",
-    "range_join_quantity_bands",
-    "revenue_share_top_customers",
-    "scalar_subquery_small_qty",
-    "skewed_join_salted",
-    "string_agg_nations",
-    "text_bpe_token_count",
-    "text_contamination_check",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "unnest_top_words",
+# --- round-10 rotation -----------------------------------------------
+# Driver-check union after r9 is 177/177 green (evidence ages from
+# CORRECTNESS_r0{1..9}.json: 32 last-checked-r6, 48 r7, 47 r8, 50 r9;
+# nothing is unchecked). No staged block was pending at derivation
+# time, so the window is a PURE stale refresh: the 32 r6-checked
+# left-overs plus 18 of the 48 last-checked-in-r7 queries
+# (alphabetical cut; the 30 same-age left-overs front-load r11) —
+# exactly 50. Derived by scripts/rotation_calc.py over the committed
+# CORRECTNESS files (the era-pinned test replays exactly that
+# derivation from an explicit r01..r09 file list).
+STALE_R7 = [
+    "approx_distinct_customers",
+    "cdc_snapshot_latest",
+    "corpus_build_pipeline",
+    "corpus_curation_filter",
+    "cube_agg",
+    "dedup_exact_docs",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "doc_packing_greedy",
+    "doc_packing_lookahead",
+    "dq_orders_expectations",
+    "dq_referential_integrity",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "equidepth_price_bands",
+    "events_bounce_rate",
+    "events_concurrency_peak",
+    "events_decayed_feature",
+    "events_distinct_users_sketch",
+    "events_interval_join",
+    "events_next_event_training",
+    "events_pattern_match",
+    "filter_nonempty_text",
+    "filter_not_contains",
+    "first_match_pick",
+    "flagship_revenue_by_nation",
+    "forward_fill_locf",
+    "full_outer_reconciliation",
+    "fuzzy_join_symdelete",
+    "hierarchy_depth_rollup",
+    "json_variant_props_stats",
+    "left_join_enrich",
+    "left_join_reverse_agg",
+    "margin_defaults",
+    "multi_agg_stats",
+    "multimodal_frame_sample",
+    "pagerank_nations",
+    "positional_attach",
+    "pricing_summary",
+    "projection_narrow",
+    "q9_profit_by_nation_year",
+    "rollup_agg",
+    "semi_join_membership",
+    "stream_static_revenue_rollup",
+    "tiered_pricing",
+    "top_orders_by_price",
+    "topk_per_group_agg",
+    "union_all_slices",
+    "url_canonicalize",
+    "url_store_name",
 ]
 
-# Queries riding the r9 window's 11 free slots: the 3 registered at
-# the very end of round 8 WITHOUT staging bookkeeping (the r8 judge's
-# headline finding — dedup_cosine_incremental, events_scd2_enrich,
-# zorder_file_skipping; each was driver_sim-green at registration and
-# re-verified 11/11 by the r8 judge's independent sim) followed by
-# the 8 long-staged NEW_R9_STAGED queries (registered in the third r5
-# continuation session, oracle-verified at sf0.01 at registration and
-# re-verified by the r8 judge's sim).
-NEW_R9: list[str] = [
-    "dedup_cosine_incremental",
-    "events_scd2_enrich",
-    "zorder_file_skipping",
-    "corpus_block_dedup",
-    "doc_chunking_overlap",
-    "inverted_index_postings",
-    "train_val_test_split",
-    "corpus_weighted_sample",
-    "inverted_index_incremental",
-    "bm25_retrieval_topk",
-    "corpus_temperature_mix",
-]
+# No queries were first registered for round 10's window: the r9 fold
+# consumed the last staged block and NEW_R10 staging was empty at
+# rotation time, so every slot refreshes stale evidence. Queries
+# registered DURING round 10 go to NEW_R11_STAGED (outside this
+# window, riding round 11's) per the capacity rule.
+NEW_R10: list[str] = []
 
 def _apply_rotation() -> None:
-    priority = STALE_R6 + NEW_R9
+    priority = STALE_R7 + NEW_R10
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -129,13 +123,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R9
+NEW_CURRENT = NEW_R10
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R6",
-    "NEW_R9",
+    "STALE_R7",
+    "NEW_R10",
     "NEW_CURRENT",
 ]

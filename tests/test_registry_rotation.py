@@ -2,26 +2,27 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-9 window refreshes the stalest evidence (the 21 r5-checked
-left-overs plus 18 of the 50 last-checked-r6 queries — alphabetical
-cut, the 32 same-age left-overs front-load r10 — then the 11
-never-driver-checked queries: the 3 late-r8 registrations the r8
-VERDICT flagged plus the 8 long-staged NEW_R9_STAGED) — exactly 50.
-These tests make the rotation explicit and fail loudly if a later
-registration or refactor silently reorders the window.
+The round-10 window is a PURE stale refresh — the first of the series
+(177/177 driver union green after r9, no staged block pending at
+derivation): the 32 r6-checked left-overs plus 18 of the 48
+last-checked-r7 queries (alphabetical cut; the 30 same-age left-overs
+front-load r11) — exactly 50, zero NEW slots. These tests make the
+rotation explicit and fail loudly if a later registration or refactor
+silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r08 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r09 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
 
-Capacity (r8 VERDICT item 3): the registry shrank 182 -> 177 in r9
-(five thin micro-shapes retired: funnel_view_to_purchase,
-window_lag_lead, window_rank_dense, intersect_all_slices,
-except_all_slices) and rotation_calc now hard-fails above
+Capacity (r8 VERDICT item 3): rotation_calc hard-fails above
 WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
-retiring is mechanically impossible, not just a written rule.
+retiring is mechanically impossible, not just a written rule. Queries
+registered DURING round 10 live in NEW_R11_STAGED — outside this
+window, riding round 11's — and the reproduction test tolerates
+exactly that staged block displacing the same-age tail of the stale
+budget.
 """
 
 import glob
@@ -30,62 +31,84 @@ import subprocess
 import sys
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R9,
+    NEW_R10,
     REGISTRY,
-    STALE_R6,
+    STALE_R7,
 )
 
 DRIVER_WINDOW = 50
 
 # The file set the committed rotation was derived from. Frozen: later
-# rounds' files must NOT retroactively change what r9's window was.
-R9_EVIDENCE_FILES = sorted(
+# rounds' files must NOT retroactively change what r10's window was.
+R10_EVIDENCE_FILES = sorted(
     f for f in glob.glob("/root/repo/CORRECTNESS_r0*.json")
-    if re.search(r"r0*([1-8])\.json$", f)
+    if re.search(r"r0*([1-9])\.json$", f)
 )
 
 
-# The 32 r6-checked queries the alphabetical cut left out of STALE_R6
-# (same evidence age); they front-load round 10's window. Recorded
-# verbatim from scripts/rotation_calc.py's round-9 derivation.
-R10_FRONT_LOAD_LEFT_OVERS = [
-    "dq_referential_integrity",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "events_distinct_users_sketch",
-    "filter_nonempty_text",
-    "filter_not_contains",
-    "first_match_pick",
-    "flagship_revenue_by_nation",
-    "forward_fill_locf",
-    "full_outer_reconciliation",
-    "fuzzy_join_symdelete",
-    "hierarchy_depth_rollup",
-    "json_variant_props_stats",
-    "left_join_enrich",
-    "left_join_reverse_agg",
-    "margin_defaults",
-    "multi_agg_stats",
-    "multimodal_frame_sample",
-    "pagerank_nations",
-    "positional_attach",
-    "pricing_summary",
-    "projection_narrow",
-    "q9_profit_by_nation_year",
-    "rollup_agg",
-    "semi_join_membership",
-    "stream_static_revenue_rollup",
-    "tiered_pricing",
-    "top_orders_by_price",
-    "topk_per_group_agg",
-    "union_all_slices",
-    "url_canonicalize",
-    "url_store_name",
+# The 30 r7-checked queries the alphabetical cut left out of STALE_R7
+# (same evidence age); they front-load round 11's window. Recorded
+# verbatim from scripts/rotation_calc.py's round-10 derivation.
+R11_FRONT_LOAD_LEFT_OVERS = [
+    "events_resample_interpolate",
+    "events_session_window",
+    "events_sessionize_manual",
+    "events_sliding_window",
+    "events_time_weighted_value",
+    "events_tumbling_window",
+    "except_keys",
+    "fuzzy_name_distance",
+    "grouping_sets_agg",
+    "histogram_quantity",
+    "intersect_keys",
+    "islands_user_activity",
+    "json_extract_props",
+    "json_map_functions",
+    "lateral_top_orders",
+    "not_in_null_semantics",
+    "percent_rank_ntile",
+    "pivot_status_revenue",
+    "q11_important_parts",
+    "q12_lateness_priority",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "quantile_disc_prices",
+    "rolling_median_user_value",
+    "scd2_build_user_state",
+    "state_change_compression",
+    "text_bpe_pair_counts",
 ]
 
-# Retired in r9 (the capacity offset for the three late-r8
-# registrations now in NEW_R9): these names must never silently
-# reappear in the registry.
+# The 18 last-checked-r7 queries INSIDE the committed window (the
+# other 32 are r6-checked). A staged block registered mid-round
+# shrinks the calculator's stale budget one-for-one; the displaced
+# names must come from this set's alphabetical tail, nowhere else.
+R7_AGE_IN_WINDOW = [
+    "approx_distinct_customers",
+    "cdc_snapshot_latest",
+    "corpus_build_pipeline",
+    "corpus_curation_filter",
+    "cube_agg",
+    "dedup_exact_docs",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "doc_packing_greedy",
+    "doc_packing_lookahead",
+    "dq_orders_expectations",
+    "equidepth_price_bands",
+    "events_bounce_rate",
+    "events_concurrency_peak",
+    "events_decayed_feature",
+    "events_interval_join",
+    "events_next_event_training",
+    "events_pattern_match",
+]
+
+# Retired across rounds: these names must never silently reappear in
+# the registry.
 RETIRED_R9 = [
     "funnel_view_to_purchase",
     "window_lag_lead",
@@ -93,17 +116,20 @@ RETIRED_R9 = [
     "intersect_all_slices",
     "except_all_slices",
 ]
+RETIRED_R10: list[str] = [
+    "doc_packing_shard_histogram",
+]
 
 
 def _intended():
-    return STALE_R6 + NEW_R9
+    return STALE_R7 + NEW_R10
 
 
 def test_stalest_queries_front_loaded():
-    """The 39 front-loaded queries (21 r5-checked + 18 r6-checked, the
-    stalest evidence eras after r8's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R6)] == STALE_R6
-    assert len(STALE_R6) == 39
+    """The 50 front-loaded queries (32 r6-checked + 18 r7-checked, the
+    stalest evidence eras after r9's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R7)] == STALE_R7
+    assert len(STALE_R7) == 50
 
 
 def test_first_50_is_the_intended_rotation():
@@ -111,13 +137,14 @@ def test_first_50_is_the_intended_rotation():
 
 
 def test_new_queries_ride_inside_the_window():
-    """Anything first registered for this round must be driver-checked
-    this round: those names sit immediately after the stale block,
-    inside the 50-row window."""
+    """Anything first registered for this round's window must be
+    driver-checked this round: those names sit immediately after the
+    stale block, inside the 50-row window. (Empty in r10 — a pure
+    refresh; mid-round registrations stage for r11 instead.)"""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R9):
-        assert names[len(STALE_R6) + i] == n
-    assert len(STALE_R6) + len(NEW_R9) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R10):
+        assert names[len(STALE_R7) + i] == n
+    assert len(STALE_R7) + len(NEW_R10) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -144,8 +171,8 @@ def test_registry_intact_after_rotation():
 
 
 def test_retired_queries_stay_retired():
-    for n in RETIRED_R9:
-        assert n not in REGISTRY, f"{n} was retired in r9"
+    for n in RETIRED_R9 + RETIRED_R10:
+        assert n not in REGISTRY, f"{n} was retired"
 
 
 def test_registry_within_capacity_cap():
@@ -160,9 +187,8 @@ def test_registry_within_capacity_cap():
 
 
 def test_no_staged_blocks_inside_the_window():
-    """Any NEW_R*_STAGED block still on the package (none as of r9 —
-    the r9 fold consumed the last one) must sit entirely outside the
-    current 50-row window and stay disjoint from it."""
+    """Any NEW_R*_STAGED block on the package must sit entirely outside
+    the current 50-row window and stay disjoint from it."""
     import pythondataingestionprocess_spark.plans as plans
 
     names = list(REGISTRY)
@@ -179,50 +205,43 @@ def test_no_staged_blocks_inside_the_window():
             assert n not in window
 
 
-def test_rotation_calculator_reproduces_r9_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r10_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r08 CORRECTNESS files alone.
+    window composition from the r01..r09 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r09+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r10+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: NEW_R9 is already folded into the applied rotation and
-    the last staged block was consumed, so the calculator sees an
-    empty staged set -> a 50-query stale budget, larger than the
-    39-budget the committed window was derived under (the 11 NEW_R9
-    queries then occupied window slots as unstaged-never + staged).
-    The derived stale set must therefore be a strict SUPERSET of the
-    committed STALE_R6 front-load, with the extras drawn from the
-    documented 32 same-age r6-checked left-overs that front-load r10;
-    and the 11 NEW_R9 queries must be recognized as riding the
-    current window (pending driver row), not flagged as evidence
-    holes.
-    """
-    assert len(R9_EVIDENCE_FILES) == 8, R9_EVIDENCE_FILES
+    Era note: the committed window was derived with NO staged block
+    (a 50-query stale budget). A NEW_R*_STAGED block registered
+    mid-round shrinks the calculator's stale budget one-for-one, so
+    the derived stale set may be a strict SUBSET of the committed
+    window — with the displaced names drawn exclusively from the
+    alphabetical tail of the window's r7-age block (the by-(age,name)
+    cut), and the staged names printed under NEW."""
+    assert len(R10_EVIDENCE_FILES) == 9, R10_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R9_EVIDENCE_FILES],
+         "--files", *R10_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
     )
     assert proc.returncode == 0, proc.stderr
     assert "ALERT" not in proc.stderr
+    assert "WARNING" not in proc.stderr
     stale = re.search(r"STALE = \[(.*?)\]", proc.stdout, re.S).group(1)
     names = re.findall(r'"([^"]+)"', stale)
-    # everything the committed window front-loads, the calculator
-    # also wants checked
-    assert set(STALE_R6) <= set(names)
-    # and the budget-difference extras are exactly next-round
-    # front-load material (the r10 left-overs), nothing else
-    extras = set(names) - set(STALE_R6)
-    assert extras <= set(R10_FRONT_LOAD_LEFT_OVERS), extras
-    # the 11 NEW_R9 queries are recognized as riding the current
-    # window, not flagged as evidence holes
-    assert "WARNING" not in proc.stderr
-    assert "riding the CURRENT round's window" in proc.stdout
-    for n in NEW_R9:
-        assert n in proc.stdout
+    new = re.search(r"NEW = \[(.*?)\]", proc.stdout, re.S).group(1)
+    staged_names = re.findall(r'"([^"]+)"', new)
+    # the derived stale set never reaches outside the committed window
+    assert set(names) <= set(STALE_R7), set(names) - set(STALE_R7)
+    # staged registrations displace stale slots one-for-one ...
+    assert len(names) == DRIVER_WINDOW - len(staged_names)
+    # ... and only from the r7-age alphabetical tail of the window
+    displaced = set(STALE_R7) - set(names)
+    tail = sorted(R7_AGE_IN_WINDOW)[len(R7_AGE_IN_WINDOW) - len(displaced):]
+    assert displaced == set(tail), (displaced, tail)
 
 
 def test_rotation_calculator_live_run_is_healthy():
@@ -264,14 +283,14 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     MAX_EVIDENCE_AGE rounds before the newest file."""
     import json
 
-    victim = STALE_R6[0]
+    victim = STALE_R7[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     old.write_text(json.dumps({victim: ok_row}))
-    new.write_text(json.dumps({STALE_R6[1]: ok_row}))
+    new.write_text(json.dumps({STALE_R7[1]: ok_row}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -289,7 +308,7 @@ def test_rotation_calculator_failed_row_alert(tmp_path):
     are not evidence and must ride the next window again."""
     import json
 
-    victim = STALE_R6[0]
+    victim = STALE_R7[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({
         victim: {"rows_match": True, "schema_match": True,
@@ -314,7 +333,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     for the same query — and the unpadded r10 spelling must parse."""
     import json
 
-    victim = STALE_R6[0]
+    victim = STALE_R7[0]
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     bad_row = {"rows_match": True, "schema_match": True,
@@ -363,7 +382,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     ok_row = {"rows_match": True, "schema_match": True,
               "hash_match": True, "err": None}
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: ok_row for n in STALE_R6}))
+    f.write_text(json.dumps({n: ok_row for n in STALE_R7}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
