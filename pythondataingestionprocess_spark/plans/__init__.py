@@ -105,6 +105,19 @@ STALE_R7 = [
 # window, riding round 11's) per the capacity rule.
 NEW_R10: list[str] = []
 
+# Registered DURING round 10 against the r10 retirement headroom
+# (VERDICT r9 items 2-3): driver_sim-green at sf0.01 at registration,
+# outside the r10 window, riding round 11's. The r9 depth finally
+# gets driver-facing oracle faces: the CCNet boilerplate screen and
+# the incremental components fold (both full DuckDB oracles), plus
+# the PQ/ADC search path (rows-only by the ANN contract, recall
+# pinned in tests/test_pq.py).
+NEW_R11_STAGED = [
+    "text_strip_boilerplate",
+    "dedup_incremental_components",
+    "embedding_ann_pq",
+]
+
 def _apply_rotation() -> None:
     priority = STALE_R7 + NEW_R10
     missing = [n for n in priority if n not in REGISTRY]

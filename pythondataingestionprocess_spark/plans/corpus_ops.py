@@ -615,3 +615,99 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_in", "rate")
         .agg(F.sum("n_copies").cast("long").alias("n_out"))
     )
+
+
+# ------------------------------------------- boilerplate line removal
+
+# Synthetic-boilerplate corpus: the sf tables' documents are single-
+# line, so the query plants per-source chrome around each doc's text —
+# a header on EVERY doc (always stripped), a promo line on doc_id ≡ 0
+# mod 3 (~33% < the 0.5 threshold → always kept), and a footer on
+# doc_id ≡ 0 mod 2 (~50%, straddling the threshold source by source —
+# the per-source document-frequency test decides, identically in both
+# engines). concat_ws/concat_ws skip the NULL (unplanted) lines, so
+# line counts vary per doc.
+_BOILERPLATE_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, source,
+         concat_ws(chr(10),
+           'HEADER ' || source,
+           CASE WHEN doc_id % 3 = 0 THEN 'PROMO subscribe now ' || source END,
+           text,
+           CASE WHEN doc_id % 2 = 0 THEN 'FOOTER cookies ' || source END
+         ) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source, i AS pos, ls[i] AS line, md5(trim(ls[i])) AS line_key
+  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus),
+       UNNEST(range(1, len(ls) + 1)) AS t(i)
+),
+source_docs AS (SELECT source, COUNT(*) AS n_docs FROM corpus GROUP BY source),
+bl AS (
+  SELECT l.source, l.line_key
+  FROM lines l
+  JOIN source_docs sd ON l.source = sd.source
+  WHERE trim(l.line) <> ''
+  GROUP BY l.source, l.line_key, sd.n_docs
+  HAVING COUNT(DISTINCT l.doc_id) >= 3
+     AND COUNT(DISTINCT l.doc_id) >= sd.n_docs * 0.5
+),
+kept AS (
+  SELECT l.* FROM lines l
+  WHERE NOT EXISTS (SELECT 1 FROM bl
+                    WHERE bl.source = l.source AND bl.line_key = l.line_key)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS _text,
+         COUNT(*) AS _n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines_in FROM lines GROUP BY doc_id)
+SELECT c.doc_id, c.source,
+       COALESCE(r._text, '') AS text,
+       CAST(COALESCE(t.n_lines_in, 0) AS BIGINT) AS n_lines_in,
+       CAST(COALESCE(t.n_lines_in, 0) - COALESCE(r._n_kept, 0) AS BIGINT)
+         AS n_lines_removed
+FROM corpus c
+LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+LEFT JOIN totals t ON c.doc_id = t.doc_id
+"""
+
+
+@query("text_strip_boilerplate", oracle=_BOILERPLATE_ORACLE, tags=("text", "curation"))
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source line-frequency boilerplate removal
+    (staged NEW_R11, r10) over a corpus with planted chrome: a header
+    line on every doc, a promo line on ~33% (kept — under the 0.5
+    document-frequency threshold), a footer on ~50% (the per-source
+    frequency test decides). operators/boilerplate.strip_boilerplate
+    is the engine face: two shuffles — (source, line-hash) grain for
+    document frequency, doc grain for order-preserving reassembly —
+    with the tiny frequent-line set broadcast into an anti-join
+    screen; document text never rides a join. The oracle replays the
+    whole screen relationally in DuckDB, including the md5 line keys,
+    the >= min_docs(3) guard, and the ordered string_agg rebuild."""
+    from pythondataingestionprocess_spark.operators.boilerplate import (
+        strip_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("HEADER "), F.col("source")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("PROMO subscribe now "), F.col("source")),
+            ),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("FOOTER cookies "), F.col("source")),
+            ),
+        ).alias("text"),
+    )
+    return strip_boilerplate(planted, min_docs=3, frac_threshold=0.5)

@@ -206,6 +206,28 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_ann_pq", oracle=None, tags=("similarity", "pq"))
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5 (staged NEW_R11, r10) for the same 10
+    query vectors as the brute/LSH/IVF paths: 8x8-dim subspaces, 16
+    centroids each, codebooks fit in 2 one-corpus-pass iterations,
+    corpus held as array<smallint> codes (~30x smaller at rest —
+    BASELINE.md PQ probe), search by per-query ADC lookup tables with
+    per-partition top-k. Rows-only by nature (approximate); recall vs
+    brute force and exact-ADC identities are pinned in
+    tests/test_pq.py. The driver exercising this face keeps the codes
+    path — fit, encode, LUT search — alive round over round."""
+    from pythondataingestionprocess_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq.pq_fit(emb, m=8, ksub=16, max_iter=2)
+    codes = pq.pq_encode(emb, codebooks)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return pq.pq_search(codes, queries, codebooks, k=5)
+
+
 # -------------------------------------------------- dedup groups (CC)
 
 # Oracle: recursive min-label propagation over the exact-Jaccard pair
@@ -386,6 +408,36 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+# ------------------------------------- incremental group maintenance
+
+
+@query("dedup_incremental_components", oracle=_CC_ORACLE, tags=("dedup", "graph"))
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group LABEL MAINTENANCE under a batch pair feed (staged
+    NEW_R11, r10): the stored (id, group_id) labeling — built from
+    roughly two-thirds of the LSH pair list, standing in for the
+    corpus history — is folded with the remaining third as today's
+    batch via operators/components.incremental_components: each batch
+    endpoint CONTRACTS to its stored label (one lookup join per side),
+    components are solved on the batch-sized contracted graph only,
+    and one remap join updates the stored table. The oracle is the
+    FULL recompute over the entire pair list (the same recursive CTE
+    as dedup_groups_cc), so the driver checks the fold identity
+    incremental = full — the maintenance contract itself, not just
+    row shape. Per-batch cost at 100 TB: one labels-table pass +
+    CC(|batch|), never O(rounds x |all edges ever|)."""
+    from pythondataingestionprocess_spark.operators.components import (
+        connected_components_star,
+        incremental_components,
+    )
+
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    batch_pred = (F.col("id_a") + F.col("id_b")) % 3 == 0
+    labels = connected_components_star(pairs.filter(~batch_pred))
+    updated = incremental_components(labels, pairs.filter(batch_pred))
+    return updated.withColumnRenamed("id", "doc_id")
 
 
 # -------------------------------------------------- pagerank (iterative)

@@ -35,6 +35,10 @@ SANCTIONED_VECTORIZED = {
     # computing the batch's hyperplane signs/norms), registered with
     # the r9 rotation after the r8 governance fix.
     "dedup_cosine_incremental",
+    # r10 (staged NEW_R11): the PQ/ADC search face — ArrowEvalPython
+    # is the point here (numpy LUT kernel over Arrow batches of
+    # array<smallint> codes); everything around it is relational.
+    "embedding_ann_pq",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
