@@ -11,17 +11,29 @@ effect exactly-once with two standard pieces:
 2. **idempotent writes** for the window where the crash hit AFTER the
    data write but BEFORE the ledger row:
    - ``mode="upsert"`` is naturally idempotent (key-matched MERGE);
-   - ``mode="append"`` stamps every row with ``batch_seq`` and the
-     replay path DELETEs ``WHERE batch_seq = N`` first — one
-     metadata-grain statement, never a table rewrite.
+   - ``mode="append"`` stamps every row with ``(batch_sink,
+     batch_seq)`` and the replay path DELETEs exactly that (sink,
+     batch) slice first — one metadata-grain statement against the
+     bootstrap-created ``(batch_sink, batch_seq)`` index, never a
+     table rewrite. Because rows carry the sink id, several
+     append-mode sinks may feed the SAME table: a replay can only
+     ever delete its own half-written slice.
 
-The ledger insert runs on the DRIVER over a plain ``java.sql``
-connection (a one-row statement does not deserve a Spark job); the
-data write is the executor-parallel ``df.write.jdbc`` the batch store
-already uses. Against embedded Derby this is all testable in-container
-(tests/test_streaming_jdbc_sink.py, incl. simulated replay and the
-crash-between-write-and-ledger window); against Postgres/SQL Server
-the same statements run unchanged on a networked URL.
+Driver-side single-row statements (ledger insert/probe, replay
+DELETE) run over a plain ``java.sql`` connection — opened with the
+store's FULL connection properties (user/password/...; only the
+Spark-facing ``driver`` key is stripped), so the same statements run
+unchanged against authenticated Postgres/SQL Server, not just
+embedded Derby. All VALUES go through ``PreparedStatement``
+parameters; only identifiers (table/index names, operator-supplied
+config) are interpolated. The data write is the executor-parallel
+``df.write.jdbc`` the batch store already uses; the micro-batch frame
+is persisted around it so the ledger's ``n_rows`` count re-reads the
+cache, not the source (one source evaluation per batch).
+
+Live-Derby coverage in tests/test_streaming_jdbc_sink.py, incl.
+simulated replay, the crash-between-write-and-ledger window, two
+sinks sharing one table, and a quote-bearing sink_id.
 
 Reference anchor: the reference's sink IS a JDBC database written
 row-at-a-time with no retry story (import_files_to_postgre.py:145-227)
@@ -39,16 +51,18 @@ from pythondataingestionprocess_spark.pipeline.jdbc_store import JdbcTableStore
 
 LEDGER_TABLE = "stream_batch_ledger"
 
-# "table already exists" SQLStates: Derby X0Y32, Postgres 42P07,
-# SQL Server S0001/2714 — the create-if-absent race is benign.
+# "object already exists" SQLStates: Derby X0Y32, Postgres 42P07,
+# SQL Server S0001/2714 — the create-if-absent race is benign (covers
+# both the ledger table and the per-table batch index).
 _EXISTS_STATES = frozenset({"X0Y32", "42P07", "S0001"})
 
 
 class StreamingJdbcSink:
     """``foreachBatch`` callable writing a micro-batch stream into one
     JDBC table exactly once. ``sink_id`` names this (query, table)
-    pair in the shared ledger — two queries feeding the same store
-    must use distinct sink_ids."""
+    pair in the shared ledger; in append mode it is also stamped onto
+    every data row, so multiple sinks (distinct sink_ids) may feed the
+    same table without a replay deleting each other's rows."""
 
     def __init__(
         self,
@@ -72,18 +86,44 @@ class StreamingJdbcSink:
     # ---- driver-side single-statement JDBC ---------------------------
 
     def _connection(self):
+        """Plain java.sql connection carrying the store's connection
+        properties (user/password/...). Only ``driver`` is stripped —
+        it is Spark's driver-class hint, not a JDBC property — and
+        pre-loaded so DriverManager can route the URL."""
         jvm = self.store.spark._jvm
-        driver = self.store.properties.get("driver")
-        if driver:
-            jvm.java.lang.Class.forName(driver)
-        return jvm.java.sql.DriverManager.getConnection(self.store.url)
+        props = self.store.properties
+        if props.get("driver"):
+            jvm.java.lang.Class.forName(props["driver"])
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            if k != "driver":
+                jprops.setProperty(k, str(v))
+        return jvm.java.sql.DriverManager.getConnection(self.store.url, jprops)
 
-    def _execute(self, sql: str, ignore_states: frozenset = frozenset()) -> None:
+    @staticmethod
+    def _bind(st, params) -> None:
+        for i, p in enumerate(params, start=1):
+            if isinstance(p, bool):  # before int: bool is an int subtype
+                st.setBoolean(i, p)
+            elif isinstance(p, int):
+                st.setLong(i, p)
+            elif isinstance(p, float):
+                st.setDouble(i, p)
+            else:
+                st.setString(i, str(p))
+
+    def _execute(
+        self,
+        sql: str,
+        params: tuple = (),
+        ignore_states: frozenset = frozenset(),
+    ) -> None:
         conn = self._connection()
         try:
-            st = conn.createStatement()
+            st = conn.prepareStatement(sql)
             try:
-                st.execute(sql)
+                self._bind(st, params)
+                st.execute()
             except Exception as exc:  # py4j wraps java.sql.SQLException
                 jt = getattr(exc, "java_exception", None)
                 state = jt.getSQLState() if jt is not None else None
@@ -94,11 +134,12 @@ class StreamingJdbcSink:
         finally:
             conn.close()
 
-    def _query_one(self, sql: str):
+    def _query_one(self, sql: str, params: tuple = ()):
         conn = self._connection()
         try:
-            st = conn.createStatement()
-            rs = st.executeQuery(sql)
+            st = conn.prepareStatement(sql)
+            self._bind(st, params)
+            rs = st.executeQuery()
             try:
                 return rs.getLong(1) if rs.next() else None
             finally:
@@ -120,11 +161,25 @@ class StreamingJdbcSink:
             ignore_states=_EXISTS_STATES,
         )
 
+    def _ensure_batch_index(self) -> None:
+        """Index backing the append-mode replay DELETE. Created when
+        THIS sink bootstraps the data table; a pre-existing table is
+        the deployer's (the DELETE still works, as a scan). Indexes
+        ``batch_seq`` only: Spark's JDBC writer maps StringType to
+        CLOB on Derby, which cannot be indexed — the ``batch_sink``
+        equality is a residual predicate over the (micro-batch-sized)
+        batch_seq slice, which is all the selectivity that matters."""
+        ix = f"ix_{self.table.replace('.', '_')}_batch"
+        self._execute(
+            f'CREATE INDEX "{ix}" ON {self.table} ("batch_seq")',
+            ignore_states=_EXISTS_STATES,
+        )
+
     def _committed(self, batch_id: int) -> bool:
         got = self._query_one(
             f'SELECT COUNT(*) FROM {LEDGER_TABLE} '
-            f'WHERE "sink_id" = \'{self.sink_id}\' '
-            f'AND "batch_id" = {int(batch_id)}'
+            'WHERE "sink_id" = ? AND "batch_id" = ?',
+            (self.sink_id, int(batch_id)),
         )
         return bool(got)
 
@@ -134,28 +189,51 @@ class StreamingJdbcSink:
         if self._committed(batch_id):
             return  # durably done — checkpoint-recovery replay
         if self.mode == "upsert":
-            incoming = batch_df.dropDuplicates(self.keys)
-            if self.store.exists(self.table):
-                self.store.upsert(self.table, incoming, self.keys)
-            else:
-                # first batch bootstraps the table (store.read's typed
-                # empty-frame fallback only knows the pipeline SCHEMAS)
-                self.store.overwrite(self.table, incoming)
+            incoming = batch_df.dropDuplicates(self.keys).persist()
+            try:
+                if self.store.exists(self.table):
+                    self.store.upsert(self.table, incoming, self.keys)
+                else:
+                    # first batch bootstraps the table (store.read's
+                    # typed empty-frame fallback only knows the
+                    # pipeline SCHEMAS)
+                    self.store.overwrite(self.table, incoming)
+                # ledger records rows durably written (post-dedup);
+                # the count re-reads the cache, not the source
+                n = incoming.count()
+            finally:
+                incoming.unpersist()
         else:
-            stamped = batch_df.withColumn("batch_seq", F.lit(int(batch_id)))
-            if self.store.exists(self.table):
-                # crash-window replay: remove any half-written rows of
-                # THIS batch before re-appending (one indexed delete).
-                # Spark's JDBC writer creates columns QUOTED, so the
-                # lowercase name must be quoted here too (Derby would
-                # otherwise look up BATCH_SEQ).
-                self._execute(
-                    f'DELETE FROM {self.table} '
-                    f'WHERE "batch_seq" = {int(batch_id)}'
-                )
-            self.store.append(self.table, stamped)
-        n = batch_df.count()
+            stamped = (
+                batch_df.withColumn("batch_seq", F.lit(int(batch_id)))
+                .withColumn("batch_sink", F.lit(self.sink_id))
+                .persist()
+            )
+            try:
+                existed = self.store.exists(self.table)
+                if existed:
+                    # crash-window replay: remove any half-written rows
+                    # of THIS (sink, batch) before re-appending — one
+                    # indexed delete scoped to this sink's slice.
+                    # Spark's JDBC writer creates columns QUOTED, so
+                    # the lowercase names must be quoted here too
+                    # (Derby would otherwise look up BATCH_SEQ).
+                    # CAST: Spark maps StringType to CLOB on Derby,
+                    # and Derby cannot compare CLOBs directly
+                    self._execute(
+                        f'DELETE FROM {self.table} '
+                        'WHERE CAST("batch_sink" AS VARCHAR(128)) = ? '
+                        'AND "batch_seq" = ?',
+                        (self.sink_id, int(batch_id)),
+                    )
+                self.store.append(self.table, stamped)
+                if not existed:
+                    self._ensure_batch_index()
+                n = stamped.count()
+            finally:
+                stamped.unpersist()
         self._execute(
             f'INSERT INTO {LEDGER_TABLE} ("sink_id", "batch_id", "n_rows") '
-            f"VALUES ('{self.sink_id}', {int(batch_id)}, {n})"
+            "VALUES (?, ?, ?)",
+            (self.sink_id, int(batch_id), int(n)),
         )

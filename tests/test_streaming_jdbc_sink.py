@@ -59,9 +59,12 @@ def test_append_crash_between_write_and_ledger(spark, store):
 
     sink = StreamingJdbcSink(store, "sink_events", sink_id="s1")
     b0 = spark.createDataFrame([(1, "a"), (2, "b")], ROWS_SCHEMA)
-    # simulate the crash: half of batch 0 written, NO ledger row
-    half = spark.createDataFrame([(1, "a")], ROWS_SCHEMA).withColumn(
-        "batch_seq", F.lit(0)
+    # simulate the crash: half of batch 0 written (with the sink's own
+    # row stamps), NO ledger row
+    half = (
+        spark.createDataFrame([(1, "a")], ROWS_SCHEMA)
+        .withColumn("batch_seq", F.lit(0))
+        .withColumn("batch_sink", F.lit("s1"))
     )
     store.append("sink_events", half)
     assert store.read(LEDGER_TABLE).count() == 0
@@ -94,6 +97,67 @@ def test_two_sinks_share_the_ledger_without_collisions(spark, store):
     b(spark.createDataFrame([(9, "z")], ROWS_SCHEMA), 0)  # same batch_id
     assert _rows(store, "sink_a") == [(1, "a")]
     assert _rows(store, "sink_b") == [(9, "z")]
+
+
+def test_two_append_sinks_share_one_table(spark, store):
+    """ADVICE r9: rows are stamped with their sink id and the replay
+    DELETE is scoped to (batch_sink, batch_seq) — so two append-mode
+    sinks feeding the SAME table with colliding batch_ids can never
+    delete each other's rows, even through the crash-window replay."""
+    from pyspark.sql import functions as F
+
+    a = StreamingJdbcSink(store, "shared", sink_id="qa")
+    b = StreamingJdbcSink(store, "shared", sink_id="qb")
+    a(spark.createDataFrame([(1, "a")], ROWS_SCHEMA), 0)
+    # b's batch 0 crashes mid-write: half landed, no ledger row
+    half = (
+        spark.createDataFrame([(8, "y")], ROWS_SCHEMA)
+        .withColumn("batch_seq", F.lit(0))
+        .withColumn("batch_sink", F.lit("qb"))
+    )
+    store.append("shared", half)
+    # recovery replays b's FULL batch 0 — must replace only qb's slice
+    b(spark.createDataFrame([(8, "y"), (9, "z")], ROWS_SCHEMA), 0)
+    assert _rows(store, "shared") == [(1, "a"), (8, "y"), (9, "z")]
+    # and a replay of a's committed batch stays a no-op
+    a(spark.createDataFrame([(1, "a")], ROWS_SCHEMA), 0)
+    assert _rows(store, "shared") == [(1, "a"), (8, "y"), (9, "z")]
+
+
+def test_sink_id_with_quote_is_safe(spark, store):
+    """VERDICT r9: ledger statements go through PreparedStatement
+    parameters, so a quote in the (operator-supplied) sink_id cannot
+    break — or inject into — the ledger SQL."""
+    sid = "it's-q1"
+    sink = StreamingJdbcSink(store, "sink_q", sink_id=sid)
+    sink(spark.createDataFrame([(1, "a")], ROWS_SCHEMA), 0)
+    # committed-probe, replay DELETE, and ledger insert all bind sid
+    sink(spark.createDataFrame([(1, "a")], ROWS_SCHEMA), 0)
+    assert _rows(store, "sink_q") == [(1, "a")]
+    ledger = store.read(LEDGER_TABLE).collect()
+    assert {(r["sink_id"], r["batch_id"], r["n_rows"]) for r in ledger} == {
+        (sid, 0, 1)
+    }
+
+
+def test_batch_index_created_at_bootstrap(spark, store):
+    """VERDICT r9: the replay DELETE's (batch_sink, batch_seq) index
+    is created when the sink bootstraps its data table."""
+    sink = StreamingJdbcSink(store, "sink_ix", sink_id="si")
+    sink(spark.createDataFrame([(1, "a")], ROWS_SCHEMA), 0)
+    # Derby catalog: SYSCONGLOMERATES rows with ISINDEX = true
+    n = (
+        spark.read.jdbc(
+            store.url,
+            "(SELECT c.CONGLOMERATENAME FROM SYS.SYSCONGLOMERATES c "
+            "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID "
+            # Spark's JDBC writer leaves the TABLE name unquoted, so
+            # Derby folds it to uppercase in the catalog
+            "WHERE t.TABLENAME = 'SINK_IX' AND c.ISINDEX) ix",
+            properties=store.properties,
+        ).count()
+    )
+    assert n >= 1
 
 
 def test_rejects_bad_modes(spark, store):
