@@ -105,8 +105,14 @@ def parse_meta(content: bytes) -> dict:
             if mdia is not None:
                 minf = _find(content, mdia[0], mdia[1], b"minf")
                 stbl = minf and _find(content, minf[0], minf[1], b"stbl")
-                stsz = stbl and _find(content, stbl[0], stbl[1], b"stsz")
+                stsz = stbl and (
+                    _find(content, stbl[0], stbl[1], b"stsz")
+                    or _find(content, stbl[0], stbl[1], b"stz2")
+                )
                 if stsz:
+                    # stsz: uint32 sample_size, uint32 sample_count;
+                    # stz2: 24-bit reserved + uint8 field_size, uint32
+                    # sample_count — the count sits at +4 either way
                     _, off_s = _fullbox(content, stsz[0])
                     _, n_samples = struct.unpack(
                         ">II", content[off_s:off_s + 8]

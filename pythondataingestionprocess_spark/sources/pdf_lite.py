@@ -28,13 +28,17 @@ garbage. Two defenses:
 r9 additions closing two former PyMuPDF-territory gaps:
 
 - **RC4 standard-security-handler decryption** (ISO 32000 §7.6.3,
-  revisions R2/R3/R4 with RC4 stream ciphers): the empty user
-  password (the overwhelmingly common "owner-locked" case — printing
+  revisions R2/R3 at V<=2 and real-world R4 at V=4 with the /StdCF
+  /CFM /V2 crypt filter — the RC4 forms): the empty user password
+  (the overwhelmingly common "owner-locked" case — printing
   restricted, reading open) is VERIFIED against /U before any decrypt;
   a real password, a failed check, or an AES (/AESV2 /AESV3) or R5/R6
   handler raises and lands in the quarantine — never mojibake. RC4 is
   length-preserving, so stream payloads are decrypted IN PLACE and
-  every downstream offset/regex keeps working.
+  every downstream offset/regex keeps working. The /Encrypt lookup is
+  anchored to trailer and /Type /XRef dictionaries (r10): content
+  bytes that merely LOOK like an /Encrypt reference never route a
+  readable file into the decrypt path.
 - **/ObjStm object streams** (§7.5.7): compressed objects are unpacked
   and appended to the scan buffer as ordinary ``n 0 obj`` bodies, so
   font dicts / ToUnicode refs hiding in object streams resolve through
@@ -201,10 +205,32 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int]:
     if not (r_m and p_m and o and u):
         raise ValueError("malformed /Encrypt dictionary")
     rev = int(r_m.group(1))
-    if rev not in (2, 3, 4) or (v_m and int(v_m.group(1)) > 2):
+    v = int(v_m.group(1)) if v_m else 0
+    if rev not in (2, 3, 4):
         raise ValueError(f"unsupported security revision R={rev}")
+    if v > 2:
+        # V=4 introduces crypt filters (§7.6.5); real-world R4 files
+        # are V=4 with the default /StdCF filter. Only the RC4 form
+        # (/CFM /V2) is decryptable without an AES primitive, and only
+        # when streams actually route through /StdCF.
+        if v != 4 or not re.search(rb"/CFM\s*/V2\b", enc):
+            raise ValueError(f"unsupported encryption version V={v}")
+        if not re.search(rb"/StmF\s*/StdCF\b", enc):
+            raise ValueError("V=4 stream crypt filter is not /StdCF")
     length_m = re.search(rb"/Length\s+(\d+)", enc)
-    key_len = 5 if rev == 2 else (int(length_m.group(1)) // 8 if length_m else 5)
+    if rev == 2:
+        key_len = 5
+    elif length_m:
+        key_len = int(length_m.group(1)) // 8
+    else:
+        # V=4 files may carry the key length only inside the /StdCF
+        # dict, where the spec says BYTES (some producers write bits)
+        cf_m = re.search(rb"/StdCF\s*<<[^>]*?/Length\s+(\d+)", enc, re.S)
+        if cf_m:
+            cf_len = int(cf_m.group(1))
+            key_len = cf_len if cf_len <= 40 else cf_len // 8
+        else:
+            key_len = 5
 
     h = hashlib.md5()
     h.update(_PW_PAD)                                  # empty user pw
@@ -235,10 +261,39 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int]:
     return key, rev
 
 
+def _find_encrypt_ref(data: bytes):
+    """The /Encrypt reference, looked up ONLY where the spec puts it:
+    trailer dictionaries and cross-reference-stream (/Type /XRef)
+    dictionaries — never the raw buffer. An unencrypted PDF whose
+    uncompressed CONTENT happens to contain the bytes '/Encrypt N 0 R'
+    must not be routed into the decrypt path (ADVICE r9); a candidate
+    whose referenced object does not exist or is not a /Filter dict is
+    likewise ignored rather than quarantining a readable file."""
+    objects = None
+    candidates = []
+    for m in re.finditer(rb"trailer", data):
+        em = _ENCRYPT_REF_RE.search(data, m.end(), m.end() + 2048)
+        if em:
+            candidates.append(em)
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(2)
+        if re.search(rb"/Type\s*/XRef\b", body):
+            em = _ENCRYPT_REF_RE.search(body)
+            if em:
+                candidates.append(em)
+    for em in candidates:
+        if objects is None:
+            objects = _objects(data)
+        body = objects.get(int(em.group(1)))
+        if body is not None and re.search(rb"/Filter\s*/", body):
+            return em
+    return None
+
+
 def _decrypt_rc4(data: bytes) -> bytes:
     """Decrypt every stream payload in place (RC4 preserves length) and
     return the rebuilt buffer. No-op for unencrypted input."""
-    enc_ref = _ENCRYPT_REF_RE.search(data)
+    enc_ref = _find_encrypt_ref(data)
     if enc_ref is None:
         return data
     id_m = _ID_RE.search(data)

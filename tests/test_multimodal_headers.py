@@ -74,7 +74,7 @@ def _fullbox(btype: bytes, body: bytes, version=0) -> bytes:
 
 
 def _mp4(timescale=1000, duration=90_000, video=True, n_samples=2700,
-         width=1280, height=720):
+         width=1280, height=720, compact_sizes=False):
     tracks = b""
     if video:
         tkhd = _fullbox(
@@ -82,7 +82,15 @@ def _mp4(timescale=1000, duration=90_000, video=True, n_samples=2700,
             bytes(4 * 19) + struct.pack(">II", width << 16, height << 16),
         )
         hdlr = _fullbox(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"h\x00")
-        stsz = _fullbox(b"stsz", struct.pack(">II", 0, n_samples))
+        if compact_sizes:
+            # stz2: 24-bit reserved + 8-bit field_size, then count
+            stsz = _fullbox(
+                b"stz2",
+                struct.pack(">I", 8) + struct.pack(">I", n_samples)
+                + bytes(n_samples),  # field_size=8 -> 1 byte/sample
+            )
+        else:
+            stsz = _fullbox(b"stsz", struct.pack(">II", 0, n_samples))
         stbl = _box(b"stbl", stsz)
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", hdlr + minf)
@@ -106,6 +114,14 @@ def test_mp4_meta_video_and_audio_tracks():
     assert meta["track_types"] == ["soun", "vide"]
     assert (meta["width"], meta["height"]) == (1280, 720)
     assert meta["n_samples"] == 2700
+
+
+def test_mp4_meta_stz2_compact_sample_sizes():
+    """ADVICE r9: stz2-compacted sample tables must yield the sample
+    count too (fullbox, 3 reserved bytes + field_size, then a 32-bit
+    count), not a silent NULL."""
+    meta = mp4_lite.parse_meta(_mp4(n_samples=48, compact_sizes=True))
+    assert meta["n_samples"] == 48
 
 
 def test_mp4_meta_audio_only():

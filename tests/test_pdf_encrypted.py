@@ -8,6 +8,7 @@ object table. Fixtures implement the spec algorithms (ISO 32000-1
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import struct
 import zlib
@@ -100,11 +101,20 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
         ).digest()[: min(key_len + 5, 16)]
         out[sm.start(1):sm.end(1)] = _rc4(ok, pdf[sm.start(1):sm.end(1)])
 
-    v = 1 if rev == 2 else 2
+    # real-world layouts: R2 -> V1, R3 -> V2, R4 -> V4 with the
+    # /StdCF crypt-filter plumbing (ADVICE r9: the old fixture's
+    # synthetic V=2/R=4 shape tested a file no producer writes)
+    v = {2: 1, 3: 2}.get(rev, 4)
+    cfm = b"/AESV2" if aes else b"/V2"
+    cf = (
+        b"/CF << /StdCF << /CFM " + cfm
+        + f" /Length {key_bits // 8} >> >> /StmF /StdCF /StrF /StdCF "
+        .encode()
+    ) if v == 4 else b""
     enc = (
         f"<< /Filter /Standard /V {v} /R {rev} /Length {key_bits} "
         f"/P {p_val} ".encode()
-        + (b"/CF << /StdCF << /CFM /AESV2 >> >> " if aes else b"")
+        + cf
         + b"/O <" + o_entry.hex().encode() + b"> "
         + b"/U <" + u_entry.hex().encode() + b"> >>"
     )
@@ -137,10 +147,33 @@ def test_rc4_r3_128bit_decrypts_and_extracts():
     assert LINES[0] in text
 
 
-def test_rc4_r4_rc4_cf_decrypts():
+def test_rc4_r4_v4_stdcf_decrypts():
+    """Real-world R4 layout: V=4 with /CF << /StdCF << /CFM /V2 >> >>
+    and /StmF /StdCF (ADVICE r9 — V=4 RC4 files used to quarantine)."""
     enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128)
+    assert b"/V 4" in enc and b"/CFM /V2" in enc
     text, _, status = pdf_lite.extract_with_confidence(enc)
     assert status == "ok" and LINES[0] in text
+
+
+def test_v4_without_stdcf_stream_filter_quarantines():
+    """V=4 whose /StmF is NOT /StdCF (streams bypass the RC4 filter):
+    decrypting with the file key would be wrong — fail closed."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128)
+    enc = enc.replace(b"/StmF /StdCF", b"/StmF /Identity")
+    _, _, status = pdf_lite.extract_with_confidence(enc)
+    assert status == "quarantine"
+
+
+def test_encrypt_lookalike_in_content_is_not_quarantined():
+    """ADVICE r9: an UNENCRYPTED PDF whose content stream contains the
+    bytes '/Encrypt 99 0 R' must extract normally — the lookup is
+    anchored to trailer//XRef dictionaries, not the whole buffer."""
+    pdf = _plain_pdf(LINES + ["see /Encrypt 99 0 R for details"])
+    assert pdf_lite._ENCRYPT_REF_RE.search(pdf)  # the trap is armed
+    text, conf, status = pdf_lite.extract_with_confidence(pdf)
+    assert status == "ok" and conf == 1.0
+    assert LINES[0] in text and "/Encrypt 99 0 R" in text
 
 
 def test_real_user_password_quarantines():
@@ -233,3 +266,38 @@ def test_objstm_invisible_without_expansion_would_quarantine():
     enc = _encrypt_pdf(pdf, rev=3, key_bits=128)
     text2, _, status2 = pdf_lite.extract_with_confidence(enc)
     assert status2 == "ok" and lines[0] in text2
+
+
+def test_aes_pdf_dead_letters_end_to_end(spark, tmp_path):
+    """VERDICT r9 item 5: an AES-encrypted PDF must ride the WHOLE
+    pipeline into the dead-letter path — binaryFile scan →
+    extract_pdf_text → decode_status='quarantine' → S6 move — while a
+    readable RC4 sibling in the same directory extracts and parses."""
+    from pythondataingestionprocess_spark.sources import statement as stmt
+    from pythondataingestionprocess_spark.sources.files import move_file
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "aes.pdf").write_bytes(
+        _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True)
+    )
+    (d / "rc4.pdf").write_bytes(
+        _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128)
+    )
+
+    df = stmt.extract_pdf_text(spark, str(d / "*.pdf"))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["aes.pdf"]["decode_status"] == "quarantine"
+    assert rows["aes.pdf"]["text"] == ""
+    assert rows["aes.pdf"]["decode_confidence"] == 0.0
+    assert rows["rc4.pdf"]["decode_status"] == "ok"
+    assert LINES[0] in rows["rc4.pdf"]["text"]
+
+    # the caller-side routing the module prescribes: non-ok files go
+    # to the dead-letter dir, ok files to the archive
+    processed, errors = str(tmp_path / "done"), str(tmp_path / "dead")
+    for name, r in rows.items():
+        move_file(str(d / name), r["decode_status"] == "ok",
+                  processed, errors)
+    assert os.listdir(errors) == ["aes.pdf"]
+    assert os.listdir(processed) == ["rc4.pdf"]
