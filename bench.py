@@ -191,6 +191,48 @@ def _loadavg_1m() -> float | None:
         return None
 
 
+def host_noise_verdict(
+    calib: float,
+    calib_end: float,
+    load_start: float | None,
+    load_end: float | None,
+    cores: int,
+) -> str:
+    """Self-interpretation of the host-context fields (r9 VERDICT
+    item 6 — the reading rules used to live only in BASELINE.md
+    prose, so a polluted artifact did not flag itself):
+
+    - end/start calib ratio outside ±15% → the host's speed CHANGED
+      mid-run; per-query timings are not mutually comparable.
+    - loadavg above the core count on either edge → the sweep
+      competed for CPU; the total is an upper bound.
+    - loadavg well above idle at START (before the sweep ran — e.g.
+      the r9 driver artifact's 4.4-5.3) → ambient background load;
+      compare only within-run ratios / the s-per-calib ledger.
+
+    Returns 'clean' or a compact 'WARN: ...' string that rides both
+    JSON lines into the committed BENCH artifact."""
+    notes = []
+    if calib and calib_end:
+        ratio = calib_end / calib
+        if not (0.85 <= ratio <= 1.15):
+            notes.append(
+                f"calib drifted {ratio:.2f}x mid-run (outside +/-15%)"
+            )
+    loads = [x for x in (load_start, load_end) if x is not None]
+    if loads and max(loads) > cores:
+        notes.append(
+            f"loadavg {max(loads):.1f} above core count {cores}; "
+            "total is an upper bound"
+        )
+    elif load_start is not None and load_start > 4:
+        notes.append(
+            f"ambient loadavg {load_start:.1f} at start; "
+            "compare within-run ratios only"
+        )
+    return ("WARN: " + "; ".join(notes)) if notes else "clean"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -224,6 +266,8 @@ def main() -> None:
     calib_end = calibrate(spark)
     load_end = _loadavg_1m()
 
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    noise = host_noise_verdict(calib, calib_end, load_start, load_end, cores)
     total = round(sum(timings.values()), 3)
     subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
     detail = {
@@ -237,6 +281,7 @@ def main() -> None:
         "calib_sec_end": calib_end,
         "loadavg_1m_start": load_start,
         "loadavg_1m_end": load_end,
+        "host_noise": noise,
     }
     # Full per-query detail: one JSON line (for humans/judge reading
     # the stream) plus a committed-path file, since the driver keeps
@@ -266,6 +311,7 @@ def main() -> None:
                 "calib_sec_end": calib_end,
                 "loadavg_1m_start": load_start,
                 "loadavg_1m_end": load_end,
+                "host_noise": noise,
             }
         )
     )

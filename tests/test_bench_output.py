@@ -47,6 +47,11 @@ def test_compact_final_line_is_parseable_and_small(monkeypatch, capsys,
     # the compact and detailed lines
     assert "calib_sec_end" in compact
     assert "loadavg_1m_start" in compact and "loadavg_1m_end" in compact
+    # r9 VERDICT item 6: the artifact must carry its own noise verdict
+    # — 'clean' or a 'WARN: ...' string — on BOTH lines, so a polluted
+    # run self-flags inside the committed BENCH_r{N}.json
+    assert compact["host_noise"] == "clean" or compact[
+        "host_noise"].startswith("WARN: ")
     assert "queries" not in compact, "per-query detail belongs to the " \
         "detailed line/file, never the tail-parsed final line"
 
@@ -71,6 +76,9 @@ def test_compact_line_stays_small_at_full_headline():
         "calib_sec_end": 99.999,
         "loadavg_1m_start": 999.99,
         "loadavg_1m_end": 999.99,
+        # worst case: every noise rule fires at once
+        "host_noise": bench.host_noise_verdict(0.485, 0.95, 999.9,
+                                               999.9, 32),
     })
     assert len(synthetic) < 500
 
@@ -102,3 +110,22 @@ def test_bench_detail_file_written(monkeypatch, capsys, tmp_path):
     assert "r1_subset_wall" in detail and "calib_sec" in detail
     assert "calib_sec_end" in detail
     assert "loadavg_1m_start" in detail and "loadavg_1m_end" in detail
+
+
+def test_host_noise_verdict_rules():
+    """The three BASELINE.md reading rules, now code: calib drift
+    outside +/-15%, loadavg above core count, ambient start load."""
+    v = bench.host_noise_verdict
+    assert v(0.5, 0.5, 1.0, 6.0, 32) == "clean"
+    # mid-run speed change (the r9 artifact's calib 0.485 -> 0.395)
+    assert "calib drifted" in v(0.485, 0.395, 1.0, 2.0, 32)
+    # sweep competed for CPU
+    assert "upper bound" in v(0.5, 0.5, 40.0, 2.0, 32)
+    assert "upper bound" in v(0.5, 0.5, 1.0, 40.0, 32)
+    # ambient background load at start (the r9 pollution: 4.4-5.3)
+    assert "ambient loadavg" in v(0.5, 0.5, 4.4, 6.0, 32)
+    # missing loadavg (platform without getloadavg) stays clean
+    assert v(0.5, 0.5, None, None, 32) == "clean"
+    # multiple findings concatenate under one WARN prefix
+    both = v(0.485, 0.395, 40.0, 2.0, 32)
+    assert both.startswith("WARN: ") and ";" in both
