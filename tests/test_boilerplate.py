@@ -106,3 +106,83 @@ def test_repeated_line_inside_one_doc_counts_once(spark):
     got = _rows(strip_boilerplate(docs, min_docs=3, frac_threshold=0.5))
     assert got[1]["n_lines_removed"] == 0
     assert got[1]["text"].count(spam.strip()) == 10
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(1, 9):
+        body = f"story number {i}\nunique line {i * 7}"
+        ftr = f"\n{FTR}" if i % 2 == 0 else ""
+        rows.append((i, "acme", f"{HDR}\n{body}{ftr}"))
+    for i in range(9, 13):
+        rows.append((i, "blog", f"post {i}\nBLOG FOOTER"))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_state_fold_identity_across_batches(spark):
+    """The incremental contract: folding per-batch states (disjoint
+    doc sets) and thresholding the merged state must yield EXACTLY the
+    boilerplate set — and therefore the same screened output — as one
+    full-corpus strip_boilerplate pass."""
+    from pythondataingestionprocess_spark.operators.boilerplate import (
+        boilerplate_lines_from_state,
+        line_frequency_state,
+        merge_line_frequency_states,
+        strip_with_lines,
+    )
+
+    docs = _corpus(spark)
+    batches = [docs.filter(f"doc_id % 3 = {r}") for r in range(3)]
+    folded = line_frequency_state(batches[0])
+    for b in batches[1:]:
+        folded = merge_line_frequency_states(
+            folded, line_frequency_state(b)
+        )
+    # state identity: merged batch states == one-pass state
+    full_state = {
+        (r["source"], r["line_key"]): r["line_df"]
+        for r in line_frequency_state(docs).collect()
+    }
+    fold_state = {
+        (r["source"], r["line_key"]): r["line_df"]
+        for r in folded.collect()
+    }
+    assert fold_state == full_state
+    # screen identity end-to-end
+    lines = boilerplate_lines_from_state(folded, 0.5, 3)
+    via_state = {
+        r["doc_id"]: r.asDict()
+        for r in strip_with_lines(docs, lines).collect()
+    }
+    via_full = _rows(strip_boilerplate(docs, min_docs=3,
+                                       frac_threshold=0.5))
+    assert via_state == via_full
+    # and the screen really fired (headers/footers stripped)
+    assert HDR not in via_state[1]["text"]
+    assert "BLOG FOOTER" not in via_state[9]["text"]
+
+
+def test_batch_screen_with_stored_state(spark):
+    """The daily-ingest shape: screen ONLY the new batch against the
+    corpus-wide folded state — output rows equal the full recompute's
+    rows for those docs."""
+    from pythondataingestionprocess_spark.operators.boilerplate import (
+        boilerplate_lines_from_state,
+        line_frequency_state,
+        merge_line_frequency_states,
+        strip_with_lines,
+    )
+
+    docs = _corpus(spark)
+    old = docs.filter("doc_id <= 10")
+    batch = docs.filter("doc_id > 10")
+    state = merge_line_frequency_states(
+        line_frequency_state(old), line_frequency_state(batch)
+    )
+    lines = boilerplate_lines_from_state(state, 0.5, 3)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in strip_with_lines(batch, lines).collect()
+    }
+    full = _rows(strip_boilerplate(docs, min_docs=3, frac_threshold=0.5))
+    assert got == {d: full[d] for d in got}

@@ -1,0 +1,111 @@
+"""Repeated-span exact dedup (operators/spandedup.py, r10): unaligned
+cross-doc repeats are caught (the case fixed-block dedup misses),
+first occurrence kept, overlapping spans merge, short docs pass
+through, and the pass is idempotent."""
+
+from __future__ import annotations
+
+from pythondataingestionprocess_spark.operators.spandedup import (
+    repeated_span_dedup,
+)
+
+SCHEMA = "doc_id long, text string"
+
+# a 6-token passage repeated across docs at DIFFERENT word offsets
+PASSAGE = "licensed under creative commons attribution four"
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_unaligned_cross_doc_repeat_removed_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, f"{PASSAGE} alpha beta gamma delta"),
+            # same passage, shifted by three tokens
+            (2, f"one two three {PASSAGE} epsilon zeta"),
+            (3, "totally unrelated words nobody repeats here at all"),
+        ],
+        SCHEMA,
+    )
+    got = _rows(repeated_span_dedup(docs, k=6))
+    # doc 1 holds the first occurrence -> untouched
+    assert got[1]["n_removed"] == 0
+    assert got[1]["text"].startswith(PASSAGE)
+    # doc 2 loses exactly the 6 passage tokens, neighbors survive
+    assert got[2]["n_removed"] == 6
+    assert got[2]["text"] == "one two three epsilon zeta"
+    assert got[3]["n_removed"] == 0
+
+
+def test_fixed_block_alignment_is_not_required(spark):
+    """The motivating gap: with k=4 blocks, a 4-token repeat shifted
+    by ONE token lands in different fixed blocks (block dedup keeps
+    both); span dedup removes the later one regardless of offset."""
+    rep = "w x y z"
+    docs = spark.createDataFrame(
+        [(1, f"{rep} a b c d"), (2, f"shift {rep} e f g")],
+        SCHEMA,
+    )
+    got = _rows(repeated_span_dedup(docs, k=4))
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 4
+    assert got[2]["text"] == "shift e f g"
+
+
+def test_overlapping_spans_merge_not_double_count(spark):
+    """A repeat LONGER than k marks overlapping k-spans; covered
+    positions are distinct-merged so n_removed equals the span length,
+    not occurrences x k."""
+    long_rep = "a1 a2 a3 a4 a5 a6 a7 a8"  # 8 tokens, k=6 -> 3 starts
+    docs = spark.createDataFrame(
+        [(1, f"{long_rep} tail1 tail2"), (2, f"head {long_rep} tail3")],
+        SCHEMA,
+    )
+    got = _rows(repeated_span_dedup(docs, k=6))
+    assert got[2]["n_removed"] == 8
+    assert got[2]["text"] == "head tail3"
+
+
+def test_intra_doc_repeat_keeps_first(spark):
+    docs = spark.createDataFrame(
+        [(1, f"{PASSAGE} filler middle words here {PASSAGE}")],
+        SCHEMA,
+    )
+    got = _rows(repeated_span_dedup(docs, k=6))
+    assert got[1]["n_removed"] == 6
+    assert got[1]["text"] == f"{PASSAGE} filler middle words here"
+
+
+def test_short_and_empty_docs_pass_through(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, ""), (3, None), (4, "   ")],
+        SCHEMA,
+    )
+    got = _rows(repeated_span_dedup(docs, k=6))
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 2, "n_removed": 0, "text": "tiny doc"
+    }
+    for d in (2, 3, 4):
+        assert got[d]["n_tokens"] == 0 and got[d]["n_removed"] == 0
+        assert got[d]["text"] == ""
+
+
+def test_idempotent(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, f"{PASSAGE} alpha beta gamma delta"),
+            (2, f"one two three {PASSAGE} epsilon zeta"),
+            (3, f"{PASSAGE} again somewhere else entirely okay"),
+        ],
+        SCHEMA,
+    )
+    once = repeated_span_dedup(docs, k=6)
+    twice = repeated_span_dedup(
+        once.select("doc_id", "text"), k=6
+    )
+    r1, r2 = _rows(once), _rows(twice)
+    for d in r1:
+        assert r2[d]["text"] == r1[d]["text"]
+        assert r2[d]["n_removed"] == 0
