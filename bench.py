@@ -266,7 +266,13 @@ def main() -> None:
     calib_end = calibrate(spark)
     load_end = _loadavg_1m()
 
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_CPUS is the sweep's own parallelism; absent that,
+    # the PHYSICAL core count is the contention baseline — a
+    # hardcoded 32 would classify a fully-contended 8-core host as
+    # clean (code-review r10)
+    cores = int(
+        os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 32
+    )
     noise = host_noise_verdict(calib, calib_end, load_start, load_end, cores)
     total = round(sum(timings.values()), 3)
     subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)

@@ -31,8 +31,13 @@ Single-pass approximation vs the suffix-array original: removals are
 decided against the ORIGINAL corpus, so a span whose kept-first copy
 itself sits inside text removed for a different span is still honored
 as "kept" (no cascade re-resolution). Lee et al. §3.2 accept the same
-relaxation for their parallel variant; the result is idempotent
-(running twice removes nothing new — pinned in tests).
+relaxation for their parallel variant. NOT strictly idempotent:
+removal can make previously-separated tokens adjacent, and if that
+new adjacency happens to duplicate another k-span, a second pass
+removes it too (tests pin both behaviors — no re-removal when no new
+adjacency forms, and the cascade case converging on a later pass).
+Run to fixpoint if exact suffix-array semantics are required; each
+pass only shrinks the corpus, so the loop terminates.
 """
 
 from __future__ import annotations

@@ -217,7 +217,28 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int]:
             raise ValueError(f"unsupported encryption version V={v}")
         if not re.search(rb"/StmF\s*/StdCF\b", enc):
             raise ValueError("V=4 stream crypt filter is not /StdCF")
-    length_m = re.search(rb"/Length\s+(\d+)", enc)
+    # The TOP-LEVEL /Length (bits). Dict key order is producer-
+    # arbitrary, so a /CF subdictionary appearing BEFORE the top-level
+    # /Length must not shadow it with the crypt filter's own /Length
+    # (bytes) — mask the /CF << ... >> span before searching.
+    cf_span = None
+    cf_open = re.search(rb"/CF\s*<<", enc)
+    if cf_open:
+        depth, i = 1, cf_open.end()
+        while depth and i < len(enc) - 1:
+            if enc[i:i + 2] == b"<<":
+                depth, i = depth + 1, i + 2
+            elif enc[i:i + 2] == b">>":
+                depth, i = depth - 1, i + 2
+            else:
+                i += 1
+        cf_span = (cf_open.start(), i)
+    top = (
+        enc[:cf_span[0]] + b" " * (cf_span[1] - cf_span[0]) + enc[cf_span[1]:]
+        if cf_span
+        else enc
+    )
+    length_m = re.search(rb"/Length\s+(\d+)", top)
     if rev == 2:
         key_len = 5
     elif length_m:
@@ -269,18 +290,27 @@ def _find_encrypt_ref(data: bytes):
     must not be routed into the decrypt path (ADVICE r9); a candidate
     whose referenced object does not exist or is not a /Filter dict is
     likewise ignored rather than quarantining a readable file."""
+    if b"/Encrypt" not in data:
+        return None  # the overwhelmingly common case — no object sweep
     objects = None
     candidates = []
     for m in re.finditer(rb"trailer", data):
-        em = _ENCRYPT_REF_RE.search(data, m.end(), m.end() + 2048)
+        # the trailer dict runs to its startxref (or EOF); no fixed
+        # byte window — a large /ID or padded trailer must not hide
+        # the /Encrypt key
+        sx = data.find(b"startxref", m.end())
+        em = _ENCRYPT_REF_RE.search(
+            data, m.end(), sx if sx >= 0 else len(data)
+        )
         if em:
             candidates.append(em)
-    for m in _OBJ_RE.finditer(data):
-        body = m.group(2)
-        if re.search(rb"/Type\s*/XRef\b", body):
-            em = _ENCRYPT_REF_RE.search(body)
-            if em:
-                candidates.append(em)
+    if b"/XRef" in data:
+        for m in _OBJ_RE.finditer(data):
+            body = m.group(2)
+            if re.search(rb"/Type\s*/XRef\b", body):
+                em = _ENCRYPT_REF_RE.search(body)
+                if em:
+                    candidates.append(em)
     for em in candidates:
         if objects is None:
             objects = _objects(data)

@@ -14,10 +14,16 @@ effect exactly-once with two standard pieces:
    - ``mode="append"`` stamps every row with ``(batch_sink,
      batch_seq)`` and the replay path DELETEs exactly that (sink,
      batch) slice first — one metadata-grain statement against the
-     bootstrap-created ``(batch_sink, batch_seq)`` index, never a
-     table rewrite. Because rows carry the sink id, several
-     append-mode sinks may feed the SAME table: a replay can only
-     ever delete its own half-written slice.
+     bootstrap-created ``batch_seq`` index (the sink-id equality is a
+     residual predicate over that micro-batch-sized slice; Derby
+     cannot index the CLOB-mapped string column), never a table
+     rewrite. Because rows carry the sink id, several append-mode
+     sinks may feed the SAME table: a replay can only ever delete its
+     own half-written slice. Tables written by the pre-sink_id-stamp
+     version of this module (``batch_seq`` only) are migrated in
+     place on first contact: the missing column is ALTER-added and the
+     legacy rows are claimed for the touching sink in one UPDATE (the
+     old contract was one sink per table, so its successor owns them).
 
 Driver-side single-row statements (ledger insert/probe, replay
 DELETE) run over a plain ``java.sql`` connection — opened with the
@@ -76,6 +82,12 @@ class StreamingJdbcSink:
             raise ValueError(f"mode must be append|upsert, got {mode!r}")
         if mode == "upsert" and not keys:
             raise ValueError("upsert mode requires keys")
+        if len(sink_id.encode("utf-8")) > 128:
+            # the ledger column is VARCHAR(128); a longer id would
+            # crash the ledger insert AND make the replay DELETE's
+            # CAST-truncated comparison match nothing — a permanent
+            # duplicate-and-crash loop. Refuse up front.
+            raise ValueError("sink_id longer than 128 bytes")
         self.store = store
         self.table = table
         self.sink_id = sink_id
@@ -212,6 +224,22 @@ class StreamingJdbcSink:
             try:
                 existed = self.store.exists(self.table)
                 if existed:
+                    # pre-sink_id-stamp tables (batch_seq only) are
+                    # migrated in place: add the column and CLAIM the
+                    # legacy rows for this sink (the old contract was
+                    # one sink per table, so the first successor owns
+                    # them) — a one-time scan, after which the replay
+                    # DELETE's exact predicate applies uniformly
+                    if "batch_sink" not in self.store.read(self.table).columns:
+                        self._execute(
+                            f'ALTER TABLE {self.table} '
+                            'ADD COLUMN "batch_sink" VARCHAR(128)'
+                        )
+                        self._execute(
+                            f'UPDATE {self.table} SET "batch_sink" = ? '
+                            'WHERE "batch_sink" IS NULL',
+                            (self.sink_id,),
+                        )
                     # crash-window replay: remove any half-written rows
                     # of THIS (sink, batch) before re-appending — one
                     # indexed delete scoped to this sink's slice.

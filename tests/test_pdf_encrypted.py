@@ -301,3 +301,19 @@ def test_aes_pdf_dead_letters_end_to_end(spark, tmp_path):
                   processed, errors)
     assert os.listdir(errors) == ["aes.pdf"]
     assert os.listdir(processed) == ["rc4.pdf"]
+
+
+def test_cf_dict_before_top_level_length_still_decrypts():
+    """Code-review r10: PDF dict key order is producer-arbitrary — a
+    /CF subdictionary appearing BEFORE the top-level /Length must not
+    shadow it (the crypt filter's own /Length is in BYTES; reading it
+    as bits derived a 2-byte key and quarantined a decryptable file)."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128)
+    # reorder: move the top-level '/Length 128' AFTER the /CF dict
+    assert b"/Length 128 /P -44 /CF" in enc
+    reordered = enc.replace(
+        b"/Length 128 /P -44 /CF", b"/P -44 /CF", 1
+    ).replace(b"/StrF /StdCF /O <", b"/StrF /StdCF /Length 128 /O <", 1)
+    assert reordered != enc and b"/Length 128" in reordered
+    text, _, status = pdf_lite.extract_with_confidence(reordered)
+    assert status == "ok" and LINES[0] in text

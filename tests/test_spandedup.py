@@ -92,7 +92,9 @@ def test_short_and_empty_docs_pass_through(spark):
         assert got[d]["text"] == ""
 
 
-def test_idempotent(spark):
+def test_second_pass_removes_nothing_without_new_adjacency(spark):
+    """When removal creates no duplicate-forming adjacency (the common
+    case), a second pass is a no-op."""
     docs = spark.createDataFrame(
         [
             (1, f"{PASSAGE} alpha beta gamma delta"),
@@ -109,3 +111,36 @@ def test_idempotent(spark):
     for d in r1:
         assert r2[d]["text"] == r1[d]["text"]
         assert r2[d]["n_removed"] == 0
+
+
+def test_removal_created_adjacency_resolves_on_a_later_pass(spark):
+    """Code-review r10 (the documented non-idempotence): removing a
+    span can make its neighbors adjacent; if THAT k-gram duplicates
+    another doc, a second pass removes it — run to fixpoint for exact
+    suffix-array semantics. Pins the single-pass contract (removals
+    judged against the ORIGINAL corpus) and the convergence."""
+    docs = spark.createDataFrame(
+        [
+            (0, "q1 q2 pad1 pad2"),
+            (1, "X Y"),
+            (2, "X q1 q2 Y"),
+        ],
+        SCHEMA,
+    )
+    once = _rows(repeated_span_dedup(docs, k=2))
+    # pass 1: doc 2 loses only 'q1 q2' (dup of doc 0); 'X Y' was not
+    # adjacent in the ORIGINAL doc 2, so it survives this pass
+    assert once[2]["text"] == "X Y" and once[2]["n_removed"] == 2
+    # pass 2 sees the removal-created 'X Y' duplicate doc 1's
+    twice = _rows(
+        repeated_span_dedup(
+            repeated_span_dedup(docs, k=2).select("doc_id", "text"), k=2
+        )
+    )
+    assert twice[2]["text"] == "" and twice[2]["n_removed"] == 2
+    # fixpoint: a third pass changes nothing
+    third_in = repeated_span_dedup(
+        repeated_span_dedup(docs, k=2).select("doc_id", "text"), k=2
+    ).select("doc_id", "text")
+    third = _rows(repeated_span_dedup(third_in, k=2))
+    assert third[2]["text"] == "" and third[2]["n_removed"] == 0
