@@ -48,13 +48,14 @@ def real_decode(content: bytes, media_type: str) -> dict:
     """Decode one media blob into stats. Images: PIL when importable,
     else the stdlib PNG decoder (multimodal/png_lite.py — 8-bit
     gray/RGB/RGBA, all scanline filters; full pixel stats) or the
-    stdlib JPEG header parser (multimodal/jpeg_lite.py — real
-    width/height/depth, ``mean_intensity`` NULL because pixel stats
-    need a codec). Video: ISO-BMFF container metadata is REAL
-    (multimodal/mp4_lite.py — duration, tracks, dimensions, sample
-    count; ``mean_intensity`` NULL) while frame decode stays stubbed
-    (no PyAV/ffmpeg and no stdlib codec exists). Audio: PCM WAV real,
-    compressed codecs stubbed."""
+    stdlib+numpy JPEG decoder (multimodal/jpeg_lite.py — r10:
+    BASELINE sequential JPEGs pixel-decode for real; progressive/
+    arithmetic/12-bit keep header metadata with NULL stats). Video:
+    ISO-BMFF container metadata is REAL (multimodal/mp4_lite.py —
+    duration, tracks, dimensions, sample count; ``mean_intensity``
+    NULL) while frame decode stays stubbed (no PyAV/ffmpeg and no
+    stdlib codec exists). Audio: PCM WAV real, compressed codecs
+    stubbed."""
     if media_type == "image":
         try:
             from PIL import Image  # noqa: F401  # pragma: no cover
@@ -88,12 +89,22 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 from pythondataingestionprocess_spark.multimodal import jpeg_lite
 
                 hdr = jpeg_lite.parse_header(content)
+                mean = None
+                try:
+                    # r10: baseline sequential JPEGs pixel-decode for
+                    # real (jpeg_lite.decode — Huffman + dequant +
+                    # IDCT over the luma plane). Progressive /
+                    # arithmetic / 12-bit streams keep header-only
+                    # metadata with NULL stats.
+                    mean = jpeg_lite.decode(content)["mean_intensity"]
+                except ValueError:
+                    pass
                 return {
                     "byte_len": len(content),
                     "width": hdr["width"],
                     "height": hdr["height"],
                     "n_frames": 1,
-                    "mean_intensity": None,  # pixel stats need a codec
+                    "mean_intensity": mean,
                 }
             raise ValueError("unrecognized image format (no PIL in env)")
     if media_type == "audio":
