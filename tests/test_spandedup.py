@@ -1,7 +1,9 @@
 """Repeated-span exact dedup (operators/spandedup.py, r10): unaligned
 cross-doc repeats are caught (the case fixed-block dedup misses),
 first occurrence kept, overlapping spans merge, short docs pass
-through, and the pass is idempotent."""
+through, the convergence contract holds (no re-removal without
+removal-created adjacency; cascades resolve on later passes), and the
+staged r11 DuckDB oracle matches the Spark plan corpus-wide."""
 
 from __future__ import annotations
 
@@ -144,3 +146,79 @@ def test_removal_created_adjacency_resolves_on_a_later_pass(spark):
     ).select("doc_id", "text")
     third = _rows(repeated_span_dedup(third_in, k=2))
     assert third[2]["text"] == "" and third[2]["n_removed"] == 0
+
+
+# The DuckDB formulation staged for the r11 registry face — validated
+# here ahead of registration so the r11 fold is a paste, not a debug.
+SPAN_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, s AS pos,
+         md5(array_to_string(ws[s + 1 : s + 10], ' ')) AS g
+  FROM toks, UNNEST(range(CAST(len(ws) - 9 AS BIGINT))) AS t(s)
+  WHERE len(ws) >= 10
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_occ
+  FROM grams
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + o AS pos
+  FROM occ, UNNEST(range(10)) AS t(o)
+  WHERE n_occ > 1 AND rn > 1
+),
+tok_rows AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+  FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok FROM tok_rows tr
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS _text,
+         COUNT(*) AS _n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(ws) AS n_tokens FROM toks)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.n_tokens, 0) - COALESCE(r._n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(r._text, '') AS text
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+def test_duckdb_oracle_parity_on_sf0001(spark, sf_dir):
+    """Full-corpus parity of the staged r11 oracle against the Spark
+    plan at sf0.001 (natural repeats only — no planting), canonical
+    row-set equality including the reassembled text."""
+    import duckdb
+
+    import pythondataingestionprocess_spark.catalog as cat
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(SPAN_ORACLE).fetchall()
+    }
+    docs = cat.load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_id"], r["n_tokens"], r["n_removed"], r["text"])
+        for r in repeated_span_dedup(docs, k=10).collect()
+    }
+    assert got == oracle
+    assert any(r[2] > 0 for r in got), "corpus has natural repeats"
