@@ -1,0 +1,155 @@
+"""WARC/WET source (sources/warc_lite.py): spec-built fixtures (ISO
+28500 record framing, Common Crawl's gzip-member-per-record layout),
+pure-Python parser unit coverage, per-record quarantine + resync, the
+Spark DataSource end-to-end (one task per file), and the
+wet_to_documents bridge into the engine's documents shape."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.sources import warc_lite as wl
+
+
+def _record(
+    body: bytes,
+    rec_type: str = "conversion",
+    uri: str = "https://example.com/page",
+    rid: str = "<urn:uuid:0001>",
+    ctype: str = "text/plain",
+    version: str = "WARC/1.0",
+) -> bytes:
+    head = (
+        f"{version}\r\n"
+        f"WARC-Type: {rec_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+WARCINFO = _record(
+    b"software: test\r\n", rec_type="warcinfo", ctype="application/warc-fields",
+    rid="<urn:uuid:0000>", uri="https://example.com/",
+)
+
+
+def test_parse_plain_records():
+    buf = WARCINFO + _record("hola mundo é".encode()) + _record(
+        b"\x89PNG\r\n\x1a\n...", rec_type="response",
+        ctype="application/http", rid="<urn:uuid:0002>",
+    )
+    recs = list(wl.iter_records(buf))
+    assert [r["decode_status"] for r in recs] == ["ok"] * 3
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "conversion", "response"]
+    # warc-fields is text/* -> no; application/warc-fields goes binary
+    assert recs[0]["text"] is None and recs[0]["payload"] == b"software: test\r\n"
+    assert recs[1]["text"] == "hola mundo é" and recs[1]["payload"] is None
+    assert recs[2]["payload"].startswith(b"\x89PNG")
+    assert recs[1]["content_length"] == len("hola mundo é".encode())
+
+
+def test_warc_11_version_accepted():
+    recs = list(wl.iter_records(_record(b"x", version="WARC/1.1")))
+    assert [r["decode_status"] for r in recs] == ["ok"]
+
+
+def test_gzip_member_per_record():
+    data = b"".join(
+        gzip.compress(r)
+        for r in (WARCINFO, _record(b"doc one"), _record(b"doc two", rid="<urn:uuid:0002>"))
+    )
+    recs = list(wl.parse_warc_bytes(data))
+    assert [r["decode_status"] for r in recs] == ["ok"] * 3
+    assert [r["text"] for r in recs[1:]] == ["doc one", "doc two"]
+
+
+def test_malformed_record_quarantines_and_resyncs():
+    good = _record(b"fine")
+    bad_len = good.replace(b"Content-Length: 4", b"Content-Length: zz")
+    truncated = _record(b"x" * 100)[:-60]
+    buf = bad_len + _record(b"survivor", rid="<urn:uuid:0009>") + truncated
+    recs = list(wl.iter_records(buf))
+    statuses = [r["decode_status"] for r in recs]
+    assert statuses[0].startswith("quarantine:bad Content-Length")
+    assert statuses[1] == "ok" and recs[1]["text"] == "survivor"
+    assert statuses[2].startswith("quarantine:content block truncated")
+    assert len(recs) == 3
+
+
+def test_missing_content_length_and_garbage_between_records():
+    no_len = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\n"  # no Content-Length
+    )
+    buf = no_len + b"random junk bytes " + _record(b"alive")
+    recs = list(wl.iter_records(buf))
+    assert recs[0]["decode_status"] == "quarantine:missing Content-Length"
+    assert recs[1]["decode_status"] == "ok" and recs[1]["text"] == "alive"
+
+
+def test_corrupt_gzip_tail_quarantines():
+    data = gzip.compress(_record(b"ok before the rot")) + b"\x00\x01\x02"
+    recs = list(wl.parse_warc_bytes(data))
+    assert recs[0]["decode_status"] == "ok"
+    assert recs[1]["decode_status"].startswith("quarantine:")
+
+
+def test_datasource_end_to_end(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(
+        b"".join(
+            gzip.compress(r)
+            for r in (
+                WARCINFO,
+                _record(b"first doc text", rid="<urn:uuid:0101>",
+                        uri="https://a.example.com/x"),
+                _record(b"second doc text", rid="<urn:uuid:0102>",
+                        uri="https://b.example.org/y"),
+            )
+        )
+    )
+    (d / "seg-00001.warc").write_bytes(
+        _record(b"plain-file doc", rid="<urn:uuid:0201>", uri="ftp://c.example.net/z")
+        + _record(b"oops", rid="<urn:uuid:0202>").replace(b"WARC/1.0", b"WARC/9.9")
+    )
+    df = wl.read_warc(spark, str(d))
+    assert df.rdd.getNumPartitions() == 2  # one file per task
+    rows = df.collect()
+    assert len(rows) == 5
+    by_status = {r["record_id"]: r["decode_status"] for r in rows}
+    assert by_status["<urn:uuid:0101>"] == "ok"
+    assert sum(s.startswith("quarantine:") for s in by_status.values()) == 1
+
+    docs = wl.wet_to_documents(df).orderBy("source").collect()
+    assert [r["source"] for r in docs] == [
+        "a.example.com", "b.example.org", "c.example.net",
+    ]
+    assert all(r["doc_id"] is not None for r in docs)
+    # composes with the text family downstream
+    from pythondataingestionprocess_spark.functions import text as tx
+
+    counts = (
+        wl.wet_to_documents(df)
+        .select(tx.token_count("text").alias("n"))
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    )
+    assert counts[0]["t"] == 8  # 3 + 3 + 2 whitespace tokens
+
+
+def test_wet_to_documents_unknown_source(spark):
+    df = spark.createDataFrame(
+        [("ok", "conversion", "<urn:uuid:1>", "not a uri", "hello")],
+        "decode_status string, warc_type string, record_id string, "
+        "target_uri string, text string",
+    )
+    got = wl.wet_to_documents(df).collect()
+    assert got[0]["source"] == "unknown"
