@@ -111,11 +111,17 @@ NEW_R10: list[str] = []
 # gets driver-facing oracle faces: the CCNet boilerplate screen and
 # the incremental components fold (both full DuckDB oracles), plus
 # the PQ/ADC search path (rows-only by the ANN contract, recall
-# pinned in tests/test_pq.py).
+# pinned in tests/test_pq.py). text_repeated_span_dedup (full oracle,
+# pre-validated corpus-wide in tests/test_spandedup.py before
+# registration) took the last free slot; dedup_semantic_semdedup
+# (SemDeDup, full oracle) rides the slot freed by retiring the
+# clean_excel_serial_date micro-face — registry 180/180.
 NEW_R11_STAGED = [
     "text_strip_boilerplate",
     "dedup_incremental_components",
     "embedding_ann_pq",
+    "text_repeated_span_dedup",
+    "dedup_semantic_semdedup",
 ]
 
 def _apply_rotation() -> None:

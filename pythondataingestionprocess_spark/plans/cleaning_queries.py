@@ -126,35 +126,12 @@ def clean_signed_money(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ date handling
 
-_SERIAL_ORACLE = """
-SELECT CAST(year(DATE '1899-12-30' + CAST(44000 + o_orderkey % 1000 AS INT)) AS INT) AS yr,
-       COUNT(*) AS n_orders,
-       strftime(MIN(DATE '1899-12-30' + CAST(44000 + o_orderkey % 1000 AS INT)), '%Y-%m-%d') AS min_date,
-       strftime(MAX(DATE '1899-12-30' + CAST(44000 + o_orderkey % 1000 AS INT)), '%Y-%m-%d') AS max_date
-FROM orders
-GROUP BY 1
-"""
-
-
-@query("clean_excel_serial_date", oracle=_SERIAL_ORACLE, tags=("cleaning", "dates"))
-def clean_excel_serial_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F18 Excel serial date conversion (epoch 1899-12-30), grouped by
-    resulting year. DATE outputs are ISO-string-typed on both sides —
-    pandas has no date dtype, so engines disagree on the in-memory
-    repr of a bare DATE (datetime.date vs datetime64) and value hashes
-    would diverge spuriously."""
-    orders = load_table(spark, sf_dir, "orders")
-    serial = (F.lit(44000) + F.col("o_orderkey") % 1000).cast("int")
-    d = fx.excel_serial_to_date(serial)
-    return (
-        orders.withColumn("d", d)
-        .groupBy(F.year("d").cast("int").alias("yr"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.date_format(F.min("d"), "yyyy-MM-dd").alias("min_date"),
-            F.date_format(F.max("d"), "yyyy-MM-dd").alias("max_date"),
-        )
-    )
+# F18 Excel-serial-date driver face `clean_excel_serial_date` RETIRED
+# late-r10 (capacity lever, freeing the slot for the SemDeDup face):
+# a 4-row year-grouped micro-aggregate whose entire substance —
+# functions/dates.py::excel_serial_to_date, epoch 1899-12-30 — stays
+# pinned by unit tests (tests/test_functions.py) and the Hypothesis
+# serial<->date roundtrip property (tests/test_properties.py).
 
 
 _STMT_DATE_ORACLE = """

@@ -102,6 +102,84 @@ def corpus_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- repeated-span exact dedup
+
+_SPAN_K = 10  # tokens per sliding span
+
+_SPAN_DEDUP_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, s AS pos,
+         md5(array_to_string(ws[s + 1 : s + {_SPAN_K}], ' ')) AS g
+  FROM toks, UNNEST(range(CAST(len(ws) - {_SPAN_K - 1} AS BIGINT))) AS t(s)
+  WHERE len(ws) >= {_SPAN_K}
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_occ
+  FROM grams
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + o AS pos
+  FROM occ, UNNEST(range({_SPAN_K})) AS t(o)
+  WHERE n_occ > 1 AND rn > 1
+),
+tok_rows AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+  FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)
+),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok FROM tok_rows tr
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS _text,
+         COUNT(*) AS _n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(ws) AS n_tokens FROM toks)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.n_tokens, 0) - COALESCE(r._n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(r._text, '') AS text
+FROM documents d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+@query("text_repeated_span_dedup", oracle=_SPAN_DEDUP_ORACLE, tags=("dedup", "text"))
+def text_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al repeated-span exact dedup (staged NEW_R11, r10) over
+    the raw documents corpus: every 10-token span occurring more than
+    once corpus-wide keeps only its first occurrence (total order:
+    doc_id, then position); covered tokens of later occurrences drop
+    and the survivors reassemble in order. The stride-1 sliding hash
+    catches UNALIGNED repeats ``corpus_block_dedup``'s fixed blocks
+    miss — the common case for banners and quoted passages pasted
+    mid-document (operators/spandedup.py documents the distributed
+    shape: one gram-grain shuffle ranks occurrences, only the
+    duplicated tail pays the k-fold explode, one doc-grain anti-join
+    rebuilds). No planting: sf corpora carry natural repeats
+    (asserted at sf0.001 in tests/test_spandedup.py, which also
+    pre-validated this exact oracle corpus-wide before registration).
+    The oracle replays the full pipeline relationally in DuckDB —
+    list slicing, windowed keep-first, NOT EXISTS screen, ordered
+    string_agg rebuild — including the reassembled text."""
+    from pythondataingestionprocess_spark.operators.spandedup import (
+        repeated_span_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_dedup(docs, k=_SPAN_K)
+
+
 # ----------------------------------------------- chunking with overlap
 
 _CHUNK, _STRIDE = 60, 45

@@ -179,6 +179,99 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99)
 
 
+# ------------------------------------------------------ SemDeDup screen
+
+# Corpus plants exact copies (groups of 2 at vec_id%10, of 3 at %20 —
+# the triple exercises one-pass transitive resolution). Centroids are
+# the 16 lowest-md5 BASE vectors (zero k-means iterations — the
+# deterministic quantizer both engines can recompute; dedup semantics
+# only need bit-identical embeddings to share a cell, which any fixed
+# centroid set guarantees). Cross-engine safety: noise vectors can in
+# principle argmin-flip cells on a distance ulp, but noise never
+# passes the cosine threshold, and copy groups move cells TOGETHER
+# (bit-identical input -> bit-identical distances within an engine),
+# so the dropped set is assignment-divergence-proof by construction.
+_SEMDEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM corpus
+), cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), dist AS (
+  SELECT v.vec_id, cent.cid,
+         list_sum(list_transform(list_zip(v.e, cent.c),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d,
+         list_sum(list_transform(list_zip(v.e, cent.c), z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(cent.c, x -> x * x)))) AS cos_c
+  FROM v, cent
+), assigned AS (
+  SELECT vec_id, cid AS cluster, cos_c
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+        FROM dist)
+  WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id AS id_b, a.vec_id AS id_a, a.cos_c AS cos_a
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster
+   AND (a.cos_c < b.cos_c OR (a.cos_c = b.cos_c AND a.vec_id < b.vec_id))
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(list_zip(va.e, vb.e), z -> z[1] * z[2]))
+      / (sqrt(list_sum(list_transform(va.e, x -> x * x)))
+         * sqrt(list_sum(list_transform(vb.e, x -> x * x)))) >= 0.99
+)
+SELECT id_b AS vec_id,
+       (SELECT p2.id_a FROM pairs p2 WHERE p2.id_b = p.id_b
+        ORDER BY p2.cos_a, p2.id_a LIMIT 1) AS dup_of
+FROM (SELECT DISTINCT id_b FROM pairs) p
+"""
+
+
+@query("dedup_semantic_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("dedup", "similarity"))
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (staged NEW_R11, r10 — Abbas et al.,
+    arXiv:2303.09540): cluster-scoped cosine screen with the paper's
+    low-centroid-similarity keep-rule, over a corpus with planted copy
+    groups of 2 and 3. ``(vec_id, dup_of)`` per dropped member; the
+    triple pins one-pass transitive resolution (both later copies name
+    the base). Spark side (operators/semdedup.py): assignment is a
+    pure column expression (array_min over literal struct(dist, cid,
+    cos) candidates — no join/UDF/shuffle, codegen end to end), then
+    ONE cluster-grain self-join bounds the quadratic to cluster size —
+    never all-pairs; at paper scale k grows with the corpus and the
+    assigner swaps to the Arrow GEMM kernel (ivf._assign_udf). The
+    oracle replays everything relationally — md5 centroid pick,
+    argmin-(d, cid) assignment, keep-rank dominance, min-rank dup_of —
+    on explicit sequential double folds (functions/vectors.py parity
+    note)."""
+    from pythondataingestionprocess_spark.operators import semdedup as sd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies2 = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    copies3 = emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 2000000
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionAll(copies2.select("vec_id", "embedding"))
+        .unionAll(copies3.select("vec_id", "embedding"))
+    )
+    cents = sd.md5_centroids(emb, k=16)
+    return sd.semdedup_dropped(corpus, cents, threshold=0.99)
+
+
 # ----------------------------------------------------------- approximate NN
 
 

@@ -3,7 +3,8 @@ cross-doc repeats are caught (the case fixed-block dedup misses),
 first occurrence kept, overlapping spans merge, short docs pass
 through, the convergence contract holds (no re-removal without
 removal-created adjacency; cascades resolve on later passes), and the
-staged r11 DuckDB oracle matches the Spark plan corpus-wide."""
+registered DuckDB oracle (plans/corpus_ops.py
+text_repeated_span_dedup) matches the Spark plan corpus-wide."""
 
 from __future__ import annotations
 
@@ -148,58 +149,19 @@ def test_removal_created_adjacency_resolves_on_a_later_pass(spark):
     assert third[2]["text"] == "" and third[2]["n_removed"] == 0
 
 
-# The DuckDB formulation staged for the r11 registry face — validated
-# here ahead of registration so the r11 fold is a paste, not a debug.
-SPAN_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
-),
-grams AS (
-  SELECT doc_id, s AS pos,
-         md5(array_to_string(ws[s + 1 : s + 10], ' ')) AS g
-  FROM toks, UNNEST(range(CAST(len(ws) - 9 AS BIGINT))) AS t(s)
-  WHERE len(ws) >= 10
-),
-occ AS (
-  SELECT doc_id, pos,
-         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
-         COUNT(*) OVER (PARTITION BY g) AS n_occ
-  FROM grams
-),
-covered AS (
-  SELECT DISTINCT doc_id, pos + o AS pos
-  FROM occ, UNNEST(range(10)) AS t(o)
-  WHERE n_occ > 1 AND rn > 1
-),
-tok_rows AS (
-  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
-  FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)
-),
-kept AS (
-  SELECT tr.doc_id, tr.pos, tr.tok FROM tok_rows tr
-  WHERE NOT EXISTS (SELECT 1 FROM covered c
-                    WHERE c.doc_id = tr.doc_id AND c.pos = tr.pos)
-),
-rebuilt AS (
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS _text,
-         COUNT(*) AS _n_kept
-  FROM kept GROUP BY doc_id
-),
-totals AS (SELECT doc_id, len(ws) AS n_tokens FROM toks)
-SELECT d.doc_id,
-       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(t.n_tokens, 0) - COALESCE(r._n_kept, 0) AS BIGINT)
-         AS n_removed,
-       COALESCE(r._text, '') AS text
-FROM documents d
-LEFT JOIN totals t ON d.doc_id = t.doc_id
-LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-"""
+# The registered oracle (plans/corpus_ops.py, text_repeated_span_dedup
+# — pre-validated here BEFORE registration so the r11 fold was a
+# paste, not a debug; the test now reads the single registered copy).
+def _span_oracle() -> str:
+    from pythondataingestionprocess_spark.plans.corpus_ops import (
+        _SPAN_DEDUP_ORACLE,
+    )
+
+    return _SPAN_DEDUP_ORACLE
 
 
 def test_duckdb_oracle_parity_on_sf0001(spark, sf_dir):
-    """Full-corpus parity of the staged r11 oracle against the Spark
+    """Full-corpus parity of the registered oracle against the Spark
     plan at sf0.001 (natural repeats only — no planting), canonical
     row-set equality including the reassembled text."""
     import duckdb
@@ -213,7 +175,7 @@ def test_duckdb_oracle_parity_on_sf0001(spark, sf_dir):
     )
     oracle = {
         (r[0], r[1], r[2], r[3])
-        for r in con.execute(SPAN_ORACLE).fetchall()
+        for r in con.execute(_span_oracle()).fetchall()
     }
     docs = cat.load_table(spark, sf_dir, "documents")
     got = {
