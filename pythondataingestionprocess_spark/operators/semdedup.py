@@ -86,20 +86,67 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _assign_gemm_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow-batched GEMM assigner for the large-k regime (the
+    semdedup_scaling.py k-sweep puts the local expression/GEMM
+    crossover at k≈16–32; the paper's k≈50k is GEMM territory from
+    the start). Returns struct(c, cos) — same contract as the
+    expression assigner; same argmin-(d, cid) tie-break (np.argmin
+    takes the first minimum and rows are ordered by cid)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array([v for _, v in sorted(centroids)], dtype=np.float64)
+    cids = np.array([cid for cid, _ in sorted(centroids)], dtype=np.int32)
+    c_sq = (c * c).sum(axis=1)
+    c_norm = np.sqrt(c_sq)
+
+    @pandas_udf("struct<c:int,cos:double>")
+    def _assign(emb):  # pd.Series -> pd.DataFrame (struct columns)
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        dots = mat @ c.T
+        d = c_sq[None, :] - 2.0 * dots  # |x|^2 constant per row
+        best = d.argmin(axis=1)
+        x_norm = np.sqrt((mat * mat).sum(axis=1))
+        rows = np.arange(len(best))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots[rows, best] / (x_norm * c_norm[best])
+        return pd.DataFrame({"c": cids[best], "cos": cos})
+
+    return _assign
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     cos_col: str = "cos_c",
+    assigner: str = "expr",
 ) -> DataFrame:
-    """Nearest-centroid assignment as one column expression: for each
-    centroid build ``struct(squared_L2, cid, cos)`` from literal
-    arrays, take ``array_min`` (lexicographic: distance, then cid —
-    ties resolve to the lowest cluster id in both engines). Adds
+    """Nearest-centroid assignment. ``assigner="expr"`` (default) is
+    one column expression: for each centroid build
+    ``struct(squared_L2, cid, cos)`` from literal arrays, take
+    ``array_min`` (lexicographic: distance, then cid — ties resolve to
+    the lowest cluster id in both engines) — no UDF, codegen end to
+    end, and a SQL oracle can replay it. ``assigner="gemm"`` is the
+    Arrow-batched numpy kernel for large k (expression size grows ∝ k;
+    measured crossover k≈16–32, scripts/semdedup_scaling.py). Both add
     ``cluster_col`` and ``cos_col`` (cosine to the OWN centroid, the
-    keep-rank key). Small-k form; use ivf._assign_udf past ~64
-    centroids where a literal expression stops being sensible."""
+    keep-rank key) with the same argmin-(d, cid) semantics; the dedup
+    OUTPUT is assigner-invariant (see semdedup_dropped) even where
+    distance ulps would flip a noise vector's cell."""
+    if assigner == "gemm":
+        best = _assign_gemm_udf(centroids)(F.col(vec_col))
+        return (
+            df.withColumn("_b", best)
+            .withColumn(cluster_col, F.col("_b")["c"])
+            .withColumn(cos_col, F.col("_b")["cos"])
+            .drop("_b")
+        )
+    if assigner != "expr":
+        raise ValueError(f"unknown assigner {assigner!r}")
     # dot identity: argmin ||x-c||^2 = argmin (|c|^2 - 2 x.c), |x|^2
     # constant per row — one zip_with fold per centroid instead of a
     # subtract-square fold, and cos reuses the same dot with the row
@@ -147,6 +194,7 @@ def semdedup_dropped(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    assigner: str = "expr",
 ) -> DataFrame:
     """``(id_col, dup_of)`` — one row per DROPPED corpus member.
 
@@ -171,7 +219,7 @@ def semdedup_dropped(
     # map stage over the source, so the lost-executor recompute window
     # is the same one components.py documents.
     assigned = (
-        assign_clusters(df, centroids, vec_col=vec_col)
+        assign_clusters(df, centroids, vec_col=vec_col, assigner=assigner)
         .select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
@@ -212,11 +260,17 @@ def semdedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    assigner: str = "expr",
 ) -> DataFrame:
     """The deduplicated corpus: input rows minus the dropped set
     (anti-join on the id — the dropped side is the duplicated tail,
     small by construction, so AQE broadcasts it)."""
     dropped = semdedup_dropped(
-        df, centroids, id_col=id_col, vec_col=vec_col, threshold=threshold
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        assigner=assigner,
     )
     return df.join(dropped.select(id_col), id_col, "left_anti")

@@ -137,6 +137,57 @@ def test_cross_cluster_duplicates_survive(spark):
     assert got == []  # different cells are never compared (paper §3)
 
 
+def test_gemm_assigner_matches_expression_assigner(spark):
+    # the large-k Arrow kernel and the literal expression share the
+    # argmin-(d, cid) contract: identical clusters AND centroid
+    # cosines (to float tolerance) on random data
+    rng = __import__("numpy").random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    cents = [(c, [float(x) for x in rng.normal(size=8)]) for c in range(6)]
+    df = _df(spark, [(i, list(v)) for i, v in enumerate(vecs)])
+    expr = {
+        r["vec_id"]: (r["cluster"], r["cos_c"])
+        for r in assign_clusters(df, cents, assigner="expr").collect()
+    }
+    gemm = {
+        r["vec_id"]: (r["cluster"], r["cos_c"])
+        for r in assign_clusters(df, cents, assigner="gemm").collect()
+    }
+    assert set(expr) == set(gemm)
+    for i in expr:
+        assert expr[i][0] == gemm[i][0], f"cluster mismatch vec {i}"
+        assert expr[i][1] == pytest.approx(gemm[i][1], abs=1e-12)
+
+
+def test_gemm_dedup_output_matches_expression(spark, sf_dir):
+    # the full dedup verdict is assigner-invariant on a planted corpus
+    from pythondataingestionprocess_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        copies.select("vec_id", "embedding")
+    )
+    cents = md5_centroids(emb, k=16)
+    a = {
+        (r["vec_id"], r["dup_of"])
+        for r in semdedup_dropped(corpus, cents, assigner="expr").collect()
+    }
+    b = {
+        (r["vec_id"], r["dup_of"])
+        for r in semdedup_dropped(corpus, cents, assigner="gemm").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_unknown_assigner_rejected(spark):
+    with pytest.raises(ValueError, match="unknown assigner"):
+        assign_clusters(_df(spark, [(1, [1.0, 0.0])]), [(0, [1.0, 0.0])],
+                        assigner="nope")
+
+
 def test_registered_oracle_parity_on_sf0001(spark, sf_dir):
     """Full parity of the registered dedup_semantic_semdedup oracle
     (plans/llm_heavy.py) against the Spark plan at sf0.001 — planted
