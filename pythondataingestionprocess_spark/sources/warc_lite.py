@@ -40,7 +40,12 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -215,8 +220,71 @@ class WarcReader(DataSourceReader):
             yield (partition.path, *(rec[c] for c in _COLS))
 
 
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: ingest a LANDING DIRECTORY of segment files.
+
+    Offset = ``{"n": files consumed, "last": last consumed name}``
+    against the sorted listing. Contract (checked, fail-loud): the
+    directory is append-only with lexicographically increasing names —
+    exactly how crawl segments arrive (``CC-MAIN-…-00123.warc.gz``).
+    Names, not mtimes, order batches, so there is no same-mtime
+    nondeterminism (the FileStreamSource trap test_streaming.py
+    documents), and ``readBetweenOffsets`` replays a checkpointed
+    batch deterministically after failure: the same name slice yields
+    the same records."""
+
+    def __init__(self, options: dict):
+        self.glob_pattern = options.get("path")
+        if not self.glob_pattern:
+            raise ValueError("warc source requires a path")
+        if os.path.isdir(self.glob_pattern):
+            self.glob_pattern = os.path.join(self.glob_pattern, "*")
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(self.glob_pattern))
+
+    def _check(self, files: list[str], n: int, last: str) -> None:
+        if n == 0:
+            return
+        if len(files) < n or files[n - 1] != last:
+            seen = repr(files[n - 1]) if len(files) >= n else "<missing>"
+            raise RuntimeError(
+                f"warc landing dir mutated under the stream: offset says "
+                f"file #{n} is {last!r}, listing says {seen} — "
+                "the directory must be append-only with increasing names"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"n": 0, "last": ""}
+
+    def read(self, start: dict):
+        files = self._files()
+        self._check(files, start["n"], start["last"])
+        new = files[start["n"] :]
+        end = {"n": len(files), "last": files[-1] if files else ""}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        self._check(files, end["n"], end["last"])
+        return self._rows(files[start["n"] : end["n"]])
+
+    def _rows(self, paths: list[str]) -> list[tuple]:
+        # a LIST, not a generator: the simple-stream wrapper caches the
+        # returned value and copy.copy()s it for prefetch replay —
+        # generators are neither copyable nor picklable. Micro-batch
+        # grain bounds the materialization to the new files per tick.
+        out: list[tuple] = []
+        for path in paths:
+            with open(path, "rb") as f:
+                data = f.read()
+            out.extend((path, *(rec[c] for c in _COLS)) for rec in parse_warc_bytes(data))
+        return out
+
+
 class WarcDataSource(DataSource):
-    """WARC/WET record source — one row per record, one task per file."""
+    """WARC/WET record source — one row per record, one task per file;
+    batch (``spark.read``) and streaming (``spark.readStream``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -227,6 +295,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcReader:
         return WarcReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -145,6 +145,74 @@ def test_datasource_end_to_end(spark, tmp_path):
     assert counts[0]["t"] == 8  # 3 + 3 + 2 whitespace tokens
 
 
+def test_stream_reader_offsets_pure():
+    """Offset logic without Spark: append-only consumption, replay
+    determinism, and fail-loud on a mutated listing."""
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        r = wl.WarcStreamReader({"path": d})
+        assert r.initialOffset() == {"n": 0, "last": ""}
+        rows, end = r.read({"n": 0, "last": ""})
+        assert list(rows) == [] and end == {"n": 0, "last": ""}
+
+        p1 = os.path.join(d, "seg-00000.warc")
+        open(p1, "wb").write(_record(b"one"))
+        rows, end = r.read({"n": 0, "last": ""})
+        assert [t[7] for t in rows] == ["one"] and end == {"n": 1, "last": p1}
+
+        p2 = os.path.join(d, "seg-00001.warc")
+        open(p2, "wb").write(_record(b"two", rid="<urn:uuid:2>"))
+        rows, end2 = r.read(end)
+        assert [t[7] for t in rows] == ["two"] and end2["n"] == 2
+
+        # deterministic replay of the checkpointed batch
+        replay = list(r.readBetweenOffsets(end, end2))
+        assert [t[7] for t in replay] == ["two"]
+
+        # a renamed/removed earlier file breaks the append-only
+        # contract -> fail loud, never silently skip or re-read
+        os.rename(p1, os.path.join(d, "zzz-renamed.warc"))
+        with pytest.raises(RuntimeError, match="append-only"):
+            r.read(end2)
+
+
+def test_stream_exactly_once_across_restart(spark, tmp_path):
+    """readStream.format('warc'): two availableNow runs over one
+    checkpoint — the second run picks up ONLY the file that arrived
+    between runs (offset restore), no dupes in the parquet sink."""
+    inbox = tmp_path / "landing"
+    inbox.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (inbox / "seg-00000.warc.gz").write_bytes(
+        gzip.compress(_record(b"first", rid="<urn:uuid:1>"))
+    )
+    wl.register(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("warc")
+            .load(str(inbox))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    assert {r["text"] for r in spark.read.parquet(out).collect()} == {"first"}
+
+    (inbox / "seg-00001.warc.gz").write_bytes(
+        gzip.compress(_record(b"second", rid="<urn:uuid:2>"))
+    )
+    run_once()
+    got = [r["text"] for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == ["first", "second"]  # no re-delivery of 'first'
+
+
 def test_wet_to_documents_unknown_source(spark):
     df = spark.createDataFrame(
         [("ok", "conversion", "<urn:uuid:1>", "not a uri", "hello")],
