@@ -82,13 +82,43 @@ def featurize(
 def bucket_log_dist(bucketed: DataFrame, m: int, alpha: float = 1.0) -> DataFrame:
     """``(bucket, logp)`` — m rows, add-alpha smoothed multinomial over
     bucket occurrences: ``log((c_b + alpha) / (N + alpha*m))``. Buckets
-    with zero occurrences still get a row (the smoothing floor)."""
-    spark = bucketed.sparkSession
-    counts = (
+    with zero occurrences still get a row (the smoothing floor).
+    Literally the one-batch composition of the incremental pieces —
+    ``bucket_counts`` (mergeable state) → ``log_dist_from_counts``."""
+    return log_dist_from_counts(bucket_counts(bucketed), m, alpha)
+
+
+def bucket_counts(bucketed: DataFrame) -> DataFrame:
+    """``(bucket, c)`` — the UN-smoothed occurrence counts, the
+    mergeable per-batch state of the method (counts are a commutative
+    monoid; smoothing and the log happen once at read time,
+    ``log_dist_from_counts``). Same incremental discipline as the
+    boilerplate screen's line-frequency state: ship batch states,
+    fold, derive the distribution — never re-scan the corpus."""
+    return (
         bucketed.select(F.explode("buckets").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def merge_bucket_counts(*states: DataFrame) -> DataFrame:
+    """Fold per-batch count states (associative + commutative: union →
+    re-sum). The result is bit-identical to ``bucket_counts`` over the
+    concatenated batches — counts are exact integers, so unlike float
+    folds there is no order sensitivity to document."""
+    it = iter(states)
+    out = next(it)
+    for s in it:
+        out = out.unionAll(s)
+    return out.groupBy("bucket").agg(F.sum("c").alias("c"))
+
+
+def log_dist_from_counts(counts: DataFrame, m: int, alpha: float = 1.0) -> DataFrame:
+    """``(bucket, logp)`` from a (possibly folded) count state — the
+    read-time half of the incremental split; ``bucket_log_dist`` is
+    literally featurize → bucket_counts → this."""
+    spark = counts.sparkSession
     total = counts.agg(F.sum("c").alias("n"))
     return (
         spark.range(m)
@@ -99,7 +129,7 @@ def bucket_log_dist(bucketed: DataFrame, m: int, alpha: float = 1.0) -> DataFram
             "bucket",
             F.log(
                 (F.coalesce("c", F.lit(0)).cast("double") + F.lit(float(alpha)))
-                / (F.col("n").cast("double") + F.lit(float(alpha * m)))
+                / (F.coalesce("n", F.lit(0)).cast("double") + F.lit(float(alpha * m)))
             ).alias("logp"),
         )
     )

@@ -115,13 +115,16 @@ NEW_R10: list[str] = []
 # pre-validated corpus-wide in tests/test_spandedup.py before
 # registration) took the last free slot; dedup_semantic_semdedup
 # (SemDeDup, full oracle) rides the slot freed by retiring the
-# clean_excel_serial_date micro-face — registry 180/180.
+# clean_excel_serial_date micro-face; corpus_dsir_importance (DSIR,
+# full oracle) rides the slot freed by retiring embedding_norms
+# (folds subsumed by embedding_knn_brute) — registry 180/180.
 NEW_R11_STAGED = [
     "text_strip_boilerplate",
     "dedup_incremental_components",
     "embedding_ann_pq",
     "text_repeated_span_dedup",
     "dedup_semantic_semdedup",
+    "corpus_dsir_importance",
 ]
 
 def _apply_rotation() -> None:

@@ -789,3 +789,84 @@ def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return strip_boilerplate(planted, min_docs=3, frac_threshold=0.5)
+
+
+# ------------------------------------------- DSIR importance weights
+
+_DSIR_M = 256  # hashed n-gram buckets
+
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+occ AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % {_DSIR_M} AS b
+  FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, source,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 8))::BIGINT % {_DSIR_M}
+  FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+tgt AS (
+  SELECT b, COUNT(*) AS c FROM occ
+  WHERE source = (SELECT min(source) FROM documents) GROUP BY b
+),
+raw AS (SELECT b, COUNT(*) AS c FROM occ GROUP BY b),
+ratio AS (
+  SELECT g.b,
+         ln((COALESCE(t.c, 0) + 1.0)
+            / ((SELECT SUM(c) FROM tgt) + {_DSIR_M}.0))
+       - ln((COALESCE(r.c, 0) + 1.0)
+            / ((SELECT SUM(c) FROM raw) + {_DSIR_M}.0)) AS r
+  FROM (SELECT unnest(range({_DSIR_M})) AS b) g
+  LEFT JOIN tgt t ON g.b = t.b
+  LEFT JOIN raw r ON g.b = r.b
+)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(SUM(rt.r), 6) AS logw
+FROM occ o JOIN ratio rt ON o.b = rt.b
+GROUP BY o.doc_id
+"""
+
+
+@query("corpus_dsir_importance", oracle=_DSIR_ORACLE, tags=("curation", "selection"))
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (staged NEW_R11, late r10 — Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): hashed unigram+bigram bucket
+    features (m=256, md5 — engine-portable), add-one-smoothed
+    multinomials for the TARGET slice (the min-source's documents, a
+    data-derived scalar both engines recompute) and the RAW corpus,
+    and the per-document importance log-weight sum log p - log q over
+    its n-gram occurrences. Weights are emitted for ALL documents
+    (ROUND 6 absorbs float-fold ulps: JVM vs DuckDB ln and SQL's
+    unordered SUM both live ~1e-11 below the rounding grain, the
+    registry's established ROUND-oracle discipline) — selection
+    (deterministic Gumbel-top-k, operators/dsir.py::gumbel_topk) stays
+    out of the driver face to avoid top-k boundary knife-edges.
+
+    Plan shape (operators/dsir.py): featurize is map-side; each
+    distribution is one occurrence-grain shuffle with map-side
+    partials into m rows; the m log-ratios fold back as a LITERAL
+    array so scoring is zero-shuffle whole-stage codegen
+    (element_at + aggregate) — the broadcast-join twin covers large m.
+    Driver state = the two m-vectors, the method's own contract."""
+    from pythondataingestionprocess_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    min_src = docs.agg(F.min("source").alias("s"))
+    target = docs.join(
+        F.broadcast(min_src), docs["source"] == min_src["s"], "inner"
+    ).select("doc_id", "text")
+    bucketed_all = dsir.featurize(docs, "doc_id", "text", m=_DSIR_M)
+    tdist = dsir.bucket_log_dist(
+        dsir.featurize(target, "doc_id", "text", m=_DSIR_M), m=_DSIR_M
+    )
+    rdist = dsir.bucket_log_dist(bucketed_all, m=_DSIR_M)
+    ratio = dsir.log_ratio_vector(tdist, rdist, m=_DSIR_M)
+    return dsir.dsir_logweights(bucketed_all, ratio).select(
+        "doc_id", "n_feats", F.round("logw", 6).alias("logw")
+    )

@@ -117,32 +117,12 @@ def embedding_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query(
-    "embedding_norms",
-    oracle="""
-SELECT label,
-       COUNT(*) AS n_vecs,
-       MIN(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS min_norm,
-       MAX(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS max_norm
-FROM embeddings GROUP BY label
-""",
-    tags=("similarity", "arrays"),
-)
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface: L2 norms per label (zip_with/aggregate
-    folds — SURVEY §2.8 tail note on array functions)."""
-    from pythondataingestionprocess_spark.functions.vectors import norm
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.withColumn("nrm", norm("embedding"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.min("nrm").alias("min_norm"),
-            F.max("nrm").alias("max_norm"),
-        )
-    )
+# `embedding_norms` (min/max L2 norm per label) RETIRED late-r10
+# (capacity lever, freeing the slot for the DSIR face): a thin per-row
+# map + 4-row aggregate whose entire substance — the
+# functions/vectors.py zip_with/aggregate double folds — is exercised
+# far harder by `embedding_knn_brute` (same folds inside a ranked
+# join, full oracle) and by every cosine-dedup query.
 
 
 # ----------------------------------------------------------- text analysis

