@@ -239,6 +239,19 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("warc source requires a path")
         if os.path.isdir(self.glob_pattern):
             self.glob_pattern = os.path.join(self.glob_pattern, "*")
+        # optional per-batch file cap (the built-in file source's
+        # maxFilesPerTrigger): the simple-stream wrapper holds each
+        # batch's rows in memory (list, see _rows), so a long-running
+        # stream over a busy landing dir should cap batches. OFF by
+        # default because the Python simple-stream runner executes
+        # exactly ONE prefetched batch under trigger(availableNow) —
+        # a cap there means one run ingests only cap files (pinned in
+        # tests); continuous triggers drain the backlog across
+        # micro-batches as expected.
+        raw_cap = options.get("maxFilesPerTrigger")
+        self.max_files = int(raw_cap) if raw_cap is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
 
     def _files(self) -> list[str]:
         return sorted(glob.glob(self.glob_pattern))
@@ -260,8 +273,13 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         files = self._files()
         self._check(files, start["n"], start["last"])
-        new = files[start["n"] :]
-        end = {"n": len(files), "last": files[-1] if files else ""}
+        cut = (
+            len(files)
+            if self.max_files is None
+            else min(len(files), start["n"] + self.max_files)
+        )
+        new = files[start["n"] : cut]
+        end = {"n": cut, "last": files[cut - 1] if cut else ""}
         return self._rows(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict):

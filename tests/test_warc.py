@@ -177,6 +177,73 @@ def test_stream_reader_offsets_pure():
             r.read(end2)
 
 
+def test_stream_reader_max_files_per_trigger():
+    """The per-batch file cap bounds micro-batch memory: a backlog
+    drains across successive read() calls, never in one giant batch."""
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(5):
+            open(os.path.join(d, f"seg-{i:05d}.warc"), "wb").write(
+                _record(f"doc {i}".encode(), rid=f"<urn:uuid:{i}>")
+            )
+        r = wl.WarcStreamReader({"path": d, "maxFilesPerTrigger": "2"})
+        rows, off1 = r.read(r.initialOffset())
+        assert [t[7] for t in rows] == ["doc 0", "doc 1"] and off1["n"] == 2
+        rows, off2 = r.read(off1)
+        assert [t[7] for t in rows] == ["doc 2", "doc 3"] and off2["n"] == 4
+        rows, off3 = r.read(off2)
+        assert [t[7] for t in rows] == ["doc 4"] and off3["n"] == 5
+        rows, off4 = r.read(off3)
+        assert rows == [] and off4 == off3
+
+        with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+            wl.WarcStreamReader({"path": d, "maxFilesPerTrigger": "0"})
+
+
+def test_stream_backlog_and_cap_under_available_now(spark, tmp_path):
+    """availableNow semantics pinned: UNCAPPED (default) a 3-file
+    backlog drains in one run; with maxFilesPerTrigger=1 the Python
+    simple-stream runner executes exactly one prefetched batch per
+    run (the documented interaction), so each run ingests one file
+    and the checkpoint resumes where the last left off."""
+    inbox = tmp_path / "landing2"
+    inbox.mkdir()
+    for i in range(3):
+        (inbox / f"seg-{i:05d}.warc").write_bytes(
+            _record(f"bulk {i}".encode(), rid=f"<urn:uuid:b{i}>")
+        )
+    wl.register(spark)
+
+    def run(out, ckpt, **opts):
+        reader = spark.readStream.format("warc")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(str(inbox))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+
+    out_a = str(tmp_path / "out_a")
+    run(out_a, str(tmp_path / "ckpt_a"))
+    got = sorted(r["text"] for r in spark.read.parquet(out_a).collect())
+    assert got == ["bulk 0", "bulk 1", "bulk 2"]  # uncapped: one run drains
+
+    out_b = str(tmp_path / "out_b")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    run(out_b, ckpt_b, maxFilesPerTrigger="1")
+    got = sorted(r["text"] for r in spark.read.parquet(out_b).collect())
+    assert got == ["bulk 0"]  # capped availableNow: one batch per run
+    run(out_b, ckpt_b, maxFilesPerTrigger="1")
+    got = sorted(r["text"] for r in spark.read.parquet(out_b).collect())
+    assert got == ["bulk 0", "bulk 1"]  # next run resumes, no dupes
+
+
 def test_stream_exactly_once_across_restart(spark, tmp_path):
     """readStream.format('warc'): two availableNow runs over one
     checkpoint — the second run picks up ONLY the file that arrived
