@@ -21,8 +21,10 @@ Distributed shape (never all-pairs):
    shuffle, whole-stage codegen end to end, and a DuckDB oracle can
    replay it bit-for-bit (sequential double folds — see
    functions/vectors.py). For large k (the paper runs 50k clusters)
-   swap in the Arrow-batched GEMM assigner ``ivf._assign_udf`` — same
-   output contract, vectorized argmin.
+   swap in the Arrow-batched GEMM assigner (``assigner="gemm"``,
+   :func:`_assign_gemm_udf` below — NOT ivf._assign_udf, which lacks
+   the cos_c keep-rank output) — same output contract, vectorized
+   argmin.
 2. **within-cluster screen** — self-join on the cluster id (one
    shuffle per side, co-partitioned hash join), pair condition
    ``cos >= threshold`` and keep-rule dominance. Quadratic only
@@ -110,9 +112,15 @@ def _assign_gemm_udf(centroids: list[tuple[int, list[float]]]):
         best = d.argmin(axis=1)
         x_norm = np.sqrt((mat * mat).sum(axis=1))
         rows = np.arange(len(best))
+        denom = x_norm * c_norm[best]
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dots[rows, best] / (x_norm * c_norm[best])
-        return pd.DataFrame({"c": cids[best], "cos": cos})
+            cos = dots[rows, best] / denom
+        # zero-norm rows/centroids: the expr path's try_divide yields
+        # NULL — mirror that (NaN would sort ABOVE every double in the
+        # keep-rank and silently diverge the dropped set; r10 review)
+        cos_out = pd.array(cos, dtype="Float64")
+        cos_out[denom == 0.0] = pd.NA
+        return pd.DataFrame({"c": cids[best], "cos": cos_out})
 
     return _assign
 

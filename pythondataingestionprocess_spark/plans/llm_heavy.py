@@ -249,7 +249,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos) candidates — no join/UDF/shuffle, codegen end to end), then
     ONE cluster-grain self-join bounds the quadratic to cluster size —
     never all-pairs; at paper scale k grows with the corpus and the
-    assigner swaps to the Arrow GEMM kernel (ivf._assign_udf). The
+    assigner swaps to the Arrow GEMM kernel (``assigner="gemm"``,
+    operators/semdedup._assign_gemm_udf — same struct(c, cos)
+    contract; ivf._assign_udf lacks the cos_c keep-rank output). The
     oracle replays everything relationally — md5 centroid pick,
     argmin-(d, cid) assignment, keep-rank dominance, min-rank dup_of —
     on explicit sequential double folds (functions/vectors.py parity

@@ -41,7 +41,11 @@ class StatementTextReader(DataSourceReader):
         paths = sorted(glob.glob(self.glob_pattern))
         return [_FilePartition(p) for p in paths]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition | None) -> Iterator[tuple]:
+        if partition is None:
+            # empty glob: Spark's planner substitutes one None
+            # partition when partitions() == [] — yield 0 rows
+            return
         with open(partition.path, encoding="utf-8", errors="replace") as f:
             yield (partition.path, f.read())
 

@@ -61,24 +61,58 @@ class MalformedRecord(ValueError):
     pass
 
 
-def _gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decompress a (possibly multi-member) gzip buffer member by
+_GZ_CHUNK = 1 << 20  # decompressobj feed size
+
+
+def _iter_member_records(data: bytes) -> Iterator[dict]:
+    """Records from a (possibly multi-member) gzip buffer, member by
     member — Common Crawl's one-record-per-member layout means peak
-    memory is one record, not the whole file."""
-    pos = 0
-    while pos < len(data):
+    memory is one record, not the whole file.
+
+    Two contracts the naive whole-tail loop broke (r10 review):
+
+    - **linear, not quadratic**: the decompressobj is fed fixed-size
+      memoryview chunks, so total memcpy is O(file), not
+      O(members × file) — ``unused_data`` is at most one chunk.
+    - **per-member quarantine**: a corrupt member yields ONE
+      quarantine row and parsing RESYNCS at the next gzip magic —
+      in the one-record-per-member layout, member corruption IS the
+      per-record corruption case, and it must not dead-letter the
+      rest of a 400 MB segment. Resync scans for ``\\x1f\\x8b``,
+      which can false-positive inside compressed bytes (~1/64 KiB);
+      each false hop just fails fast into another quarantine row and
+      keeps scanning — convergence is guaranteed, at worst a handful
+      of extra quarantine rows per corrupt member."""
+    mv = memoryview(data)
+    n, pos = len(data), 0
+    while pos < n:
+        if not data.startswith(_GZIP_MAGIC, pos):
+            yield _quarantine(f"gzip: non-gzip bytes at offset {pos}")
+            nxt = data.find(_GZIP_MAGIC, pos + 1)
+            if nxt == -1:
+                return
+            pos = nxt
+            continue
+        start = pos
         d = zlib.decompressobj(wbits=47)
-        out = d.decompress(data[pos:])
-        out += d.flush()
-        yield out
-        tail = d.unused_data
-        if not tail:
-            break
-        if not tail.startswith(_GZIP_MAGIC):
-            raise MalformedRecord(
-                f"trailing non-gzip bytes after member at offset {len(data) - len(tail)}"
-            )
-        pos = len(data) - len(tail)
+        out = []
+        try:
+            while pos < n and not d.eof:
+                chunk = bytes(mv[pos : pos + _GZ_CHUNK])
+                out.append(d.decompress(chunk))
+                pos += len(chunk)
+            if not d.eof:
+                raise zlib.error("truncated gzip member")
+            pos -= len(d.unused_data)
+            out.append(d.flush())
+        except zlib.error as e:
+            yield _quarantine(f"gzip:{e} (member at offset {start})")
+            nxt = data.find(_GZIP_MAGIC, start + 2)
+            if nxt == -1:
+                return
+            pos = nxt
+            continue
+        yield from iter_records(b"".join(out))
 
 
 def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
@@ -91,6 +125,7 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
     if not version.startswith(b"WARC/1."):
         raise MalformedRecord(f"bad version line {version[:20]!r}")
     headers: dict[str, str] = {}
+    last_name: str | None = None
     p = eol + 2
     while True:
         eol = buf.find(b"\r\n", p)
@@ -100,12 +135,18 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict, int]:
         p = eol + 2
         if line == b"":
             break
+        if line[:1] in (b" ", b"\t"):
+            # ISO 28500 folded header: continuation lines start with
+            # SP/TAB and extend the previous value
+            if last_name is None:
+                raise MalformedRecord("continuation line before any header")
+            headers[last_name] += " " + line.strip().decode("utf-8", "replace")
+            continue
         name, sep, value = line.partition(b":")
         if not sep:
             raise MalformedRecord(f"header without colon {line[:40]!r}")
-        headers[name.strip().lower().decode("ascii", "replace")] = value.strip().decode(
-            "utf-8", "replace"
-        )
+        last_name = name.strip().lower().decode("ascii", "replace")
+        headers[last_name] = value.strip().decode("utf-8", "replace")
     try:
         clen = int(headers["content-length"])
     except KeyError:
@@ -175,11 +216,7 @@ def iter_records(buf: bytes) -> Iterator[dict]:
 def parse_warc_bytes(data: bytes) -> Iterator[dict]:
     """Records from raw file bytes — gzip (multi-member) or plain."""
     if data.startswith(_GZIP_MAGIC):
-        try:
-            for member in _gzip_members(data):
-                yield from iter_records(member)
-        except (MalformedRecord, zlib.error) as e:
-            yield _quarantine(f"gzip:{e}")
+        yield from _iter_member_records(data)
     else:
         yield from iter_records(data)
 
@@ -213,7 +250,12 @@ class WarcReader(DataSourceReader):
     def partitions(self):  # one file = one task
         return [_WarcPartition(p) for p in sorted(glob.glob(self.glob_pattern))]
 
-    def read(self, partition: _WarcPartition) -> Iterator[tuple]:
+    def read(self, partition: _WarcPartition | None) -> Iterator[tuple]:
+        if partition is None:
+            # empty glob: Spark's planner substitutes one None
+            # partition when partitions() == [] — yield 0 rows, don't
+            # crash the task (r10 review)
+            return
         with open(partition.path, "rb") as f:
             data = f.read()
         for rec in parse_warc_bytes(data):
@@ -284,6 +326,11 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = self._files()
+        # validate BOTH edges: an earlier file renamed to sort inside
+        # the replay slice keeps the end position intact but shifts
+        # what files[start:end] means — fail loud, never replay the
+        # wrong files (r10 review)
+        self._check(files, start["n"], start["last"])
         self._check(files, end["n"], end["last"])
         return self._rows(files[start["n"] : end["n"]])
 

@@ -66,11 +66,20 @@ def _raw_state_excluding(
     """Fold of all prior batches' count states, excluding the current
     batch's own subdir (retry-proofing: a crash AFTER the state write
     but BEFORE the commit re-runs the batch — its earlier partial
-    write must not make the batch count itself twice)."""
-    try:
-        prior = spark.read.option("basePath", raw_path).parquet(raw_path)
-    except Exception:
+    write must not make the batch count itself twice).
+
+    First-batch detection is an EXPLICIT filesystem probe (the
+    dedup_ingest pattern), not a broad except: a corrupt state subdir
+    or a transient FS error must raise — silently treating it as
+    "first batch" would score against the wrong distribution with no
+    signal downstream (r10 review)."""
+    from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+        _store_exists,
+    )
+
+    if not _store_exists(spark, raw_path):
         return None  # first batch: no raw state yet
+    prior = spark.read.option("basePath", raw_path).parquet(raw_path)
     prior = prior.filter(F.col("ingest_batch") != batch_id).select("bucket", "c")
     return prior.groupBy("bucket").agg(F.sum("c").alias("c"))
 

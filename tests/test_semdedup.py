@@ -182,6 +182,23 @@ def test_gemm_dedup_output_matches_expression(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_zero_norm_vectors_null_cos_in_both_assigners(spark):
+    """r10 review finding: the expr path's try_divide yields NULL on a
+    zero-norm vector; the gemm kernel must mirror that (NaN would sort
+    above every double in the keep-rank and diverge the dropped set)."""
+    rows = [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])]
+    cents = [(0, [1.0, 0.0, 0.0])]
+    for assigner in ("expr", "gemm"):
+        got = {
+            r["vec_id"]: r["cos_c"]
+            for r in assign_clusters(
+                _df(spark, rows), cents, assigner=assigner
+            ).collect()
+        }
+        assert got[1] is None, f"{assigner}: zero-norm cos must be NULL"
+        assert got[2] == pytest.approx(1.0)
+
+
 def test_unknown_assigner_rejected(spark):
     with pytest.raises(ValueError, match="unknown assigner"):
         assign_clusters(_df(spark, [(1, [1.0, 0.0])]), [(0, [1.0, 0.0])],
