@@ -370,6 +370,56 @@ def test_stream_exactly_once_across_restart(spark, tmp_path):
     assert sorted(got) == ["first", "second"]  # no re-delivery of 'first'
 
 
+def test_wet_corpus_build_composition(spark, tmp_path):
+    """The WARC front-end composes with the corpus-build stages
+    (NEXT.md r11 item 5's remaining half): WET segments →
+    wet_to_documents → exact dedup (cross-file duplicate collapses to
+    the lowest doc_id) → token-budget sharding, all on the documents
+    shape the registered pipeline uses."""
+    d = tmp_path / "wets"
+    d.mkdir()
+    dup = b"repeated article body with several tokens"
+    (d / "seg-00000.warc.gz").write_bytes(
+        gzip.compress(_record(dup, rid="<urn:uuid:d1>", uri="https://a.x/1"))
+        + gzip.compress(
+            _record(b"unique one here", rid="<urn:uuid:u1>", uri="https://a.x/2")
+        )
+    )
+    (d / "seg-00001.warc.gz").write_bytes(
+        gzip.compress(_record(dup, rid="<urn:uuid:d2>", uri="https://b.y/1"))
+        + gzip.compress(
+            _record(b"another unique text", rid="<urn:uuid:u2>", uri="https://b.y/2")
+        )
+    )
+    from pythondataingestionprocess_spark.functions import text as tx
+    from pythondataingestionprocess_spark.operators.dedup import exact_dedup
+    from pythondataingestionprocess_spark.operators.packing import shard_by_offset
+
+    docs = wl.wet_to_documents(wl.read_warc(spark, str(d)))
+    assert docs.count() == 4
+    fp = docs.withColumn("fp", F.md5(F.lower(F.trim("text"))))
+    survivors = exact_dedup(fp, ["fp"], "doc_id").join(
+        fp.select("doc_id", "source", "text"), "doc_id"
+    )
+    assert survivors.count() == 3  # the cross-file duplicate collapsed
+    # the winner is deterministic: min doc_id of the duplicate pair
+    dup_ids = sorted(
+        r["doc_id"]
+        for r in fp.filter(F.col("text") == dup.decode()).collect()
+    )
+    kept_ids = {r["doc_id"] for r in survivors.collect()}
+    assert dup_ids[0] in kept_ids and dup_ids[1] not in kept_ids
+
+    sharded = shard_by_offset(
+        survivors.select(
+            "source", "doc_id", tx.token_count("text").alias("n_toks")
+        ),
+        "source", "doc_id", "n_toks", budget=4,
+    )
+    got = {(r["source"], r["shard_id"]) for r in sharded.collect()}
+    assert len(got) >= 3 and all(s >= 0 for _, s in got)
+
+
 def test_wet_to_documents_unknown_source(spark):
     df = spark.createDataFrame(
         [("ok", "conversion", "<urn:uuid:1>", "not a uri", "hello")],
