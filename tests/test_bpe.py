@@ -1,0 +1,128 @@
+"""Distributed BPE merge learning (operators/bpe.py): the learned
+merge sequence and final symbol tables match a from-scratch
+pure-Python Sennrich reference exactly, ties break deterministically,
+min_count stops early, and greedy same-symbol runs merge
+left-to-right."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pythondataingestionprocess_spark.operators import bpe
+
+
+# ---- pure-Python reference (Sennrich et al. 2016, alg. 1) ----------
+
+def _py_word_counts(texts):
+    c = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            c[w] += 1
+    return c
+
+
+def _py_pairs(vocab):
+    pairs = Counter()
+    for sym, n in vocab.items():
+        for a, b in zip(sym, sym[1:]):
+            pairs[(a, b)] += n
+    return pairs
+
+
+def _py_merge(sym, a, b):
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_learn(texts, n_merges, min_count=2):
+    vocab = {
+        tuple(w) + (bpe.END,): n for w, n in _py_word_counts(texts).items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = _py_pairs(vocab)
+        if not pairs:
+            break
+        # count DESC, then lexicographic (a, b) — the engine's tie-break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((a, b))
+        vocab = {_py_merge(s, a, b): c for s, c in vocab.items()}
+    return merges, vocab
+
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+]
+
+
+def _docs(spark, texts=TEXTS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_merge_sequence_matches_python_reference(spark):
+    expect, _ = _py_learn(TEXTS, n_merges=10)
+    got = bpe.learn_bpe_merges(_docs(spark), n_merges=10)
+    assert got == expect and len(got) == 10
+
+
+def test_final_symbol_tables_match(spark):
+    merges, vocab = _py_learn(TEXTS, n_merges=8)
+    words = bpe.word_counts(_docs(spark))
+    applied = {
+        r["word"]: tuple(r["subwords"])
+        for r in bpe.apply_merges(words, merges).collect()
+    }
+    expect = {
+        w: _py_merge_all(w, merges) for w in _py_word_counts(TEXTS)
+    }
+    assert applied == expect
+    # and the reference's own vocab agrees (sanity on the twin itself)
+    for w, sym in expect.items():
+        assert vocab[sym] == _py_word_counts(TEXTS)[w]
+
+
+def _py_merge_all(word, merges):
+    sym = tuple(word) + (bpe.END,)
+    for a, b in merges:
+        sym = _py_merge(sym, a, b)
+    return sym
+
+
+def test_min_count_stops_early(spark):
+    # every word unique -> every pair count 1 < min_count=2 -> no merges
+    docs = _docs(spark, ["abc def", "ghi jkl"])
+    assert bpe.learn_bpe_merges(docs, n_merges=10, min_count=2) == []
+
+
+def test_greedy_same_symbol_run(spark):
+    # 'aaaa' under merge (a, a): greedy left-to-right -> (aa)(aa)
+    docs = _docs(spark, ["aaaa aaaa aaaa"])
+    merges = bpe.learn_bpe_merges(docs, n_merges=1, min_count=2)
+    assert merges == [("a", "a")]
+    words = bpe.word_counts(docs)
+    got = bpe.apply_merges(words, merges).collect()[0]["subwords"]
+    assert got == ["aa", "aa", bpe.END]
+
+
+def test_tiebreak_is_lexicographic(spark):
+    # two pairs with equal counts: ('x','y') vs ('a','b') -> a,b wins
+    docs = _docs(spark, ["xy xy ab ab"])
+    merges = bpe.learn_bpe_merges(docs, n_merges=1, min_count=2)
+    assert merges == [("a", "b")]
