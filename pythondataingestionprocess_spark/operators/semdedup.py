@@ -117,9 +117,14 @@ def _assign_gemm_udf(centroids: list[tuple[int, list[float]]]):
             cos = dots[rows, best] / denom
         # zero-norm rows/centroids: the expr path's try_divide yields
         # NULL — mirror that (NaN would sort ABOVE every double in the
-        # keep-rank and silently diverge the dropped set; r10 review)
-        cos_out = pd.array(cos, dtype="Float64")
-        cos_out[denom == 0.0] = pd.NA
+        # keep-rank and silently diverge the dropped set; r10 review).
+        # Mask ONLY the zero-denominator rows: pd.array(..., "Float64")
+        # would coerce EVERY NaN to NA, so a NaN embedding component
+        # (expr path: try_divide(NaN, NaN) = NaN, divisor nonzero)
+        # would re-open the same divergence from the other side
+        # (second r10 review pass). FloatingArray with an explicit
+        # mask keeps unmasked NaN as NaN through Arrow.
+        cos_out = pd.arrays.FloatingArray(cos, mask=(denom == 0.0))
         return pd.DataFrame({"c": cids[best], "cos": cos_out})
 
     return _assign

@@ -61,7 +61,12 @@ class MalformedRecord(ValueError):
     pass
 
 
-_GZ_CHUNK = 1 << 20  # decompressobj feed size
+_GZ_CHUNK = 1 << 20  # max decompressobj feed size
+_GZ_FEED_FLOOR = 1 << 10  # min adaptive feed size
+
+# white-box instrumentation: total bytes handed to decompressobj —
+# the linearity test pins the adaptive-feed amplification bound
+_GZ_FEED_STATS = {"fed": 0}
 
 
 def _iter_member_records(data: bytes) -> Iterator[dict]:
@@ -69,11 +74,20 @@ def _iter_member_records(data: bytes) -> Iterator[dict]:
     member — Common Crawl's one-record-per-member layout means peak
     memory is one record, not the whole file.
 
-    Two contracts the naive whole-tail loop broke (r10 review):
+    Two contracts the naive whole-tail loop broke (r10 review, both
+    passes):
 
-    - **linear, not quadratic**: the decompressobj is fed fixed-size
-      memoryview chunks, so total memcpy is O(file), not
-      O(members × file) — ``unused_data`` is at most one chunk.
+    - **bounded memcpy**: member boundaries are only discoverable by
+      decompressing, so every feed that overshoots a boundary pays one
+      copy of the overshoot (zlib materializes ``unused_data``); the
+      feed size therefore ADAPTS to ~2x the previous member's
+      compressed size (floor 1 KiB, cap ``_GZ_CHUNK``), making the
+      expected overshoot proportional to the member itself — total
+      memcpy ~2-4x the file for any roughly-uniform member sizing
+      (CC segments are), and plain O(member) for large members. The
+      original code re-fed the whole remaining tail per member
+      (O(members x file)); the first fix still paid ~2 x 1 MiB per
+      member.
     - **per-member quarantine**: a corrupt member yields ONE
       quarantine row and parsing RESYNCS at the next gzip magic —
       in the one-record-per-member layout, member corruption IS the
@@ -84,34 +98,51 @@ def _iter_member_records(data: bytes) -> Iterator[dict]:
       keeps scanning — convergence is guaranteed, at worst a handful
       of extra quarantine rows per corrupt member."""
     mv = memoryview(data)
-    n, pos = len(data), 0
-    while pos < n:
-        if not data.startswith(_GZIP_MAGIC, pos):
-            yield _quarantine(f"gzip: non-gzip bytes at offset {pos}")
-            nxt = data.find(_GZIP_MAGIC, pos + 1)
+    n = len(data)
+    pos = 0  # next unread offset in data; pending is data[pos-len:pos]
+    pending = b""
+    guess = 8 * _GZ_FEED_FLOOR  # adaptive feed size (~member scale)
+    while pending or pos < n:
+        member_start = pos - len(pending)
+        if len(pending) < 2 and pos < n:  # top up to check the magic
+            take = bytes(mv[pos : pos + guess])
+            pos += len(take)
+            pending += take
+        if not pending.startswith(_GZIP_MAGIC):
+            yield _quarantine(f"gzip: non-gzip bytes at offset {member_start}")
+            nxt = data.find(_GZIP_MAGIC, member_start + 1)
             if nxt == -1:
                 return
-            pos = nxt
+            pos, pending = nxt, b""
             continue
-        start = pos
         d = zlib.decompressobj(wbits=47)
         out = []
+        fed_member = 0
         try:
-            while pos < n and not d.eof:
-                chunk = bytes(mv[pos : pos + _GZ_CHUNK])
+            while True:
+                if pending:
+                    chunk, pending = pending, b""
+                elif pos < n:
+                    chunk = bytes(mv[pos : pos + guess])
+                    pos += len(chunk)
+                else:
+                    raise zlib.error("truncated gzip member")
+                _GZ_FEED_STATS["fed"] += len(chunk)
+                fed_member += len(chunk)
                 out.append(d.decompress(chunk))
-                pos += len(chunk)
-            if not d.eof:
-                raise zlib.error("truncated gzip member")
-            pos -= len(d.unused_data)
-            out.append(d.flush())
+                if d.eof:
+                    pending = d.unused_data
+                    out.append(d.flush())
+                    break
         except zlib.error as e:
-            yield _quarantine(f"gzip:{e} (member at offset {start})")
-            nxt = data.find(_GZIP_MAGIC, start + 2)
+            yield _quarantine(f"gzip:{e} (member at offset {member_start})")
+            nxt = data.find(_GZIP_MAGIC, member_start + 2)
             if nxt == -1:
                 return
-            pos = nxt
+            pos, pending = nxt, b""
             continue
+        consumed = fed_member - len(pending)
+        guess = max(_GZ_FEED_FLOOR, min(2 * consumed, _GZ_CHUNK))
         yield from iter_records(b"".join(out))
 
 

@@ -60,6 +60,19 @@ def init_target_state(
     ).write.mode("overwrite").parquet(target_path)
 
 
+def _has_committed_state(spark: SparkSession, raw_path: str) -> bool:
+    """True iff some ingest_batch subdir holds a COMMITTED part file
+    (committer temp dirs and _SUCCESS markers don't count)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(raw_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    st = fs.globStatus(jvm.org.apache.hadoop.fs.Path(raw_path + "/*/part-*"))
+    return st is not None and len(st) > 0
+
+
 def _raw_state_excluding(
     spark: SparkSession, raw_path: str, batch_id: int
 ) -> DataFrame | None:
@@ -68,17 +81,16 @@ def _raw_state_excluding(
     but BEFORE the commit re-runs the batch — its earlier partial
     write must not make the batch count itself twice).
 
-    First-batch detection is an EXPLICIT filesystem probe (the
-    dedup_ingest pattern), not a broad except: a corrupt state subdir
-    or a transient FS error must raise — silently treating it as
-    "first batch" would score against the wrong distribution with no
-    signal downstream (r10 review)."""
-    from pythondataingestionprocess_spark.streaming.dedup_ingest import (
-        _store_exists,
-    )
-
-    if not _store_exists(spark, raw_path):
-        return None  # first batch: no raw state yet
+    First-batch detection probes for COMMITTED state (part files under
+    an ingest_batch subdir), not a broad except and not bare directory
+    existence: a broad except silently scores against the wrong
+    distribution on any FS error, while an existence-only probe
+    deadlocks the first batch forever — a crash mid-write leaves
+    ``raw/`` holding only the committer's ``_temporary`` dir, which
+    exists but cannot be read as parquet (r10 review, both passes).
+    A genuine corrupt/unreadable COMMITTED subdir still raises."""
+    if not _has_committed_state(spark, raw_path):
+        return None  # first batch: no committed raw state yet
     prior = spark.read.option("basePath", raw_path).parquet(raw_path)
     prior = prior.filter(F.col("ingest_batch") != batch_id).select("bucket", "c")
     return prior.groupBy("bucket").agg(F.sum("c").alias("c"))

@@ -94,6 +94,30 @@ def test_retry_never_counts_a_batch_twice(spark, store, tmp_path):
     assert again == first
 
 
+def test_first_batch_crash_leaves_recoverable_state(spark, store, tmp_path):
+    """r10 review (second pass): a crash DURING the very first state
+    write leaves raw/ holding only the committer's _temporary dir —
+    the committed-state probe must treat that as 'first batch' and
+    recover, not deadlock every retry on an unreadable parquet dir."""
+    raw = os.path.join(store, "raw")
+    os.makedirs(os.path.join(raw, "ingest_batch=0", "_temporary", "0"))
+    with open(
+        os.path.join(raw, "ingest_batch=0", "_temporary", "0", "junk"), "wb"
+    ) as f:
+        f.write(b"partial")
+    b1 = _docs(spark, [(1, A_DOC), (2, B_DOC)])
+    out = str(tmp_path / "scores")
+    fn = di.dsir_batch_fn(store, out, m=M)
+    fn(b1, 0)  # the retry after the crash — must succeed
+    got = {
+        r["doc_id"]: r["selected"]
+        for r in spark.read.parquet(os.path.join(out, "batch_id=0")).collect()
+    }
+    assert got == {1: True, 2: False}
+    raw_df = spark.read.parquet(raw)
+    assert raw_df.agg(F.sum("c")).collect()[0][0] == 14  # counted once
+
+
 def test_selection_routes_target_like_docs(spark, store, tmp_path):
     batch = _docs(spark, [(1, A_DOC), (2, B_DOC), (3, A_DOC)])
     scores, _ = di.score_batch(

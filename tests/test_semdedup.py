@@ -199,6 +199,35 @@ def test_zero_norm_vectors_null_cos_in_both_assigners(spark):
         assert got[2] == pytest.approx(1.0)
 
 
+def test_nan_component_stays_nan_in_both_assigners(spark):
+    """r10 review (second pass): a NaN embedding COMPONENT must give
+    cos_c = NaN under BOTH assigners (expr: try_divide(NaN, NaN) is
+    NaN — divisor nonzero; gemm must not coerce NaN to NULL), or the
+    keep-rank orders diverge (NaN sorts above every double, NULL rows
+    fall out of the pair predicate)."""
+    import math
+
+    rows = [(1, [float("nan"), 1.0, 0.0]), (2, [1.0, 0.0, 0.0])]
+    cents = [(0, [1.0, 0.0, 0.0])]
+    for assigner in ("expr", "gemm"):
+        got = {
+            r["vec_id"]: (r["cluster"], r["cos_c"])
+            for r in assign_clusters(
+                _df(spark, rows), cents, assigner=assigner
+            ).collect()
+        }
+        assert got[1][1] is not None and math.isnan(got[1][1]), (
+            f"{assigner}: NaN component must stay NaN, got {got[1][1]!r}"
+        )
+        assert got[2][1] == pytest.approx(1.0)
+    # and the two assigners agree on the NaN row's cluster too
+    e = assign_clusters(_df(spark, rows), cents, assigner="expr").collect()
+    g = assign_clusters(_df(spark, rows), cents, assigner="gemm").collect()
+    assert {r["vec_id"]: r["cluster"] for r in e} == {
+        r["vec_id"]: r["cluster"] for r in g
+    }
+
+
 def test_unknown_assigner_rejected(spark):
     with pytest.raises(ValueError, match="unknown assigner"):
         assign_clusters(_df(spark, [(1, [1.0, 0.0])]), [(0, [1.0, 0.0])],

@@ -119,18 +119,44 @@ def test_corrupt_gzip_member_midfile_resyncs_to_later_members():
 
 
 def test_gzip_members_chunked_feed_is_linear():
-    """The decompressobj is fed bounded chunks (no whole-tail
-    re-slicing): a many-member buffer decodes every member and the
-    feed size constant is respected (white-box pin of the O(n)
-    contract)."""
-    n = 50
+    """r10 review (second pass): total bytes fed to the decompressor
+    must be <= ~2x the file size regardless of member count — each
+    member's unused_data carries forward as the next member's first
+    feed instead of re-slicing the tail (the first fix still paid
+    ~2 x _GZ_CHUNK per member; the original paid O(members x file))."""
+    # pathological: ~170-byte members, way under the 1 KiB feed floor
+    n = 200
     data = b"".join(
         gzip.compress(_record(f"doc {i}".encode(), rid=f"<urn:uuid:{i}>"))
         for i in range(n)
     )
+    before = wl._GZ_FEED_STATS["fed"]
     recs = list(wl.parse_warc_bytes(data))
+    fed = wl._GZ_FEED_STATS["fed"] - before
     assert [r["text"] for r in recs] == [f"doc {i}" for i in range(n)]
-    assert wl._GZ_CHUNK <= (1 << 22)
+    # floor-dominated worst case: ~n x (member + floor) — about 8x for
+    # these tiny members, vs ~100x for the re-slice-the-tail bug
+    assert fed <= len(data) + n * (2 * wl._GZ_FEED_FLOOR), (
+        f"fed {fed} bytes for a {len(data)}-byte file — superlinear feed"
+    )
+
+    # realistic: ~3 KiB compressed members (CC scale) — the adaptive
+    # guess tracks member size, amplification stays a small constant
+    import os as _os
+
+    blob = _os.urandom(6000)  # incompressible -> ~6 KB member
+    n2 = 60
+    data2 = b"".join(
+        gzip.compress(_record(blob, rid=f"<urn:uuid:r{i}>", ctype="application/octet-stream"))
+        for i in range(n2)
+    )
+    before = wl._GZ_FEED_STATS["fed"]
+    recs2 = list(wl.parse_warc_bytes(data2))
+    fed2 = wl._GZ_FEED_STATS["fed"] - before
+    assert sum(r["decode_status"] == "ok" for r in recs2) == n2
+    assert fed2 <= 4 * len(data2), (
+        f"fed {fed2} for {len(data2)} bytes — adaptive guess not tracking"
+    )
 
 
 def test_folded_header_lines_parse():
