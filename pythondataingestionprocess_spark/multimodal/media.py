@@ -55,7 +55,15 @@ def real_decode(content: bytes, media_type: str) -> dict:
     duration, tracks, dimensions, sample count; ``mean_intensity``
     NULL) while frame decode stays stubbed (no PyAV/ffmpeg and no
     stdlib codec exists). Audio: PCM WAV real, compressed codecs
-    stubbed."""
+    stubbed.
+
+    ``media_type`` accepts both the coarse labels the fake decoder
+    uses ("image"/"audio"/"video") and full MIME types ("image/png",
+    "audio/wav" — what real sources like the WARC reader carry): the
+    major type routes, the decoder sniffs the actual subformat from
+    magic bytes as before."""
+    if media_type:
+        media_type = media_type.split("/", 1)[0].strip().lower()
     if media_type == "image":
         try:
             from PIL import Image  # noqa: F401  # pragma: no cover

@@ -446,6 +446,58 @@ def test_wet_corpus_build_composition(spark, tmp_path):
     assert len(got) >= 3 and all(s >= 0 for _, s in got)
 
 
+def _tiny_gray_png(width=4, height=4, value=100) -> bytes:
+    """Minimal solid-gray grayscale PNG (8-bit, filter 0 rows)."""
+    import struct
+    import zlib as _z
+
+    def chunk(ctype, body):
+        out = struct.pack(">I", len(body)) + ctype + body
+        return out + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+
+    raw = b"".join(b"\x00" + bytes([value]) * width for _ in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_warc_binary_payload_flows_into_multimodal_decode(spark, tmp_path):
+    """Cross-family composition: a WARC response record carrying a
+    real PNG routes its payload bytes into the multimodal REAL decode
+    path — width/height/mean_intensity come out of the actual pixels,
+    and the text record in the same segment stays on the text path."""
+    from pythondataingestionprocess_spark.multimodal.media import decode_media
+
+    png = _tiny_gray_png(value=100)
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(
+        gzip.compress(_record(b"plain text doc", rid="<urn:uuid:t1>"))
+        + gzip.compress(
+            _record(png, rec_type="response", ctype="image/png",
+                    rid="<urn:uuid:p1>", uri="https://img.example/x.png")
+        )
+    )
+    recs = wl.read_warc(spark, str(d))
+    media = recs.filter(F.col("payload").isNotNull()).select(
+        F.xxhash64("record_id").alias("id"),
+        F.col("content_type").alias("media_type"),
+        F.col("payload").alias("content"),
+    )
+    got = decode_media(media, use_fake=False).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    assert r["mean_intensity"] == pytest.approx(100.0 / 255.0)
+    assert r["byte_len"] == len(png)
+    # the text record is untouched by the binary path
+    assert recs.filter(F.col("text").isNotNull()).count() == 1
+
+
 def test_wet_to_documents_unknown_source(spark):
     df = spark.createDataFrame(
         [("ok", "conversion", "<urn:uuid:1>", "not a uri", "hello")],
