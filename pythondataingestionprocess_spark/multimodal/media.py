@@ -202,13 +202,40 @@ def decode_media(
 ) -> DataFrame:
     """Arrow-batched decode via mapInPandas: (id, media_type, content)
     → MEDIA_STATS_SCHEMA rows. ``use_fake=False`` routes to the real
-    (stubbed) decoder."""
+    (stubbed) decoder.
+
+    MIME types normalize to their major type HERE, so the fake and
+    real decoders see identical labels ('image/png' → 'image' for
+    both — r10 review: normalizing only inside real_decode made the
+    stand-in disagree with the real path on MIME-typed rows).
+
+    Per-row fault isolation: an unsupported type (a real crawl's
+    ``application/http`` response payloads) or an undecodable blob
+    yields a NULL-stats row — byte_len real, everything else NULL —
+    instead of crashing the whole Arrow batch task. NULL stats are
+    this module's established can't-decode signal; one exotic payload
+    must never dead-letter a million-row partition (the same
+    per-record discipline as the WARC reader that feeds this)."""
     decoder = fake_decode_stats if use_fake else real_decode
+
+    def _one(content, mt) -> dict:
+        blob = bytes(content) if content is not None else b""
+        major = mt.split("/", 1)[0].strip().lower() if mt else mt
+        try:
+            return decoder(blob, major)
+        except (NotImplementedError, ValueError):
+            return {
+                "byte_len": len(blob),
+                "width": None,
+                "height": None,
+                "n_frames": None,
+                "mean_intensity": None,
+            }
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             stats = [
-                decoder(bytes(content) if content is not None else b"", mt)
+                _one(content, mt)
                 for content, mt in zip(pdf["content"], pdf["media_type"])
             ]
             out = pd.DataFrame(stats)

@@ -41,11 +41,16 @@ END = "</w>"  # end-of-word marker, per the paper
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """``(word, count)`` — the one corpus pass."""
+    """``(word, count)`` — the one corpus pass. Tokenization is
+    UNICODE whitespace (``(?U)\\s+`` — Java's ``\\s`` is ASCII-only by
+    default, but web text is full of NBSP and friends, and the
+    pure-Python reference this module is pinned against splits on
+    Unicode whitespace); empty fragments from leading/trailing
+    separators are dropped, matching ``str.split()``."""
     return (
         docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            F.explode(F.split(F.lower(F.col(text_col)), r"(?U)\s+")).alias(
                 "word"
             )
         )

@@ -82,12 +82,15 @@ def _iter_member_records(data: bytes) -> Iterator[dict]:
       copy of the overshoot (zlib materializes ``unused_data``); the
       feed size therefore ADAPTS to ~2x the previous member's
       compressed size (floor 1 KiB, cap ``_GZ_CHUNK``), making the
-      expected overshoot proportional to the member itself — total
-      memcpy ~2-4x the file for any roughly-uniform member sizing
-      (CC segments are), and plain O(member) for large members. The
-      original code re-fed the whole remaining tail per member
-      (O(members x file)); the first fix still paid ~2 x 1 MiB per
-      member.
+      expected overshoot proportional to the member itself, and the
+      overshoot is given back by REWINDING the cursor (never by
+      carrying a buffer that would be re-fed whole) — total memcpy
+      ~2-4x the file for roughly-uniform member sizing (CC segments
+      are), plain O(member) for large members, plus one stale-guess
+      window per large-to-small size transition. The original code
+      re-fed the whole remaining tail per member (O(members x file));
+      the first fix still paid ~2 x 1 MiB per member; the second went
+      quadratic on size-transition straddles.
     - **per-member quarantine**: a corrupt member yields ONE
       quarantine row and parsing RESYNCS at the next gzip magic —
       in the one-record-per-member layout, member corruption IS the
@@ -99,39 +102,37 @@ def _iter_member_records(data: bytes) -> Iterator[dict]:
       of extra quarantine rows per corrupt member."""
     mv = memoryview(data)
     n = len(data)
-    pos = 0  # next unread offset in data; pending is data[pos-len:pos]
-    pending = b""
+    pos = 0  # next unread offset in data
     guess = 8 * _GZ_FEED_FLOOR  # adaptive feed size (~member scale)
-    while pending or pos < n:
-        member_start = pos - len(pending)
-        if len(pending) < 2 and pos < n:  # top up to check the magic
-            take = bytes(mv[pos : pos + guess])
-            pos += len(take)
-            pending += take
-        if not pending.startswith(_GZIP_MAGIC):
+    while pos < n:
+        member_start = pos
+        if not data.startswith(_GZIP_MAGIC, pos):
             yield _quarantine(f"gzip: non-gzip bytes at offset {member_start}")
-            nxt = data.find(_GZIP_MAGIC, member_start + 1)
+            nxt = data.find(_GZIP_MAGIC, pos + 1)
             if nxt == -1:
                 return
-            pos, pending = nxt, b""
+            pos = nxt
             continue
         d = zlib.decompressobj(wbits=47)
         out = []
-        fed_member = 0
         try:
             while True:
-                if pending:
-                    chunk, pending = pending, b""
-                elif pos < n:
-                    chunk = bytes(mv[pos : pos + guess])
-                    pos += len(chunk)
-                else:
+                if pos >= n:
                     raise zlib.error("truncated gzip member")
+                chunk = bytes(mv[pos : pos + guess])
+                pos += len(chunk)
                 _GZ_FEED_STATS["fed"] += len(chunk)
-                fed_member += len(chunk)
                 out.append(d.decompress(chunk))
                 if d.eof:
-                    pending = d.unused_data
+                    # REWIND the overshoot instead of carrying a
+                    # pending buffer: unused_data is always a suffix
+                    # of the LAST fed chunk (feeding stops at eof), so
+                    # the next member re-slices those bytes from the
+                    # memoryview at the NEW (already-shrunk) guess —
+                    # a carried buffer fed whole went quadratic on a
+                    # stale-large guess straddling a run of tiny
+                    # members (third review pass: 1687x measured)
+                    pos -= len(d.unused_data)
                     out.append(d.flush())
                     break
         except zlib.error as e:
@@ -139,10 +140,9 @@ def _iter_member_records(data: bytes) -> Iterator[dict]:
             nxt = data.find(_GZIP_MAGIC, member_start + 2)
             if nxt == -1:
                 return
-            pos, pending = nxt, b""
+            pos = nxt
             continue
-        consumed = fed_member - len(pending)
-        guess = max(_GZ_FEED_FLOOR, min(2 * consumed, _GZ_CHUNK))
+        guess = max(_GZ_FEED_FLOOR, min(2 * (pos - member_start), _GZ_CHUNK))
         yield from iter_records(b"".join(out))
 
 

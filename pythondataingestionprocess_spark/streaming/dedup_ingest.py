@@ -63,6 +63,35 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def _store_has_committed(spark: SparkSession, path: str) -> bool:
+    """True iff the store holds COMMITTED part files — at the root
+    (plain append layout) or one level down (``ingest_batch=N``
+    subdirs). Read-gating must use THIS, not bare existence: a crash
+    during the very first store write leaves only the committer's
+    ``_temporary`` dir, which exists but fails every parquet read —
+    gating on existence wedges the stream permanently (r10 review,
+    found on dsir_ingest, latent here). Listing, not globbing: a
+    Hadoop glob built from the path would silently match nothing when
+    the path itself contains glob metacharacters."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue  # committer temp dirs, _SUCCESS, hidden files
+        if name.startswith("part-"):
+            return True
+        if st.isDirectory():
+            for st2 in fs.listStatus(st.getPath()):
+                if st2.getPath().getName().startswith("part-"):
+                    return True
+    return False
+
+
 def capped_store_candidates(
     store_banded: DataFrame,
     new_banded: DataFrame,
@@ -146,9 +175,9 @@ def screen_batch(
         shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=threshold, seed=_SEED,
     ).withColumn("kind", F.lit("within"))
-    if not (_store_exists(spark, buckets_path)
-            and _store_exists(spark, shingles_path)):
-        return within
+    if not (_store_has_committed(spark, buckets_path)
+            and _store_has_committed(spark, shingles_path)):
+        return within  # first batch (or its crashed first write)
     new_banded = dd._signatures_banded(
         batch_df, id_col, text_col,
         shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS, seed=_SEED,
@@ -353,7 +382,7 @@ def block_screen_batch(
     )
     w = W.partitionBy("block_hash").orderBy(id_col, "block_idx")
     ranked = blocks.withColumn("rn", F.row_number().over(w))
-    if _store_exists(spark, blocks_path):
+    if _store_has_committed(spark, blocks_path):
         store = spark.read.parquet(blocks_path)
         _require_v2_block_store(store)
         if batch_id is not None and "ingest_batch" in store.columns:
@@ -397,7 +426,7 @@ def append_blocks_to_store(
     ``blocks_df``: reuse a pre-carved frame (see block_screen_batch)."""
     blocks_path = os.path.join(store_dir, "blocks")
     spark = batch_df.sparkSession
-    if _store_exists(spark, blocks_path):
+    if _store_has_committed(spark, blocks_path):
         # footer-only read: never append binary keys into a legacy
         # bigint store (mixed part-file types fail on every later read)
         _require_v2_block_store(spark.read.parquet(blocks_path))

@@ -60,19 +60,6 @@ def init_target_state(
     ).write.mode("overwrite").parquet(target_path)
 
 
-def _has_committed_state(spark: SparkSession, raw_path: str) -> bool:
-    """True iff some ingest_batch subdir holds a COMMITTED part file
-    (committer temp dirs and _SUCCESS markers don't count)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(raw_path)
-    fs = p.getFileSystem(conf)
-    if not fs.exists(p):
-        return False
-    st = fs.globStatus(jvm.org.apache.hadoop.fs.Path(raw_path + "/*/part-*"))
-    return st is not None and len(st) > 0
-
-
 def _raw_state_excluding(
     spark: SparkSession, raw_path: str, batch_id: int
 ) -> DataFrame | None:
@@ -88,8 +75,15 @@ def _raw_state_excluding(
     deadlocks the first batch forever — a crash mid-write leaves
     ``raw/`` holding only the committer's ``_temporary`` dir, which
     exists but cannot be read as parquet (r10 review, both passes).
-    A genuine corrupt/unreadable COMMITTED subdir still raises."""
-    if not _has_committed_state(spark, raw_path):
+    A genuine corrupt/unreadable COMMITTED subdir still raises. The
+    probe is the shared ``dedup_ingest._store_has_committed`` (listing
+    not globbing — glob metacharacters in the store path must not
+    silently read as 'first batch'; third review pass)."""
+    from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+        _store_has_committed,
+    )
+
+    if not _store_has_committed(spark, raw_path):
         return None  # first batch: no committed raw state yet
     prior = spark.read.option("basePath", raw_path).parquet(raw_path)
     prior = prior.filter(F.col("ingest_batch") != batch_id).select("bucket", "c")

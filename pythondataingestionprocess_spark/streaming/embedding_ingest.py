@@ -45,7 +45,7 @@ from pythondataingestionprocess_spark.operators.similarity import (
     hyperplanes,
 )
 from pythondataingestionprocess_spark.streaming.dedup_ingest import (
-    _store_exists,
+    _store_has_committed,
     capped_store_candidates,
 )
 
@@ -105,7 +105,7 @@ def _store_dim(spark: SparkSession, store_dir: str) -> int | None:
     silently reporting ZERO cross duplicates forever (second r7
     review); with it, the mismatch is one clear error."""
     meta = os.path.join(store_dir, "meta")
-    if not _store_exists(spark, meta):
+    if not _store_has_committed(spark, meta):
         return None
     return int(spark.read.parquet(meta).first()["dim"])
 
@@ -152,9 +152,9 @@ def screen_batch(
         threshold=threshold, dim=dim, bits_per_table=_BITS,
         n_tables=_TABLES, seed=_SEED,
     ).withColumn("kind", F.lit("within"))
-    if not (_store_exists(spark, buckets_path)
-            and _store_exists(spark, vectors_path)):
-        return within
+    if not (_store_has_committed(spark, buckets_path)
+            and _store_has_committed(spark, vectors_path)):
+        return within  # first batch (or its crashed first write)
     new_banded = _banded(batch_df, id_col, vec_col, dim)
     batch_ids = batch_df.select(F.col(id_col).alias("id_b")).distinct()
     store_buckets = spark.read.parquet(buckets_path).select(

@@ -121,6 +121,22 @@ def test_greedy_same_symbol_run(spark):
     assert got == ["aa", "aa", bpe.END]
 
 
+def test_unicode_whitespace_matches_python_split(spark):
+    """r10 review (third pass): Java \\s is ASCII-only, Python
+    str.split() is Unicode — an NBSP-joined corpus must tokenize
+    identically on both sides or the pinned merge parity is vacuous."""
+    texts = ["foo\u00a0bar foo", "baz\u2009foo bar"]  # NBSP / thin space mixed with ASCII
+    expect = _py_word_counts(texts)
+    got = {
+        r["word"]: r["count"]
+        for r in bpe.word_counts(_docs(spark, texts)).collect()
+    }
+    assert got == dict(expect)
+    assert got == {"foo": 3, "bar": 2, "baz": 1}
+    e_merges, _ = _py_learn(texts, n_merges=4)
+    assert bpe.learn_bpe_merges(_docs(spark, texts), n_merges=4) == e_merges
+
+
 def test_tiebreak_is_lexicographic(spark):
     # two pairs with equal counts: ('x','y') vs ('a','b') -> a,b wins
     docs = _docs(spark, ["xy xy ab ab"])

@@ -1388,6 +1388,43 @@ def test_legacy_block_store_is_refused_with_actionable_error(spark, tmp_path):
         append_blocks_to_store(batch, str(store))
 
 
+def test_half_written_first_store_does_not_wedge_screen(spark, tmp_path):
+    """r10 review (third pass): a crash DURING the very first store
+    write leaves only the committer's _temporary dir — bare-existence
+    gating then wedges every retry on an unreadable parquet path. The
+    committed-part probe must treat it as 'no store yet' (within-batch
+    screening only) and the subsequent retry must complete normally."""
+    import os as _os
+
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di2
+
+    store = str(tmp_path / "store")
+    for sub in ("buckets", "shingles"):
+        _os.makedirs(_os.path.join(store, sub, "ingest_batch=0", "_temporary", "0"))
+        with open(
+            _os.path.join(store, sub, "ingest_batch=0", "_temporary", "0", "x"),
+            "wb",
+        ) as f:
+            f.write(b"partial")
+    text = " ".join(f"tok{i}" for i in range(12))
+    batch = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    pairs = di2.screen_batch(spark, batch, store).collect()  # must not raise
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # the retry then lands committed state and later batches see it
+    di2.append_to_store(batch, store, batch_id=0)
+    assert di2._store_has_committed(spark, _os.path.join(store, "buckets"))
+    cross = di2.screen_batch(
+        spark,
+        spark.createDataFrame([(3, text)], "doc_id long, text string"),
+        store,
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["kind"]) for r in cross} >= {
+        (3, 1, "cross"), (3, 2, "cross"),
+    }
+
+
 def test_streaming_embedding_dedup_matches_incremental_operator(spark, tmp_path):
     """The embedding twin of the minhash ingest pipeline: two
     micro-batches of vectors through a real file stream; the persisted

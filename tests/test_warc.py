@@ -158,6 +158,30 @@ def test_gzip_members_chunked_feed_is_linear():
         f"fed {fed2} for {len(data2)} bytes — adaptive guess not tracking"
     )
 
+    # straddle case (third review pass, measured 1687x before the
+    # rewind fix): one LARGE member ramps the guess up, then a long
+    # run of tiny members — cost must be ~one stale-guess window plus
+    # the floor-dominated tiny-member term, never window^2/member
+    big = gzip.compress(
+        _record(_os.urandom(700_000), rid="<urn:uuid:big>",
+                ctype="application/octet-stream")
+    )
+    n3 = 3000
+    tiny = b"".join(
+        gzip.compress(_record(f"t {i}".encode(), rid=f"<urn:uuid:t{i}>"))
+        for i in range(n3)
+    )
+    data3 = big + tiny
+    before = wl._GZ_FEED_STATS["fed"]
+    recs3 = list(wl.parse_warc_bytes(data3))
+    fed3 = wl._GZ_FEED_STATS["fed"] - before
+    assert sum(r["decode_status"] == "ok" for r in recs3) == n3 + 1
+    bound = 2 * len(data3) + wl._GZ_CHUNK + n3 * 2 * wl._GZ_FEED_FLOOR
+    assert fed3 <= bound, (
+        f"fed {fed3} for {len(data3)} bytes ({fed3 / len(data3):.0f}x) — "
+        "stale-guess straddle is quadratic again"
+    )
+
 
 def test_folded_header_lines_parse():
     """ISO 28500 allows header values to fold onto SP/TAB continuation
@@ -496,6 +520,34 @@ def test_warc_binary_payload_flows_into_multimodal_decode(spark, tmp_path):
     assert r["byte_len"] == len(png)
     # the text record is untouched by the binary path
     assert recs.filter(F.col("text").isNotNull()).count() == 1
+
+
+def test_decode_media_quarantines_unsupported_rows(spark, tmp_path):
+    """r10 review (third pass): real crawls carry application/http
+    response payloads and image types the stdlib can't decode — those
+    rows must come back NULL-stats (byte_len real), never crash the
+    Arrow batch task; and the fake decoder must agree with the real
+    one on MIME-typed rows (normalization is hoisted into
+    decode_media)."""
+    from pythondataingestionprocess_spark.multimodal.media import decode_media
+
+    png = _tiny_gray_png(value=60)
+    rows = [
+        (1, "image/png", bytearray(png)),
+        (2, "application/http; msgtype=response", bytearray(b"HTTP/1.1 200 OK\r\n\r\nhi")),
+        (3, "image/gif", bytearray(b"GIF89a junk")),
+    ]
+    df = spark.createDataFrame(rows, "id long, media_type string, content binary")
+    real = {r["id"]: r for r in decode_media(df, use_fake=False).collect()}
+    assert real[1]["mean_intensity"] == pytest.approx(60.0 / 255.0)
+    for bad in (2, 3):
+        assert real[bad]["byte_len"] == len(rows[bad - 1][2])
+        assert real[bad]["width"] is None
+        assert real[bad]["mean_intensity"] is None
+    # fake decoder sees the same normalized major type: an image/png
+    # row is image-shaped (n_frames == 1), not video-shaped
+    fake = {r["id"]: r for r in decode_media(df, use_fake=True).collect()}
+    assert fake[1]["n_frames"] == 1
 
 
 def test_wet_to_documents_unknown_source(spark):
