@@ -44,6 +44,15 @@ def binary_meta(df: DataFrame, bin_col: str) -> DataFrame:
     )
 
 
+def _major_type(media_type: str | None) -> str | None:
+    """'image/png; q=1' → 'image'; coarse labels pass through —
+    the ONE place MIME normalization lives (shared by decode_media
+    and real_decode)."""
+    if not media_type:
+        return media_type
+    return media_type.split("/", 1)[0].strip().lower()
+
+
 def real_decode(content: bytes, media_type: str) -> dict:
     """Decode one media blob into stats. Images: PIL when importable,
     else the stdlib PNG decoder (multimodal/png_lite.py — 8-bit
@@ -62,8 +71,7 @@ def real_decode(content: bytes, media_type: str) -> dict:
     "audio/wav" — what real sources like the WARC reader carry): the
     major type routes, the decoder sniffs the actual subformat from
     magic bytes as before."""
-    if media_type:
-        media_type = media_type.split("/", 1)[0].strip().lower()
+    media_type = _major_type(media_type)
     if media_type == "image":
         try:
             from PIL import Image  # noqa: F401  # pragma: no cover
@@ -220,10 +228,18 @@ def decode_media(
 
     def _one(content, mt) -> dict:
         blob = bytes(content) if content is not None else b""
-        major = mt.split("/", 1)[0].strip().lower() if mt else mt
         try:
-            return decoder(blob, major)
-        except (NotImplementedError, ValueError):
+            return decoder(blob, _major_type(mt))
+        except Exception:
+            # broad BY DESIGN at this boundary: decoders parse
+            # untrusted crawl bytes and raise whatever the format
+            # library raises (zlib.error on a truncated PNG,
+            # wave.Error on an MP3 typed audio/*, struct/EOF/OSError
+            # from PIL and the lite parsers — fourth review pass
+            # confirmed several escape a narrow clause). Any parse
+            # failure means "this row can't decode", which is exactly
+            # the NULL-stats signal; a decoder CODE bug surfaces in
+            # the unit tests that call decoders directly, not here.
             return {
                 "byte_len": len(blob),
                 "width": None,

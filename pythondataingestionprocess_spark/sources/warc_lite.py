@@ -64,9 +64,10 @@ class MalformedRecord(ValueError):
 _GZ_CHUNK = 1 << 20  # max decompressobj feed size
 _GZ_FEED_FLOOR = 1 << 10  # min adaptive feed size
 
-# white-box instrumentation: total bytes handed to decompressobj —
-# the linearity test pins the adaptive-feed amplification bound
-_GZ_FEED_STATS = {"fed": 0}
+# white-box instrumentation: total bytes and calls handed to the
+# decompressor — the linearity tests pin the adaptive-feed
+# amplification bound and the within-member geometric growth
+_GZ_FEED_STATS = {"fed": 0, "calls": 0}
 
 
 def _iter_member_records(data: bytes) -> Iterator[dict]:
@@ -115,13 +116,21 @@ def _iter_member_records(data: bytes) -> Iterator[dict]:
             continue
         d = zlib.decompressobj(wbits=47)
         out = []
+        feed = guess
         try:
             while True:
                 if pos >= n:
                     raise zlib.error("truncated gzip member")
-                chunk = bytes(mv[pos : pos + guess])
+                chunk = bytes(mv[pos : pos + feed])
                 pos += len(chunk)
                 _GZ_FEED_STATS["fed"] += len(chunk)
+                _GZ_FEED_STATS["calls"] += 1
+                # grow the feed geometrically WITHIN a member: a large
+                # member after a tiny-member run must not be fed in
+                # floor-sized slices forever (fourth review pass —
+                # ~10^6 decompress calls per GB); overshoot stays
+                # bounded by the LAST feed, which the rewind returns
+                feed = min(2 * feed, _GZ_CHUNK)
                 out.append(d.decompress(chunk))
                 if d.eof:
                     # REWIND the overshoot instead of carrying a

@@ -182,6 +182,18 @@ def test_gzip_members_chunked_feed_is_linear():
         "stale-guess straddle is quadratic again"
     )
 
+    # small->LARGE transition (fourth review pass): the feed grows
+    # geometrically WITHIN a member, so a big member after tiny ones
+    # takes O(log(member/floor)) decompress calls, not member/floor
+    data4 = tiny + big
+    before = wl._GZ_FEED_STATS["calls"]
+    recs4 = list(wl.parse_warc_bytes(data4))
+    calls = wl._GZ_FEED_STATS["calls"] - before
+    assert sum(r["decode_status"] == "ok" for r in recs4) == n3 + 1
+    # ~1 call per tiny member + ~log2(700KB/1KB)=10 for the big one;
+    # the frozen-guess bug needed ~700 calls for the big member alone
+    assert calls <= 2 * n3 + 40, f"{calls} decompress calls — feed not growing"
+
 
 def test_folded_header_lines_parse():
     """ISO 28500 allows header values to fold onto SP/TAB continuation
@@ -536,11 +548,16 @@ def test_decode_media_quarantines_unsupported_rows(spark, tmp_path):
         (1, "image/png", bytearray(png)),
         (2, "application/http; msgtype=response", bytearray(b"HTTP/1.1 200 OK\r\n\r\nhi")),
         (3, "image/gif", bytearray(b"GIF89a junk")),
+        # non-ValueError escapes (fourth review pass): a TRUNCATED png
+        # raises zlib.error from the lite decoder; an MP3 typed
+        # audio/* raises wave.Error — both must quarantine, not crash
+        (4, "image/png", bytearray(png[: len(png) // 2])),
+        (5, "audio/mpeg", bytearray(b"ID3\x04\x00junk-not-a-wav")),
     ]
     df = spark.createDataFrame(rows, "id long, media_type string, content binary")
     real = {r["id"]: r for r in decode_media(df, use_fake=False).collect()}
     assert real[1]["mean_intensity"] == pytest.approx(60.0 / 255.0)
-    for bad in (2, 3):
+    for bad in (2, 3, 4, 5):
         assert real[bad]["byte_len"] == len(rows[bad - 1][2])
         assert real[bad]["width"] is None
         assert real[bad]["mean_intensity"] is None
