@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 # fake_decode_stats (per blob).
 MEDIA_STATS_SCHEMA = (
     "id long, media_type string, byte_len long, "
-    "width int, height int, n_frames int, mean_intensity double"
+    "width int, height int, n_frames int, mean_intensity double, "
+    "decode_status string"
 )
 
 
@@ -219,33 +220,40 @@ def decode_media(
 
     Per-row fault isolation: an unsupported type (a real crawl's
     ``application/http`` response payloads) or an undecodable blob
-    yields a NULL-stats row — byte_len real, everything else NULL —
-    instead of crashing the whole Arrow batch task. NULL stats are
-    this module's established can't-decode signal; one exotic payload
-    must never dead-letter a million-row partition (the same
-    per-record discipline as the WARC reader that feeds this)."""
+    yields a quarantine row — byte_len real, stats NULL,
+    ``decode_status = 'quarantine:<ExceptionType>'`` — instead of
+    crashing the whole Arrow batch task (the same per-record
+    discipline, INCLUDING the reason string, as the WARC reader that
+    feeds this). ImportError is deliberately NOT caught: a decoder
+    library missing on an executor is a broken deployment, and
+    silently NULL-stat-ing the whole corpus would be indistinguishable
+    from corrupt data (fifth review pass)."""
     decoder = fake_decode_stats if use_fake else real_decode
 
     def _one(content, mt) -> dict:
         blob = bytes(content) if content is not None else b""
         try:
-            return decoder(blob, _major_type(mt))
-        except Exception:
+            stats = decoder(blob, _major_type(mt))
+            return {**stats, "decode_status": "ok"}
+        except ImportError:
+            raise  # broken environment, not bad data — fail loud
+        except Exception as e:
             # broad BY DESIGN at this boundary: decoders parse
             # untrusted crawl bytes and raise whatever the format
             # library raises (zlib.error on a truncated PNG,
             # wave.Error on an MP3 typed audio/*, struct/EOF/OSError
             # from PIL and the lite parsers — fourth review pass
             # confirmed several escape a narrow clause). Any parse
-            # failure means "this row can't decode", which is exactly
-            # the NULL-stats signal; a decoder CODE bug surfaces in
-            # the unit tests that call decoders directly, not here.
+            # failure means "this row can't decode"; the status
+            # column carries the reason so data problems stay
+            # distinguishable from code problems.
             return {
                 "byte_len": len(blob),
                 "width": None,
                 "height": None,
                 "n_frames": None,
                 "mean_intensity": None,
+                "decode_status": f"quarantine:{type(e).__name__}",
             }
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

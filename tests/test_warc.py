@@ -557,10 +557,15 @@ def test_decode_media_quarantines_unsupported_rows(spark, tmp_path):
     df = spark.createDataFrame(rows, "id long, media_type string, content binary")
     real = {r["id"]: r for r in decode_media(df, use_fake=False).collect()}
     assert real[1]["mean_intensity"] == pytest.approx(60.0 / 255.0)
+    assert real[1]["decode_status"] == "ok"
     for bad in (2, 3, 4, 5):
         assert real[bad]["byte_len"] == len(rows[bad - 1][2])
         assert real[bad]["width"] is None
         assert real[bad]["mean_intensity"] is None
+        assert real[bad]["decode_status"].startswith("quarantine:")
+    # the reason string distinguishes data problems by exception type
+    assert real[4]["decode_status"] == "quarantine:error"  # zlib.error
+    assert real[5]["decode_status"] == "quarantine:Error"  # wave.Error
     # fake decoder sees the same normalized major type: an image/png
     # row is image-shaped (n_frames == 1), not video-shaped
     fake = {r["id"]: r for r in decode_media(df, use_fake=True).collect()}
