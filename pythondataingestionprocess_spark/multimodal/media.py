@@ -235,8 +235,12 @@ def decode_media(
         try:
             stats = decoder(blob, _major_type(mt))
             return {**stats, "decode_status": "ok"}
-        except ImportError:
-            raise  # broken environment, not bad data — fail loud
+        except (ImportError, MemoryError, RecursionError):
+            # broken environment / resource exhaustion, not bad data —
+            # fail loud. An executor OOM-ing on a large blob must kill
+            # the task (so Spark retries / surfaces it), not quietly
+            # become a quarantine:MemoryError data row (r10 ADVICE).
+            raise
         except Exception as e:
             # broad BY DESIGN at this boundary: decoders parse
             # untrusted crawl bytes and raise whatever the format

@@ -39,6 +39,11 @@ from pyspark.sql import functions as F
 
 END = "</w>"  # end-of-word marker, per the paper
 
+# expression-form application nests one fold per merge; past this the
+# Catalyst tree is deep enough to risk codegen/analysis limits, so
+# apply_merges fails loud instead of opaquely (r10 ADVICE)
+MAX_EXPR_MERGES = 200
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``(word, count)`` — the one corpus pass. Tokenization is
@@ -157,6 +162,14 @@ def apply_merges(
     the same corpus family), each as one fold — expression form for
     modest tables; production-scale application is a Pandas UDF over
     a rank dict."""
+    if len(merges) > MAX_EXPR_MERGES:
+        raise ValueError(
+            f"apply_merges nests one aggregate fold per merge and "
+            f"{len(merges)} merges would blow Catalyst's codegen/"
+            f"analysis limits with an opaque failure; past "
+            f"{MAX_EXPR_MERGES} use the rank-dict Pandas-UDF "
+            f"application path (the production tokenizer loop)"
+        )
     sym = _init_symbols(word_col)
     for a, b in merges:
         sym = _merge_fold(sym, a, b)

@@ -57,7 +57,19 @@ def featurize(
 ) -> DataFrame:
     """``(id_col, buckets array<long>)`` — one bucket per n-gram
     OCCURRENCE (multiplicities matter to the multinomial). Lowercased
-    whitespace tokens; bigrams joined with a space."""
+    whitespace tokens; bigrams joined with a space.
+
+    Tokenization splits on ASCII ``\\s+`` (Java regex default), NOT
+    Unicode whitespace — a deliberate oracle-parity constraint: the
+    DuckDB oracle replays the same featurization and RE2's ``\\s`` is
+    ASCII-only, so both engines must hash NBSP-joined web-text words
+    as single n-grams or the driver hash check diverges. This differs
+    from ``operators/bpe.py``'s ``(?U)\\s+`` (which follows the BPE
+    paper's pre-tokenization and has a pure-Python parity reference
+    instead of a SQL oracle). Hashed n-gram importance weights are
+    robust to this boundary choice (DSIR §3.1 uses the feature space
+    only through bucket counts); unify on Unicode whitespace only if
+    the oracle moves off RE2."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     uni = F.transform(toks, lambda t: _bucket(t, m))
     feats = uni

@@ -34,6 +34,7 @@ record id — same key discipline as pipeline/ingest.py).
 from __future__ import annotations
 
 import glob
+import mmap
 import os
 import zlib
 from collections.abc import Iterator
@@ -107,7 +108,7 @@ def _iter_member_records(data: bytes) -> Iterator[dict]:
     guess = 8 * _GZ_FEED_FLOOR  # adaptive feed size (~member scale)
     while pos < n:
         member_start = pos
-        if not data.startswith(_GZIP_MAGIC, pos):
+        if bytes(mv[pos : pos + 2]) != _GZIP_MAGIC:
             yield _quarantine(f"gzip: non-gzip bytes at offset {member_start}")
             nxt = data.find(_GZIP_MAGIC, pos + 1)
             if nxt == -1:
@@ -253,12 +254,30 @@ def iter_records(buf: bytes) -> Iterator[dict]:
             pos = nxt
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[dict]:
-    """Records from raw file bytes — gzip (multi-member) or plain."""
-    if data.startswith(_GZIP_MAGIC):
+def parse_warc_bytes(data) -> Iterator[dict]:
+    """Records from raw file bytes — gzip (multi-member) or plain.
+
+    Accepts any bytes-like with ``find`` and slicing (``bytes`` or an
+    ``mmap``): the file readers hand in a read-only memory map so the
+    compressed segment is never heap-resident as one Python buffer —
+    peak heap is one decompressed record block plus the adaptive feed
+    window, and the OS pages the map in and out under pressure (a real
+    Common Crawl segment is ~1 GB compressed per task)."""
+    if bytes(data[:2]) == _GZIP_MAGIC:
         yield from _iter_member_records(data)
     else:
+        # iter_records only needs find/len/slicing, all of which an
+        # mmap provides (slices come back as real bytes)
         yield from iter_records(data)
+
+
+def _map_readonly(f):
+    """Read-only memory map of an open binary file; b"" for an empty
+    file (mmap rejects zero-length maps)."""
+    try:
+        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except ValueError:
+        return b""
 
 
 _COLS = (
@@ -297,9 +316,9 @@ class WarcReader(DataSourceReader):
             # crash the task (r10 review)
             return
         with open(partition.path, "rb") as f:
-            data = f.read()
-        for rec in parse_warc_bytes(data):
-            yield (partition.path, *(rec[c] for c in _COLS))
+            data = _map_readonly(f)
+            for rec in parse_warc_bytes(data):
+                yield (partition.path, *(rec[c] for c in _COLS))
 
 
 class WarcStreamReader(SimpleDataSourceStreamReader):
@@ -382,8 +401,11 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         out: list[tuple] = []
         for path in paths:
             with open(path, "rb") as f:
-                data = f.read()
-            out.extend((path, *(rec[c] for c in _COLS)) for rec in parse_warc_bytes(data))
+                data = _map_readonly(f)
+                out.extend(
+                    (path, *(rec[c] for c in _COLS))
+                    for rec in parse_warc_bytes(data)
+                )
         return out
 
 
@@ -429,10 +451,13 @@ def wet_to_documents(records: DataFrame) -> DataFrame:
             F.xxhash64("record_id").alias("doc_id"),
             # regexp_extract yields '' (not NULL) on a miss or a NULL-
             # free non-match; route both through nullif -> 'unknown'
+            # lower() first: URI schemes AND hosts are case-insensitive
+            # (RFC 3986 §3.1/§3.2.2), so HTTP://Example.COM/ must land
+            # on source 'example.com', not 'unknown'
             F.coalesce(
                 F.nullif(
                     F.regexp_extract(
-                        F.coalesce("target_uri", F.lit("")),
+                        F.lower(F.coalesce("target_uri", F.lit(""))),
                         r"^[a-z][a-z0-9+.-]*://([^/]+)",
                         1,
                     ),
