@@ -14,6 +14,11 @@ raw corpus — and that is exactly what makes it distributable:
    small shuffle) and an argmax (count DESC, then lexicographic — the
    deterministic tie-break), then the merge applies MAP-SIDE as one
    left-fold column expression over every word's symbol array.
+   `learn_bpe_merges_batched` collapses many such iterations into one
+   count pass via a snapshot-certified parity batch (see
+   `_select_parity_batch`) — same merge sequence, O(passes) jobs
+   instead of O(n_merges), which is what makes a real 30k-merge
+   vocabulary trainable (r10 VERDICT item 4).
 3. driver state is the merge list itself — ``n_merges`` pairs, the
    artifact the method exists to produce (same bounded-driver-payload
    contract as k-means centroids / PQ codebooks / DSIR m-vectors).
@@ -151,6 +156,168 @@ def learn_bpe_merges(
     return merges
 
 
+def _select_parity_batch(
+    rows: list[tuple[str, str, int]],
+    threshold: int,
+    created: set[str],
+    limit: int,
+    min_count: int,
+) -> list[tuple[str, str]]:
+    """The longest PREFIX of the snapshot's (count desc, a, b)-sorted
+    pair list that is provably identical to what sequential
+    merge-at-a-time learning would pick — certified from snapshot
+    counts alone, no recount needed. The argument that makes this
+    exact (each bullet names the sequential-divergence mode it
+    closes):
+
+    - **no-skip prefix**: candidates are taken strictly in sorted
+      order and the batch STOPS at the first rejection. Hence when
+      candidate c_i is reached, every pair with a higher snapshot
+      count is already in the batch — there is no higher-count pair
+      left whose (merely reduced) post-merge count could outrank c_i.
+    - **exact reduction footprint**: merging (A,B) destroys only
+      occurrences of (x,A), (A,B) and (B,y) — a pair is reduced iff
+      its SECOND element is some accepted first-slot A, or its FIRST
+      element is some accepted second-slot B. Candidates outside that
+      footprint keep exactly their snapshot count at their sequential
+      turn, even when they share a symbol with an accepted merge in
+      the harmless slot ((t,h) then (t,e) batch together; (t,h) then
+      (h,e) do not). Accepted-after-accepted chains are covered by
+      the same rule: once (x,A) is accepted, A sits in the
+      second-slot set, so a later (A,B) is rejected — as it must be,
+      since applying (x,A) first reduces it.
+    - **new pairs can't win**: merging (A,B) creates pairs (x,AB) /
+      (AB,y), each occurrence consuming a snapshot occurrence of
+      (x,A) / (B,y) — a new pair's count is bounded by its
+      progenitor's snapshot count. A progenitor outranking c_i sits
+      earlier in sorted order AND inside some accepted merge's
+      reduction footprint — the no-skip rule stopped the batch there.
+      Equal-count progenitors sit in the visible top-T, and the new
+      pair's NAME is computable ((x, A+B) or (A+B, y)), so the
+      lexicographic tie-break is decided exactly: stop only when a
+      spawnable equal-count pair would lex-beat c_i.
+    - **self-merge bound**: the one progenitor the rules above can't
+      see is a merge that is its own progenitor — (A,A) over an
+      ``aaaa…`` run yields (AA,AA) adjacencies consuming TWO (A,A)
+      occurrences each, so their count is bounded only by
+      count(A,A)/2 (per run of length L: ≤ floor(L/2) new intra-run
+      pairs vs L-1 snapshot pairs), not by any other snapshot pair.
+      After accepting a self-merge with count n_k, stop as soon as
+      2*count(c_i) <= n_k (equality included for the tie-break).
+    - **threshold guard**: pairs below the collected top-T are
+      invisible, so certification stops once count(c_i) <= the T-th
+      count (unseen pairs and progenitors all sit at or below it).
+    - **symbol-collision guard**: if an accepted concatenation a+b
+      equals an ALREADY-EXISTING symbol string (possible when the
+      corpus contains the marker characters themselves), merged
+      occurrences would INCREASE that old pair's counts and the
+      no-increase premise above dies — stop the batch there. Single
+      chars can't collide (len(a+b) >= 2), so ``created`` only needs
+      END plus past concatenations.
+
+    Stopping is always safe: the next corpus pass recounts from the
+    merged table, which IS the sequential state. The batch is never
+    empty while the true argmax clears min_count — worst case is
+    batch size 1, i.e. plain sequential learning."""
+    a0, b0, n0 = rows[0]
+    if n0 < min_count:
+        return []
+    accepted = [(a0, b0)]
+    used = {a0, b0, a0 + b0}
+    self_merge_max = n0 if a0 == b0 else 0
+    if (a0 + b0) in created:
+        return accepted
+    for a, b, n in rows[1:]:
+        if len(accepted) >= limit or n < min_count or n <= threshold:
+            break
+        if 2 * n <= self_merge_max:
+            break
+        if a in used or b in used:
+            break
+        if any(
+            m == n and (x in used or y in used)
+            for x, y, m in rows
+            if (x, y) != (a, b)
+        ):
+            break
+        accepted.append((a, b))
+        used.update((a, b, a + b))
+        if a == b:
+            self_merge_max = max(self_merge_max, n)
+        if (a + b) in created:
+            break
+    return accepted
+
+
+def learn_bpe_merges_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_count: int = 2,
+    top_t: int = 512,
+    stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """`learn_bpe_merges` with MERGE-SEQUENCE-EXACT batching: each
+    corpus pass collects the top ``top_t`` pairs once and accepts the
+    longest provably-sequential prefix (see `_select_parity_batch`),
+    then applies the whole batch map-side in ONE select before the
+    next recount. Identical output to the sequential loop by
+    construction; the difference is jobs — a real 30k-merge vocabulary
+    is O(passes) Spark jobs with batch-sized passes instead of 30k
+    sequential argmax+checkpoint rounds (r10 VERDICT item 4: top pairs
+    of a fresh count table are overwhelmingly symbol-disjoint, so
+    early passes accept large batches; Sennrich's own
+    frequency-threshold batching is the same observation applied
+    lossily, while the certificate here keeps it lossless).
+
+    Driver state stays bounded: top_t (count, a, b) rows per pass plus
+    the merge list itself. ``stats``, if given, is filled with
+    ``passes`` (count jobs run) and ``batch_sizes`` so callers and
+    tests can assert the jobs-per-merge economy; the per-pass fold
+    depth is bounded by the batch size, which `_pair_counts`'s
+    recount resets before Catalyst trees can stack past
+    MAX_EXPR_MERGES folds (batches are clamped to it)."""
+    words = word_counts(docs, text_col).withColumn(
+        "symbols", _init_symbols()
+    ).select("symbols", "count").localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    created: set[str] = {END}
+    if stats is None:
+        stats = {}
+    stats["passes"] = 0
+    stats["batch_sizes"] = []
+    while len(merges) < n_merges:
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(top_t)
+            .collect()
+        )
+        stats["passes"] += 1
+        if not top or top[0]["n"] < min_count:
+            break
+        threshold = top[-1]["n"] if len(top) == top_t else 0
+        batch = _select_parity_batch(
+            [(r["a"], r["b"], r["n"]) for r in top],
+            threshold,
+            created,
+            min(n_merges - len(merges), MAX_EXPR_MERGES),
+            min_count,
+        )
+        if not batch:
+            break
+        stats["batch_sizes"].append(len(batch))
+        sym = F.col("symbols")
+        for a, b in batch:
+            merges.append((a, b))
+            created.add(a + b)
+            sym = _merge_fold(sym, a, b)
+        words = words.select(sym.alias("symbols"), "count").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
 def apply_merges(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -174,3 +341,61 @@ def apply_merges(
     for a, b in merges:
         sym = _merge_fold(sym, a, b)
     return df.withColumn(out_col, sym)
+
+
+def apply_merges_vectorized(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "subwords",
+) -> DataFrame:
+    """Rank-dict BPE application — the production path for
+    vocabulary-scale merge tables where `apply_merges`'s one-fold-per-
+    merge expression tree can't go (30k+ merges): the table ships to
+    executors once as a plain dict in the function closure
+    (task-broadcast, kilobytes per 10k merges), and each Arrow batch
+    runs the standard lowest-rank-first greedy loop per word.
+
+    Output is EXACTLY `apply_merges`'s (pinned by test): rank-greedy
+    application equals applying merges in learned order, because a
+    merge can never re-enable a lower-ranked pair — merges only
+    replace two adjacent symbols with their concatenation, so an
+    (a, b) adjacency of two pre-existing symbols is never newly
+    created, it can only be consumed. Per word the loop is
+    O(len * distinct-pairs) with an O(1) dict probe per pair —
+    the tokenizer hot loop every production BPE implementation uses."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    schema = df.schema.add(out_col, ArrayType(StringType()))
+    col_idx = df.columns.index(word_col)
+
+    def _encode(word: str) -> list[str]:
+        sym = list(word) + [END]
+        while len(sym) > 1:
+            best_rank, best_pair = None, None
+            for pair in zip(sym, sym[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, pair
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    def _batches(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf.iloc[:, col_idx].map(_encode)
+            yield pdf
+
+    return df.mapInPandas(_batches, schema)

@@ -35,90 +35,76 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-10 rotation -----------------------------------------------
-# Driver-check union after r9 is 177/177 green (evidence ages from
-# CORRECTNESS_r0{1..9}.json: 32 last-checked-r6, 48 r7, 47 r8, 50 r9;
-# nothing is unchecked). No staged block was pending at derivation
-# time, so the window is a PURE stale refresh: the 32 r6-checked
-# left-overs plus 18 of the 48 last-checked-in-r7 queries
-# (alphabetical cut; the 30 same-age left-overs front-load r11) —
-# exactly 50. Derived by scripts/rotation_calc.py over the committed
-# CORRECTNESS files (the era-pinned test replays exactly that
-# derivation from an explicit r01..r09 file list).
-STALE_R7 = [
-    "approx_distinct_customers",
-    "cdc_snapshot_latest",
-    "corpus_build_pipeline",
-    "corpus_curation_filter",
-    "cube_agg",
-    "dedup_exact_docs",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "doc_packing_greedy",
-    "doc_packing_lookahead",
-    "dq_orders_expectations",
-    "dq_referential_integrity",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "equidepth_price_bands",
-    "events_bounce_rate",
-    "events_concurrency_peak",
-    "events_decayed_feature",
-    "events_distinct_users_sketch",
-    "events_interval_join",
-    "events_next_event_training",
-    "events_pattern_match",
-    "filter_nonempty_text",
-    "filter_not_contains",
-    "first_match_pick",
-    "flagship_revenue_by_nation",
-    "forward_fill_locf",
-    "full_outer_reconciliation",
-    "fuzzy_join_symdelete",
-    "hierarchy_depth_rollup",
-    "json_variant_props_stats",
-    "left_join_enrich",
-    "left_join_reverse_agg",
-    "margin_defaults",
-    "multi_agg_stats",
-    "multimodal_frame_sample",
-    "pagerank_nations",
-    "positional_attach",
-    "pricing_summary",
-    "projection_narrow",
-    "q9_profit_by_nation_year",
-    "rollup_agg",
-    "semi_join_membership",
-    "stream_static_revenue_rollup",
-    "tiered_pricing",
-    "top_orders_by_price",
-    "topk_per_group_agg",
-    "union_all_slices",
-    "url_canonicalize",
-    "url_store_name",
+# --- round-11 rotation -----------------------------------------------
+# Driver-check union after r10 is all-green (CORRECTNESS_r10 50/50 —
+# no failure in ten rounds). Evidence ages over the r01..r10 files for
+# the 177 post-retirement registered queries: 29 last-checked-r7, 46
+# r8, 48 r9, 48 r10; nothing unchecked. The window carries ALL 29
+# r7-aged queries (they hit the MAX_EVIDENCE_AGE=4 boundary this
+# round — the r10 VERDICT's standing item 1) plus the alphabetical
+# first 15 of the 46 r8-aged (the 31 same-age left-overs front-load
+# r12), then the six NEW_R11_STAGED queries take their first official
+# driver rows. Derived by scripts/rotation_calc.py AFTER the r11
+# retirements (margin_defaults, first_match_pick, json_extract_props
+# — capacity lever, substance pins documented at their old
+# registration sites); the era-pinned test replays the derivation
+# from an explicit r01..r10 file list.
+STALE_R8 = [
+    "argmax_customer_balance",
+    "bilateral_trade_volume",
+    "conditional_agg_priority",
+    "copurchase_triangles",
+    "corr_moments_stats",
+    "dedup_containment",
+    "disjunctive_predicate_revenue",
+    "doc_packing_shards",
+    "dq_order_reconciliation",
+    "dq_price_outliers_mad",
+    "embedding_knn_brute",
+    "events_asof_last_click",
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+    "events_resample_interpolate",
+    "events_session_window",
+    "events_sessionize_manual",
+    "events_sliding_window",
+    "events_time_weighted_value",
+    "events_tumbling_window",
+    "except_keys",
+    "fuzzy_name_distance",
+    "grouping_sets_agg",
+    "histogram_quantity",
+    "intersect_keys",
+    "islands_user_activity",
+    "json_map_functions",
+    "lateral_top_orders",
+    "not_in_null_semantics",
+    "percent_rank_ntile",
+    "pivot_status_revenue",
+    "q11_important_parts",
+    "q12_lateness_priority",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "quantile_disc_prices",
+    "rolling_median_user_value",
+    "scd2_build_user_state",
+    "state_change_compression",
+    "text_bpe_pair_counts",
 ]
 
-# No queries were first registered for round 10's window: the r9 fold
-# consumed the last staged block and NEW_R10 staging was empty at
-# rotation time, so every slot refreshes stale evidence. Queries
-# registered DURING round 10 go to NEW_R11_STAGED (outside this
-# window, riding round 11's) per the capacity rule.
-NEW_R10: list[str] = []
-
-# Registered DURING round 10 against the r10 retirement headroom
-# (VERDICT r9 items 2-3): driver_sim-green at sf0.01 at registration,
-# outside the r10 window, riding round 11's. The r9 depth finally
-# gets driver-facing oracle faces: the CCNet boilerplate screen and
-# the incremental components fold (both full DuckDB oracles), plus
-# the PQ/ADC search path (rows-only by the ANN contract, recall
-# pinned in tests/test_pq.py). text_repeated_span_dedup (full oracle,
-# pre-validated corpus-wide in tests/test_spandedup.py before
-# registration) took the last free slot; dedup_semantic_semdedup
-# (SemDeDup, full oracle) rides the slot freed by retiring the
-# clean_excel_serial_date micro-face; corpus_dsir_importance (DSIR,
-# full oracle) rides the slot freed by retiring embedding_norms
-# (folds subsumed by embedding_knn_brute) — registry 180/180.
-NEW_R11_STAGED = [
+# First registered for round 11's window: the round-10 staged block
+# (NEW_R11_STAGED, driver_sim-green at sf0.01 at registration and
+# re-validated at fold time) — span-granular dedup (Lee et al. ACL
+# 2022), SemDeDup (arXiv:2303.09540), DSIR importance resampling
+# (arXiv:2302.03169), the CCNet-style boilerplate screen, the
+# incremental connected-components fold, and the PQ/ADC ANN path
+# (rows-only by the ANN contract). These ride INSIDE the r11 window,
+# immediately after the stale block.
+NEW_R11 = [
     "text_strip_boilerplate",
     "dedup_incremental_components",
     "embedding_ann_pq",
@@ -128,7 +114,7 @@ NEW_R11_STAGED = [
 ]
 
 def _apply_rotation() -> None:
-    priority = STALE_R7 + NEW_R10
+    priority = STALE_R8 + NEW_R11
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -145,13 +131,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R10
+NEW_CURRENT = NEW_R11
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R7",
-    "NEW_R10",
+    "STALE_R8",
+    "NEW_R11",
     "NEW_CURRENT",
 ]

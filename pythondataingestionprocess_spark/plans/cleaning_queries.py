@@ -318,86 +318,28 @@ def tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEFAULTS_ORACLE = """
-WITH synth AS (
-  SELECT l_orderkey, l_linenumber,
-         l_extendedprice / l_quantity AS c_unit,
-         CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_tax * 10 END AS envio,
-         CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_discount * 5 END AS desct,
-         l_quantity AS cant,
-         CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_extendedprice * 1.1 END AS p_venta
-  FROM lineitem WHERE l_orderkey % 307 = 0
-), landed AS (
-  SELECT *,
-         c_unit + coalesce(envio, 0) / cant - coalesce(desct, 0) / cant AS final_cost
-  FROM synth
-)
-SELECT l_orderkey, l_linenumber, final_cost,
-       coalesce(p_venta, final_cost * 1.30) AS price,
-       coalesce(CAST(NULL AS DOUBLE), coalesce(p_venta, final_cost * 1.30) * 0.85) AS offer_price
-FROM landed
-"""
-
-
-@query("margin_defaults", oracle=_DEFAULTS_ORACLE, tags=("cleaning", "pricing"))
-def margin_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F15/F16 landed unit cost + margin/offer default pricing
-    (Costo Final formula; MARGEN_GANANCIA / DESCUENTO_OFERTA,
-    import_files_to_postgre.py:29-30,186-220)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    synth = li.filter(F.col("l_orderkey") % 307 == 0).select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("c_unit"),
-        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None).cast("double"))
-        .otherwise(F.col("l_tax") * 10).alias("envio"),
-        F.when(F.col("l_orderkey") % 4 == 0, F.lit(None).cast("double"))
-        .otherwise(F.col("l_discount") * 5).alias("desct"),
-        F.col("l_quantity").alias("cant"),
-        F.when(F.col("l_orderkey") % 5 == 0, F.lit(None).cast("double"))
-        .otherwise(F.col("l_extendedprice") * 1.1).alias("p_venta"),
-    )
-    landed = synth.withColumn(
-        "final_cost", fx.landed_unit_cost("c_unit", "envio", "desct", "cant")
-    )
-    priced = landed.withColumn("price", fx.price_default("p_venta", "final_cost"))
-    return priced.select(
-        "l_orderkey",
-        "l_linenumber",
-        "final_cost",
-        "price",
-        fx.offer_price_default(F.lit(None).cast("double"), F.col("price")).alias("offer_price"),
-    )
+# RETIRED r11 (capacity lever, r10 VERDICT item 2): `margin_defaults`
+# — the F15/F16 landed-cost + margin/offer default face, last driver
+# row r10 hash-green. It exercised fx.landed_unit_cost /
+# fx.price_default / fx.offer_price_default over a synthetic NULL
+# lattice; that substance stays pinned by tests/test_functions.py::
+# {test_price_defaults,test_landed_unit_cost} (NULL/zero branches) and
+# the Hypothesis cleaning properties, while the driver-facing pricing
+# formulas (F16/F17 tier CASE chains) keep `tiered_pricing` as their
+# oracle face. Same documented-substance discipline as the F18
+# clean_excel_serial_date retirement (r10).
 
 
 # ------------------------------------------------------------------- JSON
 
-_JSON_ORACLE = """
-SELECT event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
-         / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
-FROM events
-GROUP BY event_type
-"""
-
-
-@query("json_extract_props", oracle=_JSON_ORACLE, tags=("cleaning", "json"))
-def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction over events.props (engine-added; the reference
-    has no JSON surface — SURVEY §2.8 tail note)."""
-    events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
-    return (
-        events.withColumn("k", k)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("sum_k"),
-            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
-        )
-    )
+# RETIRED r11 (capacity lever, r10 VERDICT item 2):
+# `json_extract_props` — the string-path get_json_object face, last
+# driver row r7 hash-green. Engine-added (the reference has no JSON
+# surface) and fully shadowed by `json_variant_props_stats` below:
+# same `$.k` extraction over the same events.props against the same
+# DuckDB json_extract oracle, via the STRICTLY richer Variant path
+# (parse-once binary encoding — the form a 100 TB pipeline should
+# use), plus `json_map_functions` for the map-typed surface.
 
 
 _DQ_ORACLE = """
@@ -484,8 +426,9 @@ GROUP BY event_type
 def json_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via Spark 4 VariantType: ``parse_json`` to
     the binary variant encoding, typed ``try_variant_get`` extraction,
-    aggregate per event type. Complements ``json_extract_props``
-    (string-path get_json_object): variant parses each JSON document
+    aggregate per event type. Replaces the retired string-path
+    ``json_extract_props`` face (get_json_object re-tokenizes the
+    string per field): variant parses each JSON document
     ONCE into a shredded binary form, so repeated field extraction
     skips re-tokenizing the string — at 100 TB the difference between
     N regex-ish scans per row and one parse + O(1) field reads. Oracle

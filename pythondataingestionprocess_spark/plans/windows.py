@@ -24,36 +24,15 @@ from pythondataingestionprocess_spark.catalog import load_table
 from pythondataingestionprocess_spark.plans.registry import query
 
 
-@query(
-    "first_match_pick",
-    oracle="""
-SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate,
-       o_totalprice AS first_totalprice
-FROM (
-  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-  FROM orders
-) t WHERE rn = 1
-""",
-    tags=("window",),
-)
-def first_match_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-match-per-key pick — the reference's ``.iloc[0]`` on a
-    filtered price list (W2, import_files_to_postgre.py:215) done
-    order-explicitly: row_number over (date, unique key).
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("o_orderkey").alias("first_orderkey"),
-            F.col("o_orderdate").alias("first_orderdate"),
-            F.col("o_totalprice").alias("first_totalprice"),
-        )
-    )
+# RETIRED r11 (capacity lever, r10 VERDICT item 2): `first_match_pick`
+# — the W2 first-match-per-key face (the reference's ``.iloc[0]`` on a
+# filtered price list, import_files_to_postgre.py:215), last driver
+# row r10 hash-green. It was the k=1 special case of the row_number
+# pick that `topk_per_group` (k=3, same partition/order discipline,
+# driver-checked) and `topk_per_group_agg` keep oracle-faced; the
+# rn=1 shape also stays driver-checked inside `events_asof_last_click`
+# and scd2 builds, and pipeline-side by test_dims_and_facts. Same
+# documented-substance discipline as the F18 retirement (r10).
 
 
 @query(
