@@ -224,3 +224,74 @@ def test_apply_merges_guard_past_expression_depth(spark):
         bpe.apply_merges(words, fake)
     # the vectorized path takes the same table without complaint
     assert bpe.apply_merges_vectorized(words, fake).count() > 0
+
+
+def test_vectorized_apply_leaves_input_schema_intact(spark):
+    """r11 VERDICT 1: StructType.add mutates in place and PySpark
+    caches df.schema, so building the output schema via
+    df.schema.add corrupted the INPUT frame. Pin: the input schema is
+    unchanged and the input frame still selects cleanly after the
+    call."""
+    words = bpe.word_counts(_docs(spark))
+    before = words.schema.jsonValue()
+    merges = bpe.learn_bpe_merges(_docs(spark), n_merges=3)
+    out = bpe.apply_merges_vectorized(words, merges)
+    assert words.schema.jsonValue() == before
+    assert [f.name for f in words.schema.fields] == ["word", "count"]
+    # the poisoned-schema failure mode was UNRESOLVED_COLUMN on ANY
+    # subsequent use of the input frame — prove it still works
+    assert words.select("word", "count").count() > 0
+    assert out.schema.fieldNames()[-1] == "subwords"
+
+
+def test_apply_merges_between_analyzer_cap_and_guard(spark):
+    """r12: >~99 nested folds in one select trip the analyzer's
+    100-iteration Resolution cap, far below MAX_EXPR_MERGES — the
+    chunked application must survive the full guarded range and agree
+    with the vectorized path."""
+    words = bpe.word_counts(_docs(spark))
+    fake = [(str(i), str(i)) for i in range(150)]  # no-op merges on this corpus
+    expr = {
+        r["word"]: tuple(r["subwords"])
+        for r in bpe.apply_merges(words, fake).collect()
+    }
+    vec = {
+        r["word"]: tuple(r["subwords"])
+        for r in bpe.apply_merges_vectorized(words, fake).collect()
+    }
+    assert expr == vec
+    assert expr["low"] == ("l", "o", "w", bpe.END)
+
+
+def test_batched_within_batch_concat_collision(spark):
+    """r11 ADVICE (medium): two same-batch merges with EQUAL
+    concatenations — reachable when the corpus contains the END-marker
+    characters, e.g. ('x','</w>') vs ('x<','/w>') in HTML-ish text —
+    would poison the no-increase certificate for later candidates.
+    The batch must stop at the collision and still match sequential.
+
+    Corpus construction (hand-traced): the word 'x' yields the pair
+    (x, </w>); literal mid-text 'x</w>?' words drive the char merges
+    (x,<), (/,w), (/w,>) so the symbols 'x<' and '/w>' exist, making
+    (x<, /w>) a candidate whose concat equals (x, </w>)'s. Counts are
+    tuned so BOTH land in the SAME batch (footprint-clean,
+    spawn-clean) — and the 'kx'/'kx</w>' words make the collision
+    consequential: after both merges, (k, x</w>) has TWO progenitors
+    (6 + 5 = 11), beating the next clean candidate (g,h)=10, so a
+    batch that fails to stop at the collision diverges from
+    sequential."""
+    texts = (
+        ["x"] * 6 + ["x</w>n"] * 4 + ["x</w>p"] * 5 + ["x</w>r"] * 4
+        + ["zx<"] * 5 + ["gh"] * 10 + ["kx"] * 6 + ["kx</w>"] * 5
+    )
+    expect, _ = _py_learn(texts, n_merges=8)
+    stats: dict = {}
+    got = bpe.learn_bpe_merges_batched(
+        _docs(spark, texts), n_merges=8, stats=stats
+    )
+    assert got == expect
+    # the within-batch collision really occurs: two DISTINCT learned
+    # pairs share one concatenation string, and they landed together
+    assert ("x<", "/w>") in got and ("x", bpe.END) in got
+    concats = [a + b for a, b in got]
+    assert len(concats) != len(set(concats)), got
