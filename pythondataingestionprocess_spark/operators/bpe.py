@@ -59,14 +59,23 @@ MAX_EXPR_MERGES = 200
 _FOLDS_PER_SELECT = 64
 
 
-def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    word_pattern: str | None = None,
+) -> DataFrame:
     """``(word, count)`` — the one corpus pass. Tokenization is
     UNICODE whitespace (``(?U)\\s+`` — Java's ``\\s`` is ASCII-only by
     default, but web text is full of NBSP and friends, and the
     pure-Python reference this module is pinned against splits on
     Unicode whitespace); empty fragments from leading/trailing
-    separators are dropped, matching ``str.split()``."""
-    return (
+    separators are dropped, matching ``str.split()``.
+
+    ``word_pattern`` optionally restricts the vocabulary to words
+    matching a regex (e.g. ``'^[a-z]+$'`` for a letters-only table —
+    the standard move when training on noisy web text, and what keeps
+    the driver face's oracle engine-portable)."""
+    words = (
         docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(
             F.explode(F.split(F.lower(F.col(text_col)), r"(?U)\s+")).alias(
@@ -74,9 +83,10 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
         .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("count"))
     )
+    if word_pattern is not None:
+        words = words.filter(F.col("word").rlike(word_pattern))
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
 
 
 def _init_symbols(word_col: str = "word") -> Column:
@@ -135,19 +145,40 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("count").alias("n"))
 
 
+def pair_counts(
+    words: DataFrame, symbols_col: str = "symbols", count_col: str = "count"
+) -> DataFrame:
+    """Public pair-count surface: count-weighted adjacent-pair
+    frequencies ``(a, b, n)`` over any (symbol-array, count) table —
+    the statistic one BPE iteration argmaxes, exposed so callers (the
+    driver face) can inspect the pair table AFTER a learned prefix is
+    applied."""
+    cols = words.select(
+        F.col(symbols_col).alias("symbols"), F.col(count_col).alias("count")
+    )
+    return _pair_counts(cols)
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 50,
     min_count: int = 2,
+    word_pattern: str | None = None,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """The learned merge table, in order. Stops early when the best
     remaining pair falls under ``min_count`` (the paper's stopping
-    criterion for tiny corpora)."""
-    words = word_counts(docs, text_col).withColumn(
+    criterion for tiny corpora). ``stats``, if given, records
+    ``selected`` — the ``(a, b, count)`` triple of each accepted
+    merge at its selection time (the driver face surfaces these)."""
+    words = word_counts(docs, text_col, word_pattern).withColumn(
         "symbols", _init_symbols()
     ).select("symbols", "count").localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    if stats is None:
+        stats = {}
+    stats["selected"] = []
     for _ in range(n_merges):
         top = (
             _pair_counts(words)
@@ -159,6 +190,7 @@ def learn_bpe_merges(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        stats["selected"].append((a, b, top[0]["n"]))
         words = words.select(
             _merge_fold(F.col("symbols"), a, b).alias("symbols"), "count"
         ).localCheckpoint(eager=True)
@@ -313,6 +345,7 @@ def learn_bpe_merges_batched(
     min_count: int = 2,
     top_t: int = 512,
     stats: dict | None = None,
+    word_pattern: str | None = None,
 ) -> list[tuple[str, str]]:
     """`learn_bpe_merges` with MERGE-SEQUENCE-EXACT batching: each
     corpus pass collects the top ``top_t`` pairs once and accepts the
@@ -334,7 +367,7 @@ def learn_bpe_merges_batched(
     depth is bounded by the batch size, which `_pair_counts`'s
     recount resets before Catalyst trees can stack past
     MAX_EXPR_MERGES folds (batches are clamped to it)."""
-    words = word_counts(docs, text_col).withColumn(
+    words = word_counts(docs, text_col, word_pattern).withColumn(
         "symbols", _init_symbols()
     ).select("symbols", "count").localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []

@@ -35,86 +35,82 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-11 rotation -----------------------------------------------
-# Driver-check union after r10 is all-green (CORRECTNESS_r10 50/50 —
-# no failure in ten rounds). Evidence ages over the r01..r10 files for
-# the 177 post-retirement registered queries: 29 last-checked-r7, 46
-# r8, 48 r9, 48 r10; nothing unchecked. The window carries ALL 29
-# r7-aged queries (they hit the MAX_EVIDENCE_AGE=4 boundary this
-# round — the r10 VERDICT's standing item 1) plus the alphabetical
-# first 15 of the 46 r8-aged (the 31 same-age left-overs front-load
-# r12), then the six NEW_R11_STAGED queries take their first official
-# driver rows. Derived by scripts/rotation_calc.py AFTER the r11
-# retirements (margin_defaults, first_match_pick, json_extract_props
-# — capacity lever, substance pins documented at their old
-# registration sites); the era-pinned test replays the derivation
-# from an explicit r01..r10 file list.
-STALE_R8 = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
-    "copurchase_triangles",
-    "corr_moments_stats",
-    "dedup_containment",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_order_reconciliation",
-    "dq_price_outliers_mad",
-    "embedding_knn_brute",
-    "events_asof_last_click",
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
-    "events_resample_interpolate",
-    "events_session_window",
-    "events_sessionize_manual",
-    "events_sliding_window",
-    "events_time_weighted_value",
-    "events_tumbling_window",
-    "except_keys",
-    "fuzzy_name_distance",
-    "grouping_sets_agg",
-    "histogram_quantity",
-    "intersect_keys",
-    "islands_user_activity",
-    "json_map_functions",
-    "lateral_top_orders",
-    "not_in_null_semantics",
-    "percent_rank_ntile",
-    "pivot_status_revenue",
-    "q11_important_parts",
-    "q12_lateness_priority",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_dominant_suppliers",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "quantile_disc_prices",
-    "rolling_median_user_value",
-    "scd2_build_user_state",
-    "state_change_compression",
-    "text_bpe_pair_counts",
+# --- round-12 rotation -----------------------------------------------
+# Driver-check union after r11 is all-green (CORRECTNESS_r11 50/50 —
+# no failure in eleven rounds). Evidence ages over the r01..r11 files
+# for the 177 registered pre-r12 queries: 31 last-checked-r8, 48 r9,
+# 48 r10, 50 r11; nothing unchecked. The window carries ALL 31
+# r8-aged queries (they hit the MAX_EVIDENCE_AGE=4 boundary this
+# round — the r11 VERDICT's standing item 4) plus the alphabetical
+# first 18 of the 48 r9-aged (the 30 same-age left-overs front-load
+# r13), then the one r12 registration — `text_bpe_merge_learn`, the
+# BPE training-loop face (r10 VERDICT item 3 / r11 item 3) — takes
+# its first official driver row. Derived by scripts/rotation_calc.py;
+# the era-pinned test replays the derivation from an explicit
+# r01..r11 file list.
+STALE_R9 = [
+    "anti_join_dedup",
+    "bm25_retrieval_topk",
+    "broadcast_dim_join",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
+    "corpus_block_dedup",
+    "corpus_mix_resample",
+    "corpus_temperature_mix",
+    "corpus_weighted_sample",
+    "dedup_cosine_incremental",
+    "dedup_embedding_cosine",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_per_source",
+    "events_funnel_watermark",
+    "exists_agg_discounted_orders",
+    "exists_not_exists_orders",
+    "feature_winsorize_robust",
+    "funnel_three_step",
+    "having_large_orders",
+    "hierarchical_revenue_share",
+    "idle_customers_segment",
+    "incremental_agg_maintenance",
+    "merge_event_intervals",
+    "monthly_revenue_trend",
+    "multimodal_binary_meta",
+    "multimodal_decode_stats",
+    "part_clustering_coefficient",
+    "percentile_cont_prices",
+    "pii_pseudonymize_vault",
+    "pit_scd2_price_join",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "recursive_cte_subtree_rollup",
+    "stmt_charge_line_grammar",
+    "stratified_sample_events",
+    "text_bigram_lm",
+    "text_rolling_fingerprint",
+    "topk_per_group",
+    "trend_slope_per_nation",
+    "unpivot_charge_components",
+    "window_edge_values",
+    "window_range_frame",
+    "window_running_total",
+    "zorder_layout_cells",
 ]
 
-# First registered for round 11's window: the round-10 staged block
-# (NEW_R11_STAGED, driver_sim-green at sf0.01 at registration and
-# re-validated at fold time) — span-granular dedup (Lee et al. ACL
-# 2022), SemDeDup (arXiv:2303.09540), DSIR importance resampling
-# (arXiv:2302.03169), the CCNet-style boilerplate screen, the
-# incremental connected-components fold, and the PQ/ADC ANN path
-# (rows-only by the ANN contract). These ride INSIDE the r11 window,
-# immediately after the stale block.
-NEW_R11 = [
-    "text_strip_boilerplate",
-    "dedup_incremental_components",
-    "embedding_ann_pq",
-    "text_repeated_span_dedup",
-    "dedup_semantic_semdedup",
-    "corpus_dsir_importance",
+# Registered this round, riding INSIDE the r12 window immediately
+# after the stale block: the BPE merge-learning face — three full
+# [pair-count → argmax → map-side fold] training iterations with a
+# set-based recursive-replay DuckDB oracle (plans/llm_ops.py).
+# driver_sim hash-green at sf0.01 at registration.
+NEW_R12 = [
+    "text_bpe_merge_learn",
 ]
 
 def _apply_rotation() -> None:
-    priority = STALE_R8 + NEW_R11
+    priority = STALE_R9 + NEW_R12
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -131,13 +127,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R11
+NEW_CURRENT = NEW_R12
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R8",
-    "NEW_R11",
+    "STALE_R9",
+    "NEW_R12",
     "NEW_CURRENT",
 ]

@@ -1196,6 +1196,137 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge LEARNING: the full training loop, three iterations deep.
+# ---------------------------------------------------------------------------
+
+# Three unrolled [pair-count → argmax → greedy fold] iterations over a
+# POSITIONAL symbol table — an independent set-based formulation of the
+# operator's accumulator fold (gaps-and-islands for the greedy
+# left-to-right run semantics: within a run of overlapping candidate
+# matches, only possible when a == b, keep the odd-indexed ones).
+_BPE_ITER_SQL = """
+c{k} AS (
+  SELECT a, b, SUM(cnt) AS n FROM (
+    SELECT sym AS a, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS b, cnt
+    FROM s{k}
+  ) WHERE b IS NOT NULL GROUP BY a, b
+),
+best{k} AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM c{k} ORDER BY n DESC, a, b LIMIT 1),
+m{k} AS (
+  SELECT wid, cnt, pos, sym,
+         CASE WHEN sym = (SELECT a FROM best{k})
+               AND lead(sym) OVER (PARTITION BY wid ORDER BY pos) = (SELECT b FROM best{k})
+              THEN 1 ELSE 0 END AS cand
+  FROM s{k}
+),
+k{k} AS (
+  SELECT *, CASE WHEN cand = 1 AND
+        (ROW_NUMBER() OVER (PARTITION BY wid, cand, isl ORDER BY pos) % 2) = 1
+        THEN 1 ELSE 0 END AS keep
+  FROM (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY wid, cand ORDER BY pos) AS isl
+        FROM m{k})
+),
+s{k1} AS (
+  SELECT wid, cnt,
+         ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         CASE WHEN keep = 1 THEN sym || (SELECT b FROM best{k}) ELSE sym END AS sym
+  FROM (SELECT *, lag(keep) OVER (PARTITION BY wid ORDER BY pos) AS prev_keep FROM k{k})
+  WHERE COALESCE(prev_keep, 0) = 0
+),
+"""
+
+_BPE_LEARN_ORACLE = (
+    """
+WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  )
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+),
+s0 AS (
+  SELECT word AS wid, cnt,
+         unnest(range(1, length(word) + 2)) AS pos,
+         unnest(list_append(regexp_extract_all(word, '.'), '</w>')) AS sym
+  FROM w0
+),
+"""
+    + _BPE_ITER_SQL.format(k=0, k1=1)
+    + _BPE_ITER_SQL.format(k=1, k1=2)
+    + _BPE_ITER_SQL.format(k=2, k1=3)
+    + """
+c3 AS (
+  SELECT a, b, SUM(cnt) AS n FROM (
+    SELECT sym AS a, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS b, cnt
+    FROM s3
+  ) WHERE b IS NOT NULL GROUP BY a, b
+),
+top3 AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM c3 ORDER BY n DESC, a, b LIMIT 10)
+SELECT 'merge' AS kind, CAST(0 AS INT) AS rank, a, b, n FROM best0
+UNION ALL SELECT 'merge', CAST(1 AS INT), a, b, n FROM best1
+UNION ALL SELECT 'merge', CAST(2 AS INT), a, b, n FROM best2
+UNION ALL SELECT 'pair', CAST(-1 AS INT), a, b, n FROM top3
+"""
+)
+
+
+@query("text_bpe_merge_learn", oracle=_BPE_LEARN_ORACLE, tags=("text", "tokenizer"))
+def text_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training LOOP (Sennrich et al. 2016), three
+    iterations end-to-end on a letters-only vocabulary: learn three
+    merges (count DESC, lexicographic tie-break), then report the
+    learned table WITH each merge's selection-time count plus the
+    top-10 adjacent pairs of the POST-merge word table — i.e. what
+    iteration 4 would argmax, proving all three folds applied
+    correctly. `rank` orders the merge rows (it is the artifact);
+    pair rows carry the sentinel -1 — their order is already encoded
+    by (n, a, b) and a rank would need a global row_number.
+
+    Spark-first (operators/bpe.py): one corpus pass builds the
+    (word, count) table; each iteration is a vocabulary-sized
+    pair-count aggregation plus a 1-row argmax collect (bounded driver
+    state — the merge list IS the output), and the fold applies
+    map-side as a Catalyst accumulator fold, no shuffle. At 100 TB the
+    corpus pass dominates and everything after is vocabulary-sized —
+    the property that makes 30k-merge training tractable (the batched
+    learner collapses passes further; this face pins the sequential
+    semantics the batch certificate must reproduce).
+
+    The DuckDB oracle replays the same three iterations as an
+    independent SET-BASED formulation: positional symbol rows,
+    window-function pair counts, and gaps-and-islands greedy run
+    handling — two engines, two algorithms, one answer."""
+    from pythondataingestionprocess_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats: dict = {}
+    merges = bpe.learn_bpe_merges(
+        docs, n_merges=3, min_count=2, word_pattern="^[a-z]+$", stats=stats
+    )
+    merge_rows = spark.createDataFrame(
+        [(("merge"), i, a, b, n) for i, (a, b, n) in enumerate(stats["selected"])],
+        "kind string, rank int, a string, b string, n long",
+    )
+    words = bpe.word_counts(docs, word_pattern="^[a-z]+$")
+    applied = bpe.apply_merges(words, merges, word_col="word", out_col="symbols")
+    top_pairs = (
+        bpe.pair_counts(applied.select("symbols", "count"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(10)
+        .select(
+            F.lit("pair").alias("kind"),
+            F.lit(-1).cast("int").alias("rank"),
+            "a",
+            "b",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    return merge_rows.unionAll(top_pairs)
+
+
+# ---------------------------------------------------------------------------
 # The whole corpus build, end-to-end: curate → exact-dedup → shard.
 # ---------------------------------------------------------------------------
 

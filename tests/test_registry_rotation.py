@@ -2,120 +2,121 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-11 window = 44 stale + 6 new: ALL 29 last-checked-r7
+The round-12 window = 49 stale + 1 new: ALL 31 last-checked-r8
 queries (they reach the MAX_EVIDENCE_AGE=4 boundary this round — the
-r10 VERDICT's standing item 1) plus the alphabetical first 15 of the
-46 last-checked-r8 (the 31 same-age left-overs front-load r12), then
-the six queries folded from NEW_R11_STAGED take their first official
-driver rows. Derived AFTER the r11 retirements (capacity lever:
-``margin_defaults``, ``first_match_pick``, ``json_extract_props`` —
-substance pins documented at their old registration sites). These
-tests make the rotation explicit and fail loudly if a later
-registration or refactor silently reorders the window.
+r11 VERDICT's standing item 4) plus the alphabetical first 18 of the
+48 last-checked-r9 (the 30 same-age left-overs front-load r13), then
+``text_bpe_merge_learn`` — the BPE training-loop face registered this
+round — takes its first official driver row. These tests make the
+rotation explicit and fail loudly if a later registration or refactor
+silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r10 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r11 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
 
 Capacity (r8 VERDICT item 3): rotation_calc hard-fails above
 WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
-retiring is mechanically impossible, not just a written rule. The r11
-retirements leave 3 free slots; queries registered DURING round 11
-live in a NEW_R12_STAGED block — outside this window, riding round
-12's — and the reproduction test tolerates that staged block
-re-growing the calculator's stale budget (the committed derivation
-ran with the six-name NEW_R11_STAGED block pending; once folded, the
-calculator sees only whatever NEW block is staged next).
+retiring is mechanically impossible, not just a written rule. The r12
+registration fills one of the three slots the r11 retirements freed
+(registry 177 → 178, two slots free). The calculator guard behaviors
+(capacity trip, evidence-lag tripwire, failed-row alert, parsed-round
+ordering, filename rejection, oversubscribed-window clamp) are pinned
+below with synthetic fixtures — restored per r11 ADVICE after the r11
+snapshot dropped them.
 """
 
 import glob
+import json
 import re
 import subprocess
 import sys
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R11,
+    NEW_R12,
     REGISTRY,
-    STALE_R8,
+    STALE_R9,
 )
 
 DRIVER_WINDOW = 50
 
-# The file set the committed rotation was derived from (rounds 1..10).
-# Frozen: later rounds' files must NOT retroactively change what r11's
+# The file set the committed rotation was derived from (rounds 1..11).
+# Frozen: later rounds' files must NOT retroactively change what r12's
 # window was.
-R11_EVIDENCE_FILES = sorted(
+R12_EVIDENCE_FILES = sorted(
     (
         f
         for f in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 10
+        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 11
     ),
     key=lambda f: int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)),
 )
 
 
-# The 31 r8-checked queries the alphabetical cut left out of STALE_R8
-# (same evidence age); they front-load round 12's window. Recorded
-# verbatim from scripts/rotation_calc.py's round-11 derivation.
-R12_FRONT_LOAD_LEFT_OVERS = [
-    "events_funnel_watermark",
-    "exists_agg_discounted_orders",
-    "exists_not_exists_orders",
-    "feature_winsorize_robust",
-    "funnel_three_step",
-    "having_large_orders",
-    "hierarchical_revenue_share",
-    "idle_customers_segment",
-    "incremental_agg_maintenance",
-    "merge_event_intervals",
-    "monthly_revenue_trend",
-    "multimodal_binary_meta",
-    "multimodal_decode_stats",
-    "part_clustering_coefficient",
-    "percentile_cont_prices",
-    "pii_pseudonymize_vault",
-    "pit_scd2_price_join",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "recursive_cte_subtree_rollup",
-    "stmt_charge_line_grammar",
-    "stratified_sample_events",
-    "text_bigram_lm",
-    "text_rolling_fingerprint",
-    "topk_per_group",
-    "trend_slope_per_nation",
-    "unpivot_charge_components",
-    "window_edge_values",
-    "window_range_frame",
-    "window_running_total",
-    "zorder_layout_cells",
+# The 30 r9-checked queries the alphabetical cut left out of STALE_R9
+# (same evidence age); they front-load round 13's window. Recorded
+# verbatim from scripts/rotation_calc.py's round-12 derivation.
+R13_FRONT_LOAD_LEFT_OVERS = [
+    "distinct_dims",
+    "doc_chunking_overlap",
+    "dq_malformed_json_rate",
+    "dq_profile_orders",
+    "events_scd2_enrich",
+    "inverted_index_incremental",
+    "inverted_index_postings",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q4_priority_order_checks",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "qualify_above_avg_suppliers",
+    "range_join_quantity_bands",
+    "revenue_share_top_customers",
+    "scalar_subquery_small_qty",
+    "skewed_join_salted",
+    "string_agg_nations",
+    "text_bpe_token_count",
+    "text_contamination_check",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "train_val_test_split",
+    "unnest_top_words",
+    "zorder_file_skipping",
 ]
 
-# The 15 last-checked-r8 queries INSIDE the committed window (the
-# other 29 are r7-checked). If a NEW_R12_STAGED block smaller than six
-# names is pending, the calculator's stale budget grows back toward 50
-# and the derived stale set EXTENDS the committed window with the
-# alphabetical front of the r8-age left-overs; if it ever grows past
-# six names, the budget shrinks below 44 and the displaced names must
-# come from this set's alphabetical tail.
-R8_AGE_IN_WINDOW = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
-    "copurchase_triangles",
-    "corr_moments_stats",
-    "dedup_containment",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_order_reconciliation",
-    "dq_price_outliers_mad",
-    "embedding_knn_brute",
-    "events_asof_last_click",
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
+# The 18 last-checked-r9 queries INSIDE the committed window (the
+# other 31 are r8-checked). If a NEW_R13_STAGED block is pending at
+# runtime, the calculator's stale budget shrinks below 49 and the
+# displaced names must come from this set's alphabetical tail; with no
+# staged block the budget grows back to 50 and the derived stale set
+# EXTENDS the committed window with the alphabetical front of the
+# r9-age left-overs.
+R9_AGE_IN_WINDOW = [
+    "anti_join_dedup",
+    "bm25_retrieval_topk",
+    "broadcast_dim_join",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
+    "corpus_block_dedup",
+    "corpus_mix_resample",
+    "corpus_temperature_mix",
+    "corpus_weighted_sample",
+    "dedup_cosine_incremental",
+    "dedup_embedding_cosine",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_per_source",
 ]
 
 # Retired across rounds: these names must never silently reappear in
@@ -138,16 +139,21 @@ RETIRED_R11 = [
     "json_extract_props",
 ]
 
+OK_ROW = {"rows_match": True, "schema_match": True,
+          "hash_match": True, "err": None}
+BAD_ROW = {"rows_match": True, "schema_match": True,
+           "hash_match": False, "err": None}
+
 
 def _intended():
-    return STALE_R8 + NEW_R11
+    return STALE_R9 + NEW_R12
 
 
 def test_stalest_queries_front_loaded():
-    """The 44 stale slots (all 29 r7-checked + 15 r8-checked, the
-    stalest evidence eras after r10's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R8)] == STALE_R8
-    assert len(STALE_R8) == 44
+    """The 49 stale slots (all 31 r8-checked + 18 r9-checked, the
+    stalest evidence eras after r11's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R9)] == STALE_R9
+    assert len(STALE_R9) == 49
 
 
 def test_first_50_is_the_intended_rotation():
@@ -157,13 +163,12 @@ def test_first_50_is_the_intended_rotation():
 def test_new_queries_ride_inside_the_window():
     """Anything first registered for this round's window must be
     driver-checked this round: those names sit immediately after the
-    stale block, inside the 50-row window (the folded NEW_R11_STAGED
-    block — span dedup, SemDeDup, DSIR, boilerplate, incremental CC,
-    PQ)."""
+    stale block, inside the 50-row window (this round: the BPE
+    merge-learning face)."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R11):
-        assert names[len(STALE_R8) + i] == n
-    assert len(STALE_R8) + len(NEW_R11) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R12):
+        assert names[len(STALE_R9) + i] == n
+    assert len(STALE_R9) + len(NEW_R12) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -224,26 +229,27 @@ def test_no_staged_blocks_inside_the_window():
             assert n not in window
 
 
-def test_rotation_calculator_reproduces_r11_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r12_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r10 CORRECTNESS files alone.
+    window composition from the r01..r11 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r11+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r12+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: the committed window was derived with the SIX-name
-    NEW_R11_STAGED block pending (stale budget 44). After the fold,
-    the calculator's stale budget is 50 minus whatever NEW_R12_STAGED
-    holds at runtime (k names, k likely < 6), so the derived stale set
-    EXTENDS the committed 44 with the (6 - k)-name alphabetical prefix
-    of the r8-age front-load left-overs; were a staged block ever to
-    exceed six names, the budget would shrink below 44 and the
-    displaced names must come from the committed window's r8-age
-    alphabetical tail. Both directions are asserted exactly."""
-    assert len(R11_EVIDENCE_FILES) == 10, R11_EVIDENCE_FILES
+    Era note: the committed window was derived with the one-name r12
+    registration unstaged (stale budget 49). After the fold the
+    registration sits in NEW_CURRENT, so the calculator treats it as
+    riding THIS round's window (pending, not a hole) and the stale
+    budget is 50 minus whatever NEW_R13_STAGED holds at runtime (k
+    names, initially 0): the derived stale set EXTENDS the committed
+    49 with the (1 - k + staged-trade)-name alphabetical prefix of the
+    r9-age front-load left-overs, or — were a staged block to exceed
+    one name — shrinks from the committed window's r9-age alphabetical
+    tail. Both directions are asserted exactly."""
+    assert len(R12_EVIDENCE_FILES) == 11, R12_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R11_EVIDENCE_FILES],
+         "--files", *R12_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -257,30 +263,30 @@ def test_rotation_calculator_reproduces_r11_window_from_frozen_files():
     staged_names = re.findall(r'"([^"]+)"', new)
     # the staged block and the stale budget trade one-for-one
     assert len(names) == DRIVER_WINDOW - len(staged_names)
-    committed = set(STALE_R8)
+    committed = set(STALE_R9)
     derived = set(names)
-    if len(names) >= len(STALE_R8):
-        # smaller-than-six staged block: committed window plus the
-        # alphabetical front of the r8-age left-overs
+    if len(names) >= len(STALE_R9):
+        # small/no staged block: committed window plus the
+        # alphabetical front of the r9-age left-overs
         assert committed <= derived, committed - derived
         extra = derived - committed
-        front = R12_FRONT_LOAD_LEFT_OVERS[: len(extra)]
+        front = R13_FRONT_LOAD_LEFT_OVERS[: len(extra)]
         assert extra == set(front), (extra, front)
     else:
-        # larger-than-six staged block: displaced names come only
-        # from the committed window's r8-age alphabetical tail
+        # larger staged block: displaced names come only from the
+        # committed window's r9-age alphabetical tail
         assert derived <= committed, derived - committed
         displaced = committed - derived
-        tail = sorted(R8_AGE_IN_WINDOW)[len(R8_AGE_IN_WINDOW) - len(displaced):]
+        tail = sorted(R9_AGE_IN_WINDOW)[len(R9_AGE_IN_WINDOW) - len(displaced):]
         assert displaced == set(tail), (displaced, tail)
 
 
 def test_rotation_calculator_live_run_is_healthy():
     """Era-agnostic health check over whatever CORRECTNESS files exist:
     no failed latest rows (exit 1), no evidence-lag tripwire or
-    capacity breach (exit 2), no unstaged evidence holes. Deliberately
-    does NOT pin the window composition — that's the frozen-files
-    test's job."""
+    capacity breach (exit 2), no unstaged evidence holes (WARNING).
+    Deliberately does NOT pin the window composition — that's the
+    frozen-files test's job."""
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py"],
         capture_output=True,
@@ -289,3 +295,124 @@ def test_rotation_calculator_live_run_is_healthy():
     )
     assert proc.returncode == 0, proc.stderr
     assert "ALERT" not in proc.stderr
+    assert "WARNING" not in proc.stderr
+
+
+# --- calculator guard tripwires (synthetic fixtures; restored per ----
+# --- r11 ADVICE after the r11 snapshot dropped them) -----------------
+
+
+def test_rotation_calculator_capacity_cap_trips():
+    """r8 VERDICT item 3: shrinking the window shrinks the cap
+    (window * 4 - 20); at --window 40 the cap is 140 < the live
+    registry, so the calculator must exit 2 with the capacity ALERT."""
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--window", "40"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stderr)
+    assert "capacity cap" in proc.stderr
+    assert "retire queries" in proc.stderr
+
+
+def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
+    """VERDICT r5 item 8: the calculator must exit non-zero on a
+    synthetic evidence hole — a query last checked more than
+    MAX_EVIDENCE_AGE rounds before the newest file."""
+    victim = STALE_R9[0]
+    # newest round = 9, victim last green in r1 → age 8 > 4
+    old = tmp_path / "CORRECTNESS_r01.json"
+    new = tmp_path / "CORRECTNESS_r09.json"
+    old.write_text(json.dumps({victim: OK_ROW}))
+    new.write_text(json.dumps({STALE_R9[1]: OK_ROW}))
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(old), str(new)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stderr)
+    assert "evidence older than" in proc.stderr
+    assert victim in proc.stderr
+
+
+def test_rotation_calculator_failed_row_alert(tmp_path):
+    """A FAILED latest driver row must alert and exit 1 — failed rows
+    are not evidence and must ride the next window again."""
+    victim = STALE_R9[0]
+    f = tmp_path / "CORRECTNESS_r09.json"
+    f.write_text(json.dumps({victim: BAD_ROW}))
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(f)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 1, (proc.returncode, proc.stderr)
+    assert "FAILED" in proc.stderr
+    assert victim in proc.stderr
+
+
+def test_rotation_calculator_round_ten_ordering(tmp_path):
+    """ADVICE r6: round >= 10 files must be globbed and processed in
+    PARSED-round order, not lexicographic (CORRECTNESS_r010 sorts
+    before r02 as a string). A green r10 row must clear an r2 failure
+    for the same query — and the unpadded r10 spelling must parse."""
+    victim = STALE_R9[0]
+    f2 = tmp_path / "CORRECTNESS_r02.json"
+    f10 = tmp_path / "CORRECTNESS_r10.json"
+    f2.write_text(json.dumps({victim: BAD_ROW}))
+    f10.write_text(json.dumps({victim: OK_ROW}))
+    # pass files in the WRONG (lexicographic-looking) order on purpose
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(f10), str(f2)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    # r10 green supersedes the r2 failure → no FAILED alert (exit 0
+    # would need fresh evidence for everything; only assert the
+    # failure-clearing and that exit is not 1)
+    assert "FAILED" not in proc.stderr, proc.stderr
+    assert proc.returncode != 1, (proc.returncode, proc.stderr)
+
+
+def test_rotation_calculator_rejects_bad_filename(tmp_path):
+    """ADVICE r6: a --files entry that is not a CORRECTNESS_r<N>.json
+    file must fail with a clear message, not an AttributeError."""
+    bogus = tmp_path / "notes.json"
+    bogus.write_text("{}")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(bogus)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "not a CORRECTNESS" in proc.stderr
+
+
+def test_rotation_calculator_oversubscribed_window(tmp_path):
+    """ADVICE r6: when staged + never exceed the window, the stale
+    budget must clamp to zero (an empty STALE list), not silently
+    select items from the end of the age list."""
+    f = tmp_path / "CORRECTNESS_r01.json"
+    f.write_text(json.dumps({n: OK_ROW for n in STALE_R9}))
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/rotation_calc.py",
+         "--files", str(f), "--window", "5"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    stale = re.search(r"STALE = \[(.*?)\]", proc.stdout, re.S).group(1)
+    names = re.findall(r'"([^"]+)"', stale)
+    assert names == [], names
+    assert "over-subscribed" in proc.stderr
