@@ -276,6 +276,15 @@ def main() -> None:
     noise = host_noise_verdict(calib, calib_end, load_start, load_end, cores)
     total = round(sum(timings.values()), 3)
     subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
+    # the cross-round comparable: r1-subset seconds normalized by the
+    # MEAN of the two calibrations (BASELINE.md s-per-calib ledger,
+    # r10 VERDICT item 6 — computed in the artifact itself so ledger
+    # entries are read, not derived by hand)
+    per_calib = (
+        round(subset / ((calib + calib_end) / 2), 1)
+        if calib and calib_end
+        else None
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -283,6 +292,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "r1_subset_wall": subset,
+        "r1_subset_per_calib": per_calib,
         "calib_sec": calib,
         "calib_sec_end": calib_end,
         "loadavg_1m_start": load_start,
@@ -313,6 +323,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "r1_subset_wall": subset,
+                "r1_subset_per_calib": per_calib,
                 "calib_sec": calib,
                 "calib_sec_end": calib_end,
                 "loadavg_1m_start": load_start,

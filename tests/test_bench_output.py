@@ -42,6 +42,15 @@ def test_compact_final_line_is_parseable_and_small(monkeypatch, capsys,
     assert compact["value"] > 0
     assert compact["n_queries"] == 2
     assert "r1_subset_wall" in compact and "calib_sec" in compact
+    # r10 VERDICT item 6: the cross-round comparable — r1-subset
+    # seconds per mean-calib — is computed IN the artifact (both
+    # lines), matching subset / mean(calib, calib_end) to the ledger's
+    # rounding
+    assert compact["r1_subset_per_calib"] == round(
+        compact["r1_subset_wall"]
+        / ((compact["calib_sec"] + compact["calib_sec_end"]) / 2),
+        1,
+    )
     # r7 VERDICT item 4: the artifact must be self-interpreting on a
     # contended host — end-of-run calib and load averages ride both
     # the compact and detailed lines
@@ -108,6 +117,7 @@ def test_bench_detail_file_written(monkeypatch, capsys, tmp_path):
     assert set(detail["queries"]) == {"projection_narrow", "distinct_dims"}
     assert detail["value"] > 0
     assert "r1_subset_wall" in detail and "calib_sec" in detail
+    assert "r1_subset_per_calib" in detail
     assert "calib_sec_end" in detail
     assert "loadavg_1m_start" in detail and "loadavg_1m_end" in detail
 
