@@ -376,6 +376,12 @@ def learn_bpe_merges_batched(
         stats = {}
     stats["passes"] = 0
     stats["batch_sizes"] = []
+    # selection-time count per accepted merge, aligned with the return
+    # list. The snapshot count IS the sequential selection-time count:
+    # every accepted candidate is footprint-clean by construction, so
+    # its count is unchanged at its sequential turn (the certificate's
+    # exact-reduction-footprint argument).
+    stats["selected_counts"] = []
     while len(merges) < n_merges:
         top = (
             _pair_counts(words)
@@ -397,9 +403,11 @@ def learn_bpe_merges_batched(
         if not batch:
             break
         stats["batch_sizes"].append(len(batch))
+        snap_n = {(r["a"], r["b"]): r["n"] for r in top}
         for a, b in batch:
             merges.append((a, b))
             created.add(a + b)
+            stats["selected_counts"].append(snap_n[(a, b)])
         words = _fold_chunked(words, batch).localCheckpoint(eager=True)
     return merges
 

@@ -129,11 +129,21 @@ _apply_rotation()
 # mid-round is expected, not a hole.
 NEW_CURRENT = NEW_R12
 
+# Staged for round 13's window (registered late-r12, driver_sim-green
+# at sf0.01 at registration; sits OUTSIDE the r12 window): the batched
+# BPE learner through the SAME sequential-replay oracle — a
+# driver-checked proof of the parity-batch certificate on real corpus
+# data (the r12 certificate fix's driver face).
+NEW_R13_STAGED = [
+    "text_bpe_merge_learn_batched",
+]
+
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
     "STALE_R9",
     "NEW_R12",
+    "NEW_R13_STAGED",
     "NEW_CURRENT",
 ]

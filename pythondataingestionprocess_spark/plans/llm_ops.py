@@ -1326,6 +1326,59 @@ def text_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rows.unionAll(top_pairs)
 
 
+@query(
+    "text_bpe_merge_learn_batched",
+    oracle=_BPE_LEARN_ORACLE,
+    tags=("text", "tokenizer"),
+)
+def text_bpe_merge_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text_bpe_merge_learn` through the BATCHED learner
+    (operators/bpe.py::learn_bpe_merges_batched) — the O(passes)
+    production path for vocabulary-scale training. Same DuckDB oracle
+    as the sequential face ON PURPOSE: the parity-batch certificate
+    claims the batched merge sequence is IDENTICAL to sequential
+    merge-at-a-time learning, so the sequential replay oracle is the
+    exact spec this face must hash-match — a driver-checked proof of
+    the certificate on real corpus data, not just the synthetic test
+    corpora. Selection-time counts come from the snapshot rows the
+    batch was certified from (equal to sequential's recount by the
+    same theorem).
+
+    At 100 TB the difference is jobs: 3 merges happen to fit one or
+    two passes here, but a 30k-merge vocabulary runs O(passes) ≪
+    O(n_merges) corpus-table jobs — see the r12 BASELINE.md entry
+    (200 merges: 185 passes → 12 after the r12 certificate fix)."""
+    from pythondataingestionprocess_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats: dict = {}
+    merges = bpe.learn_bpe_merges_batched(
+        docs, n_merges=3, min_count=2, word_pattern="^[a-z]+$", stats=stats
+    )
+    merge_rows = spark.createDataFrame(
+        [
+            ("merge", i, a, b, stats["selected_counts"][i])
+            for i, (a, b) in enumerate(merges)
+        ],
+        "kind string, rank int, a string, b string, n long",
+    )
+    words = bpe.word_counts(docs, word_pattern="^[a-z]+$")
+    applied = bpe.apply_merges(words, merges, word_col="word", out_col="symbols")
+    top_pairs = (
+        bpe.pair_counts(applied.select("symbols", "count"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(10)
+        .select(
+            F.lit("pair").alias("kind"),
+            F.lit(-1).cast("int").alias("rank"),
+            "a",
+            "b",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    return merge_rows.unionAll(top_pairs)
+
+
 # ---------------------------------------------------------------------------
 # The whole corpus build, end-to-end: curate → exact-dedup → shard.
 # ---------------------------------------------------------------------------
