@@ -47,9 +47,9 @@ def _record(body: bytes, i: int) -> bytes:
 
 
 def build(size_mb: int) -> int:
-    body = (b"lorem ipsum dolor sit amet " * (RECORD_MB * 1 << 20))[
-        : RECORD_MB * (1 << 20)
-    ]
+    size = RECORD_MB * (1 << 20)
+    stamp = b"lorem ipsum dolor sit amet "
+    body = (stamp * (size // len(stamp) + 1))[:size]
     n = max(1, size_mb // RECORD_MB)
     with open(SEG, "wb") as f:
         for i in range(n):

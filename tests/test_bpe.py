@@ -295,3 +295,69 @@ def test_batched_within_batch_concat_collision(spark):
     assert ("x<", "/w>") in got and ("x", bpe.END) in got
     concats = [a + b for a, b in got]
     assert len(concats) != len(set(concats)), got
+
+
+def test_certificate_fuzz_parity_pure_python():
+    """r12: the sharpened certificate (exact footprint + spawned-pair
+    lex-beat + collision guards) fuzz-tested WITHOUT Spark — a pure-
+    Python batched driver around the real `_select_parity_batch`
+    against the sequential reference, 200 seeded random corpora over
+    the adversarial alphabet 'ab</w>' (END-marker characters in-band:
+    maximal collision / self-merge / tie pressure), with small top_t
+    values exercising the threshold guard. Any divergence is a
+    soundness hole in the certificate itself."""
+    import random
+
+    def py_batched(wc, n_merges, min_count, top_t):
+        vocab = {tuple(w) + (bpe.END,): n for w, n in wc.items()}
+        merges, created = [], {bpe.END}
+        while len(merges) < n_merges:
+            pairs = _py_pairs(vocab)
+            if not pairs:
+                break
+            rows = sorted(
+                ((a, b, n) for (a, b), n in pairs.items()),
+                key=lambda r: (-r[2], r[0], r[1]),
+            )[:top_t]
+            if rows[0][2] < min_count:
+                break
+            threshold = rows[-1][2] if len(rows) == top_t else 0
+            batch = bpe._select_parity_batch(
+                rows, threshold, created,
+                min(n_merges - len(merges), bpe.MAX_EXPR_MERGES), min_count,
+            )
+            if not batch:
+                break
+            for a, b in batch:
+                merges.append((a, b))
+                created.add(a + b)
+                vocab = {_py_merge(s, a, b): c for s, c in vocab.items()}
+        return merges
+
+    def py_learn_wc(wc, n_merges, min_count):
+        vocab = {tuple(w) + (bpe.END,): n for w, n in wc.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = _py_pairs(vocab)
+            if not pairs:
+                break
+            (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n < min_count:
+                break
+            merges.append((a, b))
+            vocab = {_py_merge(s, a, b): c for s, c in vocab.items()}
+        return merges
+
+    alphabet = list("ab</w>")
+    for seed in range(200):
+        rng = random.Random(seed)
+        wc: dict[str, int] = {}
+        for _ in range(rng.randint(3, 25)):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 6)
+        n_merges = rng.randint(1, 40)
+        min_count = rng.choice([1, 2])
+        top_t = rng.choice([4, 8, 512])
+        expect = py_learn_wc(dict(wc), n_merges, min_count)
+        got = py_batched(dict(wc), n_merges, min_count, top_t)
+        assert got == expect, (seed, wc, n_merges, min_count, top_t)
