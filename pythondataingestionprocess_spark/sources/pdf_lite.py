@@ -32,25 +32,46 @@ r9 additions closing two former PyMuPDF-territory gaps:
   /CFM /V2 crypt filter — the RC4 forms): the empty user password
   (the overwhelmingly common "owner-locked" case — printing
   restricted, reading open) is VERIFIED against /U before any decrypt;
-  a real password, a failed check, or an AES (/AESV2 /AESV3) or R5/R6
-  handler raises and lands in the quarantine — never mojibake. RC4 is
-  length-preserving, so stream payloads are decrypted IN PLACE and
-  every downstream offset/regex keeps working. The /Encrypt lookup is
-  anchored to trailer and /Type /XRef dictionaries (r10): content
-  bytes that merely LOOK like an /Encrypt reference never route a
-  readable file into the decrypt path.
+  a real password or a failed check raises and lands in the
+  quarantine — never mojibake. RC4 is length-preserving, so stream
+  payloads are decrypted IN PLACE and every downstream offset/regex
+  keeps working. The /Encrypt lookup is anchored to trailer and
+  /Type /XRef dictionaries (r10): content bytes that merely LOOK like
+  an /Encrypt reference never route a readable file into the decrypt
+  path.
+
+r12 addition — **AES decryption** (the r11 VERDICT's "What's missing"
+item 2, closable because the container ships the public
+``cryptography`` package; gated behind an import-try so absence fails
+CLOSED into the quarantine, never half-decrypts):
+
+- **/AESV2** (V=4 R=4, §7.6.3 + §7.6.5): same Algorithm-2 file key
+  and /U verification as the RC4 forms; per-object key appends the
+  spec's ``sAlT`` bytes to the MD5 input; stream payload = 16-byte IV
+  + AES-128-CBC ciphertext with RFC 2898 padding (verified byte-wise
+  — wrong key or corrupt data raises, fails closed).
+- **/AESV3** (V=5 R=5/R=6, ISO 32000-2 §7.6.4): the empty user
+  password is verified against /U's hash+validation-salt (plain
+  SHA-256 for the deprecated R5; the full Algorithm 2.B iterated
+  SHA-256/384/512 + AES-128-CBC hash chain for R6), then the 32-byte
+  file key is unwrapped from /UE with AES-256-CBC (zero IV, no
+  padding). One file key for every object — no per-object derivation.
+  AES-decrypted output is SHORTER than the ciphertext, so the buffer
+  is rebuilt piecewise rather than in place (downstream parsing is
+  ``stream…endstream`` marker-based, never /Length-based, so shifted
+  offsets are fine).
 - **/ObjStm object streams** (§7.5.7): compressed objects are unpacked
   and appended to the scan buffer as ordinary ``n 0 obj`` bodies, so
   font dicts / ToUnicode refs hiding in object streams resolve through
   the same brute-force object table. (Streams themselves cannot live
   in an ObjStm, so content/CMap extraction is unaffected.)
 
-Still NOT handled (PyMuPDF territory): AES-encrypted PDFs (no stdlib
-AES), non-empty user passwords, CIDFont /Encoding CMaps other than the
-embedded ToUnicode, positional reading order (streams are emitted in
-file order). ``extract_pdf_text`` therefore PREFERS PyMuPDF when
-importable and falls back here, so statement PDFs work in this
-container and full-fidelity returns wherever fitz exists.
+Still NOT handled (PyMuPDF territory): non-empty user passwords,
+public-key (/Adobe.PubSec) security handlers, CIDFont /Encoding CMaps
+other than the embedded ToUnicode, positional reading order (streams
+are emitted in file order). ``extract_pdf_text`` therefore PREFERS
+PyMuPDF when importable and falls back here, so statement PDFs work
+in this container and full-fidelity returns wherever fitz exists.
 """
 
 from __future__ import annotations
@@ -173,6 +194,69 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+try:  # public package, present in this container; absence fails closed
+    from cryptography.hazmat.primitives.ciphers import (  # type: ignore
+        Cipher as _Cipher,
+        algorithms as _cipher_algorithms,
+        modes as _cipher_modes,
+    )
+
+    _HAVE_AES = True
+except ImportError:  # pragma: no cover - the container ships it
+    _HAVE_AES = False
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, decrypt: bool = True) -> bytes:
+    """AES-CBC with no padding handling (callers manage padding).
+    Raises ValueError when the cryptography package is unavailable so
+    the caller quarantines instead of emitting ciphertext as text."""
+    if not _HAVE_AES:
+        raise ValueError("AES encryption (cryptography package unavailable)")
+    if len(data) % 16:
+        raise ValueError("AES payload not block-aligned")
+    c = _Cipher(_cipher_algorithms.AES(key), _cipher_modes.CBC(iv))
+    op = c.decryptor() if decrypt else c.encryptor()
+    return op.update(data) + op.finalize()
+
+
+def _aes_decrypt_stream(key: bytes, payload: bytes) -> bytes:
+    """Decrypt one stream payload: 16-byte IV + ciphertext, RFC 2898
+    padding verified byte-wise (§7.6.3.1). The marker-based stream
+    capture includes the EOL the producer wrote before ``endstream``
+    (not part of the data per /Length), so trailing CR/LF is trimmed
+    to the block boundary first. Any inconsistency raises — wrong key
+    or corrupt ciphertext must quarantine, never emit noise."""
+    while len(payload) % 16 and payload[-1:] in (b"\n", b"\r"):
+        payload = payload[:-1]
+    if len(payload) < 32 or len(payload) % 16:
+        raise ValueError("malformed AES stream payload")
+    pt = _aes_cbc_raw(key, payload[:16], payload[16:])
+    n = pt[-1]
+    if not 1 <= n <= 16 or pt[-n:] != bytes([n]) * n:
+        raise ValueError("bad AES padding (wrong key or corrupt data)")
+    return pt[:-n]
+
+
+def _alg2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 password hash): iterated
+    SHA-256/384/512 selected by an AES-128-CBC round, at least 64
+    rounds, stopping when the last byte of the AES output is <= round
+    number - 32."""
+    import hashlib
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, decrypt=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _dict_string(body: bytes, name: bytes) -> bytes | None:
     """The string value of /name in a dictionary body — literal or hex
     form (O and U entries use either)."""
@@ -186,17 +270,16 @@ def _dict_string(body: bytes, name: bytes) -> bytes | None:
     return bytes.fromhex(h.group(1).decode().replace(" ", "")) if h else None
 
 
-def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int]:
-    """(file encryption key, revision R) for the standard handler with
-    the EMPTY user password, verified against /U. Raises ValueError on
-    anything this codec cannot decrypt honestly."""
+def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int, str]:
+    """(file encryption key, revision R, scheme) for the standard
+    handler with the EMPTY user password, verified against /U. The
+    scheme is 'rc4', 'aesv2' or 'aesv3'. Raises ValueError on anything
+    this codec cannot decrypt honestly."""
     import hashlib
     import struct as _struct
 
     if re.search(rb"/Filter\s*/Standard\b", enc) is None:
         raise ValueError("non-standard security handler")
-    if re.search(rb"/AESV[23]\b", enc):
-        raise ValueError("AES encryption (no stdlib AES)")
     r_m = re.search(rb"/R\s+(\d+)", enc)
     v_m = re.search(rb"/V\s+(\d+)", enc)
     p_m = re.search(rb"/P\s+(-?\d+)", enc)
@@ -206,15 +289,24 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int]:
         raise ValueError("malformed /Encrypt dictionary")
     rev = int(r_m.group(1))
     v = int(v_m.group(1)) if v_m else 0
+    if rev in (5, 6):
+        return _std_handler_key_v5(enc, rev, u)
     if rev not in (2, 3, 4):
         raise ValueError(f"unsupported security revision R={rev}")
+    if re.search(rb"/AESV3\b", enc):
+        raise ValueError("AESV3 crypt filter with pre-V5 revision")
+    scheme = "rc4"
     if v > 2:
         # V=4 introduces crypt filters (§7.6.5); real-world R4 files
-        # are V=4 with the default /StdCF filter. Only the RC4 form
-        # (/CFM /V2) is decryptable without an AES primitive, and only
+        # are V=4 with the default /StdCF filter carrying either the
+        # RC4 (/CFM /V2) or AES-128 (/CFM /AESV2) method, and only
         # when streams actually route through /StdCF.
-        if v != 4 or not re.search(rb"/CFM\s*/V2\b", enc):
+        if v != 4:
             raise ValueError(f"unsupported encryption version V={v}")
+        if re.search(rb"/CFM\s*/AESV2\b", enc):
+            scheme = "aesv2"
+        elif not re.search(rb"/CFM\s*/V2\b", enc):
+            raise ValueError("V=4 crypt filter method is neither /V2 nor /AESV2")
         if not re.search(rb"/StmF\s*/StdCF\b", enc):
             raise ValueError("V=4 stream crypt filter is not /StdCF")
     # The TOP-LEVEL /Length (bits). Dict key order is producer-
@@ -279,7 +371,37 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int]:
         ok = step == u[:16]
     if not ok:
         raise ValueError("user password required (empty-password check failed)")
-    return key, rev
+    return key, rev, scheme
+
+
+def _std_handler_key_v5(enc: bytes, rev: int, u: bytes) -> tuple[bytes, int, str]:
+    """AESV3 (V=5, R=5/R=6) file key for the EMPTY user password
+    (ISO 32000-2 §7.6.4): /U = 32-byte password hash + 8-byte
+    validation salt + 8-byte key salt; verify the hash, then unwrap
+    the 32-byte file key from /UE with AES-256-CBC, zero IV, no
+    padding. R5 (the deprecated Adobe extension) hashes with one plain
+    SHA-256; R6 uses Algorithm 2.B."""
+    import hashlib
+
+    if not _HAVE_AES:
+        raise ValueError("AES encryption (cryptography package unavailable)")
+    ue = _dict_string(enc, b"UE")
+    if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+        raise ValueError("malformed V5 /Encrypt dictionary (/U //UE)")
+    if not re.search(rb"/AESV3\b", enc):
+        raise ValueError("V5 encryption without an /AESV3 crypt filter")
+    if not re.search(rb"/StmF\s*/StdCF\b", enc):
+        raise ValueError("V5 stream crypt filter is not /StdCF")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if rev == 5:
+        h = hashlib.sha256(vsalt).digest()  # empty password + vsalt
+        ik = hashlib.sha256(ksalt).digest()
+    else:
+        h = _alg2b(b"", vsalt)
+        ik = _alg2b(b"", ksalt)
+    if h != u[:32]:
+        raise ValueError("user password required (empty-password check failed)")
+    return _aes_cbc_raw(ik, bytes(16), ue[:32]), rev, "aesv3"
 
 
 def _find_encrypt_ref(data: bytes):
@@ -320,9 +442,10 @@ def _find_encrypt_ref(data: bytes):
     return None
 
 
-def _decrypt_rc4(data: bytes) -> bytes:
-    """Decrypt every stream payload in place (RC4 preserves length) and
-    return the rebuilt buffer. No-op for unencrypted input."""
+def _decrypt_streams(data: bytes) -> bytes:
+    """Decrypt every stream payload (RC4 in place — length-preserving;
+    AES via a piecewise rebuild — plaintext is shorter) and return the
+    rebuilt buffer. No-op for unencrypted input."""
     enc_ref = _find_encrypt_ref(data)
     if enc_ref is None:
         return data
@@ -330,13 +453,14 @@ def _decrypt_rc4(data: bytes) -> bytes:
     enc_body = _objects(data).get(int(enc_ref.group(1)))
     if enc_body is None:
         raise ValueError("dangling /Encrypt reference")
-    key, _rev = _std_handler_key(
+    key, _rev, scheme = _std_handler_key(
         enc_body, bytes.fromhex(id_m.group(1).decode()) if id_m else b""
     )
     import hashlib
 
-    out = bytearray(data)
     enc_num = int(enc_ref.group(1))
+    pieces: list[bytes] = []
+    cursor = 0
     for m in _OBJ_SPAN_RE.finditer(data):
         num, gen = int(m.group(1)), int(m.group(2))
         if num == enc_num:
@@ -347,11 +471,27 @@ def _decrypt_rc4(data: bytes) -> bytes:
         sm = _STREAM_RE.search(data, m.end(), end + 9)
         if sm is None or sm.start() > end:
             continue
-        obj_key = hashlib.md5(
-            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
-        ).digest()[: min(len(key) + 5, 16)]
-        out[sm.start(1):sm.end(1)] = _rc4(obj_key, data[sm.start(1):sm.end(1)])
-    return bytes(out)
+        payload = data[sm.start(1):sm.end(1)]
+        if scheme == "aesv3":
+            plain = _aes_decrypt_stream(key, payload)
+        else:
+            salt = b"sAlT" if scheme == "aesv2" else b""
+            obj_key = hashlib.md5(
+                key
+                + num.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")
+                + salt
+            ).digest()[: min(len(key) + 5, 16)]
+            plain = (
+                _aes_decrypt_stream(obj_key, payload)
+                if scheme == "aesv2"
+                else _rc4(obj_key, payload)
+            )
+        pieces.append(data[cursor:sm.start(1)])
+        pieces.append(plain)
+        cursor = sm.end(1)
+    pieces.append(data[cursor:])
+    return b"".join(pieces)
 
 
 def _expand_object_streams(data: bytes) -> bytes:
@@ -384,9 +524,9 @@ def _expand_object_streams(data: bytes) -> bytes:
 
 
 def _preprocess(data: bytes) -> bytes:
-    """Decrypt (RC4 standard handler), then surface /ObjStm members.
-    Raises on undecryptable input — the caller quarantines."""
-    return _expand_object_streams(_decrypt_rc4(data))
+    """Decrypt (standard handler: RC4 or AES), then surface /ObjStm
+    members. Raises on undecryptable input — the caller quarantines."""
+    return _expand_object_streams(_decrypt_streams(data))
 
 
 def _parse_cmap(cmap: bytes) -> tuple[int, dict[int, str]]:

@@ -1,9 +1,12 @@
-"""RC4-encrypted PDFs and /ObjStm object streams (sources/pdf_lite.py,
-r9): the empty-user-password owner-locked case decrypts and extracts
-exactly; real passwords, AES handlers, and unsupported revisions
-QUARANTINE; objects compressed into /ObjStm resolve through the normal
-object table. Fixtures implement the spec algorithms (ISO 32000-1
-§7.6.3) independently of the import path under test."""
+"""Encrypted PDFs (RC4 + AES) and /ObjStm object streams
+(sources/pdf_lite.py, r9 + r12): the empty-user-password owner-locked
+case decrypts and extracts exactly for RC4 R2/R3/R4, AESV2 (V4/R4) and
+AESV3 (V5 R5/R6); real passwords, mislabeled/corrupt AES payloads, a
+missing cryptography package, and unsupported revisions QUARANTINE;
+objects compressed into /ObjStm resolve through the normal object
+table. Fixtures implement the spec algorithms (ISO 32000-1 §7.6.3 /
+32000-2 §7.6.4) independently of the import path under test, and the
+AES-CBC core is pinned against NIST SP 800-38A known-answer vectors."""
 
 from __future__ import annotations
 
@@ -13,10 +16,47 @@ import re
 import struct
 import zlib
 
+import pytest
+
 from pythondataingestionprocess_spark.sources import pdf_lite
 
 PAD = pdf_lite._PW_PAD  # the spec's public 32-byte constant
 FILE_ID = bytes(range(16))
+
+
+def _taes(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """Test-side AES-CBC (no padding) — used to BUILD fixtures, so the
+    module under test decrypts ciphertext it did not produce itself."""
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    op = c.encryptor() if encrypt else c.decryptor()
+    return op.update(data) + op.finalize()
+
+
+def _taes_stream(key: bytes, payload: bytes, iv: bytes) -> bytes:
+    """IV + AES-CBC ciphertext with RFC 2898 padding (spec stream form)."""
+    n = 16 - len(payload) % 16
+    return iv + _taes(key, iv, payload + bytes([n]) * n, encrypt=True)
+
+
+def _talg2b(pw: bytes, salt: bytes) -> bytes:
+    """Test-side ISO 32000-2 Algorithm 2.B, written from the spec text
+    independently of pdf_lite._alg2b."""
+    k = hashlib.sha256(pw + salt).digest()
+    rounds = 0
+    while True:
+        block = (pw + k) * 64
+        e = _taes(k[:16], k[16:32], block, encrypt=True)
+        digest = [hashlib.sha256, hashlib.sha384, hashlib.sha512][
+            sum(e[i] for i in range(16)) % 3
+        ]
+        k = digest(e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
 
 
 def _rc4(key: bytes, data: bytes) -> bytes:
@@ -86,8 +126,10 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
     if break_user_pw:
         u_entry = bytes(b ^ 0xA5 for b in u_entry)
 
-    out = bytearray(pdf)
-    # encrypt every stream payload in place (RC4 is length-preserving)
+    out = bytearray()
+    cursor = 0
+    # RC4: in place (length-preserving); AESV2: rebuilt piecewise
+    # (IV + padded ciphertext is longer than the plaintext)
     for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf):
         end = pdf.find(b"endobj", m.end())
         sm = re.compile(rb"stream\r?\n(.*?)endstream", re.S).search(
@@ -96,10 +138,19 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
         if sm is None:
             continue
         num, gen = int(m.group(1)), int(m.group(2))
+        salt = b"sAlT" if aes else b""
         ok = hashlib.md5(
-            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
         ).digest()[: min(key_len + 5, 16)]
-        out[sm.start(1):sm.end(1)] = _rc4(ok, pdf[sm.start(1):sm.end(1)])
+        payload = pdf[sm.start(1):sm.end(1)]
+        if aes:
+            iv = hashlib.md5(b"iv" + bytes([num])).digest()
+            ct = _taes_stream(ok, payload, iv)
+        else:
+            ct = _rc4(ok, payload)
+        out += pdf[cursor:sm.start(1)] + ct
+        cursor = sm.end(1)
+    out += pdf[cursor:]
 
     # real-world layouts: R2 -> V1, R3 -> V2, R4 -> V4 with the
     # /StdCF crypt-filter plumbing (ADVICE r9: the old fixture's
@@ -117,6 +168,61 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
         + cf
         + b"/O <" + o_entry.hex().encode() + b"> "
         + b"/U <" + u_entry.hex().encode() + b"> >>"
+    )
+    enc_num = 90
+    out += f"\n{enc_num} 0 obj\n".encode() + enc + b"\nendobj\n"
+    out += (
+        f"trailer\n<< /Encrypt {enc_num} 0 R /ID [<{FILE_ID.hex()}> "
+        f"<{FILE_ID.hex()}>] >>\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def _encrypt_pdf_v5(pdf: bytes, rev: int = 6,
+                    break_user_pw: bool = False) -> bytes:
+    """ISO 32000-2 §7.6.4 fixture (AESV3, V=5): pick a random-looking
+    32-byte file key, derive /U (hash + validation salt + key salt)
+    and /UE (file key wrapped with the intermediate key) for the EMPTY
+    user password, AES-256-CBC-encrypt every stream with the file key."""
+    file_key = hashlib.sha256(b"fixture-file-key").digest()
+    vsalt = bytes(range(8))
+    ksalt = bytes(range(8, 16))
+    if rev == 5:
+        u_hash = hashlib.sha256(vsalt).digest()
+        ik = hashlib.sha256(ksalt).digest()
+    else:
+        u_hash = _talg2b(b"", vsalt)
+        ik = _talg2b(b"", ksalt)
+    if break_user_pw:
+        u_hash = bytes(b ^ 0xA5 for b in u_hash)
+    u_entry = u_hash + vsalt + ksalt
+    ue_entry = _taes(ik, bytes(16), file_key, encrypt=True)
+    o_entry = bytes(range(200, 248))  # arbitrary (owner path unused)
+    oe_entry = bytes(range(32))
+
+    out = bytearray()
+    cursor = 0
+    for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf):
+        end = pdf.find(b"endobj", m.end())
+        sm = re.compile(rb"stream\r?\n(.*?)endstream", re.S).search(
+            pdf, m.end(), end + 9 if end >= 0 else len(pdf)
+        )
+        if sm is None:
+            continue
+        iv = hashlib.md5(b"v5iv" + m.group(1)).digest()
+        out += pdf[cursor:sm.start(1)]
+        out += _taes_stream(file_key, pdf[sm.start(1):sm.end(1)], iv)
+        cursor = sm.end(1)
+    out += pdf[cursor:]
+
+    enc = (
+        f"<< /Filter /Standard /V 5 /R {rev} /Length 256 /P -44 ".encode()
+        + b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        + b"/StmF /StdCF /StrF /StdCF "
+        + b"/O <" + o_entry.hex().encode() + b"> "
+        + b"/U <" + u_entry.hex().encode() + b"> "
+        + b"/OE <" + oe_entry.hex().encode() + b"> "
+        + b"/UE <" + ue_entry.hex().encode() + b"> >>"
     )
     enc_num = 90
     out += f"\n{enc_num} 0 obj\n".encode() + enc + b"\nendobj\n"
@@ -186,10 +292,87 @@ def test_real_user_password_quarantines():
     assert status == "quarantine" and text == "" and conf == 0.0
 
 
-def test_aes_quarantines():
+def test_aes_cbc_core_matches_nist_vectors():
+    """NIST SP 800-38A known-answer vectors pin BOTH AES-CBC wrappers
+    (the module's and the test fixture's) to the standard — the
+    roundtrip tests below are only meaningful if neither side drifted
+    from real AES."""
+    # F.2.1 CBC-AES128.Encrypt, first block
+    k128 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    ct = bytes.fromhex("7649abac8119b246cee98e9b12e9197d")
+    assert _taes(k128, iv, pt, encrypt=True) == ct
+    assert pdf_lite._aes_cbc_raw(k128, iv, ct) == pt
+    # F.2.5 CBC-AES256.Encrypt, first block
+    k256 = bytes.fromhex(
+        "603deb1015ca71be2b73aef0857d7781"
+        "1f352c073b6108d72d9810a30914dff4"
+    )
+    ct256 = bytes.fromhex("f58c4c04d6e5f1ba779eabfb5f7bfbd6")
+    assert _taes(k256, iv, pt, encrypt=True) == ct256
+    assert pdf_lite._aes_cbc_raw(k256, iv, ct256) == pt
+
+
+def test_aesv2_r4_decrypts_and_extracts():
+    """r12 (r11 VERDICT missing-item 2): the V=4 /CFM /AESV2 form —
+    same Algorithm-2 key as RC4 R4, per-object key with the sAlT
+    suffix, IV-prefixed AES-128-CBC streams — decrypts and extracts."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True)
+    assert b"/CFM /AESV2" in enc
+    assert b"SUPERMERCADO" not in enc
+    text, conf, status = pdf_lite.extract_with_confidence(enc)
+    assert status == "ok" and conf == 1.0
+    assert LINES[0] in text and LINES[1] in text
+
+
+def test_aesv3_r6_decrypts_and_extracts():
+    """AESV3 V=5 R=6 (ISO 32000-2): Algorithm 2.B password hash, /UE
+    file-key unwrap, AES-256-CBC streams. The fixture's 2.B is an
+    independent from-spec implementation."""
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6)
+    assert b"/AESV3" in enc and b"/R 6" in enc
+    assert b"SUPERMERCADO" not in enc
+    text, conf, status = pdf_lite.extract_with_confidence(enc)
+    assert status == "ok" and conf == 1.0
+    assert LINES[0] in text and LINES[1] in text
+
+
+def test_aesv3_r5_decrypts_and_extracts():
+    """The deprecated-but-extant R5 variant (plain SHA-256, no 2.B)."""
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=5)
+    text, _, status = pdf_lite.extract_with_confidence(enc)
+    assert status == "ok" and LINES[0] in text
+
+
+def test_aesv3_real_user_password_quarantines():
+    """A V5 /U hash the empty password cannot reproduce = password
+    protected; must quarantine, never emit AES noise."""
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6, break_user_pw=True)
+    text, conf, status = pdf_lite.extract_with_confidence(enc)
+    assert status == "quarantine" and text == "" and conf == 0.0
+
+
+def test_mislabeled_aes_payload_quarantines():
+    """An /AESV2-labeled file whose streams are NOT real AES (here:
+    RC4 bytes under an AES label — r9's old fixture shape) must fail
+    closed on block alignment / padding, never decode garbage."""
+    rc4_file = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128)
+    mislabeled = rc4_file.replace(b"/CFM /V2", b"/CFM /AESV2")
+    text, conf, status = pdf_lite.extract_with_confidence(mislabeled)
+    assert status == "quarantine" and text == ""
+
+
+def test_aes_without_cryptography_package_quarantines(monkeypatch):
+    """The import gate: with the cryptography package unavailable the
+    AES path must quarantine (fail closed), exactly like pre-r12."""
+    monkeypatch.setattr(pdf_lite, "_HAVE_AES", False)
     enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True)
     text, conf, status = pdf_lite.extract_with_confidence(enc)
     assert status == "quarantine" and text == ""
+    enc5 = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6)
+    _, _, status5 = pdf_lite.extract_with_confidence(enc5)
+    assert status5 == "quarantine"
 
 
 def test_unencrypted_path_unchanged():
@@ -269,8 +452,9 @@ def test_objstm_invisible_without_expansion_would_quarantine():
 
 
 def test_aes_pdf_dead_letters_end_to_end(spark, tmp_path):
-    """VERDICT r9 item 5: an AES-encrypted PDF must ride the WHOLE
-    pipeline into the dead-letter path — binaryFile scan →
+    """VERDICT r9 item 5 (shape updated r12 — plain AES now decrypts):
+    an UNDECRYPTABLE PDF (password-protected AESV3) must ride the
+    WHOLE pipeline into the dead-letter path — binaryFile scan →
     extract_pdf_text → decode_status='quarantine' → S6 move — while a
     readable RC4 sibling in the same directory extracts and parses."""
     from pythondataingestionprocess_spark.sources import statement as stmt
@@ -279,7 +463,7 @@ def test_aes_pdf_dead_letters_end_to_end(spark, tmp_path):
     d = tmp_path / "pdfs"
     d.mkdir()
     (d / "aes.pdf").write_bytes(
-        _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True)
+        _encrypt_pdf_v5(_plain_pdf(LINES), rev=6, break_user_pw=True)
     )
     (d / "rc4.pdf").write_bytes(
         _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128)
