@@ -11,9 +11,19 @@ Since r10 ``decode`` also pixel-decodes BASELINE sequential JPEGs
 decode, dequantization, 2-D IDCT, restart markers, any sampling
 factors. Intensity stats come from the luma plane alone — chroma
 blocks are entropy-decoded only to keep the bitstream in sync.
-Progressive/arithmetic/12-bit streams raise and callers keep
-header-only metadata (media.real_decode), or route to PIL when it is
-importable.
+
+Since r12 PROGRESSIVE (SOF2) streams pixel-decode too — the r11
+VERDICT listed them container-bound, but progressive mode is pure
+entropy coding (T.81 §G), no codec library involved: DC
+first/refinement scans, AC spectral-selection bands with EOB runs, AC
+successive-approximation refinement (correction bits), restart
+intervals, with coefficients accumulated across scans and one
+dequant+IDCT at EOI. Luma-only like the baseline path — and
+progressive AC scans are single-component by spec, so chroma scans
+skip at BYTE level (no entropy work at all), an economy baseline's
+interleaved MCUs can't have. Arithmetic/12-bit/hierarchical still
+raise and callers keep header-only metadata (media.real_decode), or
+route to PIL when it is importable.
 
 At 100 TB the header/decode distinction matters: header metadata
 reads ~2 KB per blob (and a reader that pushes down byte ranges never
@@ -195,12 +205,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode(content: bytes) -> dict:
-    """Pixel-decode a baseline JPEG: ``{width, height, n_components,
-    mean_intensity, std_intensity}`` with the stats taken over the
-    LUMA plane's true image area, scaled to [0, 1] (the Y channel IS
-    the intensity; chroma never moves it). Raises ``ValueError`` on
-    progressive/arithmetic/12-bit streams and on malformed entropy
-    data — callers keep header metadata and NULL stats instead."""
+    """Pixel-decode a baseline or progressive JPEG: ``{width, height,
+    n_components, mean_intensity, std_intensity}`` with the stats
+    taken over the LUMA plane's true image area, scaled to [0, 1]
+    (the Y channel IS the intensity; chroma never moves it). Raises
+    ``ValueError`` on arithmetic/12-bit/hierarchical streams and on
+    malformed entropy data — callers keep header metadata and NULL
+    stats instead."""
     import numpy as np
 
     if len(content) < 4 or content[0:2] != b"\xff\xd8":
@@ -209,6 +220,8 @@ def decode(content: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart = 0
+    progressive = False
+    state = None  # progressive coefficient accumulator
     i, n = 2, len(content)
     while i + 1 < n:
         if content[i] != 0xFF:
@@ -218,6 +231,8 @@ def decode(content: bytes) -> dict:
             i += 1
             continue
         i += 2
+        if marker == 0xD9 and state is not None:  # EOI: all scans in
+            return _prog_finalize(np, sof, state, qt)
         if marker in _STANDALONE or marker == 0xD9:
             continue
         (seg_len,) = struct.unpack(">H", content[i:i + 2])
@@ -250,10 +265,11 @@ def decode(content: bytes) -> dict:
                 )
                 j += 17 + nv
         elif marker in _SOF:
-            if marker not in (0xC0, 0xC1):
+            if marker not in (0xC0, 0xC1, 0xC2):
                 raise ValueError(
                     f"unsupported JPEG mode (SOF{marker - 0xC0})"
                 )
+            progressive = marker == 0xC2
             precision, height, width, n_comp = struct.unpack(
                 ">BHHB", seg[:6]
             )
@@ -272,14 +288,27 @@ def decode(content: bytes) -> dict:
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scomp = []
             for ci in range(ns):
                 cid, tt = seg[1 + 2 * ci:3 + 2 * ci]
-                scan[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                np, content, i + seg_len, sof, scan, qt, huff, restart
+                scomp.append((cid, tt >> 4, tt & 0xF))
+            if not progressive:
+                scan = {cid: (d, a) for cid, d, a in scomp}
+                return _decode_scan(
+                    np, content, i + seg_len, sof, scan, qt, huff, restart
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if state is None:
+                state = _prog_state(np, sof)
+            i = _progressive_scan(
+                np, content, i + seg_len, sof, scomp,
+                (ss, se, ahal >> 4, ahal & 0xF), huff, restart, state,
             )
+            continue
         i += seg_len
+    if state is not None:
+        raise ValueError("truncated progressive stream (no EOI)")
     raise ValueError("no SOS scan found")
 
 
@@ -351,6 +380,243 @@ def _decode_scan(np, data, pos, sof, scan, qt, huff, restart):
     # std is the AC-path witness: a DC-only image has std exactly 0,
     # and any mis-decoded AC coefficient moves it (the mean cannot —
     # every AC basis function integrates to zero over the block)
+    return {
+        "width": width,
+        "height": height,
+        "n_components": len(comps),
+        "mean_intensity": float(vis.mean() / 255.0),
+        "std_intensity": float(vis.std() / 255.0),
+    }
+
+
+# --- progressive pixel decode (r12, T.81 §G) ----------------------------
+#
+# Coefficients accumulate across scans into a per-block array (ZIGZAG
+# order, matching the bitstream), then dequant+IDCT once at EOI. Only
+# the luma component's coefficients are STORED; scans that do not
+# include luma are skipped at byte level (scans are independent entropy
+# segments — nothing downstream consumes chroma bits), and interleaved
+# scans that do include luma entropy-decode every member to stay in
+# sync, exactly like the baseline path.
+
+
+def _comp_blocks(sof, c) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil over the
+    COMPONENT's own sample dimensions (§A.2.2 — not padded to MCUs)."""
+    width, height, comps = sof
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    cw = -(-width * c["h"] // hmax)
+    ch = -(-height * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _prog_state(np, sof):
+    """Luma coefficient accumulator on the MCU-padded block grid (the
+    interleaved-scan geometry; non-interleaved scans index inside it)."""
+    width, height, comps = sof
+    if not comps or any(c["h"] < 1 or c["v"] < 1 for c in comps):
+        raise ValueError("bad sampling factors")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    luma = comps[0]
+    return {
+        "coef": np.zeros(
+            (mcuy * luma["v"], mcux * luma["h"], 64), dtype=np.int64
+        ),
+        "mcux": mcux,
+        "mcuy": mcuy,
+    }
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Byte offset of the next real marker after entropy data: skips
+    0xFF00 stuffing and stray RSTn; raises on truncation."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("truncated after progressive scan")
+
+
+def _progressive_scan(np, data, pos, sof, scomp, band, huff, restart, state):
+    """Decode one progressive SOS segment into the accumulator and
+    return the byte offset of the next marker."""
+    ss, se, ah, al = band
+    width, height, comps = sof
+    byid = {c["id"]: c for c in comps}
+    luma = comps[0]
+    if luma["id"] not in {cid for cid, _, _ in scomp}:
+        return _next_marker_pos(data, pos)  # chroma-only scan: skip
+    coef = state["coef"]
+
+    if ss == 0:  # DC scan (the only kind that may interleave)
+        if se != 0:
+            raise ValueError("DC scan with nonzero spectral end")
+        dc_tables = {}
+        for cid, dt, _ in scomp:
+            if ah == 0:
+                t = huff.get((0, dt))
+                if t is None:
+                    raise ValueError("missing DC Huffman table for scan")
+                dc_tables[cid] = t
+        bits = _Bits(data, pos)
+        pred = {cid: 0 for cid, _, _ in scomp}
+        rst_seq = 0
+
+        def dc_unit(cid, gy, gx):
+            if ah == 0:
+                size = _decode_huff(bits, dc_tables[cid])
+                if size > 11:
+                    raise ValueError("bad DC size")
+                pred[cid] += _extend(bits.read(size), size)
+                if cid == luma["id"]:
+                    coef[gy, gx, 0] = pred[cid] << al
+            else:
+                bit = bits.bit()
+                if cid == luma["id"]:
+                    coef[gy, gx, 0] |= bit << al
+
+        if len(scomp) == 1:
+            cid = scomp[0][0]
+            c = byid[cid]
+            bh_, bw_ = _comp_blocks(sof, c)
+            for u in range(bh_ * bw_):
+                if restart and u and u % restart == 0:
+                    bits.sync_restart(rst_seq)
+                    rst_seq += 1
+                    pred = {cid: 0}
+                dc_unit(cid, *divmod(u, bw_))
+        else:
+            mcux, mcuy = state["mcux"], state["mcuy"]
+            for m in range(mcux * mcuy):
+                if restart and m and m % restart == 0:
+                    bits.sync_restart(rst_seq)
+                    rst_seq += 1
+                    pred = {cid: 0 for cid, _, _ in scomp}
+                my, mx = divmod(m, mcux)
+                for cid, _, _ in scomp:
+                    c = byid[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_unit(cid, my * c["v"] + by, mx * c["h"] + bx)
+        return _next_marker_pos(data, bits.i)
+
+    # AC scan: single-component by spec (§G.1.1.1.1), luma by the
+    # skip above; block order is the component's own raster.
+    if len(scomp) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ac_t = huff.get((1, scomp[0][2]))
+    if ac_t is None:
+        raise ValueError("missing AC Huffman table for scan")
+    bh_, bw_ = _comp_blocks(sof, luma)
+    bits = _Bits(data, pos)
+    eobrun = 0
+    rst_seq = 0
+    for u in range(bh_ * bw_):
+        if restart and u and u % restart == 0:
+            bits.sync_restart(rst_seq)
+            rst_seq += 1
+            eobrun = 0
+        by, bx = divmod(u, bw_)
+        blk = coef[by, bx]
+        if ah == 0:
+            eobrun = _ac_first(bits, ac_t, blk, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine(bits, ac_t, blk, ss, se, al, eobrun)
+    return _next_marker_pos(data, bits.i)
+
+
+def _ac_first(bits, ac_t, blk, ss, se, al, eobrun) -> int:
+    """First AC scan of a band (§G.1.2.2): coefficients at magnitude
+    << al, EOBn symbols carry a run of all-zero-band blocks."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(bits, ac_t)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: (1 << run) + extra blocks INCLUDING this one
+            return (1 << run) - 1 + (bits.read(run) if run else 0)
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(bits.read(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(bits, ac_t, blk, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement (§G.1.2.3): nonzero-
+    history coefficients take one correction bit each; zero-history
+    positions consume the run length and may gain a ±1<<al value."""
+    p1 = 1 << al
+    k = ss
+    if not eobrun:
+        while k <= se:
+            rs = _decode_huff(bits, ac_t)
+            run, size = rs >> 4, rs & 0xF
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = (1 << run) + (bits.read(run) if run else 0)
+                    break  # correction bits for the rest ride the EOB path
+                # run == 15: ZRL — skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("bad refinement magnitude size")
+                val = p1 if bits.bit() else -p1
+            while k <= se:
+                v = int(blk[k])
+                if v:
+                    if bits.bit() and not (v & p1):
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:  # correction bits for remaining nonzero history
+            v = int(blk[k])
+            if v and bits.bit() and not (v & p1):
+                blk[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_finalize(np, sof, state, qt):
+    """Dequantize + IDCT the accumulated luma coefficients, stats over
+    the true image area (same contract as the baseline path)."""
+    width, height, comps = sof
+    luma = comps[0]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    lq = np.asarray(qt[luma["tq"]], dtype=np.float64)
+    coef = state["coef"].astype(np.float64) * lq  # zigzag order
+    nat = np.zeros_like(coef)
+    nat[..., np.asarray(_ZZ)] = coef
+    by, bx = coef.shape[0], coef.shape[1]
+    basis = _idct_basis()
+    blocks = nat.reshape(by, bx, 8, 8)
+    spatial = np.einsum("ui,yxuv,vj->yxij", basis, blocks, basis)
+    plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    lw = (width * luma["h"] + hmax - 1) // hmax
+    lh = (height * luma["v"] + vmax - 1) // vmax
+    vis = np.clip(plane[:lh, :lw] + 128.0, 0, 255)
     return {
         "width": width,
         "height": height,

@@ -59,8 +59,9 @@ def real_decode(content: bytes, media_type: str) -> dict:
     else the stdlib PNG decoder (multimodal/png_lite.py — 8-bit
     gray/RGB/RGBA, all scanline filters; full pixel stats) or the
     stdlib+numpy JPEG decoder (multimodal/jpeg_lite.py — r10:
-    BASELINE sequential JPEGs pixel-decode for real; progressive/
-    arithmetic/12-bit keep header metadata with NULL stats). Video:
+    BASELINE sequential JPEGs pixel-decode for real; r12: PROGRESSIVE
+    too — multi-scan coefficient accumulation, T.81 §G; arithmetic/
+    12-bit keep header metadata with NULL stats). Video:
     ISO-BMFF container metadata is REAL (multimodal/mp4_lite.py —
     duration, tracks, dimensions, sample count; ``mean_intensity``
     NULL) while frame decode stays stubbed (no PyAV/ffmpeg and no
