@@ -287,6 +287,11 @@ def decode(content: bytes) -> dict:
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF")
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                # must raise ValueError, not IndexError — callers'
+                # header-metadata fallback catches only the former
+                # (r12 review)
+                raise ValueError("truncated SOS header")
             ns = seg[0]
             scomp = []
             for ci in range(ns):
@@ -321,6 +326,8 @@ def _decode_scan(np, data, pos, sof, scan, qt, huff, restart):
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     luma = comps[0]
+    if luma["tq"] not in qt:
+        raise ValueError("missing quantization table for luma")
     lq = np.array(qt[luma["tq"]], dtype=np.float64)
     basis = _idct_basis()
     inv_zz = np.array(_ZZ)
@@ -605,22 +612,42 @@ def _prog_finalize(np, sof, state, qt):
     luma = comps[0]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if luma["tq"] not in qt:
+        raise ValueError("missing quantization table for luma")
     lq = np.asarray(qt[luma["tq"]], dtype=np.float64)
-    coef = state["coef"].astype(np.float64) * lq  # zigzag order
-    nat = np.zeros_like(coef)
-    nat[..., np.asarray(_ZZ)] = coef
-    by, bx = coef.shape[0], coef.shape[1]
+    zz = np.asarray(_ZZ)
     basis = _idct_basis()
-    blocks = nat.reshape(by, bx, 8, 8)
-    spatial = np.einsum("ui,yxuv,vj->yxij", basis, blocks, basis)
-    plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     lw = (width * luma["h"] + hmax - 1) // hmax
     lh = (height * luma["v"] + vmax - 1) // vmax
-    vis = np.clip(plane[:lh, :lw] + 128.0, 0, 255)
+    coef = state["coef"]
+    bx = coef.shape[1]
+    # strip-wise dequant+IDCT, one BLOCK ROW at a time: peak transient
+    # memory is one 8-pixel strip, not five full-image float64 planes
+    # (r12 review — a 50 MP progressive photo would otherwise allocate
+    # ~1.6 GB in one shot inside an executor Python worker)
+    cnt = 0
+    s = 0.0
+    sq = 0.0
+    for r in range(coef.shape[0]):
+        top = r * 8
+        if top >= lh:
+            break
+        row = coef[r].astype(np.float64) * lq  # (bx, 64) zigzag
+        nat = np.zeros_like(row)
+        nat[:, zz] = row
+        blocks = nat.reshape(bx, 8, 8)
+        spatial = np.einsum("ui,xuv,vj->xij", basis, blocks, basis)
+        strip = spatial.transpose(1, 0, 2).reshape(8, bx * 8)
+        vis = np.clip(strip[: lh - top, :lw] + 128.0, 0, 255)
+        cnt += vis.size
+        s += float(vis.sum())
+        sq += float((vis * vis).sum())
+    mean = s / cnt
+    var = max(sq / cnt - mean * mean, 0.0)
     return {
         "width": width,
         "height": height,
         "n_components": len(comps),
-        "mean_intensity": float(vis.mean() / 255.0),
-        "std_intensity": float(vis.std() / 255.0),
+        "mean_intensity": mean / 255.0,
+        "std_intensity": float(np.sqrt(var)) / 255.0,
     }

@@ -63,6 +63,7 @@ def word_counts(
     docs: DataFrame,
     text_col: str = "text",
     word_pattern: str | None = None,
+    ascii_ws: bool = False,
 ) -> DataFrame:
     """``(word, count)`` — the one corpus pass. Tokenization is
     UNICODE whitespace (``(?U)\\s+`` — Java's ``\\s`` is ASCII-only by
@@ -74,13 +75,15 @@ def word_counts(
     ``word_pattern`` optionally restricts the vocabulary to words
     matching a regex (e.g. ``'^[a-z]+$'`` for a letters-only table —
     the standard move when training on noisy web text, and what keeps
-    the driver face's oracle engine-portable)."""
+    the driver face's oracle engine-portable). ``ascii_ws`` switches
+    the split to ASCII ``\s+`` — REQUIRED for any oracle-paired path,
+    because DuckDB's RE2 ``\s`` is ASCII-only (the same hard
+    constraint operators/dsir.py documents; r12 review)."""
+    ws = r"\s+" if ascii_ws else r"(?U)\s+"
     words = (
         docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
         .select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"(?U)\s+")).alias(
-                "word"
-            )
+            F.explode(F.split(F.lower(F.col(text_col)), ws)).alias("word")
         )
         .filter(F.col("word") != "")
     )
@@ -166,13 +169,17 @@ def learn_bpe_merges(
     min_count: int = 2,
     word_pattern: str | None = None,
     stats: dict | None = None,
+    ascii_ws: bool = False,
 ) -> list[tuple[str, str]]:
     """The learned merge table, in order. Stops early when the best
     remaining pair falls under ``min_count`` (the paper's stopping
     criterion for tiny corpora). ``stats``, if given, records
     ``selected`` — the ``(a, b, count)`` triple of each accepted
-    merge at its selection time (the driver face surfaces these)."""
-    words = word_counts(docs, text_col, word_pattern).withColumn(
+    merge at its selection time — and ``words_df``, the FINAL
+    localCheckpointed (symbols, count) table, so callers needing the
+    post-merge state (the driver face's pair report) reuse it instead
+    of re-scanning the corpus and re-folding every merge."""
+    words = word_counts(docs, text_col, word_pattern, ascii_ws).withColumn(
         "symbols", _init_symbols()
     ).select("symbols", "count").localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
@@ -194,6 +201,7 @@ def learn_bpe_merges(
         words = words.select(
             _merge_fold(F.col("symbols"), a, b).alias("symbols"), "count"
         ).localCheckpoint(eager=True)
+    stats["words_df"] = words
     return merges
 
 
@@ -346,6 +354,7 @@ def learn_bpe_merges_batched(
     top_t: int = 512,
     stats: dict | None = None,
     word_pattern: str | None = None,
+    ascii_ws: bool = False,
 ) -> list[tuple[str, str]]:
     """`learn_bpe_merges` with MERGE-SEQUENCE-EXACT batching: each
     corpus pass collects the top ``top_t`` pairs once and accepts the
@@ -367,7 +376,7 @@ def learn_bpe_merges_batched(
     depth is bounded by the batch size, which `_pair_counts`'s
     recount resets before Catalyst trees can stack past
     MAX_EXPR_MERGES folds (batches are clamped to it)."""
-    words = word_counts(docs, text_col, word_pattern).withColumn(
+    words = word_counts(docs, text_col, word_pattern, ascii_ws).withColumn(
         "symbols", _init_symbols()
     ).select("symbols", "count").localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
@@ -409,21 +418,24 @@ def learn_bpe_merges_batched(
             created.add(a + b)
             stats["selected_counts"].append(snap_n[(a, b)])
         words = _fold_chunked(words, batch).localCheckpoint(eager=True)
+    stats["words_df"] = words
     return merges
 
 
 def _fold_chunked(
-    words: DataFrame, batch: list[tuple[str, str]]
+    words: DataFrame,
+    batch: list[tuple[str, str]],
+    col: str = "symbols",
 ) -> DataFrame:
-    """Apply a merge batch as nested folds, ≤ `_FOLDS_PER_SELECT` per
-    select so each analysis step stays under the analyzer's iteration
-    cap (chained selects analyze incrementally — no checkpoint or job
-    between chunks)."""
+    """Apply a merge batch as nested folds over ``col`` (other columns
+    pass through), ≤ `_FOLDS_PER_SELECT` per select so each analysis
+    step stays under the analyzer's iteration cap (chained selects
+    analyze incrementally — no checkpoint or job between chunks)."""
     for i in range(0, len(batch), _FOLDS_PER_SELECT):
-        sym = F.col("symbols")
+        sym = F.col(col)
         for a, b in batch[i : i + _FOLDS_PER_SELECT]:
             sym = _merge_fold(sym, a, b)
-        words = words.select(sym.alias("symbols"), "count")
+        words = words.withColumn(col, sym)
     return words
 
 
@@ -446,16 +458,12 @@ def apply_merges(
             f"{MAX_EXPR_MERGES} use the rank-dict Pandas-UDF "
             f"application path (the production tokenizer loop)"
         )
-    df = df.withColumn(out_col, _init_symbols(word_col))
-    # chunked like _fold_chunked: >~99 folds in ONE select trip the
-    # analyzer's 100-iteration Resolution cap well before the
-    # MAX_EXPR_MERGES guard fires (probed r12)
-    for i in range(0, len(merges), _FOLDS_PER_SELECT):
-        sym = F.col(out_col)
-        for a, b in merges[i : i + _FOLDS_PER_SELECT]:
-            sym = _merge_fold(sym, a, b)
-        df = df.withColumn(out_col, sym)
-    return df
+    # chunked folds: >~99 folds in ONE select trip the analyzer's
+    # 100-iteration Resolution cap well before the MAX_EXPR_MERGES
+    # guard fires (probed r12)
+    return _fold_chunked(
+        df.withColumn(out_col, _init_symbols(word_col)), merges, out_col
+    )
 
 
 def apply_merges_vectorized(

@@ -1298,32 +1298,7 @@ def text_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent SET-BASED formulation: positional symbol rows,
     window-function pair counts, and gaps-and-islands greedy run
     handling — two engines, two algorithms, one answer."""
-    from pythondataingestionprocess_spark.operators import bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    stats: dict = {}
-    merges = bpe.learn_bpe_merges(
-        docs, n_merges=3, min_count=2, word_pattern="^[a-z]+$", stats=stats
-    )
-    merge_rows = spark.createDataFrame(
-        [(("merge"), i, a, b, n) for i, (a, b, n) in enumerate(stats["selected"])],
-        "kind string, rank int, a string, b string, n long",
-    )
-    words = bpe.word_counts(docs, word_pattern="^[a-z]+$")
-    applied = bpe.apply_merges(words, merges, word_col="word", out_col="symbols")
-    top_pairs = (
-        bpe.pair_counts(applied.select("symbols", "count"))
-        .orderBy(F.col("n").desc(), "a", "b")
-        .limit(10)
-        .select(
-            F.lit("pair").alias("kind"),
-            F.lit(-1).cast("int").alias("rank"),
-            "a",
-            "b",
-            F.col("n").cast("long").alias("n"),
-        )
-    )
-    return merge_rows.unionAll(top_pairs)
+    return _bpe_merge_face(spark, sf_dir, batched=False)
 
 
 @query(
@@ -1348,24 +1323,37 @@ def text_bpe_merge_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     two passes here, but a 30k-merge vocabulary runs O(passes) ≪
     O(n_merges) corpus-table jobs — see the r12 BASELINE.md entry
     (200 merges: 185 passes → 12 after the r12 certificate fix)."""
+    return _bpe_merge_face(spark, sf_dir, batched=True)
+
+
+def _bpe_merge_face(spark: SparkSession, sf_dir: str, batched: bool) -> DataFrame:
+    """Shared body of the two BPE faces: learn 3 merges (sequential or
+    batched), report them with selection-time counts plus the top-10
+    pairs of the learner's OWN final word table (stats["words_df"] —
+    the localCheckpointed post-merge state; no second corpus scan, no
+    re-folding). ascii_ws=True: DuckDB RE2 \\s is ASCII-only, so an
+    oracle-paired path must tokenize ASCII on the Spark side too (the
+    operators/dsir.py constraint; r12 review)."""
     from pythondataingestionprocess_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
     stats: dict = {}
-    merges = bpe.learn_bpe_merges_batched(
-        docs, n_merges=3, min_count=2, word_pattern="^[a-z]+$", stats=stats
+    kw = dict(
+        n_merges=3, min_count=2, word_pattern="^[a-z]+$",
+        stats=stats, ascii_ws=True,
     )
+    if batched:
+        merges = bpe.learn_bpe_merges_batched(docs, **kw)
+        counts = stats["selected_counts"]
+    else:
+        merges = bpe.learn_bpe_merges(docs, **kw)
+        counts = [n for _, _, n in stats["selected"]]
     merge_rows = spark.createDataFrame(
-        [
-            ("merge", i, a, b, stats["selected_counts"][i])
-            for i, (a, b) in enumerate(merges)
-        ],
+        [("merge", i, a, b, counts[i]) for i, (a, b) in enumerate(merges)],
         "kind string, rank int, a string, b string, n long",
     )
-    words = bpe.word_counts(docs, word_pattern="^[a-z]+$")
-    applied = bpe.apply_merges(words, merges, word_col="word", out_col="symbols")
     top_pairs = (
-        bpe.pair_counts(applied.select("symbols", "count"))
+        bpe.pair_counts(stats["words_df"])
         .orderBy(F.col("n").desc(), "a", "b")
         .limit(10)
         .select(

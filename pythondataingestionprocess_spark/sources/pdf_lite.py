@@ -295,6 +295,10 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int, str]:
         raise ValueError(f"unsupported security revision R={rev}")
     if re.search(rb"/AESV3\b", enc):
         raise ValueError("AESV3 crypt filter with pre-V5 revision")
+    if v <= 2 and re.search(rb"/AESV2\b", enc):
+        # a crypt-filter method on a pre-filter version is malformed;
+        # RC4-ing genuinely-AES bytes would emit noise (r12 review)
+        raise ValueError("AESV2 crypt filter with V<=2")
     scheme = "rc4"
     if v > 2:
         # V=4 introduces crypt filters (§7.6.5); real-world R4 files
@@ -459,6 +463,7 @@ def _decrypt_streams(data: bytes) -> bytes:
     import hashlib
 
     enc_num = int(enc_ref.group(1))
+    meta_clear = re.search(rb"/EncryptMetadata\s+false", enc_body) is not None
     pieces: list[bytes] = []
     cursor = 0
     for m in _OBJ_SPAN_RE.finditer(data):
@@ -470,6 +475,16 @@ def _decrypt_streams(data: bytes) -> bytes:
             continue
         sm = _STREAM_RE.search(data, m.end(), end + 9)
         if sm is None or sm.start() > end:
+            continue
+        head = data[m.end():sm.start()]
+        # spec-mandated-PLAINTEXT streams (r12 review): cross-reference
+        # streams are never encrypted (§7.5.8.2), nor is /Metadata
+        # under /EncryptMetadata false. RC4 merely garbled these unused
+        # bytes; AES would hard-fail on them and quarantine a
+        # decryptable file.
+        if re.search(rb"/Type\s*/XRef\b", head) or (
+            meta_clear and re.search(rb"/Type\s*/Metadata\b", head)
+        ):
             continue
         payload = data[sm.start(1):sm.end(1)]
         if scheme == "aesv3":

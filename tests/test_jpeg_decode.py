@@ -565,3 +565,44 @@ def test_real_decode_routes_progressive_jpeg():
         (161 / 8 + 128) / 255, abs=1e-9
     )
     assert (stats["width"], stats["height"], stats["n_frames"]) == (8, 8, 1)
+
+
+def test_truncated_progressive_sos_keeps_header_metadata():
+    """r12 review finding 2: a progressive SOS segment missing its
+    spectral-selection bytes must raise ValueError (not IndexError) so
+    media.real_decode's header-metadata fallback still catches it."""
+    from pythondataingestionprocess_spark.multimodal import media
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0) + _dht(0, 0) + _dht(1, 0)
+    sof = _sof0(8, 8, [(1, 1, 1)])
+    out += b"\xff\xc2" + sof[2:]
+    # SOS with component entry but NO Ss/Se/AhAl bytes
+    body = bytes([1, 1, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+    out += b"\x00\xff\xd9"
+    with pytest.raises(ValueError, match="truncated SOS"):
+        jpeg_lite.decode(bytes(out))
+    stats = media.real_decode(bytes(out), "image")
+    assert (stats["width"], stats["height"]) == (8, 8)
+    assert stats["mean_intensity"] is None
+
+
+def test_missing_quant_table_raises_value_error():
+    """Missing DQT must be ValueError, not KeyError, on both paths."""
+    scans = [
+        (_sos_prog([1], 0, 0, 0, 0),
+         _scan_bytes(lambda w: _emit_dc_first(w, [160], al=0))),
+    ]
+    jpg = _prog_gray(8, 8, scans)
+    # strip the DQT segment entirely
+    i = jpg.index(b"\xff\xdb")
+    (seg_len,) = struct.unpack(">H", jpg[i + 2:i + 4])
+    no_dqt = jpg[:i] + jpg[i + 2 + seg_len:]
+    with pytest.raises(ValueError, match="quantization"):
+        jpeg_lite.decode(no_dqt)
+    base = _gray_jpeg(8, 8, [(160, {})])
+    i = base.index(b"\xff\xdb")
+    (seg_len,) = struct.unpack(">H", base[i + 2:i + 4])
+    with pytest.raises(ValueError, match="quantization"):
+        jpeg_lite.decode(base[:i] + base[i + 2 + seg_len:])

@@ -501,3 +501,62 @@ def test_cf_dict_before_top_level_length_still_decrypts():
     assert reordered != enc and b"/Length 128" in reordered
     text, _, status = pdf_lite.extract_with_confidence(reordered)
     assert status == "ok" and LINES[0] in text
+
+
+def test_unencrypted_xref_stream_in_aes_pdf_is_left_alone():
+    """r12 review finding 1: cross-reference streams are NEVER
+    encrypted (ISO 32000 §7.5.8.2) — real-world AES PDFs all carry
+    them, and feeding one to the AES stream decryptor fails on padding
+    and quarantines a perfectly decryptable file."""
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6)
+    # splice a spec-conformant PLAINTEXT xref stream object in
+    xref_body = b"\x01\x00\x02"  # content is irrelevant to our parser
+    xref = (
+        b"\n50 0 obj\n<< /Type /XRef /Size 5 /W [1 1 1] /Length 3 "
+        b"/Filter /FlateDecode >>\nstream\n" + xref_body
+        + b"\nendstream\nendobj\n"
+    )
+    eof = enc.rindex(b"trailer")
+    spliced = enc[:eof] + xref + enc[eof:]
+    text, conf, status = pdf_lite.extract_with_confidence(spliced)
+    assert status == "ok" and LINES[0] in text
+
+
+def test_metadata_stream_skipped_when_encrypt_metadata_false():
+    """/EncryptMetadata false leaves /Metadata streams PLAINTEXT; the
+    AES path must skip them rather than fail their padding check."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True)
+    meta = (
+        b"\n51 0 obj\n<< /Type /Metadata /Subtype /XML /Length 5 "
+        b">>\nstream\n<xml>\nendstream\nendobj\n"
+    )
+    eof = enc.rindex(b"trailer")
+    spliced = enc[:eof] + meta + enc[eof:]
+    # without the flag the metadata stream is expected-encrypted and
+    # the plaintext splice correctly fails closed
+    _, _, status = pdf_lite.extract_with_confidence(spliced)
+    assert status == "quarantine"
+    flagged = spliced.replace(
+        b"/Filter /Standard", b"/Filter /Standard /EncryptMetadata false", 1
+    )
+    # EncryptMetadata false changes the R4 key derivation too — rebuild
+    # is overkill; assert the targeted behavior at the decrypt layer:
+    # the /Metadata stream is skipped, so the only failure left would
+    # be the key check, not a padding error on plaintext XML
+    try:
+        pdf_lite._decrypt_streams(flagged)
+    except ValueError as e:
+        assert "padding" not in str(e), e
+
+
+def test_aesv2_label_with_pre_filter_version_quarantines():
+    """r12 review finding 4: /CFM /AESV2 on a V<=2 file is malformed —
+    RC4-ing genuinely-AES bytes would emit noise; must fail closed."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128)
+    # graft an AESV2 crypt-filter mention into the V=2 encrypt dict
+    bad = enc.replace(b"/Filter /Standard /V 2",
+                      b"/Filter /Standard /CF << /StdCF << /CFM /AESV2 "
+                      b">> >> /V 2", 1)
+    assert bad != enc
+    text, conf, status = pdf_lite.extract_with_confidence(bad)
+    assert status == "quarantine" and text == ""
