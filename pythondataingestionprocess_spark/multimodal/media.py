@@ -65,8 +65,11 @@ def real_decode(content: bytes, media_type: str) -> dict:
     ISO-BMFF container metadata is REAL (multimodal/mp4_lite.py —
     duration, tracks, dimensions, sample count; ``mean_intensity``
     NULL) while frame decode stays stubbed (no PyAV/ffmpeg and no
-    stdlib codec exists). Audio: PCM WAV real, compressed codecs
-    stubbed.
+    stdlib codec exists). Audio: PCM WAV real (full sample stats);
+    MP3 / ADTS AAC real at frame-header level since r12
+    (multimodal/mpeg_audio_lite.py — duration, rate, channels from
+    walking every frame; sample decode stays codec territory, mean
+    NULL); other compressed codecs stubbed.
 
     ``media_type`` accepts both the coarse labels the fake decoder
     uses ("image"/"audio"/"video") and full MIME types ("image/png",
@@ -126,6 +129,30 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 }
             raise ValueError("unrecognized image format (no PIL in env)")
     if media_type == "audio":
+        from pythondataingestionprocess_spark.multimodal import (
+            mpeg_audio_lite,
+        )
+
+        kind = mpeg_audio_lite.sniff(content)
+        if kind is not None:
+            # compressed audio (r12): frame-HEADER metadata is real —
+            # duration/rate/channels from walking every frame — while
+            # sample decode stays codec territory (mean NULL), the
+            # same split as video containers below. Stats mapping per
+            # _decode_wav's documented convention: width = sample
+            # rate, height = channels, n_frames = sample count.
+            meta = (
+                mpeg_audio_lite.parse_mp3(content)
+                if kind == "mp3"
+                else mpeg_audio_lite.parse_adts(content)
+            )
+            return {
+                "byte_len": len(content),
+                "width": meta["sample_rate"],
+                "height": meta["channels"],
+                "n_frames": meta["n_samples"],
+                "mean_intensity": None,  # sample decode needs a codec
+            }
         return _decode_wav(content)
     if media_type == "video":
         from pythondataingestionprocess_spark.multimodal import mp4_lite
