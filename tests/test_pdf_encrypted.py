@@ -99,7 +99,8 @@ def _plain_pdf(lines: list[str]) -> bytes:
 
 
 def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
-                 break_user_pw: bool = False, aes: bool = False) -> bytes:
+                 break_user_pw: bool = False, aes: bool = False,
+                 encrypt_metadata: bool = True) -> bytes:
     """Spec Algorithm 2/4/5 fixture: derive the file key for the EMPTY
     user password over an arbitrary /O, compute a consistent /U, and
     RC4-encrypt every stream payload with per-object keys."""
@@ -109,6 +110,8 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
 
     h = hashlib.md5()
     h.update(PAD + o_entry + struct.pack("<i", p_val) + FILE_ID)
+    if rev == 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")  # Algorithm 2 step f
     key = h.digest()
     if rev >= 3:
         for _ in range(50):
@@ -162,9 +165,11 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
         + f" /Length {key_bits // 8} >> >> /StmF /StdCF /StrF /StdCF "
         .encode()
     ) if v == 4 else b""
+    em = b"" if encrypt_metadata else b"/EncryptMetadata false "
     enc = (
         f"<< /Filter /Standard /V {v} /R {rev} /Length {key_bits} "
         f"/P {p_val} ".encode()
+        + em
         + cf
         + b"/O <" + o_entry.hex().encode() + b"> "
         + b"/U <" + u_entry.hex().encode() + b"> >>"
@@ -524,29 +529,30 @@ def test_unencrypted_xref_stream_in_aes_pdf_is_left_alone():
 
 def test_metadata_stream_skipped_when_encrypt_metadata_false():
     """/EncryptMetadata false leaves /Metadata streams PLAINTEXT; the
-    AES path must skip them rather than fail their padding check."""
-    enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True)
+    AES path must skip them rather than fail their padding check —
+    while WITHOUT the flag a plaintext metadata splice correctly
+    fails closed."""
     meta = (
         b"\n51 0 obj\n<< /Type /Metadata /Subtype /XML /Length 5 "
         b">>\nstream\n<xml>\nendstream\nendobj\n"
     )
+    # flag set (key derived per Algorithm 2 step f): the plaintext
+    # /Metadata stream is skipped and the document extracts
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True,
+                       encrypt_metadata=False)
+    assert b"/EncryptMetadata false" in enc
     eof = enc.rindex(b"trailer")
     spliced = enc[:eof] + meta + enc[eof:]
-    # without the flag the metadata stream is expected-encrypted and
-    # the plaintext splice correctly fails closed
-    _, _, status = pdf_lite.extract_with_confidence(spliced)
-    assert status == "quarantine"
-    flagged = spliced.replace(
-        b"/Filter /Standard", b"/Filter /Standard /EncryptMetadata false", 1
+    text, conf, status = pdf_lite.extract_with_confidence(spliced)
+    assert status == "ok" and LINES[0] in text
+    # flag unset: the same splice is expected-encrypted -> padding
+    # failure -> quarantine (never plaintext passed through silently)
+    enc2 = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True)
+    eof2 = enc2.rindex(b"trailer")
+    _, _, status2 = pdf_lite.extract_with_confidence(
+        enc2[:eof2] + meta + enc2[eof2:]
     )
-    # EncryptMetadata false changes the R4 key derivation too — rebuild
-    # is overkill; assert the targeted behavior at the decrypt layer:
-    # the /Metadata stream is skipped, so the only failure left would
-    # be the key check, not a padding error on plaintext XML
-    try:
-        pdf_lite._decrypt_streams(flagged)
-    except ValueError as e:
-        assert "padding" not in str(e), e
+    assert status2 == "quarantine"
 
 
 def test_aesv2_label_with_pre_filter_version_quarantines():

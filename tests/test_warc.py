@@ -549,23 +549,27 @@ def test_decode_media_quarantines_unsupported_rows(spark, tmp_path):
         (2, "application/http; msgtype=response", bytearray(b"HTTP/1.1 200 OK\r\n\r\nhi")),
         (3, "image/gif", bytearray(b"GIF89a junk")),
         # non-ValueError escapes (fourth review pass): a TRUNCATED png
-        # raises zlib.error from the lite decoder; an MP3 typed
-        # audio/* raises wave.Error — both must quarantine, not crash
+        # raises zlib.error from the lite decoder; junk audio raises
+        # wave.Error — both must quarantine, not crash. Since r12 an
+        # ID3-sniffed blob routes to the MP3 frame walker instead of
+        # the WAV decoder, so its failure is a ValueError.
         (4, "image/png", bytearray(png[: len(png) // 2])),
         (5, "audio/mpeg", bytearray(b"ID3\x04\x00junk-not-a-wav")),
+        (6, "audio/wav", bytearray(b"RIFFjunk-not-a-wav")),
     ]
     df = spark.createDataFrame(rows, "id long, media_type string, content binary")
     real = {r["id"]: r for r in decode_media(df, use_fake=False).collect()}
     assert real[1]["mean_intensity"] == pytest.approx(60.0 / 255.0)
     assert real[1]["decode_status"] == "ok"
-    for bad in (2, 3, 4, 5):
+    for bad in (2, 3, 4, 5, 6):
         assert real[bad]["byte_len"] == len(rows[bad - 1][2])
         assert real[bad]["width"] is None
         assert real[bad]["mean_intensity"] is None
         assert real[bad]["decode_status"].startswith("quarantine:")
     # the reason string distinguishes data problems by exception type
     assert real[4]["decode_status"] == "quarantine:error"  # zlib.error
-    assert real[5]["decode_status"] == "quarantine:Error"  # wave.Error
+    assert real[5]["decode_status"] == "quarantine:ValueError"  # bad MP3
+    assert real[6]["decode_status"] == "quarantine:Error"  # wave.Error
     # fake decoder sees the same normalized major type: an image/png
     # row is image-shaped (n_frames == 1), not video-shaped
     fake = {r["id"]: r for r in decode_media(df, use_fake=True).collect()}
