@@ -136,6 +136,7 @@ NEW_CURRENT = NEW_R12
 # data (the r12 certificate fix's driver face).
 NEW_R13_STAGED = [
     "text_bpe_merge_learn_batched",
+    "text_bpe_tokenize_vectorized",
 ]
 
 __all__ = [

@@ -1271,6 +1271,22 @@ UNION ALL SELECT 'pair', CAST(-1 AS INT), a, b, n FROM top3
 """
 )
 
+# Same three-iteration replay, but the OUTPUT is the tokenizer's
+# application surface: the 20 most frequent words with their post-
+# merge subword segmentation (s3 is the positional symbol table after
+# the third fold — string_agg over pos reassembles each word's
+# segmentation).
+_BPE_TOKENIZE_ORACLE = (
+    _BPE_LEARN_ORACLE[: _BPE_LEARN_ORACLE.index("SELECT 'merge'")]
+    + """, top_words AS (SELECT word, cnt FROM w0 ORDER BY cnt DESC, word LIMIT 20)
+SELECT t.word, CAST(t.cnt AS BIGINT) AS n, sg.subwords
+FROM top_words t JOIN (
+  SELECT wid, string_agg(sym, ' ' ORDER BY pos) AS subwords
+  FROM s3 GROUP BY wid
+) sg ON sg.wid = t.word
+"""
+)
+
 
 @query("text_bpe_merge_learn", oracle=_BPE_LEARN_ORACLE, tags=("text", "tokenizer"))
 def text_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,6 +1340,46 @@ def text_bpe_merge_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n_merges) corpus-table jobs — see the r12 BASELINE.md entry
     (200 merges: 185 passes → 12 after the r12 certificate fix)."""
     return _bpe_merge_face(spark, sf_dir, batched=True)
+
+
+@query(
+    "text_bpe_tokenize_vectorized",
+    oracle=_BPE_TOKENIZE_ORACLE,
+    tags=("text", "tokenizer"),
+)
+def text_bpe_tokenize_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION tokenizer-application path, driver-checked:
+    learn 3 merges (batched learner), then segment the 20 most
+    frequent words through `apply_merges_vectorized` — the rank-dict
+    mapInPandas kernel that `apply_merges`'s depth guard points users
+    to for vocabulary-scale tables (30k+ merges can't be expression
+    folds). The DuckDB oracle reassembles each word's segmentation
+    from the positional replay's post-merge symbol table — so the
+    hash check proves rank-greedy application == learned-order
+    application on driver data, the theorem the vectorized path's
+    docstring claims.
+
+    Plan shape: corpus scan → word count agg → TakeOrdered(20) →
+    MapInPandas (Arrow batch, the one sanctioned Python node — see
+    tests/test_plan_sweep.py). At 100 TB the same kernel runs over
+    the full word table instead of a top-20: the merge table ships in
+    the task closure (kilobytes), the kernel is embarrassingly
+    parallel, and no shuffle follows it."""
+    from pythondataingestionprocess_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges_batched(
+        docs, n_merges=3, min_count=2, word_pattern="^[a-z]+$",
+        ascii_ws=True,
+    )
+    words = bpe.word_counts(docs, word_pattern="^[a-z]+$", ascii_ws=True)
+    top = words.orderBy(F.col("count").desc(), "word").limit(20)
+    applied = bpe.apply_merges_vectorized(top, merges)
+    return applied.select(
+        "word",
+        F.col("count").cast("long").alias("n"),
+        F.concat_ws(" ", "subwords").alias("subwords"),
+    )
 
 
 def _bpe_merge_face(spark: SparkSession, sf_dir: str, batched: bool) -> DataFrame:

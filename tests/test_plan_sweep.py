@@ -39,6 +39,11 @@ SANCTIONED_VECTORIZED = {
     # is the point here (numpy LUT kernel over Arrow batches of
     # array<smallint> codes); everything around it is relational.
     "embedding_ann_pq",
+    # r12 (staged NEW_R13): the rank-dict BPE tokenizer application —
+    # MapInPandas IS the point (the production path past
+    # MAX_EXPR_MERGES); the kernel is closure-shipped-dict greedy
+    # merging over Arrow batches, everything around it relational.
+    "text_bpe_tokenize_vectorized",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
