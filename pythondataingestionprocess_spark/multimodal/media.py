@@ -114,8 +114,8 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 try:
                     # r10: baseline sequential JPEGs pixel-decode for
                     # real (jpeg_lite.decode — Huffman + dequant +
-                    # IDCT over the luma plane). Progressive /
-                    # arithmetic / 12-bit streams keep header-only
+                    # IDCT over the luma plane); r12: progressive too.
+                    # Arithmetic / 12-bit streams keep header-only
                     # metadata with NULL stats.
                     mean = jpeg_lite.decode(content)["mean_intensity"]
                 except ValueError:
@@ -146,6 +146,12 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 if kind == "mp3"
                 else mpeg_audio_lite.parse_adts(content)
             )
+            if meta["n_samples"] > 2**31 - 1:
+                # MEDIA_STATS_SCHEMA's n_frames is int32; a ~14 h
+                # 44.1 kHz stream overflows it, and an overflow that
+                # escapes real_decode kills the whole Arrow batch
+                # instead of quarantining one row (r12 review)
+                raise ValueError("sample count exceeds the int32 stats column")
             return {
                 "byte_len": len(content),
                 "width": meta["sample_rate"],

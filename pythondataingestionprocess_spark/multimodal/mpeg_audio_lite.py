@@ -16,7 +16,8 @@ by walking every frame:
   the caller quarantines instead of reporting a wrong duration (the
   pdf_lite fail-closed discipline).
 - **ADTS AAC**: 0xFFF sync with layer '00', frame length from the
-  13-bit header field, 1024 samples per frame.
+  13-bit header field, (number_of_raw_data_blocks + 1) x 1024 samples
+  per frame.
 
 At 100 TB this is the catalog/filter stage for audio: duration and
 sample-rate screens run on header walks (cheap, sequential, no
@@ -43,7 +44,10 @@ _ADTS_SR = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
 
 
 def _id3v2_size(content: bytes) -> int:
-    """Bytes to skip for a leading ID3v2 tag (0 if none)."""
+    """Bytes to skip for a leading ID3v2 tag (0 if none). The v2.4
+    footer flag (0x10) adds a 10-byte '3DI' footer the syncsafe size
+    EXCLUDES (r12 review: footered tags from common taggers landed on
+    the footer bytes and quarantined valid files)."""
     if content[:3] != b"ID3" or len(content) < 10:
         return 0
     sz = 0
@@ -51,12 +55,16 @@ def _id3v2_size(content: bytes) -> int:
         if b & 0x80:
             raise ValueError("malformed ID3v2 syncsafe size")
         sz = (sz << 7) | b
-    return 10 + sz
+    footer = 10 if content[5] & 0x10 else 0
+    return 10 + sz + footer
 
 
-def _mp3_frame(content: bytes, i: int) -> tuple[int, int, int, int, int]:
-    """(frame_len, sample_rate, samples_per_frame, channels, kbps)
-    for the frame header at offset i; raises on anything reserved."""
+def _mp3_frame(
+    content: bytes, i: int
+) -> tuple[int, int, int, int, int, int]:
+    """(frame_len, sample_rate, samples_per_frame, channels, kbps,
+    version) for the frame header at offset i; raises on anything
+    reserved."""
     b1, b2, b3 = content[i + 1], content[i + 2], content[i + 3]
     ver_bits = (b1 >> 3) & 3
     if ver_bits == 1:
@@ -83,7 +91,7 @@ def _mp3_frame(content: bytes, i: int) -> tuple[int, int, int, int, int]:
     else:
         spf = 1152 if (layer == 2 or version == 1) else 576
         frame_len = spf // 8 * kbps * 1000 // sr + padding
-    return frame_len, sr, spf, channels, kbps
+    return frame_len, sr, spf, channels, kbps, version
 
 
 def _xing_frames(content: bytes, i: int, version: int, channels: int):
@@ -117,9 +125,7 @@ def parse_mp3(content: bytes) -> dict:
     n = len(content)
     if i + 4 > n or content[i] != 0xFF or (content[i + 1] & 0xE0) != 0xE0:
         raise ValueError("no MPEG audio frame sync")
-    ver_bits = (content[i + 1] >> 3) & 3
-    version = {0: 25, 2: 2, 3: 1}.get(ver_bits, 1)
-    first_len, sr, spf, channels, kbps0 = _mp3_frame(content, i)
+    _, sr, spf, channels, kbps0, version = _mp3_frame(content, i)
     declared, vbr_tag = _xing_frames(content, i, version, channels)
     frames = 0
     bitrates = set()
@@ -131,9 +137,17 @@ def parse_mp3(content: bytes) -> dict:
             break  # ID3v1 tail
         if content[i] != 0xFF or (content[i + 1] & 0xE0) != 0xE0:
             raise ValueError(f"frame desync at byte {i}")
-        frame_len, f_sr, f_spf, f_ch, kbps = _mp3_frame(content, i)
+        frame_len, f_sr, f_spf, f_ch, kbps, _ = _mp3_frame(content, i)
         if f_sr != sr:
             raise ValueError("sample rate changed mid-stream")
+        # samples-per-frame or channel-mode changes get the SAME
+        # fail-closed treatment as sample rate (r12 review: a mixed
+        # Layer III / Layer I stream walked cleanly and reported a
+        # silently wrong duration from the first frame's spf)
+        if f_spf != spf:
+            raise ValueError("layer/version changed mid-stream")
+        if f_ch != channels:
+            raise ValueError("channel mode changed mid-stream")
         if i + frame_len > n:
             raise ValueError("truncated final frame")
         bitrates.add(kbps)
@@ -172,6 +186,7 @@ def parse_adts(content: bytes) -> dict:
     if channels == 0:
         raise ValueError("PCE-based channel config unsupported")
     frames = 0
+    samples = 0
     while i < n:
         if n - i < 7:
             raise ValueError("truncated ADTS header")
@@ -186,6 +201,10 @@ def parse_adts(content: bytes) -> dict:
         )
         if frame_len < 7 or i + frame_len > n:
             raise ValueError("bad ADTS frame length")
+        # number_of_raw_data_blocks_in_frame (byte 6 low 2 bits): each
+        # frame carries (rdb + 1) x 1024 samples — ignoring it halves
+        # reported duration on multi-RDB files (r12 review)
+        samples += (1 + (content[i + 6] & 3)) * 1024
         frames += 1
         i += frame_len
     return {
@@ -193,8 +212,8 @@ def parse_adts(content: bytes) -> dict:
         "sample_rate": sr,
         "channels": channels,
         "n_frames": frames,
-        "n_samples": frames * 1024,
-        "duration_sec": frames * 1024 / sr,
+        "n_samples": samples,
+        "duration_sec": samples / sr,
         "vbr": None,  # ADTS carries no CBR/VBR declaration
         "has_id3": False,
     }

@@ -147,3 +147,49 @@ def test_media_routes_compressed_audio():
     assert stats["mean_intensity"] is None
     stats = media.real_decode(_adts_frame() * 2, "audio")
     assert stats["n_frames"] == 2048 and stats["mean_intensity"] is None
+
+
+def test_adts_multi_raw_data_blocks_counted():
+    """r12 review: number_of_raw_data_blocks_in_frame means each frame
+    carries (rdb+1)*1024 samples — ignoring it halves the duration."""
+    frame = bytearray(_adts_frame())
+    frame[6] |= 1  # rdb = 1 -> 2048 samples in this frame
+    meta = ma.parse_adts(bytes(frame) * 3)
+    assert meta["n_frames"] == 3 and meta["n_samples"] == 3 * 2048
+
+
+def test_mp3_layer_change_mid_stream_raises():
+    """r12 review: a Layer III + Layer I mix must fail closed, not
+    report a duration computed from the first frame's spf."""
+    l3 = _mp3_frame()  # 1152 samples
+    # Layer I (layer bits 11), bitrate idx 9 = 288 kbps, 44100 Hz:
+    # frame_len = (12*288000//44100 + 0) * 4
+    b1 = 0xE0 | (3 << 3) | (3 << 1) | 1
+    l1_len = (12 * 288000 // 44100) * 4
+    l1 = bytes([0xFF, b1, (9 << 4) | (0 << 2), 0x00]) + bytes(l1_len - 4)
+    with pytest.raises(ValueError, match="layer/version changed"):
+        ma.parse_mp3(l3 + l1)
+
+
+def test_mp3_id3v24_footer_flag_skipped():
+    """r12 review: the v2.4 footer flag adds a 10-byte footer the
+    syncsafe size excludes; a footered tag must still reach sync."""
+    tag = bytearray(_id3v2(32))
+    tag[5] |= 0x10  # footer flag
+    data = bytes(tag) + b"3DI" + bytes(7) + _mp3_frame() * 2
+    meta = ma.parse_mp3(data)
+    assert meta["n_frames"] == 2 and meta["has_id3"] is True
+
+
+def test_media_quarantine_guard_for_int32_sample_overflow(monkeypatch):
+    """r12 review: a ~14 h stream's sample count overflows the int32
+    n_frames column; real_decode must raise (→ one quarantine row)
+    rather than let the overflow kill the whole Arrow batch."""
+    from pythondataingestionprocess_spark.multimodal import media
+
+    monkeypatch.setattr(
+        ma, "parse_mp3", lambda c: {"n_samples": 2**31,
+                                    "sample_rate": 44100, "channels": 2}
+    )
+    with pytest.raises(ValueError, match="int32"):
+        media.real_decode(_mp3_frame(), "audio")
