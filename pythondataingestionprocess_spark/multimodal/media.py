@@ -127,6 +127,19 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "n_frames": 1,
                     "mean_intensity": mean,
                 }
+            if content[:6] in (b"GIF87a", b"GIF89a"):
+                # r12: GIF is the third stdlib-decodable web image
+                # format — LZW is pure integer coding (gif_lite)
+                from pythondataingestionprocess_spark.multimodal import gif_lite
+
+                stats = gif_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": stats["n_frames"],
+                    "mean_intensity": stats["mean_intensity"],
+                }
             raise ValueError("unrecognized image format (no PIL in env)")
     if media_type == "audio":
         from pythondataingestionprocess_spark.multimodal import (
