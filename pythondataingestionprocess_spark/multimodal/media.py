@@ -142,6 +142,20 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 }
             raise ValueError("unrecognized image format (no PIL in env)")
     if media_type == "audio":
+        if content[:4] == b"fLaC":
+            # r12: FLAC decodes for REAL — lossless means the samples
+            # are pure integer arithmetic (flac_lite), so compressed
+            # audio gets the same full-sample stats as PCM WAV
+            from pythondataingestionprocess_spark.multimodal import flac_lite
+
+            meta = flac_lite.decode(content)
+            return {
+                "byte_len": len(content),
+                "width": meta["sample_rate"],
+                "height": meta["channels"],
+                "n_frames": meta["n_samples"],
+                "mean_intensity": meta["mean_abs_amplitude"],
+            }
         from pythondataingestionprocess_spark.multimodal import (
             mpeg_audio_lite,
         )
