@@ -276,18 +276,34 @@ def decode(content: bytes) -> dict:
         else:
             block = _BLOCK_SIZES[bs_code]
         if sr_code == 12:
-            bits.read(8)
-        elif sr_code in (13, 14):
-            bits.read(16)
+            frame_rate = bits.read(8) * 1000
+        elif sr_code == 13:
+            frame_rate = bits.read(16)
+        elif sr_code == 14:
+            frame_rate = bits.read(16) * 10
         elif sr_code == 15:
             raise ValueError("invalid sample rate code")
+        elif sr_code == 0:
+            frame_rate = info["sample_rate"]
+        else:
+            frame_rate = _SAMPLE_RATES[sr_code]
+        if frame_rate != info["sample_rate"]:
+            # a frame contradicting STREAMINFO would silently report
+            # the wrong duration — fail closed (r12 review; also makes
+            # _SAMPLE_RATES a used cross-check, not dead weight)
+            raise ValueError("frame sample rate differs from STREAMINFO")
         header_end = bits.byte
         if bits.bit:
             raise ValueError("frame header not byte-aligned")
         crc8 = bits.read(8)
         if _crc8(content[frame_start:header_end]) != crc8:
             raise ValueError("frame header CRC-8 mismatch")
-        bps = _SAMPLE_SIZES.get(ss_code, info["bps"]) if ss_code else info["bps"]
+        if ss_code == 0:
+            bps = info["bps"]
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+        else:
+            raise ValueError(f"reserved sample size code {ss_code}")
 
         if ch_code < 8:
             nch = ch_code + 1

@@ -123,12 +123,13 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
             return out
         if len(out) > n_pixels:
             raise ValueError("LZW emitted more pixels than the frame holds")
-        # width grows when the ENCODER's next-to-assign slot reaches
-        # 2^width — the decoder's table lags the encoder by exactly
-        # one entry (it completes an entry only on the NEXT code), so
-        # the decoder-side trigger is 2^width - 1; dictionary caps at
+        # "late change" width growth (giflib/spec rule, empirically
+        # matched against real-encoder GIFs — r12 review): after the
+        # entry with index 2^width - 1 is added, the NEXT code may be
+        # 2^width (KwKwK can reference the just-filled slot), so reads
+        # widen when the table reaches 2^width; dictionary caps at
         # 4096 entries (width stays 12)
-        if len(table) == (1 << width) - 1 and width < 12:
+        if len(table) == (1 << width) and width < 12:
             width += 1
     if len(out) != n_pixels:
         raise ValueError(
@@ -183,7 +184,7 @@ def decode(content: bytes) -> dict:
         # image descriptor
         if i + 9 > n:
             raise ValueError("truncated image descriptor")
-        fw, fh = struct.unpack("<HH", content[i + 4:i + 8])
+        left, top, fw, fh = struct.unpack("<HHHH", content[i:i + 8])
         iflags = content[i + 8]
         i += 9
         local_luma, i = _color_table(content, i, iflags)
@@ -199,6 +200,15 @@ def decode(content: bytes) -> dict:
                 raise ValueError("frame has neither local nor global palette")
             if fw == 0 or fh == 0:
                 raise ValueError("empty frame dimensions")
+            if left + fw > width or top + fh > height:
+                raise ValueError("frame exceeds the logical screen")
+            if fw * fh > (1 << 26):
+                # decompression-bomb guard (r12 review): a few-KB GIF
+                # can declare 65535x65535 and amplify ~2700x through
+                # max-length dictionary codes; cap BEFORE decoding so
+                # a hostile crawl blob quarantines instead of OOMing
+                # the executor task
+                raise ValueError("frame too large (decompression bomb guard)")
             idx = _lzw_decode(min_code, lzw, fw * fh)
             if iflags & 0x40:
                 idx = _deinterlace(idx, fw, fh)
@@ -210,7 +220,19 @@ def decode(content: bytes) -> dict:
                 v = luma[px]
                 total += v
                 total_sq += v * v
-            cnt = len(idx)
+            cnt = width * height
+            if (fw, fh, left, top) != (width, height, 0, 0):
+                # partial first frame: composite over the background
+                # color on the LOGICAL SCREEN, matching how a full
+                # rasterizer (the PIL path) reports canvas stats
+                # (r12 review)
+                bg = content[11]
+                if bg >= len(global_luma or []):
+                    raise ValueError("background color index beyond palette")
+                v = global_luma[bg]
+                rest = cnt - fw * fh
+                total += v * rest
+                total_sq += v * v * rest
             mean = total / cnt
             var = max(total_sq / cnt - mean * mean, 0.0)
             first_stats = (mean / 255.0, (var ** 0.5) / 255.0)

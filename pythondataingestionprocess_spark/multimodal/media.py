@@ -149,6 +149,10 @@ def real_decode(content: bytes, media_type: str) -> dict:
             from pythondataingestionprocess_spark.multimodal import flac_lite
 
             meta = flac_lite.decode(content)
+            if meta["n_samples"] > 2**31 - 1:
+                # same int32 n_frames guard as the MPEG branch below
+                # (r12 review: the FLAC path shipped without it)
+                raise ValueError("sample count exceeds the int32 stats column")
             return {
                 "byte_len": len(content),
                 "width": meta["sample_rate"],

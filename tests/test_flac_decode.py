@@ -358,3 +358,57 @@ def test_fixed_roundtrip_fuzz():
         got = flac_lite.decode(data)
         expect = sum(abs(s) for s in samples) / n / 32767
         assert got["mean_abs_amplitude"] == pytest.approx(expect), seed
+
+
+def test_reserved_sample_size_code_fails_closed():
+    """r12 review finding 4: ss_code 0b011 is reserved — decoding it
+    at the STREAMINFO width silently accepts a spec-invalid stream."""
+    data = _streaminfo(8000, 1, 16, 64) + _frame(
+        8000, 0, 64, lambda w: _subframe_constant(w, -1000, 16)
+    )
+    hdr_off = len(_streaminfo(8000, 1, 16, 64))
+    bad = bytearray(data)
+    # frame header byte 3: ch_code(4) | ss_code(3) | reserved(1):
+    # set ss_code to 3 and re-CRC the header so only the reserved
+    # check can reject it
+    bad[hdr_off + 3] = (0 << 4) | (3 << 1)
+    hdr_len = 6  # sync..blocksize byte for this fixture's layout
+    bad[hdr_off + hdr_len] = flac_lite._crc8(
+        bytes(bad[hdr_off:hdr_off + hdr_len])
+    )
+    with pytest.raises(ValueError, match="reserved sample size"):
+        flac_lite.decode(bytes(bad))
+
+
+def test_frame_sample_rate_mismatch_fails_closed():
+    """r12 review finding 5: a frame sr_code contradicting STREAMINFO
+    must raise (it would silently mis-report duration); _SAMPLE_RATES
+    is the cross-check table."""
+    data = _streaminfo(8000, 1, 16, 64) + _frame(
+        8000, 0, 64, lambda w: _subframe_constant(w, -1000, 16)
+    )
+    hdr_off = len(_streaminfo(8000, 1, 16, 64))
+    bad = bytearray(data)
+    # frame header byte 2: bs_code(4) | sr_code(4) — set sr_code 9
+    # (44100 != STREAMINFO's 8000) and re-CRC
+    bad[hdr_off + 2] = (bad[hdr_off + 2] & 0xF0) | 9
+    hdr_len = 6
+    bad[hdr_off + hdr_len] = flac_lite._crc8(
+        bytes(bad[hdr_off:hdr_off + hdr_len])
+    )
+    with pytest.raises(ValueError, match="differs from STREAMINFO"):
+        flac_lite.decode(bytes(bad))
+
+
+def test_media_flac_int32_guard(monkeypatch):
+    """r12 review finding 2: the FLAC branch needs the same int32
+    n_frames guard as the MPEG branch."""
+    from pythondataingestionprocess_spark.multimodal import media
+
+    monkeypatch.setattr(
+        flac_lite, "decode",
+        lambda c: {"n_samples": 2**31, "sample_rate": 44100,
+                   "channels": 2, "mean_abs_amplitude": 0.5},
+    )
+    with pytest.raises(ValueError, match="int32"):
+        media.real_decode(b"fLaC....", "audio")

@@ -47,8 +47,11 @@ class _LzwEncoder:
             self._emit(table[w], width)
             table[wk] = next_code
             next_code += 1
-            # mirror of the decoder's growth rule
-            if next_code - 1 == (1 << width) - 1 and width < 12:
+            # late-change growth, matching real encoders (giflib): the
+            # emitted-code width bumps only after entry 2^width exists
+            # (r12 review: the earlier early-change rule here mirrored
+            # the decoder's matching bug and masked it)
+            if next_code == (1 << width) + 1 and width < 12:
                 width += 1
             w = bytes([px])
         if w:
@@ -210,3 +213,60 @@ def test_lzw_roundtrip_fuzz():
         got = gif_lite._lzw_decode(max(2, ncolors_bits), enc.encode(px),
                                    len(px))
         assert bytes(got) == px, (seed, w, h, ncolors)
+
+
+def test_real_encoder_multicode_gif_embedded():
+    """r12 review finding 1: the original width-growth rule was the
+    early-change (TIFF) variant, mirrored by this file's fixture
+    encoder — so the suite was green while every real-encoder GIF
+    failed. Pin a REAL encoder's multi-code stream (a stock Python
+    distribution icon, 78 bytes) so the late-change rule can never
+    silently regress behind a self-consistent fixture again."""
+    real = bytes.fromhex(
+        "4749463839610b000b00f10300ffffff7f7f7f000000c0c0c021f904050000"
+        "03002c000000000b000b0000021f9c8f16cbac0023080f8a48478817e62d84"
+        "e154011da97158297d4d93c44301003b"
+    )
+    got = gif_lite.decode(real)
+    assert (got["width"], got["height"], got["n_frames"]) == (11, 11, 1)
+    assert got["mean_intensity"] == pytest.approx(0.711, abs=5e-3)
+
+
+def test_partial_first_frame_composites_over_background():
+    """r12 review finding 6: a first frame smaller than the logical
+    screen must report CANVAS stats (background color fills the rest),
+    matching what a full rasterizer reports for the same file."""
+    # 8x8 screen, 4x4 frame at (2,2), frame all white, background
+    # index = 2 (mid-gray 128)
+    frame_px = bytes([1] * 16)
+    gif = bytearray(_gif(8, 8, [(frame_px, 0)]))
+    gif[11] = 2  # background color index in the LSD
+    # rewrite the image descriptor to 4x4 at (2,2)
+    desc = gif.index(b"\x2c")
+    gif[desc + 1:desc + 9] = struct.pack("<HHHH", 2, 2, 4, 4)
+    # re-encode the LZW data for 16 pixels (descriptor change only
+    # affects geometry; the old stream must be replaced). desc+10 =
+    # through the iflags byte.
+    enc = _LzwEncoder(2)
+    new_data = bytes([2]) + _sub_blocks(enc.encode(frame_px))
+    gif = bytes(gif[:desc + 10]) + new_data + b"\x3b"
+    got = gif_lite.decode(gif)
+    expect_mean = (16 * 255 + 48 * 128) / 64 / 255
+    assert got["mean_intensity"] == pytest.approx(expect_mean)
+    # frame exceeding the screen fails closed
+    over = bytearray(gif)
+    over[desc + 1:desc + 9] = struct.pack("<HHHH", 6, 6, 4, 4)
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
+        gif_lite.decode(bytes(over))
+
+
+def test_decompression_bomb_guard():
+    """r12 review finding 3: a few-KB GIF declaring a huge frame must
+    quarantine BEFORE the LZW expansion allocates gigabytes."""
+    gif = bytearray(_gif(4, 4, [(bytes(16), 0)]))
+    # claim a 65535x65535 screen AND frame
+    gif[6:10] = struct.pack("<HH", 65535, 65535)
+    desc = gif.index(b"\x2c")
+    gif[desc + 1:desc + 9] = struct.pack("<HHHH", 0, 0, 65535, 65535)
+    with pytest.raises(ValueError, match="decompression bomb"):
+        gif_lite.decode(bytes(gif))
