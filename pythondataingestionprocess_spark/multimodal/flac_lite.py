@@ -304,6 +304,12 @@ def decode(content: bytes) -> dict:
             bps = _SAMPLE_SIZES[ss_code]
         else:
             raise ValueError(f"reserved sample size code {ss_code}")
+        if bps != info["bps"]:
+            # mean_abs_amplitude is normalized by STREAMINFO bps, so a
+            # frame coded at a different resolution would silently
+            # mis-scale the stats — fail closed, matching the sample
+            # rate / channel strictness above (r12 ADVICE)
+            raise ValueError("frame sample size differs from STREAMINFO")
 
         if ch_code < 8:
             nch = ch_code + 1

@@ -105,10 +105,14 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
+            # spec-frozen dictionary: codes max out at 12 bits, so
+            # entries past 4095 are unreachable — appending them only
+            # grows memory without bound on a long stream (r12 ADVICE)
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
         elif code == len(table):  # the KwKwK case
             entry = prev + prev[:1]
-            table.append(entry)
+            table.append(entry)  # len < 4096 here: code <= 4095 = len
         else:
             raise ValueError("LZW code beyond dictionary")
         out += entry

@@ -76,8 +76,8 @@ def word_counts(
     matching a regex (e.g. ``'^[a-z]+$'`` for a letters-only table —
     the standard move when training on noisy web text, and what keeps
     the driver face's oracle engine-portable). ``ascii_ws`` switches
-    the split to ASCII ``\s+`` — REQUIRED for any oracle-paired path,
-    because DuckDB's RE2 ``\s`` is ASCII-only (the same hard
+    the split to ASCII ``\\s+`` — REQUIRED for any oracle-paired path,
+    because DuckDB's RE2 ``\\s`` is ASCII-only (the same hard
     constraint operators/dsir.py documents; r12 review)."""
     ws = r"\s+" if ascii_ws else r"(?U)\s+"
     words = (

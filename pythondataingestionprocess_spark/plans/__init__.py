@@ -35,82 +35,88 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-12 rotation -----------------------------------------------
-# Driver-check union after r11 is all-green (CORRECTNESS_r11 50/50 —
-# no failure in eleven rounds). Evidence ages over the r01..r11 files
-# for the 177 registered pre-r12 queries: 31 last-checked-r8, 48 r9,
-# 48 r10, 50 r11; nothing unchecked. The window carries ALL 31
-# r8-aged queries (they hit the MAX_EVIDENCE_AGE=4 boundary this
-# round — the r11 VERDICT's standing item 4) plus the alphabetical
-# first 18 of the 48 r9-aged (the 30 same-age left-overs front-load
-# r13), then the one r12 registration — `text_bpe_merge_learn`, the
-# BPE training-loop face (r10 VERDICT item 3 / r11 item 3) — takes
-# its first official driver row. Derived by scripts/rotation_calc.py;
-# the era-pinned test replays the derivation from an explicit
-# r01..r11 file list.
-STALE_R9 = [
-    "anti_join_dedup",
-    "bm25_retrieval_topk",
-    "broadcast_dim_join",
-    "clean_safe_float",
-    "clean_signed_money",
-    "clean_stmt_date_roundtrip",
-    "corpus_block_dedup",
-    "corpus_mix_resample",
-    "corpus_temperature_mix",
-    "corpus_weighted_sample",
-    "dedup_cosine_incremental",
-    "dedup_embedding_cosine",
-    "dedup_groups_cc",
-    "dedup_incremental_minhash",
-    "dedup_keep_one",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "deterministic_sample_per_source",
-    "events_funnel_watermark",
-    "exists_agg_discounted_orders",
-    "exists_not_exists_orders",
-    "feature_winsorize_robust",
-    "funnel_three_step",
-    "having_large_orders",
-    "hierarchical_revenue_share",
-    "idle_customers_segment",
-    "incremental_agg_maintenance",
-    "merge_event_intervals",
-    "monthly_revenue_trend",
-    "multimodal_binary_meta",
-    "multimodal_decode_stats",
-    "part_clustering_coefficient",
-    "percentile_cont_prices",
-    "pii_pseudonymize_vault",
-    "pit_scd2_price_join",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "recursive_cte_subtree_rollup",
-    "stmt_charge_line_grammar",
-    "stratified_sample_events",
-    "text_bigram_lm",
-    "text_rolling_fingerprint",
-    "topk_per_group",
-    "trend_slope_per_nation",
-    "unpivot_charge_components",
-    "window_edge_values",
-    "window_range_frame",
-    "window_running_total",
-    "zorder_layout_cells",
+# --- round-13 rotation -----------------------------------------------
+# Driver-check union after r12 is all-green (CORRECTNESS_r12 50/50 —
+# no failure in twelve rounds). Evidence ages over the r01..r12 files
+# for the 180 registered queries: 30 last-checked-r9, 48 r10, 50 r11,
+# 50 r12; nothing unchecked, nothing past the MAX_EVIDENCE_AGE=4
+# bound. The window carries ALL 30 r9-aged queries (the front-load
+# left-overs pinned in tests/test_registry_rotation.py last round)
+# plus the alphabetical first 18 of the 48 r10-aged (the 30 same-age
+# left-overs front-load r14), then the two staged r13 faces —
+# `text_bpe_merge_learn_batched` (the driver-checked proof of the r12
+# parity-batch certificate against the SAME sequential-replay oracle)
+# and `text_bpe_tokenize_vectorized` (the rank-dict mapInPandas
+# tokenizer vs the positional replay's post-merge segmentation) —
+# take their first official driver rows. Derived by
+# scripts/rotation_calc.py (exit 0, no warnings); the era-pinned test
+# replays the derivation from an explicit r01..r12 file list.
+STALE_R10 = [
+    "approx_distinct_customers",
+    "cdc_snapshot_latest",
+    "corpus_build_pipeline",
+    "corpus_curation_filter",
+    "cube_agg",
+    "dedup_exact_docs",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "distinct_dims",
+    "doc_chunking_overlap",
+    "doc_packing_greedy",
+    "doc_packing_lookahead",
+    "dq_malformed_json_rate",
+    "dq_orders_expectations",
+    "dq_profile_orders",
+    "dq_referential_integrity",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "equidepth_price_bands",
+    "events_bounce_rate",
+    "events_concurrency_peak",
+    "events_decayed_feature",
+    "events_scd2_enrich",
+    "inverted_index_incremental",
+    "inverted_index_postings",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q4_priority_order_checks",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "qualify_above_avg_suppliers",
+    "range_join_quantity_bands",
+    "revenue_share_top_customers",
+    "scalar_subquery_small_qty",
+    "skewed_join_salted",
+    "string_agg_nations",
+    "text_bpe_token_count",
+    "text_contamination_check",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "text_token_count",
+    "train_val_test_split",
+    "unnest_top_words",
+    "zorder_file_skipping",
 ]
 
-# Registered this round, riding INSIDE the r12 window immediately
-# after the stale block: the BPE merge-learning face — three full
-# [pair-count → argmax → map-side fold] training iterations with a
-# set-based recursive-replay DuckDB oracle (plans/llm_ops.py).
-# driver_sim hash-green at sf0.01 at registration.
-NEW_R12 = [
-    "text_bpe_merge_learn",
+# Staged late-r12, riding INSIDE the r13 window immediately after the
+# stale block: the batched BPE learner through the SAME
+# sequential-replay DuckDB oracle as `text_bpe_merge_learn` (the
+# driver-checked proof of the r12 parity-batch certificate) and the
+# rank-dict vectorized tokenizer application (sanctioned MapInPandas;
+# checked against the positional replay's post-merge segmentation).
+# Both driver_sim hash-green at sf0.01 at registration (r12) and
+# re-verified at the r12 HEAD tree.
+NEW_R13 = [
+    "text_bpe_merge_learn_batched",
+    "text_bpe_tokenize_vectorized",
 ]
 
 def _apply_rotation() -> None:
-    priority = STALE_R9 + NEW_R12
+    priority = STALE_R10 + NEW_R13
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -127,24 +133,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R12
-
-# Staged for round 13's window (registered late-r12, driver_sim-green
-# at sf0.01 at registration; sits OUTSIDE the r12 window): the batched
-# BPE learner through the SAME sequential-replay oracle — a
-# driver-checked proof of the parity-batch certificate on real corpus
-# data (the r12 certificate fix's driver face).
-NEW_R13_STAGED = [
-    "text_bpe_merge_learn_batched",
-    "text_bpe_tokenize_vectorized",
-]
+NEW_CURRENT = NEW_R13
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R9",
-    "NEW_R12",
-    "NEW_R13_STAGED",
+    "STALE_R10",
+    "NEW_R13",
     "NEW_CURRENT",
 ]

@@ -476,6 +476,13 @@ def _decrypt_streams(data: bytes) -> bytes:
         sm = _STREAM_RE.search(data, m.end(), end + 9)
         if sm is None or sm.start() > end:
             continue
+        if sm.start(1) < cursor:
+            # a false 'N G obj ... stream' match INSIDE an
+            # already-emitted encrypted payload: emitting it would
+            # duplicate and re-decrypt bytes (RC4 silently corrupts
+            # the rebuilt buffer; AES quarantines a decryptable file)
+            # — r12 ADVICE
+            continue
         head = data[m.end():sm.start()]
         # spec-mandated-PLAINTEXT streams (r12 review): cross-reference
         # streams are never encrypted (§7.5.8.2), nor is /Metadata

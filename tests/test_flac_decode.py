@@ -400,6 +400,28 @@ def test_frame_sample_rate_mismatch_fails_closed():
         flac_lite.decode(bytes(bad))
 
 
+def test_frame_sample_size_mismatch_fails_closed():
+    """r12 ADVICE: a frame ss_code resolving to a VALID bps that
+    differs from STREAMINFO must raise like the rate/channel checks —
+    mean_abs_amplitude is normalized by STREAMINFO bps, so accepting
+    the frame would silently mis-scale the stats."""
+    data = _streaminfo(8000, 1, 16, 64) + _frame(
+        8000, 0, 64, lambda w: _subframe_constant(w, -1000, 16)
+    )
+    hdr_off = len(_streaminfo(8000, 1, 16, 64))
+    bad = bytearray(data)
+    # frame header byte 3: ch_code(4) | ss_code(3) | reserved(1) —
+    # ss_code 1 = 8 bps, valid but != STREAMINFO's 16; re-CRC so only
+    # the bps cross-check can reject it
+    bad[hdr_off + 3] = (0 << 4) | (1 << 1)
+    hdr_len = 6
+    bad[hdr_off + hdr_len] = flac_lite._crc8(
+        bytes(bad[hdr_off:hdr_off + hdr_len])
+    )
+    with pytest.raises(ValueError, match="sample size differs from STREAMINFO"):
+        flac_lite.decode(bytes(bad))
+
+
 def test_media_flac_int32_guard(monkeypatch):
     """r12 review finding 2: the FLAC branch needs the same int32
     n_frames guard as the MPEG branch."""

@@ -45,15 +45,18 @@ class _LzwEncoder:
                 w = wk
                 continue
             self._emit(table[w], width)
-            table[wk] = next_code
-            next_code += 1
-            # late-change growth, matching real encoders (giflib): the
-            # emitted-code width bumps only after entry 2^width exists
-            # (r12 review: the earlier early-change rule here mirrored
-            # the decoder's matching bug and masked it)
-            if next_code == (1 << width) + 1 and width < 12:
-                width += 1
+            if next_code < 4096:  # spec frozen-dictionary cap
+                table[wk] = next_code
+                next_code += 1
+                # late-change growth, matching real encoders (giflib):
+                # the emitted-code width bumps only after entry
+                # 2^width exists (r12 review: the earlier early-change
+                # rule here mirrored the decoder's matching bug and
+                # masked it)
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
             w = bytes([px])
+        self.next_code = next_code
         if w:
             self._emit(table[w], width)
         self._emit(self.end, width)
@@ -213,6 +216,25 @@ def test_lzw_roundtrip_fuzz():
         got = gif_lite._lzw_decode(max(2, ncolors_bits), enc.encode(px),
                                    len(px))
         assert bytes(got) == px, (seed, w, h, ncolors)
+
+
+def test_lzw_frozen_dictionary_past_4096_stays_in_sync():
+    """r12 ADVICE: the decoder freezes its dictionary at the spec's
+    4096-entry cap (codes max out at 12 bits, so later entries are
+    unreachable — appending them only grows memory without bound).
+    Drive a stream diverse enough to FILL the dictionary and keep
+    going: a frozen-dictionary encoder and the decoder must agree on
+    every code after the cap (an off-by-one freeze point on either
+    side diverges immediately)."""
+    import random
+
+    rng = random.Random(4096)
+    px = bytes(rng.randrange(8) for _ in range(40_000))
+    enc = _LzwEncoder(3)
+    stream = enc.encode(px)
+    assert enc.next_code == 4096, enc.next_code  # cap actually reached
+    got = gif_lite._lzw_decode(3, stream, len(px))
+    assert bytes(got) == px
 
 
 def test_real_encoder_multicode_gif_embedded():

@@ -566,3 +566,50 @@ def test_aesv2_label_with_pre_filter_version_quarantines():
     assert bad != enc
     text, conf, status = pdf_lite.extract_with_confidence(bad)
     assert status == "quarantine" and text == ""
+
+
+def test_false_obj_stream_match_inside_rc4_ciphertext_is_skipped():
+    """r12 ADVICE: RC4 ciphertext is arbitrary bytes, so a payload can
+    contain a false 'N G obj ... stream ... endstream ... endobj' span.
+    _decrypt_streams' piecewise rebuild must skip matches that start
+    before its cursor (inside an already-emitted payload) — emitting
+    them duplicates and re-decrypts bytes, silently corrupting the
+    rebuilt buffer. Engineer exactly that ciphertext via the RC4
+    keystream (keystream is plaintext-independent) and assert clean
+    extraction."""
+    marker = b" 7 0 obj\n<< >>\nstream\nXXXXX\nendstream\nendobj\n"
+    pad_line = " " * (len(marker) + 4)
+    pdf = _plain_pdf(LINES + [pad_line])
+    enc1 = _encrypt_pdf(pdf, rev=2, key_bits=40)
+    # RC4 is length-preserving and in-place: object 4's payload span
+    # is identical in plain and encrypted layouts
+    sm = re.compile(rb"stream\r?\n(.*?)endstream", re.S).search(pdf)
+    lo, hi = sm.start(1), sm.end(1)
+    keystream = bytes(p ^ c for p, c in zip(pdf[lo:hi], enc1[lo:hi]))
+    payload = pdf[lo:hi]
+    # splice a plaintext whose CIPHERTEXT equals the marker, inside
+    # the padding string literal
+    off = payload.find(b"(" + pad_line.encode()) + 2
+    pt2 = bytearray(payload)
+    pt2[off:off + len(marker)] = bytes(
+        m ^ k for m, k in zip(marker, keystream[off:off + len(marker)])
+    )
+    # the XORed plaintext is garbage inside a () string; it must not
+    # itself form structure the fixture encrypter would trip on
+    garbage = bytes(pt2[off:off + len(marker)])
+    assert b"stream" not in garbage and b"obj" not in garbage
+    pdf2 = pdf[:lo] + bytes(pt2) + pdf[hi:]
+    enc2 = _encrypt_pdf(pdf2, rev=2, key_bits=40)
+    # the trap is armed: the marker really is in the ciphertext, as a
+    # full false obj/stream/endobj span inside object 4's payload
+    assert marker in enc2
+    assert lo < enc2.find(marker) < hi
+    # RC4 decryption is length-preserving, so a correct piecewise
+    # rebuild has EXACTLY the input length; the unguarded bug emits an
+    # extra decrypt of the false span plus a replay of the ciphertext
+    # tail behind it (longer buffer)
+    rebuilt = pdf_lite._decrypt_streams(enc2)
+    assert len(rebuilt) == len(enc2)
+    text, conf, status = pdf_lite.extract_with_confidence(enc2)
+    assert status == "ok" and conf == 1.0
+    assert LINES[0] in text and LINES[1] in text
