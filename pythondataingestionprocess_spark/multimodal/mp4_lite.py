@@ -56,8 +56,9 @@ def _fullbox(buf: bytes, body: int) -> tuple[int, int]:
 def parse_meta(content: bytes) -> dict:
     """Container metadata: duration_sec, n_tracks, track_types (sorted
     handler fourccs), width/height of the first video track, n_samples
-    of that track. Raises ``ValueError`` on non-BMFF or truncated
-    input (quarantine discipline)."""
+    and ``codec`` (stsd sample-entry fourcc, e.g. 'avc1'/'jpeg') of
+    that track. Raises ``ValueError`` on non-BMFF or truncated input
+    (quarantine discipline)."""
     top = list(_iter_boxes(content, 0, len(content)))
     types = [t for t, _, _ in top]
     if b"ftyp" not in types or b"moov" not in types:
@@ -80,7 +81,7 @@ def parse_meta(content: bytes) -> dict:
         raise ValueError("mvhd timescale 0")
 
     track_types: list[str] = []
-    width = height = n_samples = None
+    width = height = n_samples = codec = None
     for t, b, e in _iter_boxes(content, moov_b, moov_e):
         if t != b"trak":
             continue
@@ -102,10 +103,9 @@ def parse_meta(content: bytes) -> dict:
                 end_t = tkhd[1]
                 w_fp, h_fp = struct.unpack(">II", content[end_t - 8:end_t])
                 width, height = w_fp >> 16, h_fp >> 16
-            if mdia is not None:
-                minf = _find(content, mdia[0], mdia[1], b"minf")
-                stbl = minf and _find(content, minf[0], minf[1], b"stbl")
-                stsz = stbl and (
+            stbl = _video_stbl(content, b, e)
+            if stbl is not None:
+                stsz = (
                     _find(content, stbl[0], stbl[1], b"stsz")
                     or _find(content, stbl[0], stbl[1], b"stz2")
                 )
@@ -117,6 +117,15 @@ def parse_meta(content: bytes) -> dict:
                     _, n_samples = struct.unpack(
                         ">II", content[off_s:off_s + 8]
                     )
+                stsd = _find(content, stbl[0], stbl[1], b"stsd")
+                if stsd:
+                    # fullbox, uint32 entry_count, then sample entries
+                    # (uint32 size + fourcc ...) — the fourcc IS the
+                    # codec identifier ('avc1', 'jpeg', 'mjpa', ...)
+                    _, off_d = _fullbox(content, stsd[0])
+                    codec = content[off_d + 8:off_d + 12].decode(
+                        "ascii", "replace"
+                    )
     return {
         "duration_sec": duration / timescale,
         "n_tracks": len(track_types),
@@ -124,4 +133,77 @@ def parse_meta(content: bytes) -> dict:
         "width": width,
         "height": height,
         "n_samples": n_samples,
+        "codec": codec,
     }
+
+
+def _video_stbl(content: bytes, trak_b: int, trak_e: int):
+    """(body_start, body_end) of a trak's sample table box, or None."""
+    mdia = _find(content, trak_b, trak_e, b"mdia")
+    if mdia is None:
+        return None
+    minf = _find(content, mdia[0], mdia[1], b"minf")
+    if minf is None:
+        return None
+    return _find(content, minf[0], minf[1], b"stbl")
+
+
+# MJPEG sample-entry fourccs: QuickTime photo-JPEG ('jpeg') and
+# motion-JPEG A/B ('mjpa'/'mjpb') — each sample is a self-contained
+# JPEG image, decodable by jpeg_lite with zero new codec math.
+MJPEG_CODECS = frozenset({"jpeg", "mjpa", "mjpb"})
+
+
+def first_video_sample(content: bytes) -> bytes | None:
+    """Byte payload of the FIRST sample of the first video track, via
+    the sample tables: sample 1 starts at chunk 1's offset (``stco`` /
+    ``co64``) and spans ``stsz``'s first size (or the table's fixed
+    sample_size). Returns None when any table is absent or the span
+    falls outside the buffer — callers treat that as
+    metadata-only, never an error (the container may be a faststart
+    head without its mdat)."""
+    top = list(_iter_boxes(content, 0, len(content)))
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    for t, b, e in _iter_boxes(content, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(content, b, e, b"mdia")
+        hdlr = mdia and _find(content, mdia[0], mdia[1], b"hdlr")
+        if not hdlr:
+            continue
+        _, off_h = _fullbox(content, hdlr[0])
+        if content[off_h + 4:off_h + 8] != b"vide":
+            continue
+        stbl = _video_stbl(content, b, e)
+        if stbl is None:
+            return None
+        stsz = _find(content, stbl[0], stbl[1], b"stsz")
+        stco = _find(content, stbl[0], stbl[1], b"stco")
+        co64 = _find(content, stbl[0], stbl[1], b"co64")
+        if stsz is None or (stco is None and co64 is None):
+            return None
+        _, off_s = _fullbox(content, stsz[0])
+        fixed_size, count = struct.unpack(">II", content[off_s:off_s + 8])
+        if count == 0:
+            return None
+        size = fixed_size or struct.unpack(
+            ">I", content[off_s + 8:off_s + 12]
+        )[0]
+        if stco is not None:
+            _, off_c = _fullbox(content, stco[0])
+            (n_off,) = struct.unpack(">I", content[off_c:off_c + 4])
+            if n_off == 0:
+                return None
+            (offset,) = struct.unpack(">I", content[off_c + 4:off_c + 8])
+        else:
+            _, off_c = _fullbox(content, co64[0])
+            (n_off,) = struct.unpack(">I", content[off_c:off_c + 4])
+            if n_off == 0:
+                return None
+            (offset,) = struct.unpack(">Q", content[off_c + 4:off_c + 12])
+        if size == 0 or offset + size > len(content):
+            return None
+        return content[offset:offset + size]
+    return None
