@@ -66,12 +66,21 @@ CLOSED into the quarantine, never half-decrypts):
   the same brute-force object table. (Streams themselves cannot live
   in an ObjStm, so content/CMap extraction is unaffected.)
 
-Still NOT handled (PyMuPDF territory): non-empty user passwords,
-public-key (/Adobe.PubSec) security handlers, CIDFont /Encoding CMaps
-other than the embedded ToUnicode, positional reading order (streams
-are emitted in file order). ``extract_pdf_text`` therefore PREFERS
-PyMuPDF when importable and falls back here, so statement PDFs work
-in this container and full-fidelity returns wherever fitz exists.
+r13 addition — **real passwords** (the r12 VERDICT's "What's missing"
+item 4): every decrypt entry point takes an optional ``password``,
+tried as the USER password first (Algorithm 2/6 for R2–R4 with the
+padded form; SHA-256 / Algorithm 2.B hashes for R5/R6), then as the
+OWNER password (Algorithm 7 recovers the padded user password from
+/O for R2–R4; the /OE unwrap with the /O salts + /U-as-hash-input for
+R5/R6). A wrong password raises — quarantine, never mojibake.
+
+Still NOT handled (PyMuPDF territory): public-key (/Adobe.PubSec)
+security handlers, CIDFont /Encoding CMaps other than the embedded
+ToUnicode, positional reading order (streams are emitted in file
+order), SASLprep normalization of non-ASCII V5 passwords.
+``extract_pdf_text`` therefore PREFERS PyMuPDF when importable and
+falls back here, so statement PDFs work in this container and
+full-fidelity returns wherever fitz exists.
 """
 
 from __future__ import annotations
@@ -270,11 +279,18 @@ def _dict_string(body: bytes, name: bytes) -> bytes | None:
     return bytes.fromhex(h.group(1).decode().replace(" ", "")) if h else None
 
 
-def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int, str]:
+def _std_handler_key(
+    enc: bytes, file_id: bytes, password: bytes = b""
+) -> tuple[bytes, int, str]:
     """(file encryption key, revision R, scheme) for the standard
-    handler with the EMPTY user password, verified against /U. The
-    scheme is 'rc4', 'aesv2' or 'aesv3'. Raises ValueError on anything
-    this codec cannot decrypt honestly."""
+    handler, verified against /U. ``password`` (default empty — the
+    overwhelmingly common "owner-locked but readable" case) is tried
+    as the USER password first (ISO 32000-1 Algorithm 6 / 32000-2
+    §7.6.4); if that fails and a password was supplied, as the OWNER
+    password (Algorithm 7: recover the padded user password from /O,
+    or the V5 /OE unwrap). The scheme is 'rc4', 'aesv2' or 'aesv3'.
+    Raises ValueError on anything this codec cannot decrypt
+    honestly."""
     import hashlib
     import struct as _struct
 
@@ -290,7 +306,7 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int, str]:
     rev = int(r_m.group(1))
     v = int(v_m.group(1)) if v_m else 0
     if rev in (5, 6):
-        return _std_handler_key_v5(enc, rev, u)
+        return _std_handler_key_v5(enc, rev, u, password)
     if rev not in (2, 3, 4):
         raise ValueError(f"unsupported security revision R={rev}")
     if re.search(rb"/AESV3\b", enc):
@@ -349,42 +365,82 @@ def _std_handler_key(enc: bytes, file_id: bytes) -> tuple[bytes, int, str]:
         else:
             key_len = 5
 
-    h = hashlib.md5()
-    h.update(_PW_PAD)                                  # empty user pw
-    h.update(o[:32])
-    h.update(_struct.pack("<i", int(p_m.group(1))))
-    h.update(file_id)
-    if rev == 4 and re.search(rb"/EncryptMetadata\s+false", enc):
-        h.update(b"\xff\xff\xff\xff")
-    key = h.digest()
-    if rev >= 3:
-        for _ in range(50):
-            key = hashlib.md5(key[:key_len]).digest()
-    key = key[:key_len]
+    def _user_key(padded_pw: bytes) -> bytes:
+        """Algorithm 2: file key from a PADDED user password."""
+        h = hashlib.md5()
+        h.update(padded_pw)
+        h.update(o[:32])
+        h.update(_struct.pack("<i", int(p_m.group(1))))
+        h.update(file_id)
+        if rev == 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if rev >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:key_len]).digest()
+        return key[:key_len]
 
-    # verify the empty USER password (algorithms 4/5) — wrong password
-    # must quarantine, never emit RC4 noise as text
-    if rev == 2:
-        expect = _rc4(key, _PW_PAD)
-        ok = expect == u[:32]
-    else:
+    def _u_ok(key: bytes) -> bool:
+        """Algorithms 4/5: does this file key reproduce /U? A wrong
+        password must quarantine, never emit RC4 noise as text. The
+        /U formulas use the PAD CONSTANT itself, not the password —
+        the password's only influence is through the key."""
+        if rev == 2:
+            return _rc4(key, _PW_PAD) == u[:32]
         step = hashlib.md5(_PW_PAD + file_id).digest()
         step = _rc4(key, step)
         for i in range(1, 20):
             step = _rc4(bytes(b ^ i for b in key), step)
-        ok = step == u[:16]
-    if not ok:
-        raise ValueError("user password required (empty-password check failed)")
-    return key, rev, scheme
+        return step == u[:16]
+
+    key = _user_key((password + _PW_PAD)[:32])
+    if _u_ok(key):
+        return key, rev, scheme
+    if password:
+        # Algorithm 7: try the password as the OWNER password —
+        # Algorithm 3 steps a-d derive the RC4 key (NOTE: this 50-fold
+        # MD5 chains the FULL digest, unlike Algorithm 2's
+        # first-key_len-bytes loop), /O decrypts to the PADDED user
+        # password, which re-enters the user path above.
+        ok_key = hashlib.md5((password + _PW_PAD)[:32]).digest()
+        if rev >= 3:
+            for _ in range(50):
+                ok_key = hashlib.md5(ok_key).digest()
+        ok_key = ok_key[:key_len]
+        user_padded = o[:32]
+        if rev == 2:
+            user_padded = _rc4(ok_key, user_padded)
+        else:
+            for i in range(19, -1, -1):
+                user_padded = _rc4(
+                    bytes(b ^ i for b in ok_key), user_padded
+                )
+        key = _user_key(user_padded)
+        if _u_ok(key):
+            return key, rev, scheme
+        # last resort: the EMPTY user password — a wrong password on a
+        # file that is merely owner-locked must still open it (the
+        # password wasn't needed; same order viewers use)
+        key = _user_key(_PW_PAD)
+        if _u_ok(key):
+            return key, rev, scheme
+        raise ValueError("wrong password (user and owner checks failed)")
+    raise ValueError("user password required (empty-password check failed)")
 
 
-def _std_handler_key_v5(enc: bytes, rev: int, u: bytes) -> tuple[bytes, int, str]:
-    """AESV3 (V=5, R=5/R=6) file key for the EMPTY user password
-    (ISO 32000-2 §7.6.4): /U = 32-byte password hash + 8-byte
-    validation salt + 8-byte key salt; verify the hash, then unwrap
-    the 32-byte file key from /UE with AES-256-CBC, zero IV, no
-    padding. R5 (the deprecated Adobe extension) hashes with one plain
-    SHA-256; R6 uses Algorithm 2.B."""
+def _std_handler_key_v5(
+    enc: bytes, rev: int, u: bytes, password: bytes = b""
+) -> tuple[bytes, int, str]:
+    """AESV3 (V=5, R=5/R=6) file key (ISO 32000-2 §7.6.4): /U =
+    32-byte password hash + 8-byte validation salt + 8-byte key salt;
+    verify the hash, then unwrap the 32-byte file key from /UE with
+    AES-256-CBC, zero IV, no padding. R5 (the deprecated Adobe
+    extension) hashes with one plain SHA-256; R6 uses Algorithm 2.B.
+    A supplied password is tried as USER first, then as OWNER (same
+    shape with the /O salts, the full 48-byte /U as extra hash input,
+    and the /OE unwrap). Passwords are UTF-8, truncated to 127 bytes
+    per §7.6.4.3.3 (SASLprep normalization is the caller's job —
+    ASCII passwords, the practical case, are unaffected)."""
     import hashlib
 
     if not _HAVE_AES:
@@ -396,16 +452,40 @@ def _std_handler_key_v5(enc: bytes, rev: int, u: bytes) -> tuple[bytes, int, str
         raise ValueError("V5 encryption without an /AESV3 crypt filter")
     if not re.search(rb"/StmF\s*/StdCF\b", enc):
         raise ValueError("V5 stream crypt filter is not /StdCF")
+    pw = password[:127]
     vsalt, ksalt = u[32:40], u[40:48]
     if rev == 5:
-        h = hashlib.sha256(vsalt).digest()  # empty password + vsalt
-        ik = hashlib.sha256(ksalt).digest()
+        h = hashlib.sha256(pw + vsalt).digest()
+        ik = hashlib.sha256(pw + ksalt).digest()
     else:
-        h = _alg2b(b"", vsalt)
-        ik = _alg2b(b"", ksalt)
-    if h != u[:32]:
-        raise ValueError("user password required (empty-password check failed)")
-    return _aes_cbc_raw(ik, bytes(16), ue[:32]), rev, "aesv3"
+        h = _alg2b(pw, vsalt)
+        ik = _alg2b(pw, ksalt)
+    if h == u[:32]:
+        return _aes_cbc_raw(ik, bytes(16), ue[:32]), rev, "aesv3"
+    if pw:
+        o = _dict_string(enc, b"O")
+        oe = _dict_string(enc, b"OE")
+        if o is not None and len(o) >= 48 and oe is not None and len(oe) >= 32:
+            o_vsalt, o_ksalt, u48 = o[32:40], o[40:48], u[:48]
+            if rev == 5:
+                ho = hashlib.sha256(pw + o_vsalt + u48).digest()
+                iko = hashlib.sha256(pw + o_ksalt + u48).digest()
+            else:
+                ho = _alg2b(pw, o_vsalt, u48)
+                iko = _alg2b(pw, o_ksalt, u48)
+            if ho == o[:32]:
+                return _aes_cbc_raw(iko, bytes(16), oe[:32]), rev, "aesv3"
+        # last resort: the EMPTY user password (see the R2-R4 twin)
+        if rev == 5:
+            h0 = hashlib.sha256(vsalt).digest()
+            ik0 = hashlib.sha256(ksalt).digest()
+        else:
+            h0 = _alg2b(b"", vsalt)
+            ik0 = _alg2b(b"", ksalt)
+        if h0 == u[:32]:
+            return _aes_cbc_raw(ik0, bytes(16), ue[:32]), rev, "aesv3"
+        raise ValueError("wrong password (user and owner checks failed)")
+    raise ValueError("user password required (empty-password check failed)")
 
 
 def _find_encrypt_ref(data: bytes):
@@ -446,10 +526,11 @@ def _find_encrypt_ref(data: bytes):
     return None
 
 
-def _decrypt_streams(data: bytes) -> bytes:
+def _decrypt_streams(data: bytes, password: bytes = b"") -> bytes:
     """Decrypt every stream payload (RC4 in place — length-preserving;
     AES via a piecewise rebuild — plaintext is shorter) and return the
-    rebuilt buffer. No-op for unencrypted input."""
+    rebuilt buffer. No-op for unencrypted input. ``password`` is tried
+    as user then owner (see _std_handler_key)."""
     enc_ref = _find_encrypt_ref(data)
     if enc_ref is None:
         return data
@@ -458,7 +539,9 @@ def _decrypt_streams(data: bytes) -> bytes:
     if enc_body is None:
         raise ValueError("dangling /Encrypt reference")
     key, _rev, scheme = _std_handler_key(
-        enc_body, bytes.fromhex(id_m.group(1).decode()) if id_m else b""
+        enc_body,
+        bytes.fromhex(id_m.group(1).decode()) if id_m else b"",
+        password,
     )
     import hashlib
 
@@ -545,10 +628,10 @@ def _expand_object_streams(data: bytes) -> bytes:
     return bytes(data) + bytes(extra) if extra else data
 
 
-def _preprocess(data: bytes) -> bytes:
+def _preprocess(data: bytes, password: bytes = b"") -> bytes:
     """Decrypt (standard handler: RC4 or AES), then surface /ObjStm
     members. Raises on undecryptable input — the caller quarantines."""
-    return _expand_object_streams(_decrypt_streams(data))
+    return _expand_object_streams(_decrypt_streams(data, password))
 
 
 def _parse_cmap(cmap: bytes) -> tuple[int, dict[int, str]]:
@@ -753,7 +836,9 @@ def _content_streams(data: bytes):
             yield payload
 
 
-def extract_with_confidence(data: bytes) -> tuple[str, float, str]:
+def extract_with_confidence(
+    data: bytes, password: bytes = b""
+) -> tuple[str, float, str]:
     """(text, decode_confidence, status) over all content streams in
     file order. Confidence = mapped fraction of shown code units —
     1.0 for simple-font or fully CMap-mapped documents, 0.0 for a
@@ -768,13 +853,15 @@ def extract_with_confidence(data: bytes) -> tuple[str, float, str]:
     raising — one poison file must never fail the ingest batch (same
     contract as the streaming row-level quarantine)."""
     try:
-        return _extract_with_confidence(data)
+        return _extract_with_confidence(data, password)
     except Exception:
         return "", 0.0, "quarantine"
 
 
-def _extract_with_confidence(data: bytes) -> tuple[str, float, str]:
-    data = _preprocess(data)
+def _extract_with_confidence(
+    data: bytes, password: bytes = b""
+) -> tuple[str, float, str]:
+    data = _preprocess(data, password)
     fonts = _font_maps(data)
     # fail CLOSED: a document that declares a Type0 font anywhere gets
     # _CID_UNMAPPED for any font name the resolver could NOT bind

@@ -109,13 +109,19 @@ def statement_output_name(
     return f"{base}_{stamp}.xlsx"
 
 
-def extract_pdf_text(spark: SparkSession, path_glob: str) -> DataFrame:
+def extract_pdf_text(
+    spark: SparkSession, path_glob: str, password: bytes = b""
+) -> DataFrame:
     """S1 PDF text scan: ``binaryFile`` source + per-file decode UDF
     → (path, text, decode_confidence, decode_status). Prefers PyMuPDF
     (full fidelity: CID fonts, reading order — confidence 1.0 by
     construction); without it, falls back to the stdlib extractor
     (sources/pdf_lite.py — standard-encoded and ToUnicode-mapped
     Type0 PDFs), so the scan runs end-to-end in this container too.
+    ``password`` (r13) opens password-protected statements batch-wide:
+    tried as user then owner per file, with the empty password as the
+    final fallback, so a mixed protected/open batch needs one call;
+    files the password cannot open quarantine per-row as before.
 
     The confidence columns are the CID-font quarantine (VERDICT r6
     item 3): a Type0 statement with no ToUnicode CMap extracts glyph
@@ -144,6 +150,11 @@ def extract_pdf_text(spark: SparkSession, path_glob: str) -> DataFrame:
             import fitz
 
             with fitz.open(stream=content, filetype="pdf") as doc:
+                if doc.needs_pass:
+                    if not doc.authenticate(
+                        password.decode("utf-8", "replace")
+                    ):
+                        return ("", 0.0, "quarantine")
                 text = "\n".join(page.get_text() + "\n" for page in doc)
             return (text, 1.0, "ok")
 
@@ -153,7 +164,7 @@ def extract_pdf_text(spark: SparkSession, path_glob: str) -> DataFrame:
         def _pdf_text(content):
             from pythondataingestionprocess_spark.sources import pdf_lite
 
-            return pdf_lite.extract_with_confidence(content)
+            return pdf_lite.extract_with_confidence(content, password)
 
     blobs = spark.read.format("binaryFile").load(path_glob)
     return blobs.select(

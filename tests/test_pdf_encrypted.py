@@ -42,13 +42,14 @@ def _taes_stream(key: bytes, payload: bytes, iv: bytes) -> bytes:
     return iv + _taes(key, iv, payload + bytes([n]) * n, encrypt=True)
 
 
-def _talg2b(pw: bytes, salt: bytes) -> bytes:
+def _talg2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """Test-side ISO 32000-2 Algorithm 2.B, written from the spec text
-    independently of pdf_lite._alg2b."""
-    k = hashlib.sha256(pw + salt).digest()
+    independently of pdf_lite._alg2b. ``udata`` = the 48-byte /U,
+    present only on the owner-password form."""
+    k = hashlib.sha256(pw + salt + udata).digest()
     rounds = 0
     while True:
-        block = (pw + k) * 64
+        block = (pw + k + udata) * 64
         e = _taes(k[:16], k[16:32], block, encrypt=True)
         digest = [hashlib.sha256, hashlib.sha384, hashlib.sha512][
             sum(e[i] for i in range(16)) % 3
@@ -100,16 +101,32 @@ def _plain_pdf(lines: list[str]) -> bytes:
 
 def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
                  break_user_pw: bool = False, aes: bool = False,
-                 encrypt_metadata: bool = True) -> bytes:
-    """Spec Algorithm 2/4/5 fixture: derive the file key for the EMPTY
-    user password over an arbitrary /O, compute a consistent /U, and
-    RC4-encrypt every stream payload with per-object keys."""
+                 encrypt_metadata: bool = True, user_pw: bytes = b"",
+                 owner_pw: bytes | None = None) -> bytes:
+    """Spec Algorithm 2/4/5 fixture: derive the file key for the
+    (default empty) user password, compute a consistent /U, and
+    RC4-encrypt every stream payload with per-object keys. With
+    ``owner_pw`` the /O entry is REAL (Algorithm 3: RC4-encrypt the
+    padded user password under the owner key chain); otherwise it is
+    an arbitrary blob (the owner path is then undecryptable)."""
     key_len = key_bits // 8
-    o_entry = bytes(range(100, 132))  # arbitrary owner blob, 32 bytes
+    padded_user = (user_pw + PAD)[:32]
+    if owner_pw is not None:
+        ok = hashlib.md5((owner_pw + PAD)[:32]).digest()
+        if rev >= 3:
+            for _ in range(50):
+                ok = hashlib.md5(ok).digest()
+        ok = ok[:key_len]
+        o_entry = _rc4(ok, padded_user)
+        if rev >= 3:
+            for i in range(1, 20):
+                o_entry = _rc4(bytes(b ^ i for b in ok), o_entry)
+    else:
+        o_entry = bytes(range(100, 132))  # arbitrary owner blob, 32 bytes
     p_val = -44
 
     h = hashlib.md5()
-    h.update(PAD + o_entry + struct.pack("<i", p_val) + FILE_ID)
+    h.update(padded_user + o_entry + struct.pack("<i", p_val) + FILE_ID)
     if rev == 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")  # Algorithm 2 step f
     key = h.digest()
@@ -119,7 +136,7 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
     key = key[:key_len]
 
     if rev == 2:
-        u_entry = _rc4(key, PAD)
+        u_entry = _rc4(key, PAD)  # /U uses the PAD CONSTANT, not the pw
     else:
         step = hashlib.md5(PAD + FILE_ID).digest()
         step = _rc4(key, step)
@@ -184,26 +201,43 @@ def _encrypt_pdf(pdf: bytes, rev: int, key_bits: int = 40,
 
 
 def _encrypt_pdf_v5(pdf: bytes, rev: int = 6,
-                    break_user_pw: bool = False) -> bytes:
+                    break_user_pw: bool = False, user_pw: bytes = b"",
+                    owner_pw: bytes | None = None) -> bytes:
     """ISO 32000-2 §7.6.4 fixture (AESV3, V=5): pick a random-looking
     32-byte file key, derive /U (hash + validation salt + key salt)
-    and /UE (file key wrapped with the intermediate key) for the EMPTY
-    user password, AES-256-CBC-encrypt every stream with the file key."""
+    and /UE (file key wrapped with the intermediate key) for the
+    (default empty) user password, AES-256-CBC-encrypt every stream
+    with the file key. With ``owner_pw`` the /O //OE pair is real
+    (owner hashes take the 48-byte /U as extra input)."""
     file_key = hashlib.sha256(b"fixture-file-key").digest()
     vsalt = bytes(range(8))
     ksalt = bytes(range(8, 16))
+    upw = user_pw[:127]
     if rev == 5:
-        u_hash = hashlib.sha256(vsalt).digest()
-        ik = hashlib.sha256(ksalt).digest()
+        u_hash = hashlib.sha256(upw + vsalt).digest()
+        ik = hashlib.sha256(upw + ksalt).digest()
     else:
-        u_hash = _talg2b(b"", vsalt)
-        ik = _talg2b(b"", ksalt)
+        u_hash = _talg2b(upw, vsalt)
+        ik = _talg2b(upw, ksalt)
     if break_user_pw:
         u_hash = bytes(b ^ 0xA5 for b in u_hash)
     u_entry = u_hash + vsalt + ksalt
     ue_entry = _taes(ik, bytes(16), file_key, encrypt=True)
-    o_entry = bytes(range(200, 248))  # arbitrary (owner path unused)
-    oe_entry = bytes(range(32))
+    if owner_pw is not None:
+        opw = owner_pw[:127]
+        o_vsalt = bytes(range(16, 24))
+        o_ksalt = bytes(range(24, 32))
+        if rev == 5:
+            o_hash = hashlib.sha256(opw + o_vsalt + u_entry).digest()
+            iko = hashlib.sha256(opw + o_ksalt + u_entry).digest()
+        else:
+            o_hash = _talg2b(opw, o_vsalt, u_entry)
+            iko = _talg2b(opw, o_ksalt, u_entry)
+        o_entry = o_hash + o_vsalt + o_ksalt
+        oe_entry = _taes(iko, bytes(16), file_key, encrypt=True)
+    else:
+        o_entry = bytes(range(200, 248))  # arbitrary (owner path unused)
+        oe_entry = bytes(range(32))
 
     out = bytearray()
     cursor = 0
@@ -613,3 +647,129 @@ def test_false_obj_stream_match_inside_rc4_ciphertext_is_skipped():
     text, conf, status = pdf_lite.extract_with_confidence(enc2)
     assert status == "ok" and conf == 1.0
     assert LINES[0] in text and LINES[1] in text
+
+
+# ------------------------------------------------- real passwords (r13)
+
+def test_rc4_r3_user_password_decrypts():
+    """r12 VERDICT 'What's missing' 4: a real USER password (Algorithm
+    2/6) decrypts; no password and a wrong password both quarantine."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128,
+                       user_pw=b"hunter2")
+    assert b"SUPERMERCADO" not in enc
+    _, _, st = pdf_lite.extract_with_confidence(enc)
+    assert st == "quarantine"  # no password
+    _, _, st = pdf_lite.extract_with_confidence(enc, password=b"wrong")
+    assert st == "quarantine"
+    text, conf, st = pdf_lite.extract_with_confidence(enc, password=b"hunter2")
+    assert st == "ok" and conf == 1.0 and LINES[0] in text
+
+
+def test_rc4_r3_owner_password_recovers_user_key():
+    """Algorithm 7: the OWNER password decrypts /O to the padded user
+    password and the file opens — both passwords work, a third does
+    not."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128,
+                       user_pw=b"u-secret", owner_pw=b"o-master")
+    for pw in (b"u-secret", b"o-master"):
+        text, _, st = pdf_lite.extract_with_confidence(enc, password=pw)
+        assert st == "ok" and LINES[0] in text, pw
+    _, _, st = pdf_lite.extract_with_confidence(enc, password=b"neither")
+    assert st == "quarantine"
+
+
+def test_rc4_r2_owner_password_single_rc4_layer():
+    """R2's Algorithm 3 applies ONE RC4 (no 19-fold XOR chain) — the
+    low-revision owner path must not over-decrypt."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=2, key_bits=40,
+                       user_pw=b"user", owner_pw=b"owner")
+    text, _, st = pdf_lite.extract_with_confidence(enc, password=b"owner")
+    assert st == "ok" and LINES[0] in text
+    text, _, st = pdf_lite.extract_with_confidence(enc, password=b"user")
+    assert st == "ok" and LINES[0] in text
+
+
+def test_aesv2_r4_user_password_decrypts():
+    """The password plumbing composes with the AESV2 crypt filter."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=4, key_bits=128, aes=True,
+                       user_pw=b"pa55")
+    _, _, st = pdf_lite.extract_with_confidence(enc)
+    assert st == "quarantine"
+    text, _, st = pdf_lite.extract_with_confidence(enc, password=b"pa55")
+    assert st == "ok" and LINES[0] in text
+
+
+def test_aesv3_r6_user_and_owner_passwords():
+    """V5/R6: user hash via Algorithm 2.B with the /U salts; owner via
+    the /O salts + 48-byte /U as extra hash input, file key from /OE."""
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6, user_pw=b"secret",
+                          owner_pw=b"admin")
+    _, _, st = pdf_lite.extract_with_confidence(enc)
+    assert st == "quarantine"
+    for pw in (b"secret", b"admin"):
+        text, conf, st = pdf_lite.extract_with_confidence(enc, password=pw)
+        assert st == "ok" and conf == 1.0 and LINES[0] in text, pw
+    _, _, st = pdf_lite.extract_with_confidence(enc, password=b"nope")
+    assert st == "quarantine"
+
+
+def test_aesv3_r5_user_and_owner_passwords():
+    """R5 (deprecated Adobe extension): same shape with single plain
+    SHA-256 hashes."""
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=5, user_pw=b"secret",
+                          owner_pw=b"admin")
+    for pw in (b"secret", b"admin"):
+        text, _, st = pdf_lite.extract_with_confidence(enc, password=pw)
+        assert st == "ok" and LINES[0] in text, pw
+    _, _, st = pdf_lite.extract_with_confidence(enc, password=b"nope")
+    assert st == "quarantine"
+
+
+def test_empty_password_files_still_open_with_any_password():
+    """An owner-locked (empty user password) file opens even when the
+    caller supplies a stray password: after the user and owner checks
+    fail, the EMPTY password is tried last (the password wasn't
+    needed — the order viewers use). A genuinely protected file with
+    the wrong password still quarantines (see the tests above)."""
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128)
+    text, _, st = pdf_lite.extract_with_confidence(enc)
+    assert st == "ok" and LINES[0] in text
+    text, _, st = pdf_lite.extract_with_confidence(enc, password=b"stray")
+    assert st == "ok" and LINES[0] in text
+    enc5 = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6)
+    text, _, st = pdf_lite.extract_with_confidence(enc5, password=b"stray")
+    assert st == "ok" and LINES[0] in text
+
+
+def test_password_protected_batch_end_to_end(spark, tmp_path):
+    """r13: one batch-wide password opens a MIXED directory — a
+    user-password RC4 file, an owner-password AESV3 file, and an
+    owner-locked (empty user password) file all extract with the same
+    call; a file needing a DIFFERENT password quarantines per-row."""
+    from pythondataingestionprocess_spark.sources import statement as stmt
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "user_rc4.pdf").write_bytes(
+        _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128,
+                     user_pw=b"batch-pw")
+    )
+    (d / "owner_aes.pdf").write_bytes(
+        _encrypt_pdf_v5(_plain_pdf(LINES), rev=6, user_pw=b"someone-elses",
+                        owner_pw=b"batch-pw")
+    )
+    (d / "open.pdf").write_bytes(
+        _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128)
+    )
+    (d / "other_pw.pdf").write_bytes(
+        _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128,
+                     user_pw=b"not-the-batch-pw")
+    )
+
+    df = stmt.extract_pdf_text(spark, str(d / "*.pdf"), password=b"batch-pw")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    for name in ("user_rc4.pdf", "owner_aes.pdf", "open.pdf"):
+        assert rows[name]["decode_status"] == "ok", name
+        assert LINES[0] in rows[name]["text"], name
+    assert rows["other_pw.pdf"]["decode_status"] == "quarantine"
+    assert rows["other_pw.pdf"]["text"] == ""
