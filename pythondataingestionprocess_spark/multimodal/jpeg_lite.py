@@ -651,3 +651,43 @@ def _prog_finalize(np, sof, state, qt):
         "mean_intensity": mean / 255.0,
         "std_intensity": float(np.sqrt(var)) / 255.0,
     }
+
+
+def count_frames(content: bytes) -> int:
+    """Number of complete top-level JPEG images in a concatenated
+    (raw MJPEG) stream. Walks the real marker structure: APPn/COM and
+    every other length-prefixed segment is skipped by its declared
+    length — so an EXIF thumbnail (a full JPEG embedded in an APP1
+    payload) is skipped wholesale and never counted (r13 review: a
+    naive SOI-signature count doubles on camera streams, because
+    marker-segment payloads are NOT byte-stuffed the way entropy data
+    is). After SOS, entropy data scans to the next non-RST marker; EOI
+    closes a frame. Raises ``ValueError`` on malformed top-level
+    structure — an unknowable count must quarantine, never guess."""
+    i, n = 0, len(content)
+    frames = 0
+    while i < n:
+        if content[i:i + 2] != b"\xff\xd8":
+            raise ValueError(f"expected SOI at byte {i}")
+        i += 2
+        while True:
+            while i + 1 < n and content[i] == 0xFF and content[i + 1] == 0xFF:
+                i += 1  # legal fill bytes before a marker
+            if i + 1 >= n or content[i] != 0xFF:
+                raise ValueError(f"expected marker at byte {i}")
+            marker = content[i + 1]
+            i += 2
+            if marker == 0xD9:  # EOI
+                frames += 1
+                break
+            if marker in _STANDALONE:
+                continue
+            if i + 2 > n:
+                raise ValueError("truncated segment header")
+            (seg,) = struct.unpack(">H", content[i:i + 2])
+            if seg < 2:
+                raise ValueError("bad segment length")
+            i += seg
+            if marker == 0xDA:  # SOS: entropy data follows the header
+                i = _next_marker_pos(content, i)
+    return frames

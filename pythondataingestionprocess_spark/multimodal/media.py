@@ -201,9 +201,10 @@ def real_decode(content: bytes, media_type: str) -> dict:
             # raw MJPEG stream (video/mjpeg, e.g. an IP-camera dump):
             # a bare concatenation of JPEG images. The first frame is
             # a complete JPEG that jpeg_lite decodes directly; frame
-            # count = occurrences of SOI followed by another marker
-            # byte (entropy-coded data byte-stuffs 0xFF as 0xFF 0x00,
-            # so \xff\xd8\xff can't alias inside a frame's scan data).
+            # count walks the top-level marker structure (APPn/COM
+            # payloads are skipped by their declared length, so EXIF
+            # thumbnails — embedded JPEGs with their own SOI — can't
+            # inflate the count; r13 review).
             from pythondataingestionprocess_spark.multimodal import jpeg_lite
 
             hdr = jpeg_lite.parse_header(content)
@@ -216,10 +217,18 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 "byte_len": len(content),
                 "width": hdr["width"],
                 "height": hdr["height"],
-                "n_frames": content.count(b"\xff\xd8\xff"),
+                # no int32 guard needed: every frame is >= 4 bytes, so
+                # the count can't reach 2^31 for any Arrow-carriable blob
+                "n_frames": jpeg_lite.count_frames(content),
                 "mean_intensity": mean,
             }
         meta = mp4_lite.parse_meta(content)
+        if meta["n_samples"] is not None and meta["n_samples"] > 2**31 - 1:
+            # same int32 n_frames guard as the audio branches: stsz's
+            # sample_count is a raw uint32 a corrupt file can max out,
+            # and an overflow escaping real_decode kills the whole
+            # Arrow batch instead of quarantining one row (r13 review)
+            raise ValueError("sample count exceeds the int32 stats column")
         mean = None
         if meta["codec"] in mp4_lite.MJPEG_CODECS:
             # MJPEG-in-MP4/MOV: every sample is a self-contained JPEG,

@@ -82,6 +82,7 @@ def parse_meta(content: bytes) -> dict:
 
     track_types: list[str] = []
     width = height = n_samples = codec = None
+    saw_video = False
     for t, b, e in _iter_boxes(content, moov_b, moov_e):
         if t != b"trak":
             continue
@@ -95,7 +96,12 @@ def parse_meta(content: bytes) -> dict:
                     "ascii", "replace"
                 )
         track_types.append(handler)
-        if handler == "vide" and width is None:
+        # stats describe the FIRST video track only — gated on a flag,
+        # not `width is None`, so a first track without a tkhd can't
+        # let a second track overwrite codec/n_samples and diverge
+        # from first_video_sample's first-track walk (r13 review)
+        if handler == "vide" and not saw_video:
+            saw_video = True
             tkhd = _find(content, b, e, b"tkhd")
             if tkhd is not None:
                 ver_t, off_t = _fullbox(content, tkhd[0])
@@ -157,11 +163,11 @@ MJPEG_CODECS = frozenset({"jpeg", "mjpa", "mjpb"})
 def first_video_sample(content: bytes) -> bytes | None:
     """Byte payload of the FIRST sample of the first video track, via
     the sample tables: sample 1 starts at chunk 1's offset (``stco`` /
-    ``co64``) and spans ``stsz``'s first size (or the table's fixed
-    sample_size). Returns None when any table is absent or the span
-    falls outside the buffer — callers treat that as
-    metadata-only, never an error (the container may be a faststart
-    head without its mdat)."""
+    ``co64``) and spans the first size from ``stsz`` (or its fixed
+    sample_size) or compact ``stz2``. Returns None when any table is
+    absent or the span falls outside the buffer — callers treat that
+    as metadata-only, never an error (the container may be a
+    faststart head without its mdat)."""
     top = list(_iter_boxes(content, 0, len(content)))
     moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
     if moov is None:
@@ -180,29 +186,51 @@ def first_video_sample(content: bytes) -> bytes | None:
         if stbl is None:
             return None
         stsz = _find(content, stbl[0], stbl[1], b"stsz")
-        stco = _find(content, stbl[0], stbl[1], b"stco")
-        co64 = _find(content, stbl[0], stbl[1], b"co64")
-        if stsz is None or (stco is None and co64 is None):
-            return None
-        _, off_s = _fullbox(content, stsz[0])
-        fixed_size, count = struct.unpack(">II", content[off_s:off_s + 8])
-        if count == 0:
-            return None
-        size = fixed_size or struct.unpack(
-            ">I", content[off_s + 8:off_s + 12]
-        )[0]
-        if stco is not None:
-            _, off_c = _fullbox(content, stco[0])
-            (n_off,) = struct.unpack(">I", content[off_c:off_c + 4])
-            if n_off == 0:
+        stz2 = _find(content, stbl[0], stbl[1], b"stz2")
+        if stsz is not None:
+            _, off_s = _fullbox(content, stsz[0])
+            fixed_size, count = struct.unpack(
+                ">II", content[off_s:off_s + 8]
+            )
+            if count == 0:
                 return None
-            (offset,) = struct.unpack(">I", content[off_c + 4:off_c + 8])
+            size = fixed_size or struct.unpack(
+                ">I", content[off_s + 8:off_s + 12]
+            )[0]
+        elif stz2 is not None:
+            # compact sizes (parse_meta supports stz2, so this walk
+            # must too — r13 review): 24-bit reserved + uint8
+            # field_size (4/8/16 bits), uint32 count, packed sizes
+            _, off_s = _fullbox(content, stz2[0])
+            field_size = content[off_s + 3]
+            (count,) = struct.unpack(">I", content[off_s + 4:off_s + 8])
+            if count == 0:
+                return None
+            first = content[off_s + 8]
+            if field_size == 4:
+                size = first >> 4
+            elif field_size == 8:
+                size = first
+            elif field_size == 16:
+                (size,) = struct.unpack(
+                    ">H", content[off_s + 8:off_s + 10]
+                )
+            else:
+                return None
         else:
-            _, off_c = _fullbox(content, co64[0])
-            (n_off,) = struct.unpack(">I", content[off_c:off_c + 4])
-            if n_off == 0:
-                return None
-            (offset,) = struct.unpack(">Q", content[off_c + 4:off_c + 12])
+            return None
+        box, fmt = (_find(content, stbl[0], stbl[1], b"stco"), ">I")
+        if box is None:
+            box, fmt = (_find(content, stbl[0], stbl[1], b"co64"), ">Q")
+        if box is None:
+            return None
+        _, off_c = _fullbox(content, box[0])
+        (n_off,) = struct.unpack(">I", content[off_c:off_c + 4])
+        if n_off == 0:
+            return None
+        (offset,) = struct.unpack(
+            fmt, content[off_c + 4:off_c + 4 + struct.calcsize(fmt)]
+        )
         if size == 0 or offset + size > len(content):
             return None
         return content[offset:offset + size]

@@ -151,9 +151,16 @@ def extract_pdf_text(
 
             with fitz.open(stream=content, filetype="pdf") as doc:
                 if doc.needs_pass:
-                    if not doc.authenticate(
-                        password.decode("utf-8", "replace")
-                    ):
+                    # bytes → str without loss: UTF-8 when valid (the
+                    # V5 spec encoding), else Latin-1 (byte-preserving
+                    # for legacy R2-R4 passwords — a 'replace' decode
+                    # would garble them and quarantine files the
+                    # stdlib fallback opens; r13 review)
+                    try:
+                        pw_str = password.decode("utf-8")
+                    except UnicodeDecodeError:
+                        pw_str = password.decode("latin-1")
+                    if not doc.authenticate(pw_str):
                         return ("", 0.0, "quarantine")
                 text = "\n".join(page.get_text() + "\n" for page in doc)
             return (text, 1.0, "ok")

@@ -51,9 +51,11 @@ def probe(docs, n_merges: int, label: str, **kw) -> None:
         "n_merges_learned": len(merges),
         "passes": stats["passes"],
         "wall_sec": round(time.time() - t0, 1),
-        "batch_min": min(bs),
-        "batch_max": max(bs),
-        "batch_mean": round(sum(bs) / len(bs), 2),
+        # a corpus with no pair above min_count learns nothing —
+        # report that honestly rather than crashing on min([])
+        "batch_min": min(bs) if bs else None,
+        "batch_max": max(bs) if bs else None,
+        "batch_mean": round(sum(bs) / len(bs), 2) if bs else None,
         "decile_means": [
             round(sum(d) / len(d), 1) if d else None for d in dec
         ],

@@ -265,3 +265,120 @@ def test_raw_mjpeg_stream_decodes_first_frame_and_counts():
     stats = media.real_decode(blob, "video")
     assert (stats["width"], stats["height"], stats["n_frames"]) == (8, 8, 3)
     assert stats["mean_intensity"] == pytest.approx(148 / 255, abs=1e-9)
+
+
+def test_raw_mjpeg_exif_thumbnail_not_counted_as_frame():
+    """r13 review: EXIF APP1 payloads embed full JPEG thumbnails (own
+    SOI) and marker segments are NOT byte-stuffed — a naive SOI count
+    doubles on camera streams. count_frames walks segment lengths, so
+    the thumbnail is skipped wholesale."""
+    from tests.test_jpeg_decode import _gray_jpeg
+
+    frame = bytearray(_gray_jpeg(8, 8, [(160, {})]))
+    thumb = _gray_jpeg(8, 8, [(0, {})])
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(thumb)) + b"Exif\x00\x00" + thumb
+    frame[2:2] = app1  # right after SOI
+    blob = bytes(frame) * 2
+    assert jpeg_lite.count_frames(blob) == 2
+    stats = media.real_decode(blob, "video")
+    assert stats["n_frames"] == 2
+    assert stats["mean_intensity"] == pytest.approx(148 / 255, abs=1e-9)
+
+
+def test_raw_mjpeg_malformed_tail_fails_closed():
+    """Garbage between frames makes the count unknowable — raise
+    (→ per-row quarantine), never guess."""
+    from tests.test_jpeg_decode import _gray_jpeg
+
+    blob = _gray_jpeg(8, 8, [(160, {})]) + b"\x00\x12junk" + _gray_jpeg(
+        8, 8, [(0, {})]
+    )
+    with pytest.raises(ValueError):
+        jpeg_lite.count_frames(blob)
+
+
+def test_mp4_mjpeg_stz2_compact_sizes_first_frame_decodes():
+    """r13 review: parse_meta accepts stz2 sample tables, so
+    first_video_sample must too — an MJPEG MOV with compact sizes
+    would otherwise silently lose its pixel stats."""
+    payload = _uniform_jpeg()
+    blob = _mp4_mjpeg(payload)
+    # rewrite the stsz box in place as a 16-bit stz2 (same byte budget
+    # not needed — rebuild the fixture's stbl with sed-like splice)
+    stsz_at = blob.index(b"stsz") - 4
+    (stsz_len,) = struct.unpack(">I", blob[stsz_at:stsz_at + 4])
+    sizes16 = b"".join(struct.pack(">H", len(payload)) for _ in range(3))
+    stz2_body = bytes([0, 0, 0, 0]) + bytes([0, 0, 0, 16]) + struct.pack(
+        ">I", 3
+    ) + sizes16
+    stz2 = struct.pack(">I", 8 + len(stz2_body)) + b"stz2" + stz2_body
+    blob2 = blob[:stsz_at] + stz2 + blob[stsz_at + stsz_len:]
+    # splicing changed box sizes upstream (stbl/minf/mdia/trak/moov):
+    # adjust each enclosing length by the delta
+    delta = len(stz2) - stsz_len
+    out = bytearray(blob2)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = bytes(out).index(tag) - 4
+        (sz,) = struct.unpack(">I", out[at:at + 4])
+        out[at:at + 4] = struct.pack(">I", sz + delta)
+    blob2 = bytes(out)
+    meta = mp4_lite.parse_meta(blob2)
+    assert meta["n_samples"] == 3 and meta["codec"] == "jpeg"
+    assert mp4_lite.first_video_sample(blob2) == payload
+    stats = media.real_decode(blob2, "video")
+    assert stats["mean_intensity"] == pytest.approx(148 / 255, abs=1e-9)
+
+
+def test_mp4_first_video_track_without_tkhd_wins():
+    """r13 review: a first video track lacking tkhd must still OWN the
+    stats — a second video track must not overwrite codec/n_samples
+    and diverge from first_video_sample's first-track walk."""
+    payload = _uniform_jpeg()
+    full = _mp4_mjpeg(payload, codec=b"avc1")
+    # extract trak 1 from the fixture, strip its tkhd, and append a
+    # second JPEG-coded trak
+    trak1_at = full.index(b"trak") - 4
+    (trak1_len,) = struct.unpack(">I", full[trak1_at:trak1_at + 4])
+    trak1 = bytearray(full[trak1_at:trak1_at + trak1_len])
+    tkhd_at = bytes(trak1).index(b"tkhd") - 4
+    (tkhd_len,) = struct.unpack(">I", trak1[tkhd_at:tkhd_at + 4])
+    del trak1[tkhd_at:tkhd_at + tkhd_len]
+    trak1[0:4] = struct.pack(">I", trak1_len - tkhd_len)
+    jpeg_mov = _mp4_mjpeg(payload, codec=b"jpeg")
+    trak2_at = jpeg_mov.index(b"trak") - 4
+    (trak2_len,) = struct.unpack(">I", jpeg_mov[trak2_at:trak2_at + 4])
+    trak2 = jpeg_mov[trak2_at:trak2_at + trak2_len]
+    moov_at = full.index(b"moov") - 4
+    (moov_len,) = struct.unpack(">I", full[moov_at:moov_at + 4])
+    moov_body = full[moov_at + 8:moov_at + moov_len]
+    new_body = moov_body.replace(
+        full[trak1_at:trak1_at + trak1_len], bytes(trak1)
+    ) + trak2
+    new_moov = struct.pack(">I", 8 + len(new_body)) + b"moov" + new_body
+    blob = full[:moov_at] + new_moov
+    meta = mp4_lite.parse_meta(blob)
+    # first video track (avc1, no tkhd) owns codec; no JPEG decode
+    assert meta["codec"] == "avc1"
+    assert meta["width"] is None
+    stats = media.real_decode(blob, "video")
+    assert stats["mean_intensity"] is None
+
+
+def test_mp4_oversized_sample_count_quarantines_per_row(spark):
+    """r13 review: stsz's raw uint32 sample_count at 0xFFFFFFFF must
+    raise in real_decode (→ one quarantine row), not overflow the
+    int32 n_frames column and kill the whole Arrow batch."""
+    blob = bytearray(_mp4_mjpeg(_uniform_jpeg()))
+    stsz_at = bytes(blob).index(b"stsz") - 4
+    # fullbox: 4 len + 4 tag + 4 ver/flags, then sample_size, count
+    blob[stsz_at + 16:stsz_at + 20] = struct.pack(">I", 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="int32"):
+        media.real_decode(bytes(blob), "video")
+    df = spark.createDataFrame(
+        [(1, "video", bytes(blob)), (2, "video", _mp4_mjpeg(_uniform_jpeg()))],
+        "id long, media_type string, content binary",
+    )
+    rows = {r.id: r for r in media.decode_media(df, use_fake=False).collect()}
+    assert rows[1].decode_status == "quarantine:ValueError"
+    assert rows[2].decode_status == "ok"
+    assert rows[2].mean_intensity == pytest.approx(148 / 255, abs=1e-6)
