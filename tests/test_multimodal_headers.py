@@ -382,3 +382,43 @@ def test_mp4_oversized_sample_count_quarantines_per_row(spark):
     assert rows[1].decode_status == "quarantine:ValueError"
     assert rows[2].decode_status == "ok"
     assert rows[2].mean_intensity == pytest.approx(148 / 255, abs=1e-6)
+
+
+def test_count_frames_fuzz_marker_structures():
+    """60 seeded random MJPEG streams — variable frame counts, APPn
+    segments with embedded-JPEG payloads, COM segments, restart
+    markers inside frames (via dri), fill bytes between markers — the
+    walked count must equal the number of top-level frames."""
+    import random
+
+    from tests.test_jpeg_decode import _gray_jpeg
+
+    for seed in range(60):
+        rng = random.Random(seed)
+        n = rng.randint(1, 6)
+        parts = []
+        for _ in range(n):
+            blocks = [(rng.randrange(-200, 201), {}) for _ in range(
+                rng.choice([1, 2, 4])
+            )]
+            frame = bytearray(
+                _gray_jpeg(8 * len(blocks), 8, blocks,
+                           dri=rng.choice([0, 1]))
+            )
+            insert_at = 2
+            if rng.random() < 0.5:  # EXIF-ish APP1 with embedded JPEG
+                thumb = _gray_jpeg(8, 8, [(rng.randrange(-100, 101), {})])
+                app1 = (b"\xff\xe1"
+                        + struct.pack(">H", 2 + 6 + len(thumb))
+                        + b"Exif\x00\x00" + thumb)
+                frame[insert_at:insert_at] = app1
+                insert_at += len(app1)
+            if rng.random() < 0.3:  # COM segment with marker-ish bytes
+                payload = bytes([0xFF, 0xD8, 0xFF, 0xE0] * 3)
+                com = b"\xff\xfe" + struct.pack(
+                    ">H", 2 + len(payload)
+                ) + payload
+                frame[insert_at:insert_at] = com
+            parts.append(bytes(frame))
+        blob = b"".join(parts)
+        assert jpeg_lite.count_frames(blob) == n, seed

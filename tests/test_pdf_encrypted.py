@@ -773,3 +773,48 @@ def test_password_protected_batch_end_to_end(spark, tmp_path):
         assert LINES[0] in rows[name]["text"], name
     assert rows["other_pw.pdf"]["decode_status"] == "quarantine"
     assert rows["other_pw.pdf"]["text"] == ""
+
+
+def test_password_roundtrip_fuzz():
+    """Property sweep across revisions and password shapes: any
+    (user_pw, owner_pw) pair built by the from-spec fixtures must open
+    with BOTH passwords and quarantine with a perturbed one. Covers
+    R2/R3 RC4, R4 AESV2, R5/R6 AESV3, binary and high-bit passwords,
+    and the 32-byte-pad truncation edge (R2-R4 passwords longer than
+    32 bytes are equal iff their first 32 bytes are)."""
+    import random
+
+    rng = random.Random(13)
+    cases = []
+    for rev, aes in ((2, False), (3, False), (4, True)):
+        for trial in range(3):
+            upw = bytes(rng.randrange(1, 256) for _ in range(rng.randrange(1, 40)))
+            opw = bytes(rng.randrange(1, 256) for _ in range(rng.randrange(1, 40)))
+            cases.append(("v4", rev, aes, upw, opw))
+    for rev in (5, 6):
+        for trial in range(2):
+            upw = bytes(rng.randrange(1, 256) for _ in range(rng.randrange(1, 40)))
+            opw = bytes(rng.randrange(1, 256) for _ in range(rng.randrange(1, 40)))
+            cases.append(("v5", rev, None, upw, opw))
+    for kind, rev, aes, upw, opw in cases:
+        if kind == "v4":
+            enc = _encrypt_pdf(_plain_pdf(LINES), rev=rev,
+                               key_bits=40 if rev == 2 else 128, aes=aes,
+                               user_pw=upw, owner_pw=opw)
+        else:
+            enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=rev,
+                                  user_pw=upw, owner_pw=opw)
+        for pw in (upw, opw):
+            text, _, st = pdf_lite.extract_with_confidence(enc, password=pw)
+            assert st == "ok" and LINES[0] in text, (kind, rev, pw.hex())
+        wrong = bytes([upw[0] ^ 0xFF]) + upw[1:]
+        _, _, st = pdf_lite.extract_with_confidence(enc, password=wrong)
+        assert st == "quarantine", (kind, rev)
+    # R2-R4 pad-truncation edge: bytes past 32 never participate
+    long_pw = bytes(range(1, 41))  # 40 bytes
+    enc = _encrypt_pdf(_plain_pdf(LINES), rev=3, key_bits=128,
+                       user_pw=long_pw)
+    _, _, st = pdf_lite.extract_with_confidence(
+        enc, password=long_pw[:32] + b"DIFFERENT-TAIL"
+    )
+    assert st == "ok"
