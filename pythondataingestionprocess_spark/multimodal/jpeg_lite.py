@@ -679,6 +679,11 @@ def count_frames(content: bytes) -> int:
             i += 2
             if marker == 0xD9:  # EOI
                 frames += 1
+                # inter-frame ZERO padding only (AVI MJPG chunks pad
+                # to even sizes with 0x00); 0xFF padding here would be
+                # ambiguous with a truncated marker — stays an error
+                while i < n and content[i] == 0:
+                    i += 1
                 break
             if marker in _STANDALONE:
                 continue

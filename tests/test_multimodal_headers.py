@@ -422,3 +422,16 @@ def test_count_frames_fuzz_marker_structures():
             parts.append(bytes(frame))
         blob = b"".join(parts)
         assert jpeg_lite.count_frames(blob) == n, seed
+
+
+def test_count_frames_tolerates_zero_padding_between_frames():
+    """AVI MJPG chunks pad frames to even sizes with 0x00: zero runs
+    between EOI and the next SOI are skipped; 0xFF padding there stays
+    an error (ambiguous with a truncated marker)."""
+    from tests.test_jpeg_decode import _gray_jpeg
+
+    f1 = _gray_jpeg(8, 8, [(160, {})])
+    f2 = _gray_jpeg(8, 8, [(0, {})])
+    assert jpeg_lite.count_frames(f1 + b"\x00" * 7 + f2 + b"\x00") == 2
+    with pytest.raises(ValueError):
+        jpeg_lite.count_frames(f1 + b"\xff\xff" + f2)
