@@ -338,6 +338,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     bucket_cap: int = 1000,
+    banded: DataFrame | None = None,
+    doc_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding + exact-Jaccard verify.
 
@@ -348,6 +350,14 @@ def minhash_lsh_pairs(
     ``bucket_cap`` bounds per-bucket pair expansion (see
     bucket_candidate_pairs); buckets beyond it star-expand against the
     bucket's min id instead of materializing the id list.
+
+    ``banded`` / ``doc_sh`` optionally supply the precomputed
+    `_signatures_banded` / `shingle_array_table` frames for ``df``
+    (MUST be built with the same shingle/hash parameters): the
+    streaming screen computes them once per micro-batch and reuses
+    them across within-screen, cross-store probe, and store append —
+    the tokenize+shingle+minhash stage is the batch's dominant CPU
+    cost and used to run three times (r13 review).
     """
     # Signature via explode → 64 min-aggregates: one shuffle on id with
     # map-side partial mins, fully codegen'd. (The array-expression form
@@ -356,10 +366,12 @@ def minhash_lsh_pairs(
     # per hash function — fine for small arrays, wrong for the corpus
     # path.) No distinct() needed: min over the shingle multiset equals
     # min over the set — saves a full-corpus dedup shuffle.
-    banded = _signatures_banded(
-        df, id_col, text_col,
-        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed,
-    )
+    if banded is None:
+        banded = _signatures_banded(
+            df, id_col, text_col,
+            shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+            seed=seed,
+        )
     # Pair generation via bucket groupBy (NOT a self-join, which would
     # run the whole signature pipeline once per join side): one shuffle
     # on (band, band_hash), then in-bucket pair expansion — quadratic
@@ -373,7 +385,8 @@ def minhash_lsh_pairs(
     # magnitude smaller than the corpus, so two joins (AQE turns them
     # into broadcasts once the candidate size is known) beat a second
     # corpus-wide explode + shuffle-dedup + self-join cascade.
-    doc_sh = shingle_array_table(df, id_col, text_col, shingle_n)
+    if doc_sh is None:
+        doc_sh = shingle_array_table(df, id_col, text_col, shingle_n)
     return verify_jaccard_pairs(
         candidates,
         doc_sh.withColumnRenamed(id_col, "id_a"),
@@ -727,9 +740,14 @@ def cosine_near_dup_pairs(
     n_tables: int = 8,
     seed: int = 7,
     bucket_cap: int = 1000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: hyperplane-LSH candidate
-    buckets (vectorized matmul) → exact-cosine verify.
+    buckets (vectorized matmul) → exact-cosine verify. ``banded``
+    optionally supplies precomputed ``hyperplane_bucket_rows`` for
+    ``df`` (same dim/bits/tables/seed) — the matmul is the vector
+    path's dominant cost and the streaming screen reuses one pass
+    across within-screen, cross probe, and store append (r13 review).
 
     Same bucket-groupBy shape as MinHash banding — quadratic only
     within buckets, one corpus pass for signatures. Recall: a pair at
@@ -745,14 +763,15 @@ def cosine_near_dup_pairs(
     """
     from pythondataingestionprocess_spark.functions.vectors import cosine
     from pythondataingestionprocess_spark.operators.similarity import (
-        _buckets_udf,
-        hyperplanes,
+        hyperplane_bucket_rows,
     )
 
-    tables = [hyperplanes(dim, bits_per_table, seed + 101 * t) for t in range(n_tables)]
-    banded = df.select(
-        F.col(id_col), _buckets_udf(tables)(F.col(vec_col)).alias("bs")
-    ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+    if banded is None:
+        banded = hyperplane_bucket_rows(
+            df, id_col, vec_col,
+            dim=dim, bits_per_table=bits_per_table, n_tables=n_tables,
+            seed=seed,
+        )
     candidates = bucket_candidate_pairs(banded, id_col, ("table", "bucket"), bucket_cap)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -795,17 +814,15 @@ def cosine_near_dup_pairs_incremental(
     """
     from pythondataingestionprocess_spark.functions.vectors import cosine
     from pythondataingestionprocess_spark.operators.similarity import (
-        _buckets_udf,
-        hyperplanes,
+        hyperplane_bucket_rows,
     )
 
-    tables = [hyperplanes(dim, bits_per_table, seed + 101 * t) for t in range(n_tables)]
-    bucketize = _buckets_udf(tables)
-
     def banded(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col), bucketize(F.col(vec_col)).alias("bs")
-        ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+        return hyperplane_bucket_rows(
+            df, id_col, vec_col,
+            dim=dim, bits_per_table=bits_per_table, n_tables=n_tables,
+            seed=seed,
+        )
 
     candidates = _incremental_bucket_candidates(
         banded(corpus), banded(new_docs), id_col, ("table", "bucket"), bucket_cap

@@ -116,6 +116,32 @@ def _buckets_udf(tables: list[list[list[float]]]):
     return _buckets
 
 
+def hyperplane_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    bits_per_table: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, table, bucket) LSH membership rows — THE one construction
+    of the hyperplane tables (``seed + 101 * t`` per table) and the
+    posexplode shape, shared by the batch near-dup operators and the
+    streaming vector store (r13 review: three hand-synced copies of
+    this scheme meant a future seeding/encoding change would silently
+    desynchronize the streaming store/probe from the batch operators
+    — quietly different LSH recall, no error)."""
+    tables = [
+        hyperplanes(dim, bits_per_table, seed + 101 * t)
+        for t in range(n_tables)
+    ]
+    return df.select(
+        F.col(id_col), _buckets_udf(tables)(F.col(vec_col)).alias("bs")
+    ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,

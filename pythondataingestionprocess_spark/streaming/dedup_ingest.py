@@ -56,6 +56,17 @@ def _store_paths(store_dir: str) -> tuple[str, str]:
     return os.path.join(store_dir, "buckets"), os.path.join(store_dir, "shingles")
 
 
+def _glob_escape(path: str) -> str:
+    """Escape Hadoop glob metacharacters for DataFrameReader paths.
+    Spark's readers GLOB every input path: a store under
+    '/data/run[2026]/' either throws or silently reads nothing (r13
+    review — the silent form orphaned crash-recovery history). Write
+    paths are literal and need no escaping."""
+    for c in "\\*?[]{}":
+        path = path.replace(c, "\\" + c)
+    return path
+
+
 def _store_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -158,6 +169,8 @@ def screen_batch(
     text_col: str = "text",
     threshold: float = 0.5,
     bucket_cap: int = 1000,
+    banded: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for one incoming batch: within-batch pairs plus
     cross pairs against the signature store (empty or half-written
@@ -168,26 +181,45 @@ def screen_batch(
     NOT mutate the store — callers append via :func:`append_to_store`
     after consuming the result (see module docstring for retry
     semantics). Cross candidates are per-bucket capped exactly like
-    the batch operators (see :func:`capped_store_candidates`)."""
+    the batch operators (see :func:`capped_store_candidates`).
+
+    ``banded`` / ``shingles`` optionally supply the batch's
+    `_signatures_banded` / `shingle_array_table` frames so the
+    dominant tokenize+shingle+minhash CPU runs ONCE per micro-batch
+    instead of once here, once for the cross probe, and once again in
+    append_to_store (r13 review; the block path's blocks_df threads
+    the same way)."""
     buckets_path, shingles_path = _store_paths(store_dir)
+    if banded is None:
+        banded = dd._signatures_banded(
+            batch_df, id_col, text_col,
+            shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS,
+            seed=_SEED,
+        )
+    if shingles is None:
+        shingles = dd.shingle_array_table(
+            batch_df, id_col, text_col, _SHINGLE_N
+        )
     within = dd.minhash_lsh_pairs(
         batch_df, id_col, text_col,
         shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=threshold, seed=_SEED,
+        # the SAME cap as the cross-store probe: leaving the operator
+        # default here made the tuning knob apply to only half the
+        # screen (r13 review)
+        bucket_cap=bucket_cap,
+        banded=banded, doc_sh=shingles,
     ).withColumn("kind", F.lit("within"))
     if not (_store_has_committed(spark, buckets_path)
             and _store_has_committed(spark, shingles_path)):
         return within  # first batch (or its crashed first write)
-    new_banded = dd._signatures_banded(
-        batch_df, id_col, text_col,
-        shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS, seed=_SEED,
-    )
+    new_banded = banded
     # Retry hygiene: a crash between append_to_store and checkpoint
     # commit replays the batch with its own signatures already in the
     # store; capped_store_candidates anti-joins the batch's own ids
     # out of the store side and caps per-bucket expansion.
     batch_ids = batch_df.select(F.col(id_col).alias("id_b")).distinct()
-    store_buckets = spark.read.parquet(buckets_path).select(
+    store_buckets = spark.read.parquet(_glob_escape(buckets_path)).select(
         id_col, "band", "band_hash"
     )
     candidates = capped_store_candidates(
@@ -201,9 +233,7 @@ def screen_batch(
     # localCheckpoint materializes it once cheaply — same pattern as
     # dedup_batch_fn's read-once batch_df.
     candidates = candidates.localCheckpoint(eager=True)
-    sh_new = dd.shingle_array_table(
-        batch_df, id_col, text_col, _SHINGLE_N
-    ).withColumnRenamed(id_col, "id_a")
+    sh_new = shingles.withColumnRenamed(id_col, "id_a")
     # Semi-prune the store's shingle table to candidate ids BEFORE the
     # verify join: the store side carries wide shingle arrays, and an
     # unpruned equi-join shuffles every stored payload once the
@@ -213,7 +243,7 @@ def screen_batch(
     # so payload movement stays bounded by the batch, not the corpus.
     cand_ids = candidates.select("id_b").distinct()
     sh_store = (
-        spark.read.parquet(shingles_path)
+        spark.read.parquet(_glob_escape(shingles_path))
         .select(F.col(id_col).alias("id_b"), "sh")
         .join(cand_ids, "id_b", "left_semi")
     )
@@ -229,6 +259,8 @@ def append_to_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    banded: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> None:
     """Append this batch's band buckets and shingle arrays to the
     store, making it corpus for all later batches.
@@ -238,13 +270,17 @@ def append_to_store(
     retry replaces its own partial signatures instead of appending a
     second copy (partition discovery makes the root read see every
     subdir). Without ``batch_id`` (ad-hoc/backfill use) it is a plain
-    append."""
+    append. ``banded`` / ``shingles`` reuse precomputed frames (see
+    screen_batch)."""
     buckets_path, shingles_path = _store_paths(store_dir)
-    buckets = dd._signatures_banded(
+    buckets = banded if banded is not None else dd._signatures_banded(
         batch_df, id_col, text_col,
         shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS, seed=_SEED,
     )
-    shingles = dd.shingle_array_table(batch_df, id_col, text_col, _SHINGLE_N)
+    if shingles is None:
+        shingles = dd.shingle_array_table(
+            batch_df, id_col, text_col, _SHINGLE_N
+        )
     if batch_id is None:
         buckets.write.mode("append").parquet(buckets_path)
         shingles.write.mode("append").parquet(shingles_path)
@@ -272,14 +308,32 @@ def dedup_batch_fn(
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
+        # the tokenize+shingle+minhash stage is the batch's dominant
+        # CPU: compute its two products ONCE and thread them through
+        # the screen (within + cross probe) and the store append —
+        # they used to be recomputed three times per micro-batch (r13
+        # review; block_dedup_batch_fn's blocks_df set the pattern).
+        # Both are batch-proportional (16 bucket rows / one
+        # distinct-shingle array per doc), so eager materialization is
+        # bounded by the batch.
+        banded = dd._signatures_banded(
+            batch_df, id_col, text_col,
+            shingle_n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS,
+            seed=_SEED,
+        ).localCheckpoint(eager=True)
+        shingles = dd.shingle_array_table(
+            batch_df, id_col, text_col, _SHINGLE_N
+        ).localCheckpoint(eager=True)
         pairs = screen_batch(
             spark, batch_df, store_dir, id_col, text_col, threshold,
-            bucket_cap=bucket_cap,
+            bucket_cap=bucket_cap, banded=banded, shingles=shingles,
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_out_dir, f"batch_id={batch_id}")
         )
-        append_to_store(batch_df, store_dir, id_col, text_col, batch_id=batch_id)
+        append_to_store(batch_df, store_dir, id_col, text_col,
+                        batch_id=batch_id, banded=banded,
+                        shingles=shingles)
 
     return fn
 
@@ -383,7 +437,7 @@ def block_screen_batch(
     w = W.partitionBy("block_hash").orderBy(id_col, "block_idx")
     ranked = blocks.withColumn("rn", F.row_number().over(w))
     if _store_has_committed(spark, blocks_path):
-        store = spark.read.parquet(blocks_path)
+        store = spark.read.parquet(_glob_escape(blocks_path))
         _require_v2_block_store(store)
         if batch_id is not None and "ingest_batch" in store.columns:
             store = store.filter(F.col("ingest_batch") != batch_id)
@@ -429,7 +483,7 @@ def append_blocks_to_store(
     if _store_has_committed(spark, blocks_path):
         # footer-only read: never append binary keys into a legacy
         # bigint store (mixed part-file types fail on every later read)
-        _require_v2_block_store(spark.read.parquet(blocks_path))
+        _require_v2_block_store(spark.read.parquet(_glob_escape(blocks_path)))
     blocks = (
         blocks_df
         if blocks_df is not None
@@ -537,12 +591,20 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
         # every __building* staging leftover included: a crash after
         # the old-staging delete but before the __next promotion can
         # leave the only complete copy under a staging name — each one
-        # is an input too, never orphaned
+        # is an input too, never orphaned. LISTING, not globbing (the
+        # _store_has_committed rule, r13 review): a glob built from a
+        # store path containing metacharacters ('run[2026]') either
+        # throws or silently matches nothing — and a silent miss here
+        # orphans the ONLY complete history copy after that crash.
+        parent = jvm.org.apache.hadoop.fs.Path(
+            os.path.dirname(path) or "."
+        )
         building = [
             str(st.getPath().toUri().getPath())
-            for st in fs.globStatus(
-                jvm.org.apache.hadoop.fs.Path(path + "__building*")
+            for st in (
+                fs.listStatus(parent) if fs.exists(parent) else []
             )
+            if st.getPath().getName().startswith(table + "__building")
         ]
         sources = [
             s for s in (path, path + "__next", path + "__old", *building)
@@ -572,7 +634,7 @@ def compact_store(spark: SparkSession, store_dir: str) -> dict[str, tuple[int, i
         )
         parts = []
         for s in sources:
-            df = spark.read.parquet(s)
+            df = spark.read.parquet(_glob_escape(s))
             if "ingest_batch" in df.columns:
                 df = df.drop("ingest_batch")
             parts.append(df)

@@ -40,6 +40,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.operators import dsir
+from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+    _glob_escape,
+)
 
 
 def _paths(store_dir: str) -> tuple[str, str]:
@@ -85,7 +88,11 @@ def _raw_state_excluding(
 
     if not _store_has_committed(spark, raw_path):
         return None  # first batch: no committed raw state yet
-    prior = spark.read.option("basePath", raw_path).parquet(raw_path)
+    # the READ path is glob-expanded by Spark (escape it); basePath is
+    # a literal prefix for partition discovery and must stay raw
+    prior = spark.read.option("basePath", raw_path).parquet(
+        _glob_escape(raw_path)
+    )
     prior = prior.filter(F.col("ingest_batch") != batch_id).select("bucket", "c")
     return prior.groupBy("bucket").agg(F.sum("c").alias("c"))
 
@@ -118,7 +125,7 @@ def score_batch(
         if prior is None
         else dsir.merge_bucket_counts(prior, batch_counts)
     )
-    target_counts = spark.read.parquet(target_path)
+    target_counts = spark.read.parquet(_glob_escape(target_path))
     ratio = dsir.log_ratio_vector(
         dsir.log_dist_from_counts(target_counts, m=m),
         dsir.log_dist_from_counts(raw_counts, m=m),

@@ -41,10 +41,10 @@ from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.operators import dedup as dd
 from pythondataingestionprocess_spark.operators.similarity import (
-    _buckets_udf,
-    hyperplanes,
+    hyperplane_bucket_rows,
 )
 from pythondataingestionprocess_spark.streaming.dedup_ingest import (
+    _glob_escape,
     _store_has_committed,
     capped_store_candidates,
 )
@@ -60,10 +60,13 @@ def _store_paths(store_dir: str) -> tuple[str, str]:
 
 
 def _banded(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
-    tables = [hyperplanes(dim, _BITS, _SEED + 101 * t) for t in range(_TABLES)]
-    return df.select(
-        F.col(id_col), _buckets_udf(tables)(F.col(vec_col)).alias("bs")
-    ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+    # the ONE shared bucket construction (operators/similarity.py) —
+    # the store and every probe must hash identically to the batch
+    # operators or LSH recall silently diverges (r13 review)
+    return hyperplane_bucket_rows(
+        df, id_col, vec_col,
+        dim=dim, bits_per_table=_BITS, n_tables=_TABLES, seed=_SEED,
+    )
 
 
 def _check_dim(batch_df: DataFrame, vec_col: str, dim: int) -> None:
@@ -107,7 +110,7 @@ def _store_dim(spark: SparkSession, store_dir: str) -> int | None:
     meta = os.path.join(store_dir, "meta")
     if not _store_has_committed(spark, meta):
         return None
-    return int(spark.read.parquet(meta).first()["dim"])
+    return int(spark.read.parquet(_glob_escape(meta)).first()["dim"])
 
 
 def _write_store_dim(spark: SparkSession, store_dir: str, dim: int) -> None:
@@ -125,6 +128,7 @@ def screen_batch(
     threshold: float = 0.99,
     dim: int = _DIM,
     bucket_cap: int = 1000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for one incoming vector batch: within-batch
     pairs plus cross pairs against the store (empty or half-written
@@ -147,17 +151,26 @@ def screen_batch(
             f"store at {store_dir} was built with dim={stored}; "
             f"got dim={dim} — buckets would be meaningless"
         )
+    if banded is None:
+        banded = _banded(batch_df, id_col, vec_col, dim)
     within = dd.cosine_near_dup_pairs(
         batch_df, id_col, vec_col,
         threshold=threshold, dim=dim, bits_per_table=_BITS,
         n_tables=_TABLES, seed=_SEED,
+        # the SAME cap as the cross-store probe: leaving the operator
+        # default here made the tuning knob apply to only half the
+        # screen (r13 review)
+        bucket_cap=bucket_cap,
+        # one hyperplane matmul per batch, shared with the cross probe
+        # and the store append (r13 review)
+        banded=banded,
     ).withColumn("kind", F.lit("within"))
     if not (_store_has_committed(spark, buckets_path)
             and _store_has_committed(spark, vectors_path)):
         return within  # first batch (or its crashed first write)
-    new_banded = _banded(batch_df, id_col, vec_col, dim)
+    new_banded = banded
     batch_ids = batch_df.select(F.col(id_col).alias("id_b")).distinct()
-    store_buckets = spark.read.parquet(buckets_path).select(
+    store_buckets = spark.read.parquet(_glob_escape(buckets_path)).select(
         id_col, "table", "bucket"
     )
     candidates = capped_store_candidates(
@@ -167,7 +180,7 @@ def screen_batch(
     va = batch_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     cand_ids = candidates.select("id_b").distinct()
     vb = (
-        spark.read.parquet(vectors_path)
+        spark.read.parquet(_glob_escape(vectors_path))
         .select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         .join(cand_ids, "id_b", "left_semi")
     )
@@ -190,11 +203,13 @@ def append_to_store(
     vec_col: str = "embedding",
     batch_id: int | None = None,
     dim: int = _DIM,
+    banded: DataFrame | None = None,
 ) -> None:
     """Append this batch's bucket membership and vectors to the store.
     Same idempotency contract as dedup_ingest.append_to_store: with
     ``batch_id`` each batch owns an ``ingest_batch=N`` overwrite
-    subdir."""
+    subdir. ``banded`` reuses a precomputed bucket frame (see
+    screen_batch)."""
     buckets_path, vectors_path = _store_paths(store_dir)
     spark = batch_df.sparkSession
     stored = _store_dim(spark, store_dir)
@@ -205,7 +220,9 @@ def append_to_store(
             f"store at {store_dir} was built with dim={stored}; "
             f"got dim={dim} — buckets would be meaningless"
         )
-    buckets = _banded(batch_df, id_col, vec_col, dim)
+    buckets = banded if banded is not None else _banded(
+        batch_df, id_col, vec_col, dim
+    )
     vectors = batch_df.select(id_col, vec_col)
     if batch_id is None:
         buckets.write.mode("append").parquet(buckets_path)
@@ -239,15 +256,24 @@ def embedding_dedup_batch_fn(
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # read the source once
         _check_dim(batch_df, vec_col, dim)
+        # ONE hyperplane matmul per batch (the vector path's dominant
+        # cost), threaded through within-screen, cross probe, and the
+        # store append — it used to run three times per micro-batch
+        # (r13 review); bucket rows are batch-proportional (n_tables
+        # rows per vector), so eager materialization is bounded
+        banded = _banded(batch_df, id_col, vec_col, dim).localCheckpoint(
+            eager=True
+        )
         pairs = screen_batch(
             spark, batch_df, store_dir, id_col, vec_col, threshold, dim=dim,
-            bucket_cap=bucket_cap,
+            bucket_cap=bucket_cap, banded=banded,
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_out_dir, f"batch_id={batch_id}")
         )
         append_to_store(
-            batch_df, store_dir, id_col, vec_col, batch_id=batch_id, dim=dim
+            batch_df, store_dir, id_col, vec_col, batch_id=batch_id, dim=dim,
+            banded=banded,
         )
 
     return fn

@@ -93,6 +93,9 @@ class StreamingJdbcSink:
         self.sink_id = sink_id
         self.mode = mode
         self.keys = keys or []
+        # once-per-sink-lifetime append bootstrap (migration check +
+        # replay index) — re-run on restart by the fresh instance
+        self._append_bootstrapped = False
         self._ensure_ledger()
 
     # ---- driver-side single-statement JDBC ---------------------------
@@ -229,8 +232,15 @@ class StreamingJdbcSink:
                     # legacy rows for this sink (the old contract was
                     # one sink per table, so the first successor owns
                     # them) — a one-time scan, after which the replay
-                    # DELETE's exact predicate applies uniformly
-                    if "batch_sink" not in self.store.read(self.table).columns:
+                    # DELETE's exact predicate applies uniformly.
+                    # Memoized per sink lifetime: re-probing the JDBC
+                    # schema every micro-batch paid a metadata round
+                    # trip for a condition that can only be true once
+                    # (r13 review)
+                    if not self._append_bootstrapped and (
+                        "batch_sink"
+                        not in self.store.read(self.table).columns
+                    ):
                         self._execute(
                             f'ALTER TABLE {self.table} '
                             'ADD COLUMN "batch_sink" VARCHAR(128)'
@@ -255,8 +265,17 @@ class StreamingJdbcSink:
                         (self.sink_id, int(batch_id)),
                     )
                 self.store.append(self.table, stamped)
-                if not existed:
+                if not self._append_bootstrapped:
+                    # UNCONDITIONAL once per sink lifetime, not only on
+                    # table creation: a crash between the first batch's
+                    # append (which created the table) and this call
+                    # used to leave the replay-DELETE index permanently
+                    # missing — every later batch saw existed=True and
+                    # skipped it, degrading the per-batch DELETE to a
+                    # full scan forever (r13 review). _ensure_batch_index
+                    # already ignores already-exists SQLStates.
                     self._ensure_batch_index()
+                    self._append_bootstrapped = True
                 n = stamped.count()
             finally:
                 stamped.unpersist()

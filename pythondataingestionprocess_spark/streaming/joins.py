@@ -122,10 +122,20 @@ def enrich_with_scd2_dim(
     s = stream.alias("__scd2_stream")
     d0 = versions.alias("__scd2_dim")
     d = F.broadcast(d0) if broadcast else d0
+    # an OPEN current version (valid_to IS NULL — the standard SCD2
+    # convention alongside far-future sentinels) must match every
+    # event at/after its valid_from; a bare `ts < valid_to` is NULL
+    # there and the residual silently drops the match (r13 review).
+    # IS NULL OR < is type-agnostic (timestamp/date/epoch-numeric
+    # version tables alike — a cast sentinel would NULL out on
+    # numerics and reintroduce the bug).
     cond = (
         (F.col(f"__scd2_stream.{key}") == F.col(f"__scd2_dim.{key}"))
         & (F.col(f"__scd2_stream.{ts_col}") >= F.col(f"__scd2_dim.{valid_from}"))
-        & (F.col(f"__scd2_stream.{ts_col}") < F.col(f"__scd2_dim.{valid_to}"))
+        & (
+            F.col(f"__scd2_dim.{valid_to}").isNull()
+            | (F.col(f"__scd2_stream.{ts_col}") < F.col(f"__scd2_dim.{valid_to}"))
+        )
     )
     return (
         s.join(d, cond, "left")

@@ -37,8 +37,22 @@ class ProgressFileLogger(StreamingQueryListener):
     """
 
     def __init__(self, log_dir: str) -> None:
-        self.log_dir = log_dir
-        os.makedirs(log_dir, exist_ok=True)
+        # local-filesystem writer only; the module docstring says
+        # "point log_dir at object storage", and os.makedirs on
+        # 's3://bucket/x' happily creates a LOCAL directory named
+        # 's3:/bucket/x' — every event then lands on the driver's
+        # disk while spark.read.json(log_dir) finds nothing (r13
+        # review). Reject URI schemes loudly; an object-store
+        # deployment subclasses with a Hadoop-FS/metrics-bus writer.
+        scheme = log_dir.split("://", 1)[0] if "://" in log_dir else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"ProgressFileLogger writes through the local "
+                f"filesystem; got scheme {scheme!r} — subclass with a "
+                f"Hadoop FileSystem writer for object storage"
+            )
+        self.log_dir = log_dir.removeprefix("file://")
+        os.makedirs(self.log_dir, exist_ok=True)
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
-_STATE_SCHEMA = "n long, s double"
+_STATE_SCHEMA = "n long, s double, last_ts timestamp"
 
 
 def _update_running(
@@ -29,14 +29,20 @@ def _update_running(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, s = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    # last_ts is RUNNING state like n and s: without it in the state
+    # tuple, a batch of only LATE events would emit a last-event-ts
+    # that moves BACKWARD while the counters move forward, breaking
+    # the running-aggregate contract for latest-by-key consumers
+    # (r13 review)
+    n, s, last_ts = state.get if state.exists else (0, 0.0, None)
     for pdf in pdfs:
+        if not len(pdf):
+            continue  # empty Arrow chunk: .max() would inject NaT
         n += len(pdf)
         s += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, s))
+    state.update((n, s, last_ts))
     yield pd.DataFrame(
         [{"user_id": user_id, "n_events": n, "sum_value": s, "last_ts": last_ts}]
     )

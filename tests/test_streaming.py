@@ -1840,3 +1840,133 @@ def test_compact_store_skips_debris_only_staging_dir(spark, tmp_path):
         .filter("kind = 'cross'").collect()
     }
     assert got == {(10, 1)}
+
+
+# ---- r13 streaming review regression pins ---------------------------
+
+
+def test_scd2_enrich_open_ended_null_valid_to(spark):
+    """r13 review: an OPEN current version (valid_to IS NULL — the
+    standard SCD2 convention) must enrich every event at/after its
+    valid_from; the bare `ts < valid_to` residual was NULL there and
+    silently dropped the match."""
+    from pythondataingestionprocess_spark.streaming.joins import (
+        enrich_with_scd2_dim,
+    )
+
+    events = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:03:00"), (2, 1, "2024-01-01 00:00:30"),
+         (3, 2, "2024-01-01 00:05:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    versions = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00", "2024-01-01 00:02:00"),
+         (1, "gold", "2024-01-01 00:02:00", None),   # OPEN current row
+         (2, "silver", "2024-01-01 00:01:00", None)],
+        "user_id long, tier string, valid_from string, valid_to string",
+    ).select(
+        "user_id", "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    got = {
+        r["event_id"]: r["tier"]
+        for r in enrich_with_scd2_dim(events, versions, "user_id", "ts")
+        .select("event_id", "tier").collect()
+    }
+    assert got == {1: "gold", 2: "bronze", 3: "silver"}
+
+
+def test_compact_store_heals_under_glob_metachar_store_dir(spark, tmp_path):
+    """r13 review: __building leftovers are found by LISTING the
+    parent dir — a Hadoop glob built from a store path containing
+    metacharacters ('run[2026]') would throw or silently match
+    nothing, orphaning the only complete history copy after the traced
+    crash sequence."""
+    import shutil
+
+    from pythondataingestionprocess_spark.streaming import dedup_ingest as di
+
+    store = str(tmp_path / "run[2026]" / "store")
+    old_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    di.append_to_store(old_docs, store, batch_id=0)
+    for table in ("buckets", "shingles"):
+        shutil.move(
+            os.path.join(store, table),
+            os.path.join(store, table + "__building_deadbeef"),
+        )
+    new_docs = spark.createDataFrame(
+        [(2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    di.append_to_store(new_docs, store, batch_id=1)
+
+    di.compact_store(spark, store)
+
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in di.screen_batch(spark, probe, store)
+        .filter("kind = 'cross'").collect()
+    }
+    assert got == {(10, 1), (11, 2)}
+
+
+def test_stateful_running_totals_late_batch_keeps_last_ts(spark, tmp_path):
+    """r13 review: last_ts is RUNNING state — a later micro-batch
+    carrying only EARLIER (late) events must not move the emitted
+    last-event-ts backward while the counters move forward."""
+    import time as _time
+
+    pytest.importorskip("pandas")
+    from pythondataingestionprocess_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    _write_json_batch(inbox, "a.json", _rows(10, 2, user=7))  # :10, :11
+    _time.sleep(1.1)  # FileStreamSource orders batches by mtime
+    _write_json_batch(inbox, "b.json", _rows(0, 1, user=7))   # LATE :00
+
+    stream = file_ingest.file_stream(
+        spark, inbox, EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_late_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM state_late_test ORDER BY n_events"
+    ).collect()
+    final = rows[-1]
+    assert final["n_events"] == 3
+    # the late-only batch must keep the running max (:11), not :00
+    assert final["last_ts"].minute == 11
+
+
+def test_progress_logger_rejects_object_store_scheme(spark, tmp_path):
+    """r13 review: ProgressFileLogger writes through the LOCAL
+    filesystem — an s3:// log_dir used to silently create a local
+    directory named 's3:/...' and lose every event; now it refuses
+    loudly. file:// is accepted (and stripped)."""
+    from pythondataingestionprocess_spark.streaming.monitoring import (
+        ProgressFileLogger,
+    )
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        ProgressFileLogger("s3://bucket/streamlogs")
+    local = ProgressFileLogger(f"file://{tmp_path}/logs")
+    assert os.path.isdir(f"{tmp_path}/logs")
+    assert local.log_dir == f"{tmp_path}/logs"
