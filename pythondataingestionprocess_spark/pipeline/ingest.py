@@ -130,22 +130,37 @@ def dedup_against_history(
         operation.join(purchase.select("id_purchase", "purchase_date"), "id_purchase")
         .join(product.select("id_product", "product_name"), "id_product")
         .select(
-            F.col("product_name").alias("Descripción"),
-            F.col("quantity").alias("Cant"),
-            F.col("unit_price").alias("C. Unit"),
-            "purchase_date",
+            F.col("product_name").alias("_h_name"),
+            F.col("quantity").alias("_h_qty"),
+            F.col("unit_price").alias("_h_price"),
+            F.col("purchase_date").alias("_h_date"),
         )
     )
-    return first_only.join(
-        existing, ["Descripción", "Cant", "C. Unit", "purchase_date"], "left_anti"
+    # NULL-SAFE matching on the AS-STORED values (r13 review): the
+    # history side holds coalesced quantity/price (0 / 0.0) and a
+    # possibly-NULL purchase_date, while the staged side carries raw
+    # NULLs — a plain equality anti-join never matches either form
+    # (SQL NULL semantics), so a NULL-dated or blank-quantity row
+    # duplicated on EVERY re-ingest. (The reference's SQL probe has
+    # the same hole — database_utils.py:128-145 `= %s` with None —
+    # documented divergence: we dedup these rows, it re-inserts them.)
+    # The in-batch window above already treats NULLs as equal, so the
+    # two layers now agree.
+    cond = (
+        _q("Descripción").eqNullSafe(F.col("_h_name"))
+        & F.coalesce(_q("Cant"), F.lit(0)).cast("long").eqNullSafe(
+            F.col("_h_qty")
+        )
+        & F.coalesce(_q("C. Unit"), F.lit(0.0)).eqNullSafe(F.col("_h_price"))
+        & _q("purchase_date").eqNullSafe(F.col("_h_date"))
     )
+    return first_only.join(existing, cond, "left_anti")
 
 
 def stage_batch(
     compras: DataFrame,
     precios: DataFrame,
     store: ParquetTableStore,
-    current_date: date | None = None,
     collect_metrics: bool = True,
     verify_urls: bool = False,
     url_transport=None,
@@ -162,16 +177,29 @@ def stage_batch(
     batches but add two job launches per micro-batch under a
     high-trigger-rate stream. The eager localCheckpoint stays — it is
     correctness (lineage must not re-scan history tables after the
-    upserts swap the underlying parquet), not observability.
+    upserts swap the underlying parquet), not observability. (A dead
+    ``current_date`` parameter was dropped r13: SCD stamping happens
+    in ingest_batch, and the unused knob misled callers into thinking
+    staging was date-dependent.)
     """
-    current_date = current_date or date.today()
     n_input = compras.count() if collect_metrics else -1
     # J1 enrichment (import_files_to_postgre.py:93-97): attach
     # Marca/Categoria from the price sheet. The reference's pandas
     # merge would duplicate rows on duplicate price-list names, but
     # those duplicates are then J5-skipped in-transaction — net effect
     # is first-match, which we take directly (W2).
-    w_attr = W.partitionBy(_q("Descripción")).orderBy("row_idx")
+    # first-match order must be total ACROSS workbooks: with a
+    # multi-file batch, row_idx alone ties (each file restarts at 0)
+    # and the window winner becomes partition-order nondeterministic —
+    # different Marca/price run-to-run on identical input (r13
+    # review). Single-file precios (no src_file column) keeps the
+    # plain row_idx order.
+    precio_order = (
+        ["src_file", "row_idx"]
+        if "src_file" in precios.columns
+        else ["row_idx"]
+    )
+    w_attr = W.partitionBy(_q("Descripción")).orderBy(*precio_order)
     precio_attrs = (
         precios.withColumn("_rn", F.row_number().over(w_attr))
         .filter(F.col("_rn") == 1)
@@ -193,7 +221,18 @@ def stage_batch(
     # the underlying parquet files. (With a Delta/Iceberg sink the ACID
     # snapshot makes this unnecessary.)
     rows = rows.withColumn(
-        "id_purchase", _sk("purchase", "src_file", "row_idx")
+        "id_purchase",
+        # CONTENT participates in the key (r13 review): a same-named
+        # file re-dropped with corrected contents passes the history
+        # dedup (content differs) but (src_file, row_idx) alone would
+        # reuse the OLD row's id_purchase — two conflicting fact rows
+        # under one key, cross-matching purchase⨝operation. Identical
+        # re-drops never reach this point (dedup_against_history), so
+        # idempotence is unchanged.
+        _sk(
+            "purchase", "src_file", "row_idx", _q("Descripción"),
+            _q("Cant"), _q("C. Unit"), _q("purchase_date"),
+        ),
     ).localCheckpoint(eager=True)
     n_staged = rows.count() if collect_metrics else -1
 
@@ -306,7 +345,7 @@ def stage_batch(
     )
 
     # ---- price (W2 first-match + truthy defaults) -------------------
-    w_price = W.partitionBy("Descripción").orderBy("row_idx")
+    w_price = W.partitionBy("Descripción").orderBy(*precio_order)
     first_price = (
         precios.withColumn("_rn", F.row_number().over(w_price))
         .filter(F.col("_rn") == 1)
@@ -373,7 +412,7 @@ def ingest_batch(
     """
     current_date = current_date or date.today()
     result = stage_batch(
-        compras, precios, store, current_date, collect_metrics,
+        compras, precios, store, collect_metrics,
         verify_urls=verify_urls, url_transport=url_transport,
     )
     store.insert_if_absent("payment_type", rows_payment(result), ["payment_type"])

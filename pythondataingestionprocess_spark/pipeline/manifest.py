@@ -19,6 +19,8 @@ per table; manifest rows are tables-sized, never data-sized.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,9 +64,13 @@ def record_run(
     manifest = spark.createDataFrame(
         rows, "run_id string, role string, table_name string, n_rows long, checksum string"
     )
-    try:
-        store.read(MANIFEST_TABLE)
-    except Exception:
+    # existence-checked, never exception-guessed (r13 review): the old
+    # bare `except Exception: overwrite` treated ANY read failure — a
+    # transient FS error, a corrupt footer, a concurrent swap — as
+    # "first run" and replaced the whole audit history with one run's
+    # rows. A real read failure now propagates; only a genuinely
+    # absent table bootstraps.
+    if not os.path.exists(store._path(MANIFEST_TABLE)):
         store.overwrite(MANIFEST_TABLE, manifest)
         return
     store.upsert(MANIFEST_TABLE, manifest, keys=["run_id", "role", "table_name"])

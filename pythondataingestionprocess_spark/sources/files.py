@@ -20,7 +20,7 @@ import os
 import shutil
 import time
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime
 
 
@@ -67,6 +67,10 @@ def move_file(
 class DirectoryIngestReport:
     processed: list[str]
     errored: list[str]
+    # files whose post-outcome MOVE failed (full/unwritable archive or
+    # dead-letter mount): still in the inbox at their ORIGINAL path —
+    # the next run re-scans them and history dedup absorbs the replay
+    unmoved: list[str] = field(default_factory=list)
 
 
 def ingest_directory(
@@ -77,13 +81,27 @@ def ingest_directory(
 ) -> DirectoryIngestReport:
     """The reference's main loop (import_files_to_postgre.py:283-296):
     per-file fault isolation — one bad workbook dead-letters, the rest
-    continue. ``process`` raises to signal failure."""
+    continue. ``process`` raises to signal failure.
+
+    Fault isolation covers the MOVE too (r13 review): the old shape
+    routed a successfully-INGESTED file to the dead-letter dir when
+    its archive move failed, and a failing dead-letter move aborted
+    the whole directory loop — both contradicting the one-bad-file
+    contract. A failed move now leaves the file in place, reported in
+    ``unmoved`` alongside its processing outcome."""
     ok: list[str] = []
     bad: list[str] = []
+    unmoved: list[str] = []
     for path in scan_directory(data_dir):
         try:
             process(path)
-            ok.append(move_file(path, True, processed_dir, errors_dir))
+            success = True
         except Exception:
-            bad.append(move_file(path, False, processed_dir, errors_dir))
-    return DirectoryIngestReport(processed=ok, errored=bad)
+            success = False
+        try:
+            dest = move_file(path, success, processed_dir, errors_dir)
+        except OSError:
+            dest = path
+            unmoved.append(path)
+        (ok if success else bad).append(dest)
+    return DirectoryIngestReport(processed=ok, errored=bad, unmoved=unmoved)

@@ -129,12 +129,36 @@ def read_workbook(
             cell = row[col_idx]
             links.append(cell.hyperlink.target if cell.hyperlink else None)
 
+    def cell_str(v) -> str | None:
+        """Stringify a TYPED openpyxl value into the same lexical form
+        the xlsx_lite path reads from the raw <v> elements, so the two
+        decoders keep one output contract (r13 review: str(datetime)
+        emitted '2024-03-18 00:00:00', which excel_serial_to_date
+        cannot parse — every date-formatted Fch Cmpr silently NULLed
+        only when openpyxl happened to be installed; booleans diverged
+        'True' vs '1')."""
+        from datetime import date as _date
+        from datetime import datetime as _dt
+
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        if isinstance(v, _dt):
+            delta = v - _dt(1899, 12, 30)  # Excel day-zero
+            if delta.seconds == 0 and delta.microseconds == 0:
+                return str(delta.days)
+            return repr(delta.days + delta.seconds / 86400.0)
+        if isinstance(v, _date):
+            return str((v - _date(1899, 12, 30)).days)
+        return str(v)
+
     def sheet_df(name: str) -> DataFrame:
         ws = wb[name]
         rows = list(ws.iter_rows(values_only=True))
         header, data = [str(h) for h in rows[0]], rows[1:]
         typed = [
-            tuple(None if v is None else str(v) for v in r) + (path, i)
+            tuple(cell_str(v) for v in r) + (path, i)
             for i, r in enumerate(data)
         ]
         schema = ", ".join(f"`{h}` string" for h in header)

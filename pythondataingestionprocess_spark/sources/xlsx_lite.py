@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
@@ -114,15 +114,26 @@ def read_sheets(path: str) -> dict[str, dict]:
 
             grid: dict[int, dict[int, str]] = {}
             max_col = -1
+            # ECMA-376 makes the r attribute OPTIONAL on both <row>
+            # and <c> (position = previous + 1) — streaming writers
+            # omit it; the old attrib['r'] crashed on such rows and an
+            # r-less cell landed at column -1 and silently vanished
+            # from the grid (r13 review)
+            prev_row = -1
             for row in ws.iter():
                 if _local(row.tag) != "row":
                     continue
-                r_idx = int(row.attrib["r"]) - 1
+                r_attr = row.attrib.get("r")
+                r_idx = int(r_attr) - 1 if r_attr else prev_row + 1
+                prev_row = r_idx
                 cells: dict[int, str] = {}
+                prev_col = -1
                 for c in row:
                     if _local(c.tag) != "c":
                         continue
-                    col = _col_index(c.attrib.get("r", ""))
+                    ref = c.attrib.get("r", "")
+                    col = _col_index(ref) if ref else prev_col + 1
+                    prev_col = col
                     ctype = c.attrib.get("t", "n")
                     value: str | None = None
                     if ctype == "inlineStr":
@@ -203,8 +214,11 @@ def write_workbook(
         'Target="xl/workbook.xml"/></Relationships>'
     )
 
+    # quoteattr, not escape: sax escape() leaves double quotes alone,
+    # so a sheet name containing one produced malformed XML that no
+    # reader (including read_sheets) could open (r13 review)
     wb_sheets = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name={quoteattr(name)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, (name, _) in enumerate(sheets)
     )
     workbook = (
@@ -264,7 +278,8 @@ def write_workbook(
                     rels.append(
                         f'<Relationship Id="{rid}" '
                         'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" '
-                        f'Target="{escape(url)}" TargetMode="External"/>'
+                        # quoteattr: URLs legally contain double quotes
+                        f'Target={quoteattr(url)} TargetMode="External"/>'
                     )
                 body.append("</hyperlinks>")
             sheet_xml = (

@@ -315,8 +315,8 @@ def test_stage_batch_metrics_optional(spark, tmp_path):
     store = ParquetTableStore(spark, str(tmp_path / "warehouse"))
     compras = make_compras(spark, [compras_row(desc="A", liga=AMZ)])
     precios = make_precios(spark, [])
-    with_m = stage_batch(compras, precios, store, current_date=D)
-    without_m = stage_batch(compras, precios, store, current_date=D,
+    with_m = stage_batch(compras, precios, store)
+    without_m = stage_batch(compras, precios, store,
                             collect_metrics=False)
     assert with_m.n_input_rows >= 0 and with_m.n_staged_rows >= 0
     assert without_m.n_input_rows == -1 and without_m.n_staged_rows == -1
@@ -447,3 +447,137 @@ def test_ingest_with_live_url_verification_flag(spark, store, tmp_path):
     assert os.listdir(rec_dir) == []
     assert {r["provider_url"]: r["is_active"]
             for r in store.read("provider").collect()} == provs
+
+
+# ---- r13 pipeline review regression pins -----------------------------
+
+
+def test_null_keyed_rows_dedup_against_history(spark, store):
+    """r13 review: a row with NULL purchase_date / NULL Cant must
+    match its own history on re-ingest — the plain equality anti-join
+    never matched NULL keys (nor raw-NULL Cant vs the stored coalesced
+    0), duplicating the row on EVERY re-drop."""
+    row = list(compras_row(desc="A", liga=AMZ))
+    row[1] = None   # Cant
+    row[8] = None   # purchase_date
+    compras = make_compras(spark, [tuple(row)])
+    ingest_batch(compras, make_precios(spark, []), store, current_date=D)
+    assert store.read("purchase").count() == 1
+    res2 = ingest_batch(compras, make_precios(spark, []), store,
+                        current_date=D)
+    assert res2.n_staged_rows == 0
+    assert store.read("purchase").count() == 1
+    assert store.read("operation").count() == 1
+
+
+def test_modified_redrop_gets_fresh_purchase_key(spark, store):
+    """r13 review: a same-named file re-dropped with CORRECTED
+    contents passes history dedup (content differs) but used to reuse
+    the old row's (src_file, row_idx) surrogate — two conflicting fact
+    rows under ONE id_purchase. Content now participates in the key."""
+    v1 = make_compras(spark, [compras_row(desc="A", liga=AMZ,
+                                          c_unit=100.0)])
+    ingest_batch(v1, make_precios(spark, []), store, current_date=D)
+    v2 = make_compras(spark, [compras_row(desc="A", liga=AMZ,
+                                          c_unit=90.0)])  # corrected
+    ingest_batch(v2, make_precios(spark, []), store, current_date=D)
+    purchases = store.read("purchase").collect()
+    assert len(purchases) == 2
+    assert len({r["id_purchase"] for r in purchases}) == 2
+    # operations join their OWN purchase rows 1:1, never cross-match
+    ops = store.read("operation")
+    joined = ops.join(store.read("purchase"), "id_purchase")
+    assert joined.count() == 2
+
+
+def test_multifile_precios_first_match_is_deterministic(spark, store):
+    """r13 review: with a multi-workbook precios union, row_idx alone
+    ties (each file restarts at 0) and the first-match winner was
+    partition-order nondeterministic. With src_file present the window
+    orders (src_file, row_idx): the lexicographically-first file's
+    Marca/price wins, repeatably."""
+    compras = make_compras(spark, [compras_row(desc="A", liga=AMZ)])
+    p1 = list(precios_row(desc="A", marca="LEGO", p_venta=180.0))
+    p2 = list(precios_row(desc="A", marca="MATTEL", p_venta=120.0))
+    precios = (
+        make_precios(spark, [tuple(p1)]).withColumn(
+            "src_file", F.lit("b.xlsx")
+        ).unionByName(
+            make_precios(spark, [tuple(p2)]).withColumn(
+                "src_file", F.lit("a.xlsx")
+            )
+        )
+        # adversarial partitioning: the tie used to be broken by
+        # whichever partition came first
+        .repartition(8)
+    )
+    for _ in range(3):
+        res = stage_batch(compras, precios, store)
+        prod = res.products.first()
+        assert prod["brand"] == "MATTEL"  # a.xlsx < b.xlsx
+        price = res.prices.first()
+        assert price["price"] == pytest.approx(120.0)
+
+
+def test_manifest_corrupt_table_raises_not_overwrites(spark, tmp_path):
+    """r13 review: a manifest table that EXISTS but cannot be read
+    must propagate the failure — the old bare `except: overwrite`
+    destroyed the whole audit history on any transient read error."""
+    import os
+
+    from pythondataingestionprocess_spark.pipeline.manifest import (
+        MANIFEST_TABLE,
+        record_run,
+    )
+
+    store = ParquetTableStore(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,)], "x long")
+    record_run(store, "run1", inputs={"t": df}, outputs={})
+    assert store.read(MANIFEST_TABLE).count() == 1
+    # corrupt the table: replace parquet files with junk
+    tdir = store._path(MANIFEST_TABLE)
+    for f in os.listdir(tdir):
+        os.remove(os.path.join(tdir, f))
+    with open(os.path.join(tdir, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        record_run(store, "run2", inputs={"t": df}, outputs={})
+
+
+def test_ingest_directory_move_failure_is_isolated(spark, tmp_path, monkeypatch):
+    """r13 review: a move_file failure must not dead-letter an
+    already-ingested file or abort the directory loop — the file stays
+    in place, reported in `unmoved`, and the rest of the batch
+    continues."""
+    from pythondataingestionprocess_spark.sources import files as files_mod
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for name in ("a.xlsx", "b.xlsx", "c.xlsx"):
+        (inbox / name).write_text("x")
+    processed = str(tmp_path / "done")
+    errors = str(tmp_path / "dead")
+
+    def process(path):
+        if path.endswith("b.xlsx"):
+            raise ValueError("bad workbook")
+
+    real_move = files_mod.move_file
+
+    def flaky_move(path, success, processed_dir, errors_dir):
+        if path.endswith("a.xlsx"):
+            raise OSError("archive mount full")
+        return real_move(path, success, processed_dir, errors_dir)
+
+    monkeypatch.setattr(files_mod, "move_file", flaky_move)
+    report = files_mod.ingest_directory(str(inbox), process, processed, errors)
+    import os
+
+    # a: processed OK but unmovable -> reported processed AT ITS
+    # ORIGINAL PATH and listed unmoved; b: dead-lettered; c: archived
+    assert report.unmoved == [str(inbox / "a.xlsx")]
+    assert str(inbox / "a.xlsx") in report.processed
+    assert os.path.exists(inbox / "a.xlsx")
+    assert sorted(os.path.basename(p) for p in report.errored) == ["b.xlsx"]
+    assert os.listdir(errors) == ["b.xlsx"]
+    assert os.listdir(processed) == ["c.xlsx"]

@@ -532,3 +532,58 @@ def test_pdf_extract_is_total_over_garbage_bytes():
         text, conf, status = pdf_lite.extract_with_confidence(blob)
         assert status in ("ok", "quarantine")
         assert 0.0 <= conf <= 1.0
+
+
+def test_xlsx_lite_optional_r_attributes(tmp_path):
+    """r13 review: ECMA-376 makes the r attribute OPTIONAL on <row>
+    and <c> (position = previous + 1); streaming writers omit it. The
+    old reader crashed on an r-less row and silently DROPPED an r-less
+    cell's value (column -1). Strip every r attribute from a written
+    sheet and assert the grid reads back identically."""
+    import re
+    import zipfile
+
+    from pythondataingestionprocess_spark.sources import xlsx_lite
+
+    src = str(tmp_path / "with_r.xlsx")
+    rows = [["h1", "h2", "h3"], ["a", "b", None], [None, "e", "f"]]
+    xlsx_lite.write_workbook(src, [("S", rows)])
+    # rebuild the zip with r attributes stripped from rows and cells.
+    # NOTE: dropping r from a SPARSE row shifts its cells left
+    # (position = previous+1 fills gaps) — strip only rows whose cells
+    # are contiguous from column A, which is the shape streaming
+    # writers emit. Row 2 here is sparse, so keep its cell refs but
+    # strip the row-level r.
+    dst = str(tmp_path / "without_r.xlsx")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/worksheets/sheet1.xml":
+                xml = data.decode()
+                xml = re.sub(r'<row r="\d+">', "<row>", xml)
+                # strip cell refs on the dense rows (1 and 2)
+                xml = re.sub(r'<c r="[A-C][12]" ', "<c ", xml)
+                xml = re.sub(r'<c r="[A-C][12]">', "<c>", xml)
+                data = xml.encode()
+            zout.writestr(item, data)
+    book = xlsx_lite.read_sheets(dst)
+    assert book["S"]["rows"] == rows
+
+
+def test_xlsx_lite_quotes_in_sheet_name_and_hyperlink(tmp_path):
+    """r13 review: sax escape() leaves double quotes alone, so a sheet
+    name (legal in Excel) or hyperlink URL containing one produced
+    malformed XML no reader could open. quoteattr roundtrips both."""
+    from pythondataingestionprocess_spark.sources import xlsx_lite
+
+    path = str(tmp_path / "q.xlsx")
+    name = 'my "best" sheet'
+    url = 'https://ex.com/?q="quoted"&x=1'
+    xlsx_lite.write_workbook(
+        path,
+        [(name, [["h"], ["v"]])],
+        hyperlinks={name: {(1, 0): url}},
+    )
+    book = xlsx_lite.read_sheets(path)
+    assert book[name]["rows"] == [["h"], ["v"]]
+    assert book[name]["hyperlinks"] == {(1, 0): url}
