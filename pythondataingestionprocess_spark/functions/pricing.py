@@ -32,10 +32,17 @@ def _c(col: Column | str) -> Column:
 
 
 def tier_multiplier(p_tienda: Column | str, c_unit: Column | str) -> Column:
-    """Markup tier from the |store price − unit cost| band."""
+    """Markup tier from the |store price − unit cost| band. A NULL
+    input propagates NULL (r13 review: the when-chain's otherwise
+    used to swallow a NULL gap into the densest 1.75 tier, silently
+    fabricating a confident price for a row whose store price is
+    unknown; note Excel, where the formula lives, computes blank as 0
+    — a third behavior — so NULL-in/NULL-out is the honest choice for
+    cleaned columns where blank already became NULL)."""
     gap = F.abs(_c(p_tienda) - _c(c_unit))
     return (
-        F.when(gap > 100, F.lit(1.25))
+        F.when(gap.isNull(), F.lit(None).cast("double"))
+        .when(gap > 100, F.lit(1.25))
         .when(gap > 50, F.lit(1.5))
         .otherwise(F.lit(1.75))
     )
@@ -52,7 +59,10 @@ def calc_price(
 
 def sale_price(calc: Column | str, c_unit: Column | str) -> Column:
     """``P.Venta`` tiered markup over Calc (dead d>170 branch kept —
-    it documents the Excel formula as found)."""
+    it documents the Excel formula as found). NULL c_unit propagates
+    NULL (r13 review: the otherwise-chain used to resolve a NULL
+    margin to multiplier 1.0 and pass calc through as a confident
+    sale price)."""
     d = _c(calc) - _c(c_unit)
     low = (
         F.when(d > 80, F.lit(1.25)).when(d > 50, F.lit(1.5)).otherwise(F.lit(1.75))
@@ -60,7 +70,10 @@ def sale_price(calc: Column | str, c_unit: Column | str) -> Column:
     high = (
         F.when(d > 150, F.lit(0.95)).when(d > 170, F.lit(0.9)).otherwise(F.lit(1.0))
     )
-    return _c(calc) * F.when(d < 100, low).otherwise(high)
+    mult = F.when(d.isNull(), F.lit(None).cast("double")).when(
+        d < 100, low
+    ).otherwise(high)
+    return _c(calc) * mult
 
 
 def offer_price(p_venta: Column | str, calc: Column | str) -> Column:

@@ -33,6 +33,16 @@ from pyspark.sql.functions import pandas_udf
 from pythondataingestionprocess_spark.functions.vectors import cosine
 
 
+def _hadoop_glob_escape(path: str) -> str:
+    """Escape glob metacharacters for DataFrameReader paths (Spark
+    globs every read path; write/FS paths are literal)."""
+    for c in "\\*?[]{}":
+        path = path.replace(c, "\\" + c)
+    return path
+
+
+
+
 def _assign_udf(centroids: np.ndarray):
     """nearest-centroid id per vector (squared-L2 argmin, GEMM form)."""
     c = centroids.astype(np.float64)
@@ -136,6 +146,24 @@ def ivf_probe_lists(
     )
 
 
+
+def _score_probed(indexed: DataFrame, probed: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of ivf_search and search_index (r13 review:
+    it was copy-pasted in both and had to stay semantically identical
+    by hand): probe-list equi-join (probed side broadcast — it is
+    queries x n_probe rows), self-pair filter, exact cosine, per-query
+    top-k with the neighbor_id tiebreak making the ranking a total
+    order."""
+    scored = (
+        indexed.join(F.broadcast(probed), "ivf_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("query_vec", "neighbor_vec"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,14 +185,7 @@ def ivf_search(
         F.col(vec_col).alias("query_vec"),
         F.explode(_probe_udf(centroids, n_probe)(F.col(vec_col))).alias("ivf_list"),
     )
-    scored = (
-        indexed.join(F.broadcast(probed), "ivf_list")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("query_vec", "neighbor_vec"))
-        .select("query_id", "neighbor_id", "cos")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_probed(indexed, probed, k)
 
 
 # ---- persistent index ------------------------------------------------
@@ -231,7 +252,7 @@ def load_centroids(spark, index_dir: str) -> np.ndarray:
     import os
 
     rows = (
-        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        spark.read.parquet(_hadoop_glob_escape(os.path.join(index_dir, "centroids")))
         .orderBy("list_id")
         .collect()
     )
@@ -270,7 +291,7 @@ def append_to_index(
             for r in assigned.select("ivf_list").distinct().collect()
         ]
         resident_ids = (
-            spark.read.parquet(os.path.join(index_dir, "vectors"))
+            spark.read.parquet(_hadoop_glob_escape(os.path.join(index_dir, "vectors")))
             .filter(F.col("ivf_list").isin(lists))
             .select(id_col)
         )
@@ -297,11 +318,11 @@ def _index_quantized(spark, index_dir: str) -> bool:
 
     try:
         return bool(
-            spark.read.parquet(os.path.join(index_dir, "meta")).first()["quantized"]
+            spark.read.parquet(_hadoop_glob_escape(os.path.join(index_dir, "meta"))).first()["quantized"]
         )
     except Exception:
         return "qvec" in spark.read.parquet(
-            os.path.join(index_dir, "vectors")
+            _hadoop_glob_escape(os.path.join(index_dir, "vectors"))
         ).columns
 
 
@@ -329,7 +350,7 @@ def search_index(
         F.explode(_probe_udf(centroids, n_probe)(F.col(vec_col))).alias("ivf_list"),
     ).localCheckpoint(eager=True)  # probed twice: list collect + join
     lists = [r["ivf_list"] for r in probed.select("ivf_list").distinct().collect()]
-    resident = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    resident = spark.read.parquet(_hadoop_glob_escape(os.path.join(index_dir, "vectors")))
     stored_vec = "qvec" if "qvec" in resident.columns else vec_col
     indexed = (
         resident
@@ -340,14 +361,7 @@ def search_index(
             "ivf_list",
         )
     )
-    scored = (
-        indexed.join(F.broadcast(probed), "ivf_list")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("query_vec", "neighbor_vec"))
-        .select("query_id", "neighbor_id", "cos")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_probed(indexed, probed, k)
 
 
 def index_ingest_batch_fn(index_dir: str, id_col: str = "vec_id",
@@ -385,7 +399,7 @@ def index_list_stats(spark, index_dir: str) -> DataFrame:
     footers plus a count aggregate — metadata-sized output (k rows)."""
     import os
 
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    vectors = spark.read.parquet(_hadoop_glob_escape(os.path.join(index_dir, "vectors")))
     rows = vectors.groupBy("ivf_list").agg(F.count(F.lit(1)).alias("n_rows"))
     files = (
         vectors.select("ivf_list", F.input_file_name().alias("f"))
@@ -406,7 +420,7 @@ def needs_refit(spark, index_dir: str, skew_threshold: float = 8.0) -> bool:
     Driver payload is one k-row collect."""
     import os
 
-    k = spark.read.parquet(os.path.join(index_dir, "centroids")).count()
+    k = spark.read.parquet(_hadoop_glob_escape(os.path.join(index_dir, "centroids"))).count()
     if k == 0:
         return False
     stats = index_list_stats(spark, index_dir).collect()
@@ -466,9 +480,17 @@ def compact_index(spark, index_dir: str) -> tuple[int, int]:
     op = jvm.org.apache.hadoop.fs.Path(path + "__old")
     fs = p.getFileSystem(conf)
 
+    # LISTING, not globbing (r13 review, same rule as
+    # streaming.dedup_ingest.compact_store): a glob built from an
+    # index path containing metacharacters would throw or silently
+    # match nothing — orphaning the only complete copy after a
+    # mid-swap crash
+    parent = jvm.org.apache.hadoop.fs.Path(os.path.dirname(path) or ".")
+    base = os.path.basename(path)
     building = [
         str(st.getPath().toUri().getPath())
-        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + "__building*"))
+        for st in (fs.listStatus(parent) if fs.exists(parent) else [])
+        if st.getPath().getName().startswith(base + "__building")
     ]
 
     def n_parquet_files(root: str) -> int:
@@ -488,12 +510,17 @@ def compact_index(spark, index_dir: str) -> tuple[int, int]:
         return (0, 0)
 
     before = sum(n_parquet_files(s) for s in sources)
-    parts = [spark.read.parquet(s) for s in sources]
+    parts = [spark.read.parquet(_hadoop_glob_escape(s)) for s in sources]
     merged = parts[0]
     for df in parts[1:]:
         merged = merged.unionByName(df)
+    # ONE scan of the union (r13 review: the n_lists count used to
+    # re-read every source file end-to-end before the rewrite scanned
+    # them again): dedup once, materialize, then count lists cheaply
+    # over the deduped rows
+    merged = merged.distinct().localCheckpoint(eager=True)
     n_lists = merged.select("ivf_list").distinct().count()
-    out = merged.distinct().repartition(max(1, n_lists), "ivf_list")
+    out = merged.repartition(max(1, n_lists), "ivf_list")
 
     tmp = path + "__building_" + _uuid.uuid4().hex[:8]
     out.write.mode("overwrite").partitionBy("ivf_list").parquet(tmp)

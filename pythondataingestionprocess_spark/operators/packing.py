@@ -43,9 +43,14 @@ def shard_by_offset(
     shard_id = floor(start_offset / budget) where start_offset is the
     running token count of all PRIOR documents in (group, order).
     """
+    # token_col tiebreak: order_col duplicates across a multi-source
+    # union would otherwise make the running sum (and thus shard_id)
+    # partition-order nondeterministic (r13 review); rows tying on
+    # both keys contribute identical token counts, so every tie order
+    # yields the same start_offset multiset
     w = (
         W.partitionBy(group_col)
-        .orderBy(order_col)
+        .orderBy(order_col, token_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(token_col).over(w), F.lit(0))
@@ -77,7 +82,20 @@ def pack_documents_greedy(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, ignore_index=True)
+        if pdf[token_col].isna().any():
+            raise ValueError(
+                f"{token_col} contains NULL in group "
+                f"{pdf[group_col].iloc[0]!r} — packing needs a token "
+                f"count per doc (filter or impute upstream)"
+            )
+        # (order_col, token_col) sort with a STABLE kind: order_col
+        # ties across shuffle-ordered input made bin assignment
+        # nondeterministic (r13 review); rows tying on BOTH keys are
+        # column-identical here, so the output multiset is total-order
+        # deterministic
+        pdf = pdf.sort_values(
+            [order_col, token_col], kind="mergesort", ignore_index=True
+        )
         bins, fills = greedy_bins([int(t) for t in pdf[token_col]], budget)
         out = pdf[[group_col, order_col, token_col]].copy()
         out["bin_id"] = bins
@@ -113,7 +131,16 @@ def pack_documents_lookahead(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, ignore_index=True)
+        if pdf[token_col].isna().any():
+            raise ValueError(
+                f"{token_col} contains NULL in group "
+                f"{pdf[group_col].iloc[0]!r} — packing needs a token "
+                f"count per doc (filter or impute upstream)"
+            )
+        # see pack_documents_greedy: total-order determinism on ties
+        pdf = pdf.sort_values(
+            [order_col, token_col], kind="mergesort", ignore_index=True
+        )
         bins, fills = lookahead_bins([int(t) for t in pdf[token_col]], budget)
         out = pdf[[group_col, order_col, token_col]].copy()
         out["bin_id"] = bins

@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pythondataingestionprocess_spark.functions.vectors import norm
+
 
 def _norm_rows(mat: np.ndarray) -> np.ndarray:
     n = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
@@ -118,14 +120,20 @@ def pq_fit(
         )
         # one aggregation at (subspace, code, dim-within-subspace) grain;
         # vectors are re-normalized in SQL so the update averages the
-        # same geometry the assign UDF saw.
-        vnorm = F.sqrt(
-            F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x)
-        )
+        # same geometry the assign UDF saw. norm() (functions/vectors)
+        # casts each element to double BEFORE squaring — the previous
+        # hand-rolled fold squared array<float> elements in float32,
+        # diverging from the UDF's float64 geometry (r13 review) — and
+        # the zero-norm filter keeps a single all-zero vector (an empty
+        # document's embedding) from killing the whole fit under ANSI
+        # mode's DIVIDE_BY_ZERO (a directionless vector contributes
+        # nothing to a cosine codebook anyway).
+        vnorm = norm(vec_col)
         cells = (
-            coded.select(
+            coded.filter(vnorm > 0)
+            .select(
                 F.posexplode(
-                    F.transform(vec_col, lambda x: x / vnorm)
+                    F.transform(vec_col, lambda x: x.cast("double") / vnorm)
                 ).alias("_gdim", "_x"),
                 "_codes",
             )

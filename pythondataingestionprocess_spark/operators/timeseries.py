@@ -62,7 +62,14 @@ def subsequence_match(
     """Top-``k`` closest z-normalized windows to ``pattern`` across
     all keys: (key, end_ts, end_seq, dist), dist ascending, ties
     broken by (key, end_seq) — a total order, so the top-k is
-    deterministic."""
+    deterministic.
+
+    NULL semantics (r13 review, documented rather than guessed):
+    collect_list SKIPS NULL values, so the ``size(win) == m`` filter
+    silently EXCLUDES every window touching a NULL-valued row — a
+    series with scattered NULLs contributes fewer candidate windows,
+    with no per-window signal to the caller. Impute upstream if those
+    windows must participate."""
     m = len(pattern)
     p = F.array(*[F.lit(float(x)) for x in _znorm(pattern)])
     w = (
@@ -125,6 +132,13 @@ def decayed_feature(
 
     Output: (key, seq, ts, decayed) — one row per input event, the
     score as of that event inclusive.
+
+    NULL semantics (r13 review, documented rather than guessed):
+    collect_list SKIPS NULL values, so a NULL-valued row inside the
+    window is treated as NONEXISTENT — later rows pair with weights as
+    if it never happened (older contributions shift one weight
+    younger), not as zero activity. Coalesce upstream if zero is the
+    intended reading.
     """
     a = 0.5 ** (1.0 / half_life_rows)
     m = window_rows

@@ -277,14 +277,18 @@ WITH base AS (
          p_retailprice * 0.6 AS c_unit, p_size AS pzs
   FROM part WHERE p_partkey % 53 = 0
 ), calcs AS (
+  -- NULL gap propagates (mirrors fx.tier_multiplier's r13 NULL-in/
+  -- NULL-out; no-op on this data — p_retailprice is never NULL)
   SELECT *,
-         (c_unit / pzs) * (CASE WHEN abs(p_tienda - c_unit) > 100 THEN 1.25
+         (c_unit / pzs) * (CASE WHEN abs(p_tienda - c_unit) IS NULL THEN NULL
+                                WHEN abs(p_tienda - c_unit) > 100 THEN 1.25
                                 WHEN abs(p_tienda - c_unit) > 50 THEN 1.5
                                 ELSE 1.75 END) + 25 AS calc
   FROM base
 ), sale AS (
   SELECT *,
-         calc * (CASE WHEN calc - c_unit < 100 THEN
+         calc * (CASE WHEN calc - c_unit IS NULL THEN NULL
+                      WHEN calc - c_unit < 100 THEN
                         (CASE WHEN calc - c_unit > 80 THEN 1.25
                               WHEN calc - c_unit > 50 THEN 1.5
                               ELSE 1.75 END)

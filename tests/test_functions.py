@@ -281,3 +281,25 @@ def test_pii_redaction_staged_attribution(spark):
         *[c.alias(k) for k, c in pii_counts("r").items()]
     ).collect()
     assert all(r.email == r.phone == r.ipv4 == 0 for r in left)
+
+
+def test_pricing_null_inputs_propagate(spark):
+    """r13 review: a NULL store price / unit cost used to fall through
+    the when-chains into a confident default multiplier (tier 1.75;
+    sale passthrough x1.0) — unknown cost now yields unknown price."""
+    df = spark.createDataFrame(
+        [(None, 200.0, 2), (300.0, None, 2), (300.0, 200.0, 2)],
+        "p_tienda double, c_unit double, pzs long",
+    )
+    out = df.select(
+        fx.tier_multiplier("p_tienda", "c_unit").alias("tier"),
+        fx.calc_price("c_unit", "pzs", "p_tienda").alias("calc"),
+    ).collect()
+    assert out[0]["tier"] is None and out[0]["calc"] is None
+    assert out[1]["tier"] is None and out[1]["calc"] is None
+    assert out[2]["tier"] == 1.5  # |300-200| in the (50, 100] band
+    sale = spark.createDataFrame(
+        [(250.0, None), (250.0, 100.0)], "calc double, c_unit double"
+    ).select(fx.sale_price("calc", "c_unit").alias("v")).collect()
+    assert sale[0]["v"] is None
+    assert sale[1]["v"] is not None

@@ -1400,3 +1400,53 @@ def test_ivf_refit_trigger_and_refit(spark, tmp_path):
         spark, idx, df.filter(F.col("vec_id") < 2), k=3, n_probe=2
     )
     assert got.count() == 6
+
+
+def test_packing_null_token_fails_with_clear_message(spark):
+    """r13 review: a NULL token count used to die as an opaque
+    int(NaN) ValueError deep in the pandas task; now the error names
+    the column and group."""
+    from pythondataingestionprocess_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 10), ("s", 2, None)],
+        "source string, doc_id long, n_tokens long",
+    )
+    with pytest.raises(Exception, match="n_tokens contains NULL"):
+        pack_documents_greedy(df, "source", "doc_id", "n_tokens", 100).collect()
+
+
+def test_packing_tied_order_col_is_deterministic(spark):
+    """r13 review: duplicate order_col values across shuffle-ordered
+    input made bin assignment run-to-run nondeterministic; the
+    (order_col, token_col) stable sort pins a total order (rows tying
+    on both keys are column-identical, so the output multiset is
+    fixed)."""
+    from pythondataingestionprocess_spark.operators.packing import (
+        pack_documents_greedy,
+        shard_by_offset,
+    )
+
+    rows = [("s", 7, t) for t in (60, 50, 40, 30)] + [("s", 8, 90)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    ).repartition(8)
+    baseline = None
+    for _ in range(3):
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["bin_id"], r["bin_fill"])
+            for r in pack_documents_greedy(
+                df, "source", "doc_id", "n_tokens", 100
+            ).collect()
+        )
+        shards = sorted(
+            (r["doc_id"], r["n_tokens"], r["start_offset"])
+            for r in shard_by_offset(
+                df, "source", "doc_id", "n_tokens", 100
+            ).collect()
+        )
+        if baseline is None:
+            baseline = (got, shards)
+        assert (got, shards) == baseline

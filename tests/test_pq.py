@@ -212,3 +212,19 @@ def test_ivfadc_composition_prunes_and_keeps_recall(spark):
     n_true = brute.count()
     n_hit = brute.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
     assert n_hit / n_true >= 0.7, f"IVFADC recall {n_hit / n_true}"
+
+
+def test_pq_fit_tolerates_zero_vector(spark):
+    """r13 review: a single all-zero embedding (an empty document)
+    used to kill the whole fit with ANSI DIVIDE_BY_ZERO inside the
+    SQL re-normalization — a directionless vector now simply drops
+    out of the codebook update."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(64)]
+    rows.append((64, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq.pq_fit(df, m=4, ksub=8, max_iter=2)
+    assert cb.shape == (4, 8, 4)
+    assert np.isfinite(cb).all()  # a zero vector must not NaN-poison
