@@ -72,7 +72,9 @@ def real_decode(content: bytes, media_type: str) -> dict:
     MP3 / ADTS AAC real at frame-header level since r12
     (multimodal/mpeg_audio_lite.py — duration, rate, channels from
     walking every frame; sample decode stays codec territory, mean
-    NULL); other compressed codecs stubbed.
+    NULL); G.711 mu-law/A-law, IMA/MS ADPCM, IEEE-float and 24-bit
+    WAVs decode SAMPLES for real since r13 (multimodal/wav_lite.py —
+    the first LOSSY codecs with non-NULL amplitude stats).
 
     ``media_type`` accepts both the coarse labels the fake decoder
     uses ("image"/"audio"/"video") and full MIME types ("image/png",
@@ -260,23 +262,32 @@ def real_decode(content: bytes, media_type: str) -> dict:
 
 
 def _decode_wav(content: bytes) -> dict:
-    """PCM WAV decode via the stdlib ``wave`` module — the audio
-    analogue of png_lite: the standard uncompressed format is real,
-    compressed codecs (mp3/aac/flac) stay PyAV territory. Stats
-    mapping into MEDIA_STATS_SCHEMA (documented, since audio has no
-    pixels): width = sample rate (Hz), height = channel count,
-    n_frames = PCM frame count, mean_intensity = mean |amplitude|
-    normalized to 0-1 (8/16/32-bit integer PCM)."""
+    """WAV decode: the stdlib ``wave`` module handles canonical PCM
+    (8/16/32-bit); everything it rejects — G.711 mu-law/A-law, IMA and
+    MS ADPCM, IEEE float, 24-bit and EXTENSIBLE PCM — routes to
+    multimodal/wav_lite.py, which decodes SAMPLES for real (r13: the
+    lossy-audio gap closes for the telephony/wavetable codecs; MP3/AAC
+    stay honestly metadata-only per the table-B.3 blocker recorded in
+    BASELINE.md). Stats mapping into MEDIA_STATS_SCHEMA (documented,
+    since audio has no pixels): width = sample rate (Hz), height =
+    channel count, n_frames = frame count, mean_intensity = mean
+    |amplitude| normalized to 0-1."""
     import io
     import wave
     from array import array
 
-    with wave.open(io.BytesIO(content)) as w:
-        rate, n_ch, n_frames = (
-            w.getframerate(), w.getnchannels(), w.getnframes()
-        )
-        width_bytes = w.getsampwidth()
-        frames = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate, n_ch, n_frames = (
+                w.getframerate(), w.getnchannels(), w.getnframes()
+            )
+            width_bytes = w.getsampwidth()
+            frames = w.readframes(n_frames)
+    except wave.Error:
+        # non-PCM or extensible: the stdlib reader refuses before
+        # touching sample data; wav_lite re-parses from the top (and
+        # raises ValueError on junk — the quarantine path)
+        return _decode_wav_lite(content)
     if width_bytes == 1:  # unsigned 8-bit
         samples = array("B", frames)
         mean = (
@@ -291,13 +302,33 @@ def _decode_wav(content: bytes) -> dict:
             if samples else 0.0
         )
     else:
-        raise ValueError(f"unsupported PCM sample width {width_bytes}")
+        # 24-bit PCM: stdlib wave parses the header but this stats
+        # path predates wav_lite's 3-byte reader — delegate
+        return _decode_wav_lite(content)
     return {
         "byte_len": len(content),
         "width": rate,
         "height": n_ch,
         "n_frames": n_frames,
         "mean_intensity": mean,
+    }
+
+
+def _decode_wav_lite(content: bytes) -> dict:
+    """wav_lite stats → MEDIA_STATS_SCHEMA mapping (same convention
+    as the FLAC/MPEG audio branches)."""
+    from pythondataingestionprocess_spark.multimodal import wav_lite
+
+    meta = wav_lite.decode(content)
+    if meta["n_samples"] > 2**31 - 1:
+        # same int32 n_frames guard as the FLAC/MPEG branches
+        raise ValueError("sample count exceeds the int32 stats column")
+    return {
+        "byte_len": len(content),
+        "width": meta["sample_rate"],
+        "height": meta["channels"],
+        "n_frames": meta["n_samples"],
+        "mean_intensity": meta["mean_abs_amplitude"],
     }
 
 
