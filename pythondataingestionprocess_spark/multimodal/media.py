@@ -66,7 +66,8 @@ def real_decode(content: bytes, media_type: str) -> dict:
     duration, tracks, dimensions, sample count), and MJPEG frame
     decode is real too since r13 (raw video/mjpeg streams and
     jpeg/mjpa/mjpb sample entries route the first frame through
-    jpeg_lite); other video codecs keep ``mean_intensity`` NULL
+    jpeg_lite, and UNCOMPRESSED 'raw '/'2vuy' entries compute pixel
+    stats directly); other video codecs keep ``mean_intensity`` NULL
     (no PyAV/ffmpeg and no stdlib codec exists). Audio: PCM WAV
     real (full sample stats);
     MP3 / ADTS AAC real at frame-header level since r12
@@ -248,6 +249,21 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     mean = jpeg_lite.decode(frame)["mean_intensity"]
                 except ValueError:
                     pass
+        elif meta["codec"] in mp4_lite.RAW_CODECS:
+            # uncompressed video (r13): samples ARE pixel data, so
+            # first-frame stats need zero codec math — same
+            # decode-what-you-can / metadata-only-otherwise split as
+            # MJPEG (a frame whose byte count contradicts the declared
+            # geometry stays metadata-only, never a misread).
+            frame = mp4_lite.first_video_sample(content)
+            if frame is not None:
+                try:
+                    mean = _raw_frame_mean(
+                        frame, meta["width"], meta["height"],
+                        meta["codec"], meta["depth"],
+                    )
+                except ValueError:
+                    pass
         return {
             "byte_len": len(content),
             "width": meta["width"],
@@ -259,6 +275,48 @@ def real_decode(content: bytes, media_type: str) -> dict:
         f"{media_type} decoding requires libraries not present in this "
         "environment; use fake_decode_stats for pipeline tests"
     )
+
+
+def _raw_frame_mean(
+    frame: bytes, width: int | None, height: int | None,
+    codec: str, depth: int | None,
+) -> float:
+    """Mean luma of one uncompressed video frame, normalized 0-1 to
+    match the JPEG/PNG convention. '2vuy' (packed 4:2:2: Cb Y'0 Cr
+    Y'1) carries video-range luma, mapped (Y-16)/219 per Rec. 601;
+    'raw ' RGB/ARGB is full-range, Rec. 601 luma / 255. Raises
+    ValueError when the frame size contradicts the declared geometry
+    (the caller stays metadata-only)."""
+    import numpy as np
+
+    if not width or not height:
+        raise ValueError("raw frame without tkhd geometry")
+    if codec == "2vuy":
+        if len(frame) != width * height * 2:
+            raise ValueError(
+                f"2vuy frame {len(frame)}B != {width}x{height}x2"
+            )
+        y = np.frombuffer(frame, dtype=np.uint8)[1::2].astype(np.float64)
+        return float(min(max((y.mean() - 16.0) / 219.0, 0.0), 1.0))
+    if codec == "raw ":
+        if depth == 24:
+            px, off = 3, 0
+        elif depth == 32:
+            px, off = 4, 1  # ARGB: alpha leads
+        else:
+            raise ValueError(f"unsupported 'raw ' depth {depth}")
+        if len(frame) != width * height * px:
+            raise ValueError(
+                f"raw frame {len(frame)}B != {width}x{height}x{px}"
+            )
+        rgb = np.frombuffer(frame, dtype=np.uint8).reshape(-1, px)
+        luma = (
+            0.299 * rgb[:, off]
+            + 0.587 * rgb[:, off + 1]
+            + 0.114 * rgb[:, off + 2]
+        )
+        return float(luma.mean() / 255.0)
+    raise ValueError(f"not a raw video codec: {codec}")
 
 
 def _decode_wav(content: bytes) -> dict:

@@ -81,7 +81,7 @@ def parse_meta(content: bytes) -> dict:
         raise ValueError("mvhd timescale 0")
 
     track_types: list[str] = []
-    width = height = n_samples = codec = None
+    width = height = n_samples = codec = depth = None
     saw_video = False
     for t, b, e in _iter_boxes(content, moov_b, moov_e):
         if t != b"trak":
@@ -132,6 +132,23 @@ def parse_meta(content: bytes) -> dict:
                     codec = content[off_d + 8:off_d + 12].decode(
                         "ascii", "replace"
                     )
+                    # VisualSampleEntry pixel depth (entry offset 82,
+                    # after compressorname): the raw-codec frame
+                    # layout discriminator ('raw ' 24 = RGB, 32 =
+                    # ARGB). None when the entry is truncated.
+                    entry_start = off_d + 4
+                    if entry_start + 4 <= len(content):
+                        (entry_size,) = struct.unpack(
+                            ">I", content[entry_start:entry_start + 4]
+                        )
+                        if (
+                            entry_size >= 86
+                            and entry_start + 84 <= len(content)
+                        ):
+                            (depth,) = struct.unpack(
+                                ">H",
+                                content[entry_start + 82:entry_start + 84],
+                            )
     return {
         "duration_sec": duration / timescale,
         "n_tracks": len(track_types),
@@ -140,6 +157,7 @@ def parse_meta(content: bytes) -> dict:
         "height": height,
         "n_samples": n_samples,
         "codec": codec,
+        "depth": depth,
     }
 
 
@@ -158,6 +176,13 @@ def _video_stbl(content: bytes, trak_b: int, trak_e: int):
 # motion-JPEG A/B ('mjpa'/'mjpb') — each sample is a self-contained
 # JPEG image, decodable by jpeg_lite with zero new codec math.
 MJPEG_CODECS = frozenset({"jpeg", "mjpa", "mjpb"})
+
+# UNCOMPRESSED sample-entry fourccs (r13): each sample is raw pixel
+# data, so first-frame stats need no codec at all — 'raw ' is packed
+# RGB (depth 24) / ARGB (depth 32) per the QuickTime File Format
+# spec's "uncompressed video" entries; '2vuy' is 8-bit 4:2:2 YCbCr
+# packed Cb Y'0 Cr Y'1 (2 bytes/pixel, Rec. 601 video range).
+RAW_CODECS = frozenset({"raw ", "2vuy"})
 
 
 def first_video_sample(content: bytes) -> bytes | None:

@@ -164,9 +164,11 @@ def test_mp4_via_real_decode_and_arrow_plumbing(spark):
 # --------------------------------------------------------------- MJPEG
 
 def _mp4_mjpeg(payload: bytes, codec: bytes = b"jpeg", n_samples: int = 3,
-               w: int = 8, h: int = 8) -> bytes:
-    """MJPEG-in-MOV fixture: mdat BEFORE moov so the stco chunk offset
-    is known up front; every sample is the same JPEG payload."""
+               w: int = 8, h: int = 8, depth: int = 0) -> bytes:
+    """MJPEG/raw-in-MOV fixture: mdat BEFORE moov so the stco chunk
+    offset is known up front; every sample is the same payload.
+    ``depth`` fills the VisualSampleEntry pixel-depth field (entry
+    offset 82) the raw codecs discriminate on."""
     ftyp = _box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ")
     mdat = _box(b"mdat", payload * n_samples)
     payload_off = len(ftyp) + 8  # first sample = start of mdat body
@@ -174,7 +176,10 @@ def _mp4_mjpeg(payload: bytes, codec: bytes = b"jpeg", n_samples: int = 3,
         b"tkhd", bytes(4 * 19) + struct.pack(">II", w << 16, h << 16)
     )
     hdlr = _fullbox(b"hdlr", bytes(4) + b"vide" + bytes(12) + b"h\x00")
-    entry = struct.pack(">I", 8 + 78) + codec + bytes(78)
+    entry = (
+        struct.pack(">I", 8 + 78) + codec + bytes(74)
+        + struct.pack(">H", depth) + bytes(2)
+    )
     stsd = _fullbox(b"stsd", struct.pack(">I", 1) + entry)
     sizes = b"".join(
         struct.pack(">I", len(payload)) for _ in range(n_samples)
@@ -283,6 +288,57 @@ def test_raw_mjpeg_exif_thumbnail_not_counted_as_frame():
     stats = media.real_decode(blob, "video")
     assert stats["n_frames"] == 2
     assert stats["mean_intensity"] == pytest.approx(148 / 255, abs=1e-9)
+
+
+# --------------------------------------------------- uncompressed video
+
+def test_mov_2vuy_first_frame_real_pixel_stats():
+    """'2vuy' samples ARE packed 4:2:2 pixel data (Cb Y'0 Cr Y'1):
+    first-frame luma stats are real with zero codec math. Y=126.5 mean
+    (alternating 126/127 over video range) maps via (Y-16)/219."""
+    import numpy as np
+
+    w, h = 4, 2
+    frame = bytearray()
+    for i in range(w * h // 2):  # 2 pixels per 4-byte group
+        frame += bytes([128, 126, 128, 127])  # Cb Y0 Cr Y1
+    blob = _mp4_mjpeg(bytes(frame), codec=b"2vuy", w=w, h=h, depth=24)
+    meta = mp4_lite.parse_meta(blob)
+    assert meta["codec"] == "2vuy" and meta["depth"] == 24
+    stats = media.real_decode(blob, "video")
+    assert (stats["width"], stats["height"], stats["n_frames"]) == (w, h, 3)
+    exp = (np.mean([126, 127]) - 16.0) / 219.0
+    assert stats["mean_intensity"] == pytest.approx(exp, abs=1e-12)
+
+
+def test_mov_raw_rgb24_and_argb32_first_frame_stats():
+    """'raw ' entries: depth 24 = packed RGB, depth 32 = ARGB (alpha
+    ignored for luma). Rec. 601 luma / 255, the JPEG convention."""
+    w, h = 2, 2
+    rgb = bytes([255, 0, 0] * 4)  # pure red
+    blob = _mp4_mjpeg(rgb, codec=b"raw ", w=w, h=h, depth=24)
+    stats = media.real_decode(blob, "video")
+    assert stats["mean_intensity"] == pytest.approx(
+        0.299 * 255 / 255.0, abs=1e-12
+    )
+    argb = bytes([17, 0, 255, 0] * 4)  # alpha 17, pure green
+    blob = _mp4_mjpeg(argb, codec=b"raw ", w=w, h=h, depth=32)
+    stats = media.real_decode(blob, "video")
+    assert stats["mean_intensity"] == pytest.approx(0.587, abs=1e-12)
+
+
+def test_mov_raw_geometry_mismatch_stays_metadata_only():
+    """A frame whose byte count contradicts tkhd geometry (or an
+    unsupported depth) keeps container metadata and NULL stats —
+    never a misread of short/alien pixel data."""
+    blob = _mp4_mjpeg(bytes(5), codec=b"2vuy", w=4, h=2, depth=24)
+    stats = media.real_decode(blob, "video")
+    assert stats["mean_intensity"] is None
+    assert (stats["width"], stats["height"]) == (4, 2)
+    # 'raw ' with a palettized depth the decoder doesn't support
+    blob = _mp4_mjpeg(bytes(8), codec=b"raw ", w=4, h=2, depth=8)
+    stats = media.real_decode(blob, "video")
+    assert stats["mean_intensity"] is None
 
 
 def test_raw_mjpeg_malformed_tail_fails_closed():
