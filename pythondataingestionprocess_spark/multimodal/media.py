@@ -133,6 +133,19 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "n_frames": 1,
                     "mean_intensity": mean,
                 }
+            if content[:2] == b"BM":
+                # r13: BMP is raw BGR rows (or byte-RLE) — no codec
+                # needed at all (bmp_lite)
+                from pythondataingestionprocess_spark.multimodal import bmp_lite
+
+                stats = bmp_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": 1,
+                    "mean_intensity": stats["mean_intensity"],
+                }
             if content[:6] in (b"GIF87a", b"GIF89a"):
                 # r12: GIF is the third stdlib-decodable web image
                 # format — LZW is pure integer coding (gif_lite)
