@@ -133,6 +133,22 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "n_frames": 1,
                     "mean_intensity": mean,
                 }
+            if content[:4] in (b"II*\x00", b"MM\x00*"):
+                # r13: baseline TIFF — strips of raw / PackBits / LZW
+                # bytes (tiff_lite; LZW is the MSB-first early-change
+                # cousin of the GIF decoder)
+                from pythondataingestionprocess_spark.multimodal import (
+                    tiff_lite,
+                )
+
+                stats = tiff_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": 1,
+                    "mean_intensity": stats["mean_intensity"],
+                }
             if content[:2] == b"BM":
                 # r13: BMP is raw BGR rows (or byte-RLE) — no codec
                 # needed at all (bmp_lite)

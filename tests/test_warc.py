@@ -549,10 +549,11 @@ def test_decode_media_quarantines_unsupported_rows(spark, tmp_path):
         (2, "application/http; msgtype=response", bytearray(b"HTTP/1.1 200 OK\r\n\r\nhi")),
         (3, "image/gif", bytearray(b"GIF89a junk")),
         # non-ValueError escapes (fourth review pass): a TRUNCATED png
-        # raises zlib.error from the lite decoder; junk audio raises
-        # wave.Error — both must quarantine, not crash. Since r12 an
-        # ID3-sniffed blob routes to the MP3 frame walker instead of
-        # the WAV decoder, so its failure is a ValueError.
+        # raises zlib.error from the lite decoder — must quarantine,
+        # not crash. Since r12 an ID3-sniffed blob routes to the MP3
+        # frame walker instead of the WAV decoder, so its failure is a
+        # ValueError; since r13 junk RIFF falls through wave.Error to
+        # wav_lite, which also raises ValueError.
         (4, "image/png", bytearray(png[: len(png) // 2])),
         (5, "audio/mpeg", bytearray(b"ID3\x04\x00junk-not-a-wav")),
         (6, "audio/wav", bytearray(b"RIFFjunk-not-a-wav")),
@@ -569,7 +570,7 @@ def test_decode_media_quarantines_unsupported_rows(spark, tmp_path):
     # the reason string distinguishes data problems by exception type
     assert real[4]["decode_status"] == "quarantine:error"  # zlib.error
     assert real[5]["decode_status"] == "quarantine:ValueError"  # bad MP3
-    assert real[6]["decode_status"] == "quarantine:Error"  # wave.Error
+    assert real[6]["decode_status"] == "quarantine:ValueError"  # wav_lite
     # fake decoder sees the same normalized major type: an image/png
     # row is image-shaped (n_frames == 1), not video-shaped
     fake = {r["id"]: r for r in decode_media(df, use_fake=True).collect()}
