@@ -75,7 +75,9 @@ def real_decode(content: bytes, media_type: str) -> dict:
     walking every frame; sample decode stays codec territory, mean
     NULL); G.711 mu-law/A-law, IMA/MS ADPCM, IEEE-float and 24-bit
     WAVs decode SAMPLES for real since r13 (multimodal/wav_lite.py —
-    the first LOSSY codecs with non-NULL amplitude stats).
+    the first LOSSY codecs with non-NULL amplitude stats), and the
+    AIFF/AIFF-C and Sun AU containers decode their PCM/G.711/float
+    payloads too (multimodal/aiff_au_lite.py).
 
     ``media_type`` accepts both the coarse labels the fake decoder
     uses ("image"/"audio"/"video") and full MIME types ("image/png",
@@ -195,6 +197,25 @@ def real_decode(content: bytes, media_type: str) -> dict:
                 "n_frames": meta["n_samples"],
                 "mean_intensity": meta["mean_abs_amplitude"],
             }
+        if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+            # r13: the classic Mac container — PCM/G.711/float decode
+            # for real, unknown compressors (ima4/MACE/GSM) quarantine
+            from pythondataingestionprocess_spark.multimodal import (
+                aiff_au_lite,
+            )
+
+            return _audio_stats(
+                len(content), aiff_au_lite.decode_aiff(content)
+            )
+        if content[:4] == b".snd":
+            # r13: Sun/NeXT AU (audio/basic) — same decode split
+            from pythondataingestionprocess_spark.multimodal import (
+                aiff_au_lite,
+            )
+
+            return _audio_stats(
+                len(content), aiff_au_lite.decode_au(content)
+            )
         from pythondataingestionprocess_spark.multimodal import (
             mpeg_audio_lite,
         )
@@ -401,22 +422,26 @@ def _decode_wav(content: bytes) -> dict:
     }
 
 
-def _decode_wav_lite(content: bytes) -> dict:
-    """wav_lite stats → MEDIA_STATS_SCHEMA mapping (same convention
-    as the FLAC/MPEG audio branches)."""
-    from pythondataingestionprocess_spark.multimodal import wav_lite
-
-    meta = wav_lite.decode(content)
+def _audio_stats(byte_len: int, meta: dict) -> dict:
+    """wav_lite-shaped stats → MEDIA_STATS_SCHEMA mapping (the
+    documented audio convention: width = sample rate, height =
+    channels, n_frames = per-channel sample count)."""
     if meta["n_samples"] > 2**31 - 1:
         # same int32 n_frames guard as the FLAC/MPEG branches
         raise ValueError("sample count exceeds the int32 stats column")
     return {
-        "byte_len": len(content),
+        "byte_len": byte_len,
         "width": meta["sample_rate"],
         "height": meta["channels"],
         "n_frames": meta["n_samples"],
         "mean_intensity": meta["mean_abs_amplitude"],
     }
+
+
+def _decode_wav_lite(content: bytes) -> dict:
+    from pythondataingestionprocess_spark.multimodal import wav_lite
+
+    return _audio_stats(len(content), wav_lite.decode(content))
 
 
 def fake_decode_stats(content: bytes, media_type: str) -> dict:
