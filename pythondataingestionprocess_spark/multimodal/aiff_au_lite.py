@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
-
 from pythondataingestionprocess_spark.multimodal import wav_lite
 
 
@@ -45,55 +43,6 @@ def _ext80_to_float(b: bytes) -> float:
     if exp == 0x7FFF:
         raise ValueError("non-finite sample rate")
     return sign * mant * 2.0 ** (exp - 16383 - 63)
-
-
-def _int_pcm_stats(data: bytes, bits: int, byteorder: str) -> tuple:
-    """(mean |x| normalized, total sample count) for linear PCM."""
-    if bits == 8:
-        x = np.frombuffer(data, dtype=np.int8).astype(np.int32)
-        full = 127.0
-    elif bits == 16:
-        x = np.frombuffer(
-            data[: len(data) - len(data) % 2], dtype=f"{byteorder}i2"
-        ).astype(np.int32)
-        full = 32767.0
-    elif bits == 24:
-        trim = len(data) - len(data) % 3
-        raw = np.frombuffer(data[:trim], dtype=np.uint8).reshape(-1, 3)
-        lo, mid, hi = (2, 1, 0) if byteorder == ">" else (0, 1, 2)
-        x = (
-            raw[:, lo].astype(np.int32)
-            | raw[:, mid].astype(np.int32) << 8
-            | raw[:, hi].astype(np.int8).astype(np.int32) << 16
-        )
-        full = 8388607.0
-    elif bits == 32:
-        x = np.frombuffer(
-            data[: len(data) - len(data) % 4], dtype=f"{byteorder}i4"
-        ).astype(np.int64)
-        full = 2147483647.0
-    else:
-        raise ValueError(f"unsupported PCM bit depth {bits}")
-    mean = float(np.abs(x).mean() / full) if x.size else 0.0
-    return mean, x.size
-
-
-def _float_stats(data: bytes, bits: int, byteorder: str) -> tuple:
-    step = bits // 8
-    x = np.frombuffer(
-        data[: len(data) - len(data) % step],
-        dtype=f"{byteorder}f{step}",
-    )
-    x = np.clip(x[np.isfinite(x)], -1.0, 1.0)
-    mean = float(np.abs(x).mean()) if x.size else 0.0
-    return mean, (len(data) // step)
-
-
-def _g711_stats(data: bytes, law: str) -> tuple:
-    table = wav_lite._ULAW if law == "ulaw" else wav_lite._ALAW
-    x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int32)
-    mean = float(np.abs(x).mean() / 32767.0) if x.size else 0.0
-    return mean, x.size
 
 
 def decode_aiff(content: bytes) -> dict:
@@ -137,32 +86,37 @@ def decode_aiff(content: bytes) -> dict:
     data = ssnd[8 + offset:]
 
     comp = compression.decode("latin-1").strip().lower()
-    if comp in ("none", "twos"):
-        mean, total = _int_pcm_stats(data, bits, ">")
-        codec = "pcm"
-    elif comp == "sowt":  # little-endian PCM (QuickTime AIFC)
-        mean, total = _int_pcm_stats(data, bits, "<")
-        codec = "pcm"
-    elif comp == "ulaw":
-        mean, total = _g711_stats(data, "ulaw")
-        codec = "ulaw"
-    elif comp == "alaw":
-        mean, total = _g711_stats(data, "alaw")
-        codec = "alaw"
+    if comp in ("none", "twos", "sowt"):
+        kind, sample_bytes = "pcm", (bits + 7) // 8
+    elif comp in ("ulaw", "alaw"):
+        kind, sample_bytes = comp, 1
     elif comp in ("fl32", "fl64"):
-        mean, total = _float_stats(data, 32 if comp == "fl32" else 64, ">")
-        codec = "float"
+        kind, sample_bytes = "float", 4 if comp == "fl32" else 8
     else:
         raise ValueError(f"unsupported AIFC compressor {compression!r}")
-    got_frames = total // channels
-    if n_frames and got_frames < n_frames:
+    # stats cover EXACTLY the declared frames: block-aligned or padded
+    # SSND tails must not skew the amplitude (review finding — the
+    # same discipline as wav_lite's fact-count trim)
+    needed = n_frames * channels * sample_bytes
+    if len(data) < needed:
         raise ValueError(
-            f"SSND holds {got_frames} frames, COMM declares {n_frames}"
+            f"SSND holds {len(data)} bytes, COMM declares {needed}"
         )
+    data = data[:needed]
+    if kind == "pcm":
+        byteorder = "<" if comp == "sowt" else ">"
+        mean, total = wav_lite.int_pcm_stats(data, bits, byteorder)
+        codec = "pcm"
+    elif kind == "float":
+        mean, total = wav_lite.float_stats(data, sample_bytes * 8, ">")
+        codec = "float"
+    else:
+        mean, total = wav_lite.g711_stats(data, kind)
+        codec = kind
     return {
         "sample_rate": int(round(rate)),
         "channels": channels,
-        "n_samples": n_frames or got_frames,
+        "n_samples": n_frames,
         "mean_abs_amplitude": mean,
         "codec": codec,
     }
@@ -197,13 +151,13 @@ def decode_au(content: bytes) -> dict:
         end = data_off + data_size
     data = content[data_off:end]
     if kind == "pcm":
-        mean, total = _int_pcm_stats(data, bits, ">")
+        mean, total = wav_lite.int_pcm_stats(data, bits, ">")
         codec = "pcm"
     elif kind == "float":
-        mean, total = _float_stats(data, bits, ">")
+        mean, total = wav_lite.float_stats(data, bits, ">")
         codec = "float"
     else:
-        mean, total = _g711_stats(data, kind)
+        mean, total = wav_lite.g711_stats(data, kind)
         codec = kind
     return {
         "sample_rate": rate,

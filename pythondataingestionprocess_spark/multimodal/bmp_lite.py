@@ -113,6 +113,20 @@ def decode(data: bytes) -> dict:
         raise ValueError(f"bad BMP geometry {width}x{height}")
     if width * height > 100_000_000:
         raise ValueError("BMP dimensions exceed the 100MP decode guard")
+    if compression == 2:
+        raise ValueError("BI_RLE4 not supported")
+    if compression not in (0, 1, 3):
+        raise ValueError(f"unsupported BMP compression {compression}")
+    # bfOffBits must land past the header (and the palette, when one
+    # is required) — an offset pointing INTO them would silently
+    # decode header bytes as pixels (r13 review)
+    min_off = pal_off
+    if bpp <= 8:
+        min_off += (n_colors or (1 << bpp)) * pal_entry
+    if data_off < min_off:
+        raise ValueError(
+            f"pixel data offset {data_off} inside the header/palette"
+        )
 
     if compression == 1:  # BI_RLE8
         if bpp != 8:
@@ -122,10 +136,6 @@ def decode(data: bytes) -> dict:
             idx = idx[::-1]
         return _palette_stats(data, pal_off, n_colors, pal_entry, bpp,
                               idx, width, height)
-    if compression == 2:
-        raise ValueError("BI_RLE4 not supported")
-    if compression not in (0, 3):
-        raise ValueError(f"unsupported BMP compression {compression}")
 
     stride = (width * bpp + 31) // 32 * 4
     need = stride * height

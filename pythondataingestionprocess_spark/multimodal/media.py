@@ -390,6 +390,10 @@ def _decode_wav(content: bytes) -> dict:
                 w.getframerate(), w.getnchannels(), w.getnframes()
             )
             width_bytes = w.getsampwidth()
+            if width_bytes not in (1, 2, 4):
+                # 24-bit PCM: delegate BEFORE materializing the whole
+                # payload just to discard it (r13 review)
+                return _decode_wav_lite(content)
             frames = w.readframes(n_frames)
     except wave.Error:
         # non-PCM or extensible: the stdlib reader refuses before
@@ -409,10 +413,8 @@ def _decode_wav(content: bytes) -> dict:
             sum(abs(s) for s in samples) / len(samples) / full
             if samples else 0.0
         )
-    else:
-        # 24-bit PCM: stdlib wave parses the header but this stats
-        # path predates wav_lite's 3-byte reader — delegate
-        return _decode_wav_lite(content)
+    else:  # unreachable: widths outside (1, 2, 4) delegated above
+        raise ValueError(f"unsupported PCM sample width {width_bytes}")
     return {
         "byte_len": len(content),
         "width": rate,
@@ -426,9 +428,17 @@ def _audio_stats(byte_len: int, meta: dict) -> dict:
     """wav_lite-shaped stats → MEDIA_STATS_SCHEMA mapping (the
     documented audio convention: width = sample rate, height =
     channels, n_frames = per-channel sample count)."""
-    if meta["n_samples"] > 2**31 - 1:
-        # same int32 n_frames guard as the FLAC/MPEG branches
-        raise ValueError("sample count exceeds the int32 stats column")
+    if (
+        meta["n_samples"] > 2**31 - 1
+        or meta["sample_rate"] > 2**31 - 1
+        or meta["channels"] > 2**31 - 1
+    ):
+        # int32 guard on EVERY stats column this mapping feeds: the
+        # rate/channels fields are attacker-controlled uint32s (AU
+        # header) or unbounded floats (AIFF 80-bit COMM rate), and an
+        # overflow that escapes real_decode dies in the batch-level
+        # astype("Int32") instead of quarantining one row (r13 review)
+        raise ValueError("audio metadata exceeds the int32 stats columns")
     return {
         "byte_len": byte_len,
         "width": meta["sample_rate"],

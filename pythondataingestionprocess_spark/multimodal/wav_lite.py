@@ -268,6 +268,70 @@ def _decode_ms(
     return frames
 
 
+# ------------------------------------------------- shared stats kernels
+# (public: aiff_au_lite reuses these for the big-endian containers —
+# one copy of the sign-extension / clipping / companding math)
+
+def int_pcm_stats(data: bytes, bits: int, byteorder: str,
+                  unsigned8: bool = False) -> tuple[float, int]:
+    """(mean |x| normalized 0-1, total sample count) for linear PCM.
+    8-bit is signed by default (AIFF/AU); WAV passes unsigned8=True."""
+    if bits == 8:
+        if unsigned8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        else:
+            x = np.frombuffer(data, dtype=np.int8).astype(np.int32)
+        full = 127.0
+    elif bits == 16:
+        x = np.frombuffer(
+            data[: len(data) - len(data) % 2], dtype=f"{byteorder}i2"
+        ).astype(np.int32)
+        full = 32767.0
+    elif bits == 24:
+        trim = len(data) - len(data) % 3
+        raw = np.frombuffer(data[:trim], dtype=np.uint8).reshape(-1, 3)
+        lo, mid, hi = (2, 1, 0) if byteorder == ">" else (0, 1, 2)
+        x = (
+            raw[:, lo].astype(np.int32)
+            | raw[:, mid].astype(np.int32) << 8
+            | raw[:, hi].astype(np.int8).astype(np.int32) << 16
+        )
+        full = 8388607.0
+    elif bits == 32:
+        x = np.frombuffer(
+            data[: len(data) - len(data) % 4], dtype=f"{byteorder}i4"
+        ).astype(np.int64)
+        full = 2147483647.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    mean = float(np.abs(x).mean() / full) if x.size else 0.0
+    return mean, x.size
+
+
+def float_stats(data: bytes, bits: int, byteorder: str) -> tuple[float, int]:
+    """(mean |x|, total sample count) for IEEE float PCM; out-of-range
+    values clip to [-1, 1] and non-finite values are dropped from the
+    mean (but still count toward the sample count)."""
+    if bits not in (32, 64):
+        raise ValueError(f"unsupported float bit depth {bits}")
+    step = bits // 8
+    x = np.frombuffer(
+        data[: len(data) - len(data) % step], dtype=f"{byteorder}f{step}"
+    )
+    n = x.size
+    x = np.clip(x[np.isfinite(x)], -1.0, 1.0)
+    mean = float(np.abs(x).mean()) if x.size else 0.0
+    return mean, n
+
+
+def g711_stats(data: bytes, law: str) -> tuple[float, int]:
+    """(mean |x| normalized, sample count) for G.711 bytes."""
+    table = _ALAW if law == "alaw" else _ULAW
+    x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int32)
+    mean = float(np.abs(x).mean() / 32767.0) if x.size else 0.0
+    return mean, x.size
+
+
 # ----------------------------------------------------------- RIFF walk
 
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs start with the 16-bit format
@@ -334,50 +398,14 @@ def decode(content: bytes) -> dict:
     fmt, data, fact = _parse_riff(content)
     tag, ch = fmt["tag"], fmt["channels"]
     if tag == 0x0001:  # integer PCM, incl. the 24-bit stdlib gap
-        bits = fmt["bits"]
-        if bits == 8:
-            x = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
-            full = 127.0
-        elif bits == 16:
-            x = np.frombuffer(
-                data[: len(data) - len(data) % 2], dtype="<i2"
-            ).astype(np.int32)
-            full = 32767.0
-        elif bits == 24:
-            trim = len(data) - len(data) % 3
-            raw = np.frombuffer(data[:trim], dtype=np.uint8).reshape(-1, 3)
-            x = (
-                raw[:, 0].astype(np.int32)
-                | raw[:, 1].astype(np.int32) << 8
-                | raw[:, 2].astype(np.int8).astype(np.int32) << 16
-            )
-            full = 8388607.0
-        elif bits == 32:
-            x = np.frombuffer(
-                data[: len(data) - len(data) % 4], dtype="<i4"
-            ).astype(np.int64)
-            full = 2147483647.0
-        else:
-            raise ValueError(f"unsupported PCM bit depth {bits}")
-        mean = float(np.abs(x).mean() / full) if x.size else 0.0
-        n = x.size // ch
+        mean, total = int_pcm_stats(data, fmt["bits"], "<", unsigned8=True)
+        n = total // ch
     elif tag == 0x0003:  # IEEE float
-        bits = fmt["bits"]
-        if bits not in (32, 64):
-            raise ValueError(f"unsupported float bit depth {bits}")
-        step = bits // 8
-        x = np.frombuffer(
-            data[: len(data) - len(data) % step],
-            dtype="<f4" if bits == 32 else "<f8",
-        )
-        x = np.clip(x[np.isfinite(x)], -1.0, 1.0)
-        mean = float(np.abs(x).mean()) if x.size else 0.0
-        n = (len(data) // step) // ch
+        mean, total = float_stats(data, fmt["bits"], "<")
+        n = total // ch
     elif tag in (0x0006, 0x0007):  # G.711 A-law / mu-law
-        table = _ALAW if tag == 0x0006 else _ULAW
-        x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int32)
-        mean = float(np.abs(x).mean() / 32767.0) if x.size else 0.0
-        n = x.size // ch
+        mean, total = g711_stats(data, "alaw" if tag == 0x0006 else "ulaw")
+        n = total // ch
     elif tag == 0x0011:  # IMA ADPCM
         frames = _decode_ima(data, ch, fmt["block_align"], fact)
         mean = (

@@ -159,6 +159,43 @@ def test_au_pcm_and_ulaw_vs_stdlib_writer():
     )
 
 
+def test_aiff_stats_cover_only_declared_frames():
+    """r13 review: SSND padding/block-align tails beyond the COMM
+    frame count must not skew the amplitude stat."""
+    sig = np.array([100], dtype=">i2")
+    blob = bytearray(_aiff_bytes(sig))
+    # append 3 loud undeclared samples inside SSND and patch sizes
+    ssnd_at = bytes(blob).index(b"SSND")
+    (ssnd_size,) = struct.unpack_from(">I", blob, ssnd_at + 4)
+    extra = np.array([30000, 30000, 30000], dtype=">i2").tobytes()
+    insert_at = ssnd_at + 8 + ssnd_size
+    blob[insert_at:insert_at] = extra
+    struct.pack_into(">I", blob, ssnd_at + 4, ssnd_size + len(extra))
+    struct.pack_into(">I", blob, 4, len(blob) - 8)  # FORM size
+    meta = aiff_au_lite.decode_aiff(bytes(blob))
+    assert meta["n_samples"] == 1
+    assert meta["mean_abs_amplitude"] == pytest.approx(
+        100 / 32767.0, abs=1e-12
+    )
+
+
+def test_audio_int32_overflow_quarantines_per_row():
+    """r13 review: attacker-controlled rate/channels (AU uint32
+    header, AIFF 80-bit float rate) must quarantine in real_decode,
+    not die batch-wide in the Int32 cast."""
+    data = np.array([1000], dtype=">i2").tobytes()
+    big_rate = b".snd" + struct.pack(
+        ">IIIII", 24, len(data), 3, 3_000_000_000, 1
+    ) + data
+    with pytest.raises(ValueError, match="int32"):
+        media.real_decode(big_rate, "audio/basic")
+    big_ch = b".snd" + struct.pack(
+        ">IIIII", 24, len(data), 3, 8000, 2_500_000_000
+    ) + data
+    with pytest.raises(ValueError, match="int32"):
+        media.real_decode(big_ch, "audio/basic")
+
+
 def test_au_unknown_size_marker_and_rejects():
     data = np.array([1000, -1000], dtype=">i2").tobytes()
     hdr = b".snd" + struct.pack(">IIIII", 24, 0xFFFFFFFF, 3, 8000, 1)

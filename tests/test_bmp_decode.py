@@ -146,6 +146,13 @@ def test_bmp_rejects_and_quarantines():
     row = bytes([3]) + b"\0\0\0"
     with pytest.raises(ValueError, match="palette index"):
         bmp_lite.decode(make_bmp(1, 1, 8, row, palette=pal))
+    # bfOffBits pointing INTO the header/palette must not decode
+    # header bytes as pixels (r13 review)
+    px2 = bytes([0, 0, 0, 0])
+    blob2 = bytearray(make_bmp(1, 1, 24, px2))
+    blob2[10:14] = struct.pack("<I", 2)
+    with pytest.raises(ValueError, match="inside the header"):
+        bmp_lite.decode(bytes(blob2))
     # RLE8 stream without EOB
     with pytest.raises(ValueError, match="end-of-bitmap"):
         bmp_lite.decode(
