@@ -115,6 +115,20 @@ NEW_R13 = [
     "text_bpe_tokenize_vectorized",
 ]
 
+# Staged mid-r13, riding the r14 window (outside the current 50 —
+# tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
+# the fully oracle-checked REAL media decode face — synthesized
+# BMP/TIFF/WAV/MOV blobs whose decoded stats are closed-form integer
+# arithmetic on doc_id (multimodal/synth.py), vs a DuckDB restatement.
+# Slot freed by the same-session `histogram_quantity` retirement
+# (core_relational.py — substance migrated to tests/test_plans.py),
+# keeping the registry AT the 180 cap. Hash-green at sf0.01 under a
+# vanilla session at registration.
+NEW_R14_STAGED = [
+    "multimodal_real_decode_roundtrip",
+]
+
+
 def _apply_rotation() -> None:
     priority = STALE_R10 + NEW_R13
     missing = [n for n in priority if n not in REGISTRY]
@@ -141,5 +155,6 @@ __all__ = [
     "query",
     "STALE_R10",
     "NEW_R13",
+    "NEW_R14_STAGED",
     "NEW_CURRENT",
 ]

@@ -608,34 +608,17 @@ def quantile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HISTOGRAM_ORACLE = """
--- width_bucket(x, 0, 50, 10) desugared (DuckDB has no width_bucket):
--- below range -> 0, at/above hi -> n+1, else floor(x/width)+1
-SELECT CAST(CASE WHEN l_quantity < 0 THEN 0
-            WHEN l_quantity >= 50 THEN 11
-            ELSE floor(l_quantity / 5) + 1 END AS BIGINT) AS bucket,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
-FROM lineitem GROUP BY 1
-"""
-
-
-@query("histogram_quantity", oracle=_HISTOGRAM_ORACLE, tags=("agg", "histogram"))
-def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram via width_bucket — binning is a pure
-    expression, so the 'histogram' is an ordinary one-shuffle
-    aggregation (no special operator needed at any scale)."""
-    (lineitem,) = _t(spark, sf_dir, "lineitem")
-    return (
-        lineitem.withColumn(
-            "bucket", F.width_bucket(F.col("l_quantity"), F.lit(0), F.lit(50), F.lit(10))
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dec_sum("l_extendedprice", "sum_price"),
-        )
-    )
+# RETIRED r13 (capacity lever, r12 VERDICT item 5 shortlist #3):
+# `histogram_quantity` — fixed-width binning is a two-expression
+# width_bucket over a plain one-shuffle aggregation; the genuinely
+# hard histogram substance (distributed quantiles) stays oracle-faced
+# in `equidepth_price_bands`, and the width_bucket-vs-desugared-CASE
+# equivalence the retired oracle pinned now lives in
+# tests/test_plans.py::test_width_bucket_binning_equals_desugared_case.
+# Last driver row r11 hash-green. Slot reused by
+# `multimodal_real_decode_roundtrip` (llm_ops.py) — the first fully
+# oracle-checked REAL media decode face. Same documented-substance
+# discipline as the first_match_pick (r11) and F18 (r10) retirements.
 
 
 _FUZZY_ORACLE = """

@@ -389,6 +389,82 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REAL_DECODE_ORACLE = """
+-- Restates multimodal/synth.py::blob_for in SQL arithmetic: every
+-- blob derives from doc_id alone, so the REAL decoders' outputs are
+-- closed forms. The mu-law branch is the G.711 expansion
+-- ((mant*8+132)*2^exp - 132) of the constant sample byte b with
+-- u = 255-b (bytes transmitted inverted), exp=(u//16)%8, mant=u%16.
+WITH s AS (
+  SELECT doc_id, doc_id % 4 AS kind FROM documents
+), stats AS (
+  SELECT
+    CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/tiff'
+         WHEN 2 THEN 'audio/wav' ELSE 'video/quicktime' END AS media_type,
+    CASE kind WHEN 0 THEN 3 + doc_id % 10 WHEN 1 THEN 2 + doc_id % 9
+         WHEN 2 THEN 8000 ELSE 2 + doc_id % 6 END AS width,
+    CASE kind WHEN 0 THEN 2 + doc_id % 5 WHEN 1 THEN 1 + doc_id % 6
+         WHEN 2 THEN 1 ELSE 1 + doc_id % 4 END AS height,
+    CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1
+         WHEN 2 THEN 20 + doc_id % 80 ELSE 3 END AS n_frames,
+    CASE kind
+      WHEN 0 THEN (doc_id % 256) / 255.0
+      WHEN 1 THEN ((doc_id * 7) % 256) / 255.0
+      WHEN 2 THEN (((255 - (16 + doc_id % 64)) % 16 * 8 + 132)
+                   * CAST(POWER(2, ((255 - (16 + doc_id % 64)) // 16) % 8)
+                          AS BIGINT) - 132) / 32767.0
+      ELSE (30 + doc_id % 200) / 255.0 END AS mean_i
+  FROM s
+)
+SELECT media_type,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(height) AS BIGINT) AS sum_height,
+       CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+       CAST(SUM(CAST(ROUND(mean_i * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_mean_micros,
+       CAST(SUM(0) AS BIGINT) AS n_quarantined
+FROM stats GROUP BY media_type
+"""
+
+
+@query("multimodal_real_decode_roundtrip", oracle=_REAL_DECODE_ORACLE,
+       tags=("multimodal",))
+def multimodal_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, fully oracle-checked (r13): synthesize one
+    valid BMP/TIFF/WAV/MOV blob per document (multimodal/synth.py —
+    every byte a function of doc_id), run the real decoders through
+    the Arrow decode_media path (RLE8 expansion + palette, PackBits
+    strips + IFD walk, G.711 companding, ISO-BMFF sample tables +
+    raw-frame luma), and aggregate the decoded stats. The DuckDB
+    oracle restates the same stats as closed-form integer arithmetic
+    on doc_id — the first multimodal face where the DECODERS
+    themselves are driver-checked, not just the plumbing.
+    mean_intensity compares at micro precision: every branch's
+    mean·10^6 is a rational with odd denominator (255/32767), never
+    nearer a rounding boundary than 1/102, while the numeric noise
+    between the decoders' float path and the closed form is <1e-6."""
+    from pythondataingestionprocess_spark.multimodal.media import decode_media
+    from pythondataingestionprocess_spark.multimodal.synth import (
+        synthesize_blobs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stats = decode_media(synthesize_blobs(docs), use_fake=False)
+    return stats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("n_frames").alias("sum_frames"),
+        F.sum(
+            F.round(F.col("mean_intensity") * 1000000).cast("long")
+        ).alias("sum_mean_micros"),
+        F.sum(
+            F.when(F.col("decode_status") != "ok", 1).otherwise(0)
+        ).cast("long").alias("n_quarantined"),
+    )
+
+
 @query("multimodal_binary_meta", oracle=_MULTIMODAL_ORACLE, tags=("multimodal",))
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: treat utf-8 encoded text as the

@@ -44,6 +44,11 @@ SANCTIONED_VECTORIZED = {
     # MAX_EXPR_MERGES); the kernel is closure-shipped-dict greedy
     # merging over Arrow batches, everything around it relational.
     "text_bpe_tokenize_vectorized",
+    # r13 (staged NEW_R14): the fully oracle-checked REAL media decode
+    # face — two MapInPandas stages ARE the point (blob synthesis from
+    # doc_id + the real decoders over Arrow batches of binary);
+    # everything around them is a plain grouped aggregate.
+    "multimodal_real_decode_roundtrip",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -782,3 +782,42 @@ def test_bm25_two_scans_windowed_idf(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_width_bucket_binning_equals_desugared_case(spark):
+    """Substance migration for the r13 `histogram_quantity` retirement
+    (core_relational.py): the retired face's oracle pinned that
+    width_bucket(x, 0, 50, 10) equals the hand-desugared CASE (below
+    range -> 0, at/above hi -> n+1, else floor(x/width)+1). Keep that
+    equivalence pinned strategy-vs-strategy in Spark so the fixed-width
+    binning expression stays verified without spending a registry
+    slot; the distributed-quantile substance stays oracle-faced in
+    equidepth_price_bands."""
+    from pyspark.sql import functions as F
+
+    from pythondataingestionprocess_spark.plans.registry import dec_sum
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    via_builtin = (
+        lineitem.withColumn(
+            "bucket",
+            F.width_bucket(F.col("l_quantity"), F.lit(0), F.lit(50), F.lit(10)),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("l_extendedprice", "sum_price"))
+    )
+    via_case = (
+        lineitem.withColumn(
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN l_quantity < 0 THEN 0 "
+                "WHEN l_quantity >= 50 THEN 11 "
+                "ELSE floor(l_quantity / 5) + 1 END AS BIGINT)"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("l_extendedprice", "sum_price"))
+    )
+    a = sorted(map(tuple, via_builtin.collect()))
+    b = sorted(map(tuple, via_case.collect()))
+    assert a == b and len(a) > 1
