@@ -3,12 +3,19 @@ columns with typed metadata (engine-added per BASELINE.json north
 star).
 
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
-partition sizing — is real and tested; the actual media decoding is
-STUBBED (``NotImplementedError``) because the container ships no
-image/audio libraries. ``fake_decode_stats`` is the deterministic
-stand-in used by tests: it derives "pixel stats" purely from the raw
-bytes, so the full pipeline (binary in → mapInPandas → typed stats
-out) runs end-to-end without PIL/ffmpeg.
+partition sizing — is real and tested, and by r13 most DECODING is
+real too, from-scratch against the public specs (the container ships
+no media libraries): PNG/GIF/BMP/TIFF and baseline+progressive JPEG
+pixel decode; WAV (PCM, float, G.711, IMA/MS ADPCM), FLAC, AIFF,
+and AU audio sample decode; MJPEG and uncompressed MOV video
+first-frame decode; MP3/AAC and MP4 frame/box-walk metadata. What
+genuinely needs a codec the specs tabulate rather than define
+(MP3/AAC synthesis windows, H.264...) stays honestly NULL-stats /
+``NotImplementedError``. ``fake_decode_stats`` remains the
+deterministic stand-in for pipeline tests that don't care about
+real formats: it derives "pixel stats" purely from the raw bytes, so
+the full pipeline (binary in → mapInPandas → typed stats out) runs
+end-to-end on arbitrary payloads.
 
 Scale notes: media payloads dominate row size, so
 - keep payloads in their own column and prune it early
