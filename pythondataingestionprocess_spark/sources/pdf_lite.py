@@ -77,7 +77,10 @@ R5/R6). A wrong password raises — quarantine, never mojibake.
 Still NOT handled (PyMuPDF territory): public-key (/Adobe.PubSec)
 security handlers, CIDFont /Encoding CMaps other than the embedded
 ToUnicode, positional reading order (streams are emitted in file
-order), SASLprep normalization of non-ASCII V5 passwords.
+order). SASLprep normalization of non-ASCII V5 passwords IS handled
+since r13 (_saslprep_utf8 — RFC 4013 over the stdlib stringprep
+tables, with a raw-bytes second candidate for non-conforming
+writers).
 ``extract_pdf_text`` therefore PREFERS PyMuPDF when importable and
 falls back here, so statement PDFs work in this container and
 full-fidelity returns wherever fitz exists.
@@ -428,6 +431,52 @@ def _std_handler_key(
     raise ValueError("user password required (empty-password check failed)")
 
 
+def _saslprep_utf8(password: bytes) -> bytes | None:
+    """SASLprep (RFC 4013, via the stdlib RFC 3454 ``stringprep``
+    tables) of a UTF-8 password — the normalization ISO 32000-2
+    §7.6.4.3.3 requires before hashing V5 passwords. Returns the
+    normalized UTF-8 bytes, or None when the input is not valid UTF-8
+    or contains prohibited/unassigned characters or a bidi violation
+    (a CONFORMING writer can never have used such a password, so the
+    caller just skips the normalized candidate). ASCII passwords are
+    fixed points."""
+    import stringprep
+    import unicodedata
+
+    try:
+        s = password.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    mapped = []
+    for ch in s:
+        if stringprep.in_table_c12(ch):      # non-ASCII space → SP
+            mapped.append(" ")
+        elif stringprep.in_table_b1(ch):     # map-to-nothing
+            continue
+        else:
+            mapped.append(ch)
+    s = unicodedata.normalize("NFKC", "".join(mapped))
+    prohibited = (
+        stringprep.in_table_c12, stringprep.in_table_c21_c22,
+        stringprep.in_table_c3, stringprep.in_table_c4,
+        stringprep.in_table_c5, stringprep.in_table_c6,
+        stringprep.in_table_c7, stringprep.in_table_c8,
+        stringprep.in_table_c9,
+    )
+    for ch in s:
+        if any(p(ch) for p in prohibited) or stringprep.in_table_a1(ch):
+            return None
+    if any(stringprep.in_table_d1(ch) for ch in s):
+        # RFC 3454 §6 bidi rules for RandALCat strings
+        if any(stringprep.in_table_d2(ch) for ch in s):
+            return None
+        if not (
+            stringprep.in_table_d1(s[0]) and stringprep.in_table_d1(s[-1])
+        ):
+            return None
+    return s.encode("utf-8")
+
+
 def _std_handler_key_v5(
     enc: bytes, rev: int, u: bytes, password: bytes = b""
 ) -> tuple[bytes, int, str]:
@@ -438,9 +487,12 @@ def _std_handler_key_v5(
     extension) hashes with one plain SHA-256; R6 uses Algorithm 2.B.
     A supplied password is tried as USER first, then as OWNER (same
     shape with the /O salts, the full 48-byte /U as extra hash input,
-    and the /OE unwrap). Passwords are UTF-8, truncated to 127 bytes
-    per §7.6.4.3.3 (SASLprep normalization is the caller's job —
-    ASCII passwords, the practical case, are unaffected)."""
+    and the /OE unwrap). Passwords are UTF-8, SASLprep-normalized
+    per §7.6.4.3.3 (r13: _saslprep_utf8 — the RFC 4013 profile over
+    the stdlib stringprep tables) and truncated to 127 bytes; the RAW
+    bytes are tried as a second candidate for files written by
+    non-conforming producers that hashed the un-normalized password
+    (ASCII passwords, the practical case, have one candidate)."""
     import hashlib
 
     if not _HAVE_AES:
@@ -452,20 +504,27 @@ def _std_handler_key_v5(
         raise ValueError("V5 encryption without an /AESV3 crypt filter")
     if not re.search(rb"/StmF\s*/StdCF\b", enc):
         raise ValueError("V5 stream crypt filter is not /StdCF")
-    pw = password[:127]
+    candidates = []
+    norm = _saslprep_utf8(password)
+    if norm is not None:
+        candidates.append(norm[:127])
+    if password[:127] not in candidates:
+        candidates.append(password[:127])
     vsalt, ksalt = u[32:40], u[40:48]
-    if rev == 5:
-        h = hashlib.sha256(pw + vsalt).digest()
-        ik = hashlib.sha256(pw + ksalt).digest()
-    else:
-        h = _alg2b(pw, vsalt)
-        ik = _alg2b(pw, ksalt)
-    if h == u[:32]:
-        return _aes_cbc_raw(ik, bytes(16), ue[:32]), rev, "aesv3"
-    if pw:
-        o = _dict_string(enc, b"O")
-        oe = _dict_string(enc, b"OE")
-        if o is not None and len(o) >= 48 and oe is not None and len(oe) >= 32:
+    o = _dict_string(enc, b"O")
+    oe = _dict_string(enc, b"OE")
+
+    def _attempt(pw: bytes):
+        if rev == 5:
+            h = hashlib.sha256(pw + vsalt).digest()
+            ik = hashlib.sha256(pw + ksalt).digest()
+        else:
+            h = _alg2b(pw, vsalt)
+            ik = _alg2b(pw, ksalt)
+        if h == u[:32]:
+            return _aes_cbc_raw(ik, bytes(16), ue[:32])
+        if pw and o is not None and len(o) >= 48 and oe is not None \
+                and len(oe) >= 32:
             o_vsalt, o_ksalt, u48 = o[32:40], o[40:48], u[:48]
             if rev == 5:
                 ho = hashlib.sha256(pw + o_vsalt + u48).digest()
@@ -474,16 +533,18 @@ def _std_handler_key_v5(
                 ho = _alg2b(pw, o_vsalt, u48)
                 iko = _alg2b(pw, o_ksalt, u48)
             if ho == o[:32]:
-                return _aes_cbc_raw(iko, bytes(16), oe[:32]), rev, "aesv3"
+                return _aes_cbc_raw(iko, bytes(16), oe[:32])
+        return None
+
+    for pw in candidates:
+        key = _attempt(pw)
+        if key is not None:
+            return key, rev, "aesv3"
+    if password:
         # last resort: the EMPTY user password (see the R2-R4 twin)
-        if rev == 5:
-            h0 = hashlib.sha256(vsalt).digest()
-            ik0 = hashlib.sha256(ksalt).digest()
-        else:
-            h0 = _alg2b(b"", vsalt)
-            ik0 = _alg2b(b"", ksalt)
-        if h0 == u[:32]:
-            return _aes_cbc_raw(ik0, bytes(16), ue[:32]), rev, "aesv3"
+        key = _attempt(b"")
+        if key is not None:
+            return key, rev, "aesv3"
         raise ValueError("wrong password (user and owner checks failed)")
     raise ValueError("user password required (empty-password check failed)")
 

@@ -818,3 +818,63 @@ def test_password_roundtrip_fuzz():
         enc, password=long_pw[:32] + b"DIFFERENT-TAIL"
     )
     assert st == "ok"
+
+
+def test_v5_saslprep_rfc4013_vectors():
+    """RFC 4013 §3 vectors through _saslprep_utf8: soft hyphen maps
+    to nothing, U+2168 compats to 'IX', NBSP maps to space, ASCII is
+    a fixed point; prohibited chars, bidi violations, and non-UTF-8
+    bytes return None (a conforming writer can't have used them)."""
+    sp = pdf_lite._saslprep_utf8
+    assert sp("I­X".encode()) == b"IX"
+    assert sp(b"user") == b"user"
+    assert sp(b"USER") == b"USER"
+    assert sp("ª".encode()) == b"a"
+    assert sp("Ⅸ".encode()) == b"IX"
+    assert sp("x y".encode()) == b"x y"
+    assert sp(b"\x07") is None                       # prohibited C.2.1
+    assert sp("ا1".encode()) is None            # bidi violation
+    assert sp(b"\xff\xfe raw bytes") is None         # not UTF-8
+
+
+def test_v5_non_ascii_password_saslprep_normalizes():
+    """ISO 32000-2 §7.6.4.3.3: the file was written with the
+    NORMALIZED password; a caller supplying the un-normalized form
+    (soft hyphen / compatibility roman numeral) must still open it —
+    for both the user and the owner password."""
+    norm = "IX".encode()
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6, user_pw=norm,
+                          owner_pw="Stück".encode())
+    for raw in ("I­X".encode(), "Ⅸ".encode(), norm):
+        text, _, st = pdf_lite.extract_with_confidence(enc, password=raw)
+        assert st == "ok" and LINES[0] in text, raw
+    # owner path too (NFKC fixed point here, exercises the candidate
+    # loop through the /O salts)
+    text, _, st = pdf_lite.extract_with_confidence(
+        enc, password="Stück".encode()
+    )
+    assert st == "ok" and LINES[0] in text
+
+
+def test_v5_nonconforming_writer_raw_password_still_opens():
+    """A file whose writer hashed the RAW un-normalized bytes (soft
+    hyphen kept): the raw candidate is tried after the SASLprep'd
+    one, so the same password string still opens it."""
+    raw = "I­X".encode()
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6, user_pw=raw)
+    text, _, st = pdf_lite.extract_with_confidence(enc, password=raw)
+    assert st == "ok" and LINES[0] in text
+    # and the normalized form alone does NOT open it (different hash)
+    _, _, st = pdf_lite.extract_with_confidence(enc, password=b"IX")
+    assert st == "quarantine"
+
+
+def test_v5_saslprep_rejected_password_quarantines_cleanly():
+    """A password SASLprep rejects (bidi violation) has only the raw
+    candidate; against a file keyed to something else the result is a
+    clean wrong-password quarantine, not an exception escape."""
+    enc = _encrypt_pdf_v5(_plain_pdf(LINES), rev=6, user_pw=b"secret")
+    _, _, st = pdf_lite.extract_with_confidence(
+        enc, password="ا1".encode()
+    )
+    assert st == "quarantine"
