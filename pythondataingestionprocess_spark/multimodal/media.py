@@ -90,7 +90,15 @@ def real_decode(content: bytes, media_type: str) -> dict:
     uses ("image"/"audio"/"video") and full MIME types ("image/png",
     "audio/wav" — what real sources like the WARC reader carry): the
     major type routes, the decoder sniffs the actual subformat from
-    magic bytes as before."""
+    magic bytes as before. The ONE format that needs the subtype is
+    TGA (it has no magic bytes): only an explicit image/x-tga (or
+    tga/targa) row routes there — sniffing would misread random
+    binaries."""
+    subtype = (
+        media_type.split("/", 1)[1].split(";")[0].strip().lower()
+        if media_type and "/" in media_type
+        else ""
+    )
     media_type = _major_type(media_type)
     if media_type == "image":
         try:
@@ -182,6 +190,53 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "width": stats["width"],
                     "height": stats["height"],
                     "n_frames": stats["n_frames"],
+                    "mean_intensity": stats["mean_intensity"],
+                }
+            if (
+                content[:1] == b"P"
+                and content[1:2] in b"123456"
+                and (content[2:3].isspace() or content[2:3] == b"#")
+            ):
+                # r13: Netpbm — the zero-compression interchange format
+                from pythondataingestionprocess_spark.multimodal import pnm_lite
+
+                stats = pnm_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": 1,
+                    "mean_intensity": stats["mean_intensity"],
+                }
+            if subtype in ("x-tga", "tga", "x-targa", "targa"):
+                # r13: TGA is magic-less — explicit MIME rows only,
+                # checked BEFORE the weak ICO sniff (a type-2 TGA's
+                # first four bytes collide with the CUR magic)
+                from pythondataingestionprocess_spark.multimodal import tga_lite
+
+                stats = tga_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": 1,
+                    "mean_intensity": stats["mean_intensity"],
+                }
+            if (
+                content[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+                and content[4:6] != b"\x00\x00"
+            ):
+                # r13: ICO/CUR favicon container (PNG or DIB entries);
+                # the weak magic additionally requires a nonzero entry
+                # count so magic-less formats can't alias into it
+                from pythondataingestionprocess_spark.multimodal import ico_lite
+
+                stats = ico_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": stats["n_images"],
                     "mean_intensity": stats["mean_intensity"],
                 }
             raise ValueError("unrecognized image format (no PIL in env)")
