@@ -57,12 +57,18 @@ def decode(data: bytes) -> dict:
         raise ValueError(f"unsupported ICO DIB header size {hdr_size}")
     height2 = struct.unpack_from("<i", img, 8)[0]
     bpp = struct.unpack_from("<H", img, 14)[0]
+    compression = struct.unpack_from("<I", img, 16)[0]
     n_colors = struct.unpack_from("<I", img, 32)[0]
     patched = bytearray(img)
     struct.pack_into("<i", patched, 8, height2 // 2)
     pal_bytes = (
         (n_colors or (1 << bpp)) * 4 if bpp <= 8 else 0
     )
+    if compression == 3:
+        # BI_BITFIELDS: the three channel masks sit between the
+        # 40-byte header and the pixels (r13 review — omitting them
+        # rejected every 16/32-bit BITFIELDS icon)
+        pal_bytes += 12
     data_off = 14 + 40 + pal_bytes
     hdr = b"BM" + struct.pack("<IHHI", 14 + len(patched), 0, 0, data_off)
     st = bmp_lite.decode(hdr + bytes(patched))

@@ -518,7 +518,11 @@ def _decode_wav_lite(content: bytes) -> dict:
 
 def fake_decode_stats(content: bytes, media_type: str) -> dict:
     """Deterministic stand-in decode: derives plausible-typed stats
-    from the raw bytes only (same bytes → same stats, any worker)."""
+    from the raw bytes only (same bytes → same stats, any worker).
+    MIME types normalize to their major type here, mirroring
+    real_decode, so both decoders see identical labels whichever the
+    caller passes."""
+    media_type = _major_type(media_type)
     n = len(content)
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
@@ -544,10 +548,12 @@ def decode_media(
     → MEDIA_STATS_SCHEMA rows. ``use_fake=False`` routes to the real
     (stubbed) decoder.
 
-    MIME types normalize to their major type HERE, so the fake and
-    real decoders see identical labels ('image/png' → 'image' for
-    both — r10 review: normalizing only inside real_decode made the
-    stand-in disagree with the real path on MIME-typed rows).
+    The FULL MIME string passes through to the decoder: both
+    real_decode and fake_decode_stats normalize the major type
+    themselves (so they agree on MIME-typed rows — the r10 concern),
+    and real_decode additionally needs the subtype for magic-less
+    formats (image/x-tga — r13 review: normalizing here made the TGA
+    route unreachable from the pipeline path).
 
     Per-row fault isolation: an unsupported type (a real crawl's
     ``application/http`` response payloads) or an undecodable blob
@@ -564,7 +570,12 @@ def decode_media(
     def _one(content, mt) -> dict:
         blob = bytes(content) if content is not None else b""
         try:
-            stats = decoder(blob, _major_type(mt))
+            # pass the FULL MIME through: real_decode normalizes the
+            # major type itself but needs the subtype for magic-less
+            # formats (TGA), and fake_decode_stats normalizes too —
+            # stripping here made the TGA route unreachable from the
+            # pipeline path (r13 review)
+            stats = decoder(blob, mt)
             return {**stats, "decode_status": "ok"}
         except (ImportError, MemoryError, RecursionError):
             # broken environment / resource exhaustion, not bad data —

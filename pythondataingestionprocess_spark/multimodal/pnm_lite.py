@@ -51,15 +51,40 @@ def decode(data: bytes) -> dict:
     if width * height > 100_000_000:
         raise ValueError("PNM dimensions exceed the 100MP decode guard")
     ch = 3 if kind in (3, 6) else 1
-    if kind <= 3:  # ASCII variants
+    if kind == 1:
+        # plain PBM: the spec allows pixels packed WITHOUT whitespace
+        # ('0110'), so tokenize per CHARACTER; anything that is not
+        # 0/1/whitespace/comment is an error (r13 review — int('10')
+        # used to flow into the mean as 10)
+        need = width * height
+        bits = []
+        i = pos
+        while i < len(data) and len(bits) < need:
+            c = data[i:i + 1]
+            if c in (b"0", b"1"):
+                bits.append(c == b"1")
+            elif c == b"#":
+                nl = data.find(b"\n", i)
+                i = len(data) if nl < 0 else nl
+            elif not c.isspace():
+                raise ValueError(f"bad P1 pixel byte {c!r}")
+            i += 1
+        if len(bits) < need:
+            raise ValueError("truncated ASCII PNM")
+        vals = 1.0 - np.array(bits, dtype=np.float64)  # 1 = black
+        maxval = 1
+    elif kind <= 3:  # ASCII gray / RGB
         toks = data[pos:].split()
         need = width * height * ch
         if len(toks) < need:
             raise ValueError("truncated ASCII PNM")
-        vals = np.array([int(t) for t in toks[:need]], dtype=np.float64)
-        if kind == 1:
-            vals = 1.0 - vals  # P1: 1 = black
-            maxval = 1
+        try:
+            ints = [int(t) for t in toks[:need]]
+        except ValueError:
+            raise ValueError("bad ASCII PNM sample token") from None
+        if any(v < 0 or v > maxval for v in ints):
+            raise ValueError("ASCII PNM sample exceeds maxval")
+        vals = np.array(ints, dtype=np.float64)
     else:
         pos += 1  # single whitespace after header
         if kind == 4:  # packed bitmap, rows byte-aligned

@@ -16,7 +16,6 @@ from pythondataingestionprocess_spark.multimodal import (
     pnm_lite,
     tga_lite,
 )
-from tests.test_bmp_decode import make_bmp  # noqa: F401 (palette helper)
 
 
 # ---------------------------------------------------------------- PNM
@@ -170,7 +169,6 @@ def test_ico_dib_entry_and_largest_selection():
 
 
 def test_ico_png_entry_and_cur():
-    from tests.fixtures import __file__ as _  # noqa: F401
     import zlib
 
     # minimal 1x1 gray-255 PNG via png_lite's supported shape
@@ -199,3 +197,53 @@ def test_ico_rejects():
     with pytest.raises(ValueError, match="header size"):
         bad = struct.pack("<I", 124) + bytes(200)  # V5 DIB in ICO
         ico_lite.decode(_ico([(1, 1, bad)]))
+
+
+def test_p1_packed_pixels_and_bad_tokens():
+    """r13 review: plain PBM allows pixels packed WITHOUT whitespace;
+    and a non-0/1 token must error, never flow into the mean."""
+    assert pnm_lite.decode(b"P1\n4 1\n0110")["mean_intensity"] == (
+        pytest.approx(0.5)
+    )
+    with pytest.raises(ValueError, match="pixel byte"):
+        pnm_lite.decode(b"P1 2 2\n2 1 0 1")
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        pnm_lite.decode(b"P2 2 1 100\n50 101")
+
+
+def test_tga_routes_through_decode_media_pipeline(spark):
+    """r13 review: the subtype must SURVIVE decode_media — stripping
+    to the major type there made the TGA route unreachable from the
+    actual pipeline path (the unit test called real_decode directly
+    and missed it)."""
+    from pythondataingestionprocess_spark.multimodal.media import decode_media
+
+    blob = _tga_hdr(2, 1, 1, 24) + bytes([255, 255, 255])
+    df = spark.createDataFrame(
+        [(1, "image/x-tga", bytearray(blob)),
+         (2, "image/png", bytearray(b"\x89PNG junk"))],
+        "id long, media_type string, content binary",
+    )
+    rows = {r["id"]: r for r in decode_media(df, use_fake=False).collect()}
+    assert rows[1]["decode_status"] == "ok"
+    assert rows[1]["mean_intensity"] == pytest.approx(1.0)
+    assert rows[2]["decode_status"].startswith("quarantine:")
+    # and the fake decoder still sees image-shaped rows (n_frames 1)
+    fake = {r["id"]: r for r in decode_media(df, use_fake=True).collect()}
+    assert fake[1]["n_frames"] == 1
+
+
+def test_ico_bitfields_entry_decodes():
+    """r13 review: BI_BITFIELDS DIB entries carry 12 mask bytes
+    between header and pixels — the rebuilt bfOffBits must include
+    them."""
+    # 1x1 32-bit BITFIELDS icon, pure green pixel, doubled height
+    dib = struct.pack(
+        "<IiihhIIiiII", 40, 1, 2, 1, 32, 3, 0, 0, 0, 0, 0
+    )
+    masks = struct.pack("<III", 0xFF0000, 0x00FF00, 0x0000FF)
+    xor = struct.pack("<I", 0x0000FF00)
+    and_mask = bytes(4)
+    blob = _ico([(1, 1, dib + masks + xor + and_mask)])
+    st = ico_lite.decode(blob)
+    assert st["mean_intensity"] == pytest.approx(1 / 3, abs=1e-9)
