@@ -150,6 +150,23 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "n_frames": 1,
                     "mean_intensity": mean,
                 }
+            if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+                # r13: WebP — VP8L lossless pixel-decodes for real
+                # (prefix codes + LZ77 + color cache + all four
+                # transforms); lossy VP8 and extended/animated files
+                # return real container metadata with NULL stats
+                from pythondataingestionprocess_spark.multimodal import (
+                    webp_lite,
+                )
+
+                stats = webp_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": stats["n_frames"],
+                    "mean_intensity": stats["mean_intensity"],
+                }
             if content[:4] in (b"II*\x00", b"MM\x00*"):
                 # r13: baseline TIFF — strips of raw / PackBits / LZW
                 # bytes (tiff_lite; LZW is the MSB-first early-change

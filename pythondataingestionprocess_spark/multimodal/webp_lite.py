@@ -1,0 +1,635 @@
+"""Dependency-free WebP decoder: container metadata for every WebP
+variant, and FULL pixel decode for lossless (VP8L) streams.
+
+WebP is a RIFF container. 'VP8 ' (lossy) carries a VP8 intra frame —
+real DCT codec territory, so those stay metadata-only (dimensions
+from the frame header, honest NULL stats, same split as H.264).
+'VP8X' is the extended container (animation, alpha, ICC); dimensions
+come from its canvas field and ``n_frames`` from counting ANMF
+chunks. 'VP8L' (lossless) is pure integer coding — canonical prefix
+codes, LZ77 over pixels, an LRU color cache, and four invertible
+transforms — all implementable against the public "WebP Lossless
+Bitstream Specification" (the same situation as GIF's LZW), so VP8L
+decodes to REAL pixel stats here.
+
+VP8L layers implemented: LSB-first bit reading; canonical prefix
+codes built from code lengths (including the code-length-code
+bootstrap with 16/17/18 repeats and the 1/2-symbol "simple" form);
+color cache (hash 0x1e35a7bd >> (32-bits)); LZ77 backrefs with the
+120-entry 2D distance neighborhood; meta prefix groups (spatially
+tiled code groups); and the transforms — PREDICTOR (14 modes,
+tiled), COLOR (signed 3.5 fixed-point cross-channel), SUBTRACT_GREEN,
+and COLOR_INDEXING (palette, incl. sub-byte pixel bundling). Stats
+follow the png_lite contract: mean over R,G,B (alpha excluded).
+
+Spec: "WebP Lossless Bitstream Specification" (Google, RFC-style
+public doc; chunk layout per "WebP Container Specification").
+Reference anchor: binary media ingestion is the engine-added analog
+of the reference's binary statement ingestion (pdf_to_xlsx.py:27-30).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class _Bits:
+    """LSB-first bit reader over bytes (VP8L bit order)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("VP8L bitstream truncated")
+        out = 0
+        got = 0
+        pos = self.pos
+        while got < n:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n - got)
+            out |= ((byte >> (pos & 7)) & ((1 << take) - 1)) << got
+            got += take
+            pos += take
+        self.pos = end
+        return out
+
+
+class _Prefix:
+    """Canonical prefix code: decode one symbol via a lookup over
+    (code-length-sorted) canonical assignment, LSB-first bit reads.
+
+    VP8L writes canonical codes MSB-first within each codeword while
+    the stream is read LSB-first per bit — i.e. each successive bit
+    extends the code at the bottom. Decoding walks bit by bit through
+    a table of first-code/offset per length (simple and fast enough
+    for stats decode; a real-time decoder would build a flat LUT)."""
+
+    def __init__(self, lengths: list[int]):
+        max_len = max(lengths, default=0)
+        if max_len == 0:
+            # degenerate: a single symbol of length 0 — the spec says
+            # such a tree emits its only symbol consuming no bits
+            nz = [i for i, ln in enumerate(lengths) if ln]
+            self.single = None
+            if not nz:
+                # completely empty tree: only symbol 0 possible
+                self.single = 0
+                return
+            raise ValueError("bad prefix code (zero max length)")
+        counts = [0] * (max_len + 1)
+        for ln in lengths:
+            if ln:
+                counts[ln] += 1
+        nz = [i for i, ln in enumerate(lengths) if ln]
+        if len(nz) == 1:
+            self.single = nz[0]
+            return
+        self.single = None
+        # Kraft check: exactly complete code required
+        total = sum(counts[ln] << (max_len - ln) for ln in range(1, max_len + 1))
+        if total != (1 << max_len):
+            raise ValueError("prefix code lengths not exactly complete")
+        # canonical first-code per length + symbol table sorted by
+        # (length, symbol)
+        code = 0
+        first_code = [0] * (max_len + 2)
+        offset = [0] * (max_len + 2)
+        off = 0
+        for ln in range(1, max_len + 1):
+            first_code[ln] = code
+            offset[ln] = off
+            code = (code + counts[ln]) << 1
+            off += counts[ln]
+        self.first_code = first_code
+        self.offset = offset
+        self.counts = counts
+        self.max_len = max_len
+        syms = sorted(
+            (ln, i) for i, ln in enumerate(lengths) if ln
+        )
+        self.symbols = [s for _, s in syms]
+
+    def read(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            if self.counts[ln] and code - self.first_code[ln] < self.counts[ln]:
+                return self.symbols[self.offset[ln] + code - self.first_code[ln]]
+        raise ValueError("invalid prefix code in stream")
+
+
+# order in which code-length-code lengths are transmitted
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    """One prefix code: 'simple' (1-2 symbols) or normal (lengths via
+    the code-length code with 16/17/18 repeat extensions)."""
+    if br.read(1):  # simple
+        n_sym = br.read(1) + 1
+        first_bits = 8 if br.read(1) else 1
+        s0 = br.read(first_bits)
+        lengths = {}
+        if n_sym == 2:
+            s1 = br.read(8)
+            if s0 >= alphabet_size or s1 >= alphabet_size:
+                raise ValueError("simple prefix symbol out of range")
+            out = [0] * alphabet_size
+            out[s0] = 1
+            out[s1] = 1
+            return _Prefix(out)
+        if s0 >= alphabet_size:
+            raise ValueError("simple prefix symbol out of range")
+        out = [0] * alphabet_size
+        out[s0] = 1
+        p = _Prefix.__new__(_Prefix)
+        p.single = s0
+        return p
+    n_codes = br.read(4) + 4
+    if n_codes > len(_CLC_ORDER):
+        raise ValueError("too many code length codes")
+    clc_lengths = [0] * 19
+    for i in range(n_codes):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _Prefix(clc_lengths)
+    # optional total-symbol limit
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbols = 2 + br.read(length_nbits)
+    else:
+        max_symbols = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size and max_symbols > 0:
+        max_symbols -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            if i + rep > alphabet_size:
+                raise ValueError("prefix repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[i] = prev_len
+                i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+        if i > alphabet_size:
+            raise ValueError("prefix zero-run overruns alphabet")
+    return _Prefix(lengths)
+
+
+def _dist_map(code: int, width: int) -> int:
+    """Distance codes 1..120 are 2D neighbor offsets; >120 linear."""
+    if code > 120:
+        return code - 120
+    x, y = _DIST_NEIGHBORS[code - 1]
+    d = x + y * width
+    return max(d, 1)
+
+
+# the spec's 120 (dx, dy) neighbor list, dy in 0..7, dx in -8..7,
+# ordered by (dy*16 + 8 - dx) ... given explicitly by the spec table:
+_DIST_NEIGHBORS = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+# dx is stored as (8 - dx) in the spec's packed table; the list above
+# is already unpacked to signed dx.
+
+
+def _lz77_extra(prefix_code: int, br: _Bits) -> int:
+    """Length/distance symbol → value: 1-based with extra bits
+    (spec: code < 4 → code+1, else extra = (code-2)>>1 bits)."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra_bits = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_image(br: _Bits, width: int, height: int,
+                  is_level0: bool = False) -> np.ndarray:
+    """Decode one VP8L 'spatially-coded image' → (height*width,) of
+    uint32 ARGB. Transform parsing happens in the caller (level-0
+    main image only)."""
+    cache_bits = 0
+    cache = None
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad color cache bits {cache_bits}")
+        cache = np.zeros(1 << cache_bits, dtype=np.uint32)
+
+    n_groups = 1
+    meta = None
+    meta_bits = 0
+    if is_level0 and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = (width + (1 << meta_bits) - 1) >> meta_bits
+        mh = (height + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_image(br, mw, mh)
+        # group index lives in (red << 8 | green)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+        meta = meta.reshape(mh, mw)
+
+    groups = []
+    for _ in range(n_groups):
+        green = _read_prefix_code(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))
+        red = _read_prefix_code(br, 256)
+        blue = _read_prefix_code(br, 256)
+        alpha = _read_prefix_code(br, 256)
+        dist = _read_prefix_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+
+    n = width * height
+    out = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        if meta is not None:
+            x, y = pos % width, pos // width
+            g = int(meta[y >> meta_bits, x >> meta_bits])
+            green, red, blue, alpha, dist_code = groups[g]
+        else:
+            green, red, blue, alpha, dist_code = groups[0]
+        sym = green.read(br)
+        if sym < 256:  # literal
+            r = red.read(br)
+            b = blue.read(br)
+            a = alpha.read(br)
+            px = (a << 24) | (r << 16) | (sym << 8) | b
+            out[pos] = px
+            if cache is not None:
+                cache[_cache_key(px, cache_bits)] = px
+            pos += 1
+        elif sym < 256 + 24:  # LZ77 backref
+            length = _lz77_extra(sym - 256, br)
+            dcode = dist_code.read(br)
+            distance = _lz77_extra(dcode, br)
+            distance = _dist_map(distance, width)
+            if distance > pos or pos + length > n:
+                raise ValueError("LZ77 reference out of range")
+            for k in range(length):
+                px = int(out[pos - distance + k])
+                out[pos + k] = px
+                if cache is not None:
+                    cache[_cache_key(px, cache_bits)] = px
+            pos += length
+        else:  # color cache
+            if cache is None:
+                raise ValueError("cache symbol without color cache")
+            idx = sym - 256 - 24
+            px = int(cache[idx])
+            out[pos] = px
+            pos += 1
+    return out
+
+
+# ------------------------------------------------------ transforms
+
+def _inv_subtract_green(img: np.ndarray) -> np.ndarray:
+    g = (img >> 8) & 0xFF
+    r = ((img >> 16) + g) & 0xFF
+    b = (img + g) & 0xFF
+    return (img & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_color_transform(img: np.ndarray, w: int, h: int, bits: int,
+                         tiles: np.ndarray) -> np.ndarray:
+    """tiles: uint32 tile image; elements live in (b<<16)=red_to_blue,
+    (g<<8)=green_to_red... per spec: green_to_red = tile blue? The
+    encoding stores: bits 0-7 green_to_red (blue channel),
+    8-15 green_to_blue (green channel), 16-23 red_to_blue (red
+    channel)."""
+    out = img.copy().reshape(h, w)
+    tiles = tiles.reshape(-1, (w + (1 << bits) - 1) >> bits)
+
+    def s8(v):
+        return (v ^ 0x80) - 0x80  # sign-extend uint8
+
+    tw = tiles.shape[1]
+    for y in range(h):
+        ty = y >> bits
+        row = out[y]
+        for x in range(w):
+            t = int(tiles[ty, x >> bits])
+            g2r = s8(t & 0xFF)
+            g2b = s8((t >> 8) & 0xFF)
+            r2b = s8((t >> 16) & 0xFF)
+            px = int(row[x])
+            a = px >> 24
+            r = (px >> 16) & 0xFF
+            g = (px >> 8) & 0xFF
+            b = px & 0xFF
+            # deltas use SIGNED channel values (int8) per spec
+            r = (r + ((g2r * s8(g)) >> 5)) & 0xFF
+            b = (b + ((g2b * s8(g)) >> 5)) & 0xFF
+            b = (b + ((r2b * s8(r)) >> 5)) & 0xFF
+            row[x] = (a << 24) | (r << 16) | (g << 8) | b
+    return out.reshape(-1)
+
+
+def _avg2(a, b):
+    return ((a & 0xFEFEFEFE) >> 1) + (a & b & 0x01010101)
+
+
+def _clamp_add_sub_full(c1, c2, c3):
+    out = 0
+    for shift in (0, 8, 16, 24):
+        v = ((c1 >> shift) & 0xFF) + ((c2 >> shift) & 0xFF) - (
+            (c3 >> shift) & 0xFF
+        )
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << shift
+    return out
+
+
+def _clamp_add_sub_half(c1, c2, c3):
+    out = 0
+    for shift in (0, 8, 16, 24):
+        ave = (((c1 >> shift) & 0xFF) + ((c2 >> shift) & 0xFF)) >> 1
+        v = ave + (ave - ((c3 >> shift) & 0xFF)) // 2
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        out |= v << shift
+    return out
+
+
+def _select(left, top, topleft):
+    p_a = abs(((top >> 24) & 0xFF) - ((topleft >> 24) & 0xFF)) + abs(
+        ((top >> 16) & 0xFF) - ((topleft >> 16) & 0xFF)
+    ) + abs(((top >> 8) & 0xFF) - ((topleft >> 8) & 0xFF)) + abs(
+        (top & 0xFF) - (topleft & 0xFF)
+    )
+    p_b = abs(((left >> 24) & 0xFF) - ((topleft >> 24) & 0xFF)) + abs(
+        ((left >> 16) & 0xFF) - ((topleft >> 16) & 0xFF)
+    ) + abs(((left >> 8) & 0xFF) - ((topleft >> 8) & 0xFF)) + abs(
+        (left & 0xFF) - (topleft & 0xFF)
+    )
+    return left if p_a <= p_b else top
+
+
+def _inv_predictor(img: np.ndarray, w: int, h: int, bits: int,
+                   tiles: np.ndarray) -> np.ndarray:
+    """Residuals → pixels, per-block predictor mode from the tile
+    image's GREEN channel; per-channel addition mod 256."""
+    out = img.reshape(h, w).astype(np.int64)
+    tw = (w + (1 << bits) - 1) >> bits
+    modes = ((tiles >> 8) & 0xFF).reshape(-1, tw)
+
+    def add(px, pred):
+        return (
+            (((px >> 24) + (pred >> 24)) & 0xFF) << 24
+            | ((((px >> 16) & 0xFF) + ((pred >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((px >> 8) & 0xFF) + ((pred >> 8) & 0xFF)) & 0xFF) << 8
+            | (((px & 0xFF) + (pred & 0xFF)) & 0xFF)
+        )
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])  # mode 1 (L) forced
+            elif x == 0:
+                pred = int(out[y - 1, 0])  # mode 2 (T) forced
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                left = int(out[y, x - 1])
+                top = int(out[y - 1, x])
+                topleft = int(out[y - 1, x - 1])
+                # TR at the right edge wraps to the LEFTMOST pixel of
+                # the CURRENT row (the contiguous-layout rule libwebp
+                # inherits: upper_row[w] == current_row[0])
+                topright = (
+                    int(out[y - 1, x + 1]) if x + 1 < w
+                    else int(out[y, 0])
+                )
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = topright
+                elif mode == 4:
+                    pred = topleft
+                elif mode == 5:
+                    pred = _avg2(_avg2(left, topright), top)
+                elif mode == 6:
+                    pred = _avg2(left, topleft)
+                elif mode == 7:
+                    pred = _avg2(left, top)
+                elif mode == 8:
+                    pred = _avg2(topleft, top)
+                elif mode == 9:
+                    pred = _avg2(top, topright)
+                elif mode == 10:
+                    pred = _avg2(_avg2(left, topleft), _avg2(top, topright))
+                elif mode == 11:
+                    pred = _select(left, top, topleft)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(left, top, topleft)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(left, top, topleft)
+                else:
+                    raise ValueError(f"bad predictor mode {mode}")
+            out[y, x] = add(int(out[y, x]), pred)
+    return out.reshape(-1).astype(np.uint32)
+
+
+def decode_vp8l(payload: bytes) -> dict:
+    """Full VP8L decode → stats dict (png_lite contract + n_frames)."""
+    if len(payload) < 5 or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _Bits(payload[1:])
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    _alpha_hint = br.read(1)
+    version = br.read(3)
+    if version != 0:
+        raise ValueError(f"unsupported VP8L version {version}")
+    if width * height > 100_000_000:
+        raise ValueError("VP8L dimensions exceed the 100MP decode guard")
+
+    # transforms (at most one of each; applied inverse in LIFO order)
+    transforms = []
+    xsize = width
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 0:  # PREDICTOR
+            bits = br.read(3) + 2
+            tw = (xsize + (1 << bits) - 1) >> bits
+            th = (height + (1 << bits) - 1) >> bits
+            tiles = _decode_image(br, tw, th)
+            # the inverse operates on the canvas as it was at READ
+            # time (xsize may already be palette-bundled)
+            transforms.append(("predictor", bits, tiles, xsize))
+        elif ttype == 1:  # COLOR
+            bits = br.read(3) + 2
+            tw = (xsize + (1 << bits) - 1) >> bits
+            th = (height + (1 << bits) - 1) >> bits
+            tiles = _decode_image(br, tw, th)
+            transforms.append(("color", bits, tiles, xsize))
+        elif ttype == 2:  # SUBTRACT GREEN
+            transforms.append(("subtract_green",))
+        else:  # COLOR_INDEXING
+            n_colors = br.read(8) + 1
+            pal = _decode_image(br, n_colors, 1)
+            # palette is delta-coded per channel
+            pal = pal.astype(np.uint32)
+            acc = int(pal[0])
+            resolved = [acc]
+            for i in range(1, n_colors):
+                cur = int(pal[i])
+                acc = (
+                    (((acc >> 24) + (cur >> 24)) & 0xFF) << 24
+                    | ((((acc >> 16) & 0xFF) + ((cur >> 16) & 0xFF)) & 0xFF) << 16
+                    | ((((acc >> 8) & 0xFF) + ((cur >> 8) & 0xFF)) & 0xFF) << 8
+                    | (((acc & 0xFF) + (cur & 0xFF)) & 0xFF)
+                )
+                resolved.append(acc)
+            if n_colors <= 2:
+                pbits = 3
+            elif n_colors <= 4:
+                pbits = 2
+            elif n_colors <= 16:
+                pbits = 1
+            else:
+                pbits = 0
+            transforms.append(
+                ("palette", np.array(resolved, dtype=np.uint32), pbits)
+            )
+            if pbits:
+                xsize = (xsize + (1 << pbits) - 1) >> pbits
+
+    img = _decode_image(br, xsize, height, is_level0=True)
+
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _, pal, pbits = t
+            if pbits:
+                # unbundle packed indices from the GREEN channel
+                per = 1 << pbits
+                ibits = 8 >> pbits
+                rows = img.reshape(height, xsize)
+                idx = np.zeros((height, width), dtype=np.int64)
+                for sub in range(per):
+                    cols = np.arange(xsize) * per + sub
+                    valid = cols < width
+                    vals = (rows >> 8) & 0xFF
+                    idx[:, cols[valid]] = (
+                        vals[:, valid] >> (sub * ibits)
+                    ) & ((1 << ibits) - 1)
+                flat = idx.reshape(-1)
+            else:
+                flat = ((img >> 8) & 0xFF).astype(np.int64)
+            if int(flat.max(initial=0)) >= len(pal):
+                raise ValueError("palette index out of range")
+            img = pal[flat]
+            xsize = width
+        elif t[0] == "subtract_green":
+            img = _inv_subtract_green(img)
+        elif t[0] == "color":
+            img = _inv_color_transform(img, t[3], height, t[1], t[2])
+        else:
+            img = _inv_predictor(img, t[3], height, t[1], t[2])
+
+    a = (img >> 24) & 0xFF
+    r = (img >> 16) & 0xFF
+    g = (img >> 8) & 0xFF
+    b = img & 0xFF
+    mean = float(
+        (r.astype(np.float64) + g + b).mean() / 3.0 / 255.0
+    )
+    return {
+        "width": width,
+        "height": height,
+        "channels": 4 if (a != 255).any() else 3,
+        "mean_intensity": mean,
+        "argb": img.reshape(height, width),
+    }
+
+
+def decode(content: bytes) -> dict:
+    """WebP container → stats. VP8L pixel-decodes; VP8 (lossy) and
+    extended/animated files return real container metadata with NULL
+    stats (honest codec split)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP missing)")
+    pos = 12
+    chunks = []
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WebP chunk {cid!r}")
+        chunks.append((cid, body))
+        pos += 8 + size + (size & 1)
+    kinds = {c for c, _ in chunks}
+    if b"VP8L" in kinds:
+        body = next(b for c, b in chunks if c == b"VP8L")
+        st = decode_vp8l(body)
+        return {
+            "width": st["width"], "height": st["height"],
+            "n_frames": 1, "mean_intensity": st["mean_intensity"],
+        }
+    if b"VP8 " in kinds:
+        body = next(b for c, b in chunks if c == b"VP8 ")
+        if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 frame header")
+        w, h = struct.unpack_from("<HH", body, 6)
+        return {
+            "width": w & 0x3FFF, "height": h & 0x3FFF,
+            "n_frames": 1, "mean_intensity": None,  # DCT codec: honest
+        }
+    if b"VP8X" in kinds:
+        body = next(b for c, b in chunks if c == b"VP8X")
+        if len(body) < 10:
+            raise ValueError("truncated VP8X header")
+        w = 1 + int.from_bytes(body[4:7], "little")
+        h = 1 + int.from_bytes(body[7:10], "little")
+        n_anmf = sum(1 for c, _ in chunks if c == b"ANMF")
+        return {
+            "width": w, "height": h,
+            "n_frames": n_anmf or 1, "mean_intensity": None,
+        }
+    raise ValueError("WebP without VP8/VP8L/VP8X chunk")
