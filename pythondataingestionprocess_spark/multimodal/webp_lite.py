@@ -137,22 +137,18 @@ def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
         n_sym = br.read(1) + 1
         first_bits = 8 if br.read(1) else 1
         s0 = br.read(first_bits)
-        lengths = {}
+        out = [0] * alphabet_size
         if n_sym == 2:
             s1 = br.read(8)
             if s0 >= alphabet_size or s1 >= alphabet_size:
                 raise ValueError("simple prefix symbol out of range")
-            out = [0] * alphabet_size
             out[s0] = 1
             out[s1] = 1
             return _Prefix(out)
         if s0 >= alphabet_size:
             raise ValueError("simple prefix symbol out of range")
-        out = [0] * alphabet_size
         out[s0] = 1
-        p = _Prefix.__new__(_Prefix)
-        p.single = s0
-        return p
+        return _Prefix(out)  # single symbol → zero-bit reads
     n_codes = br.read(4) + 4
     if n_codes > len(_CLC_ORDER):
         raise ValueError("too many code length codes")
@@ -340,7 +336,6 @@ def _inv_color_transform(img: np.ndarray, w: int, h: int, bits: int,
     def s8(v):
         return (v ^ 0x80) - 0x80  # sign-extend uint8
 
-    tw = tiles.shape[1]
     for y in range(h):
         ty = y >> bits
         row = out[y]
@@ -363,7 +358,9 @@ def _inv_color_transform(img: np.ndarray, w: int, h: int, bits: int,
 
 
 def _avg2(a, b):
-    return ((a & 0xFEFEFEFE) >> 1) + (a & b & 0x01010101)
+    # per-channel (a+b)>>1 via SWAR: xor-half plus shared low bits
+    # (r13 review: the first cut computed a/2 + carry, dropping b)
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
 
 
 def _clamp_add_sub_full(c1, c2, c3):
@@ -381,7 +378,10 @@ def _clamp_add_sub_half(c1, c2, c3):
     out = 0
     for shift in (0, 8, 16, 24):
         ave = (((c1 >> shift) & 0xFF) + ((c2 >> shift) & 0xFF)) >> 1
-        v = ave + (ave - ((c3 >> shift) & 0xFF)) // 2
+        d = ave - ((c3 >> shift) & 0xFF)
+        # C truncation-toward-zero, not Python floor (r13 review:
+        # floor was off by one for negative odd deltas)
+        v = ave + (d // 2 if d >= 0 else -((-d) // 2))
         v = 0 if v < 0 else (255 if v > 255 else v)
         out |= v << shift
     return out
@@ -398,7 +398,9 @@ def _select(left, top, topleft):
     ) + abs(((left >> 8) & 0xFF) - ((topleft >> 8) & 0xFF)) + abs(
         (left & 0xFF) - (topleft & 0xFF)
     )
-    return left if p_a <= p_b else top
+    # ties go to TOP (spec Select: left only on STRICT p_a < p_b —
+    # r13 review)
+    return left if p_a < p_b else top
 
 
 def _inv_predictor(img: np.ndarray, w: int, h: int, bits: int,
@@ -482,8 +484,13 @@ def decode_vp8l(payload: bytes) -> dict:
     version = br.read(3)
     if version != 0:
         raise ValueError(f"unsupported VP8L version {version}")
-    if width * height > 100_000_000:
-        raise ValueError("VP8L dimensions exceed the 100MP decode guard")
+    if width * height > 4_000_000:
+        # tighter than the vectorized decoders' 100MP bound: the VP8L
+        # pixel loop and inverse transforms are per-pixel Python (the
+        # honest cost of prefix-coded input), so the guard caps wall
+        # time per blob instead of letting a 50MP screenshot read as a
+        # hung executor (r13 review). 4MP ≈ typical web-image ceiling.
+        raise ValueError("VP8L dimensions exceed the 4MP decode guard")
 
     # transforms (at most one of each; applied inverse in LIFO order)
     transforms = []

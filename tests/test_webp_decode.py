@@ -151,6 +151,93 @@ def _inv_lz77(value: int) -> tuple[int, int, int]:
     return code, extra_bits, value - offset - 1
 
 
+# ---------------------------------------- reference predictor helpers
+# Plain per-channel arithmetic, written INDEPENDENTLY of webp_lite's
+# SWAR/packed implementations (r13 review: the first encoder called
+# the module's own helpers, so roundtrips were tautological for them
+# — three real predictor bugs sailed through 12 green tests).
+
+def _ch(px):
+    return [(px >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+
+def _pack(chs):
+    a, r, g, b = chs
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _ref_avg2(x, y):
+    return _pack([(cx + cy) >> 1 for cx, cy in zip(_ch(x), _ch(y))])
+
+
+def _ref_select(left, top, topleft):
+    p_top = sum(abs(ct - ctl) for ct, ctl in zip(_ch(top), _ch(topleft)))
+    p_left = sum(abs(cl - ctl) for cl, ctl in zip(_ch(left), _ch(topleft)))
+    return left if p_top < p_left else top  # ties → top
+
+
+def _ref_casf(c1, c2, c3):
+    return _pack([
+        min(255, max(0, a + b - c))
+        for a, b, c in zip(_ch(c1), _ch(c2), _ch(c3))
+    ])
+
+
+def _ref_cash(c1, c2, c3):
+    out = []
+    for a, b, c in zip(_ch(c1), _ch(c2), _ch(c3)):
+        ave = (a + b) >> 1
+        d = ave - c
+        v = ave + (abs(d) >> 1) * (1 if d >= 0 else -1)  # trunc to 0
+        out.append(min(255, max(0, v)))
+    return _pack(out)
+
+
+def _ref_predict(mode, left, top, topleft, topright):
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return _ref_avg2(_ref_avg2(left, topright), top)
+    if mode == 6:
+        return _ref_avg2(left, topleft)
+    if mode == 7:
+        return _ref_avg2(left, top)
+    if mode == 8:
+        return _ref_avg2(topleft, top)
+    if mode == 9:
+        return _ref_avg2(top, topright)
+    if mode == 10:
+        return _ref_avg2(_ref_avg2(left, topleft), _ref_avg2(top, topright))
+    if mode == 11:
+        return _ref_select(left, top, topleft)
+    if mode == 12:
+        return _ref_casf(left, top, topleft)
+    return _ref_cash(left, top, topleft)
+
+
+def test_predictor_helpers_match_reference():
+    """Direct (non-roundtrip) equivalence of the module's packed SWAR
+    helpers against the per-channel reference over random pixels —
+    the check the tautological roundtrip could not provide."""
+    rng = np.random.default_rng(77)
+    assert webp_lite._avg2(0x00, 0xFF) == 0x7F
+    assert webp_lite._avg2(0xFF, 0xFF) == 0xFF
+    for _ in range(3000):
+        x, y, z = (int(v) for v in rng.integers(0, 1 << 32, 3))
+        assert webp_lite._avg2(x, y) == _ref_avg2(x, y)
+        assert webp_lite._select(x, y, z) == _ref_select(x, y, z)
+        assert webp_lite._clamp_add_sub_full(x, y, z) == _ref_casf(x, y, z)
+        assert webp_lite._clamp_add_sub_half(x, y, z) == _ref_cash(x, y, z)
+
+
 # ------------------------------------------------------ image encoder
 
 def _encode_image(bw: BitW, argb: np.ndarray, w: int, h: int,
@@ -280,20 +367,9 @@ def encode_vp8l(argb: np.ndarray, *, cache_bits=0, lz77=False,
                         int(img[y - 1, x + 1]) if x + 1 < w
                         else int(img[y, 0])
                     )
-                    if m == 1:
-                        pred = left
-                    elif m == 2:
-                        pred = top
-                    elif m == 7:
-                        pred = webp_lite._avg2(left, top)
-                    elif m == 11:
-                        pred = webp_lite._select(left, top, topleft)
-                    elif m == 12:
-                        pred = webp_lite._clamp_add_sub_full(
-                            left, top, topleft
-                        )
-                    else:
-                        raise AssertionError(f"mode {m} not in encoder")
+                    # REFERENCE predictors only — never the module's
+                    # own helpers (r13 review: tautology)
+                    pred = _ref_predict(m, left, top, topleft, topright)
                 px = int(img[y, x])
                 res[y, x] = (
                     ((chan(px, 24) - chan(pred, 24)) & 0xFF) << 24
@@ -569,7 +645,7 @@ def test_roundtrip_each_transform():
     rng = np.random.default_rng(7)
     img = _rand_argb(rng, 6, 10, distinct=9)
     _roundtrip(img, subtract_green=True)
-    for mode in (1, 2, 7, 11, 12):
+    for mode in range(14):  # every predictor mode, 0..13
         _roundtrip(img, predictor_mode=mode)
     _roundtrip(img, color_elements=(0x30, 0xE0, 0x15))
     _roundtrip(img, palette=True)            # 9 colors → 1-bit... 4-bit
@@ -604,7 +680,7 @@ def test_roundtrip_fuzz():
         if trial % 5 == 0:
             kw["subtract_green"] = True
         if trial % 7 == 0:
-            kw["predictor_mode"] = (1, 2, 7, 11, 12)[trial % 5]
+            kw["predictor_mode"] = trial % 14
         _roundtrip(img, **kw)
 
 
