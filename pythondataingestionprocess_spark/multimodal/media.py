@@ -5,10 +5,11 @@ star).
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
 partition sizing — is real and tested, and by r13 most DECODING is
 real too, from-scratch against the public specs (the container ships
-no media libraries): PNG/GIF/BMP/TIFF and baseline+progressive JPEG
-pixel decode; WAV (PCM, float, G.711, IMA/MS ADPCM), FLAC, AIFF,
-and AU audio sample decode; MJPEG and uncompressed MOV video
-first-frame decode; MP3/AAC and MP4 frame/box-walk metadata. What
+no media libraries): PNG/GIF/BMP/TIFF/PNM/TGA/ICO, baseline and
+progressive JPEG, and WebP-lossless (full VP8L) pixel decode; WAV
+(PCM, float, G.711, IMA/MS ADPCM), FLAC, AIFF, and AU audio sample
+decode; MJPEG and uncompressed MOV video first-frame decode;
+MP3/AAC, MP4, and lossy-WebP frame/box-walk metadata. What
 genuinely needs a codec the specs tabulate rather than define
 (MP3/AAC synthesis windows, H.264...) stays honestly NULL-stats /
 ``NotImplementedError``. ``fake_decode_stats`` remains the

@@ -90,6 +90,12 @@ def _large_blobs() -> dict[str, bytes]:
     # WAV G.711: 1 MB of mu-law bytes
     ul = audioop.lin2ulaw(sig.tobytes(), 2)
     out["wav_ulaw"] = make_wav(7, 1, 8000, 8, 1, ul + ul)
+    # WebP VP8L: 512x512 (0.26MP) few-color image with LZ77+cache —
+    # measures the per-pixel Python loop the 4MP guard bounds
+    from tests.test_webp_decode import _rand_argb, encode_vp8l
+
+    img = _rand_argb(rng, 512, 512, distinct=7)
+    out["webp_vp8l"] = encode_vp8l(img, lz77=True, cache_bits=6)
     return out
 
 
@@ -110,7 +116,7 @@ def main() -> None:
 
     for name, blob in _large_blobs().items():
         mt = (
-            "image" if name.startswith(("bmp", "tiff")) else "audio"
+            "image" if name.startswith(("bmp", "tiff", "webp")) else "audio"
         )
         # warm + 3 reps, report best (steady-state)
         media.real_decode(blob, mt)
