@@ -119,6 +119,10 @@ HEADLINE = [
     "inverted_index_incremental",
     "bm25_retrieval_topk",
     "corpus_temperature_mix",
+    # r13 addition (staged for r14): the oracle-checked REAL media
+    # decode face — two Arrow mapInPandas stages (closed-form blob
+    # synthesis + the real decoders) over the documents table
+    "multimodal_real_decode_roundtrip",
 ]
 
 # Where the full per-query detail lands (module-level so tests can
