@@ -58,11 +58,19 @@ def subsequence_match(
     seq_col: str = "event_id",
     value_col: str = "value",
     k: int = 10,
+    round_dist: int | None = None,
 ) -> DataFrame:
     """Top-``k`` closest z-normalized windows to ``pattern`` across
     all keys: (key, end_ts, end_seq, dist), dist ascending, ties
     broken by (key, end_seq) — a total order, so the top-k is
-    deterministic.
+    deterministic WITHIN one engine. ``round_dist`` rounds the
+    distance BEFORE the ordering cut (r13 review): the sqrt-of-fold
+    is not bit-promised across engines, so a cross-engine-checked
+    caller must select on the rounded value — otherwise a k-th/k+1-th
+    pair closer than the engines' fold divergence flips the result
+    set at exactly the knife-edge the output rounding was meant to
+    hide. Selecting on the rounded value keeps the cut stable (ties
+    at equal rounded distance fall to the key tiebreak).
 
     NULL semantics (r13 review, documented rather than guessed):
     collect_list SKIPS NULL values, so the ``size(win) == m`` filter
@@ -96,6 +104,8 @@ def subsequence_match(
             lambda acc, x: acc + x,
         )
     )
+    if round_dist is not None:
+        dist = F.round(dist, round_dist)
     return (
         framed.withColumn("dist", dist)
         .select(key_col, "end_ts", "end_seq", "dist")

@@ -19,6 +19,7 @@ WITH errors AS (
 ), clicks AS (
   SELECT user_id, ts, event_id AS click_event_id, value AS click_value
   FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
 )
 SELECT e.event_id, e.user_id, e.ts, c.click_event_id, c.click_value
 FROM errors e
@@ -32,16 +33,32 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it (point-in-time attribution). Engine side is the
     union-window as-of composition (one shuffle on user_id); the
     oracle is DuckDB's built-in ASOF JOIN — two unrelated
-    implementations, one answer."""
+    implementations, one answer.
+
+    Tie discipline (r13 review — the forward twin had this, the
+    backward face didn't): ASOF over a non-unique ts series picks an
+    arbitrary winner per engine, and the union-window's F.last over
+    same-(user, ts) clicks is shuffle-order dependent even WITHIN
+    Spark. Today's testdata happens to carry zero same-(user, ts)
+    duplicates, but microsecond timestamps at 100TB event counts
+    expect collisions (birthday math) — so both sides pre-dedupe
+    clicks to one row per (user_id, ts), min event_id wins, making
+    the join deterministic by construction rather than by luck."""
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("click_event_id"),
-        F.col("value").alias("click_value"),
+    w_tie = W.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_event_id"),
+            F.col("value").alias("click_value"),
+        )
     )
     return asof_join(
         errors, clicks, on="user_id", ts="ts",
@@ -204,12 +221,14 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is DuckDB's native forward ASOF JOIN — two unrelated
     implementations, one answer.
 
-    Tie discipline: the testdata deliberately contains same-ts
-    duplicates, and ASOF over a non-unique ts series picks an
-    arbitrary winner per engine. Both sides therefore pre-dedupe
-    purchases to one row per (user_id, ts) — min event_id wins — so
-    the as-of target is unique on ts and the join is deterministic
-    by construction."""
+    Tie discipline: ASOF over a non-unique ts series picks an
+    arbitrary winner per engine, so both sides pre-dedupe purchases
+    to one row per (user_id, ts) — min event_id wins — making the
+    as-of target unique on ts and the join deterministic by
+    construction. (r13 review correction: today's testdata carries NO
+    same-(user, ts) duplicates — the guard is for the collisions
+    microsecond timestamps at 100TB event counts make expected, not
+    for a property of the fixtures.)"""
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"

@@ -704,7 +704,7 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TYPO_CORPUS_SQL = """
   SELECT p_partkey AS sid, p_name AS s FROM part WHERE p_partkey % 5 = 0
   UNION ALL
-  SELECT p_partkey + 1000000 AS sid,
+  SELECT p_partkey + 1000000000000 AS sid,
          substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
            || 'z'
            || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
@@ -735,7 +735,7 @@ def fuzzy_join_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     sampled = part.filter(F.col("p_partkey") % 5 == 0)
     typos = sampled.select(
-        (F.col("p_partkey") + 1000000).alias("sid"),
+        (F.col("p_partkey") + 1000000000000).alias("sid"),
         F.concat(
             F.expr("substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
             F.lit("z"),

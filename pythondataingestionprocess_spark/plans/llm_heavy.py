@@ -58,7 +58,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame per (session, sf_dir) so a full registry sweep — the
 # driver's CORRECTNESS pass runs every query in one session — pays for
 # signature+bucket+verify exactly once. Keyed on session identity, not
-# id(), so a restarted session can never alias a dead entry.
+# id(), so a restarted session can never alias a dead entry. BOUNDED
+# to one live entry with eviction, same as graph_queries._EDGE_MEMO
+# (r7 ADVICE there; r13 review found this twin never got the
+# back-port — a long-lived driver cycling sessions/sf_dirs accreted
+# cached blocks and pinned dead sessions against GC).
 _PAIR_MEMO: list[tuple[SparkSession, str, DataFrame]] = []
 
 
@@ -66,6 +70,12 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sess, cached_dir, df in _PAIR_MEMO:
         if sess is spark and cached_dir == sf_dir:
             return df
+    for _sess, _cached_dir, df in _PAIR_MEMO:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped session can't (and needn't) unpersist
+    _PAIR_MEMO.clear()
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).persist()
     _PAIR_MEMO.append((spark, sf_dir, pairs))
@@ -76,9 +86,17 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (64 hashes, 16 bands × 4) with
     exact-Jaccard verification of candidates — oracle is the *exact*
-    pair list; LSH recall at the corpus' similarity profile makes the
-    outputs coincide. The scale path: candidate generation is a
-    band-bucket join, never O(n²)."""
+    pair list. ORACLE-CONTRACT BOUND (r13 review): the equivalence
+    holds because LSH recall at the registered corpora's similarity
+    profile is effectively 1 — every planted pair sits at j >= 0.90,
+    where the per-pair miss probability (1-j^4)^16 <= 4e-8, so ~1e2
+    pairs all surface. At 100 TB (~1e6+ near-dup pairs, some near the
+    0.8 floor where misses run ~2e-4) the operator is what it says on
+    the tin — a probabilistic candidate GENERATOR with recall < 1 —
+    and the exact oracle would catch real misses; production dedup at
+    that scale accepts the recall trade by design (the groups/keep-one
+    consumers downstream inherit it). The scale path: candidate
+    generation is a band-bucket join, never O(n²)."""
     return _lsh_pairs_cached(spark, sf_dir)
 
 
@@ -147,7 +165,7 @@ _COSINE_DUP_ORACLE = """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+  SELECT vec_id + 1000000000000, embedding FROM embeddings WHERE vec_id % 10 = 0
 ), v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM corpus
 )
@@ -171,7 +189,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH recall at the dup end is exactly 1 and the outputs coincide."""
     emb = load_table(spark, sf_dir, "embeddings")
     dupes = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 1000000
+        "vec_id", F.col("vec_id") + 1000000000000
     )
     corpus = emb.select("vec_id", "embedding").unionAll(
         dupes.select("vec_id", "embedding")
@@ -195,9 +213,9 @@ _SEMDEDUP_ORACLE = """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+  SELECT vec_id + 1000000000000, embedding FROM embeddings WHERE vec_id % 10 = 0
   UNION ALL
-  SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+  SELECT vec_id + 2000000000000, embedding FROM embeddings WHERE vec_id % 20 = 0
 ), v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM corpus
 ), cent AS (
@@ -260,10 +278,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     copies2 = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 1000000
+        "vec_id", F.col("vec_id") + 1000000000000
     )
     copies3 = emb.filter(F.col("vec_id") % 20 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 2000000
+        "vec_id", F.col("vec_id") + 2000000000000
     )
     corpus = (
         emb.select("vec_id", "embedding")
@@ -387,7 +405,7 @@ WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
   FROM embeddings
 ), batch AS (
-  SELECT vec_id + 1000000 AS vec_id,
+  SELECT vec_id + 1000000000000 AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) e
   FROM embeddings WHERE vec_id % 10 = 0
 )
@@ -423,7 +441,7 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding")
     batch = (
         emb.filter(F.col("vec_id") % 10 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .withColumn("vec_id", F.col("vec_id") + 1000000000000)
         .select("vec_id", "embedding")
     )
     return dd.cosine_near_dup_pairs_incremental(

@@ -19,11 +19,15 @@ from pythondataingestionprocess_spark.plans.registry import query
 
 # Shared: a corpus with planted duplicates — documents plus re-tagged
 # copies of every 10th doc (the raw corpus is dup-free by
-# construction, so dedup queries plant their own).
+# construction, so dedup queries plant their own). Plant ids sit at
+# +1e12 (r13 review: the old +1e6 collided with real ids at SF≈5,
+# corrupting keep-min-id representatives and pair oracles invisibly;
+# real doc ids at the 100TB target are ~5e10 — 20x headroom, and
+# min-id representative semantics keep pointing at the REAL doc).
 _DUP_CORPUS_SQL = """
   SELECT doc_id, text, source FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text, source
+  SELECT doc_id + 1000000000000 AS doc_id, text, source
   FROM documents WHERE doc_id % 10 = 0
 """
 
@@ -31,7 +35,7 @@ _DUP_CORPUS_SQL = """
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
+        "doc_id", F.col("doc_id") + 1000000000000
     )
     return docs.select("doc_id", "text", "source").unionAll(
         dupes.select("doc_id", "text", "source")

@@ -328,8 +328,12 @@ _ARGMAX_ORACLE = """
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
        MAX(c_acctbal) AS max_balance,
-       arg_max(c_custkey, c_acctbal * 1000000000.0 + c_custkey) AS top_custkey,
-       arg_min(c_custkey, c_acctbal * 1000000000.0 + c_custkey) AS bottom_custkey
+       arg_max(c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1099511627776
+               + c_custkey) AS top_custkey,
+       arg_min(c_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1099511627776
+               + c_custkey) AS bottom_custkey
 FROM customer
 GROUP BY c_mktsegment
 """
@@ -341,18 +345,28 @@ def argmax_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by/max_by (arg-extrema) aggregate class, which replaces the
     self-join-on-max anti-pattern with a single partial-aggregable pass.
 
-    Determinism: double account balances can tie, so the ordering key
-    composes the tiebreaker into one double (`acctbal*1e9 + custkey`);
-    both engines evaluate the identical IEEE expression, and a 1.0
-    custkey gap is far above one ulp at that magnitude, so the key is
-    unique and the winner is engine-independent.
+    Determinism AT SCALE (r13 review): balances carry 2 decimals, so
+    the ordering key is EXACT int64 arithmetic — balance cents shifted
+    by 2^40 plus the custkey tiebreaker. The previous double key
+    (`acctbal*1e9 + custkey`) let the tiebreaker overpower a 0.01
+    balance gap once custkeys passed 1e7 (SF≈67 — far below the 100TB
+    target), returning a non-richest customer identically on both
+    engines, invisible to the hash gate. Bounds: |cents| <= 1.1e6 so
+    the shifted term stays under 1.3e18 (int64 max 9.2e18), and
+    custkeys stay below 2^40 ≈ 1.1e12 until SF ≈ 7e6 — three orders
+    past the target. Works for negative balances too (the cents term
+    steps in whole 2^40 units, so adding a sub-2^40 key never crosses
+    a balance boundary).
 
     Scale: min_by/max_by carries one (value, key) pair per group
     through the map-side combine — constant state, no group
     materialization, unlike the window-function alternative.
     """
     customer = load_table(spark, sf_dir, "customer")
-    ordkey = F.col("c_acctbal") * 1000000000.0 + F.col("c_custkey")
+    ordkey = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 1099511627776
+        + F.col("c_custkey")
+    )
     return customer.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.max("c_acctbal").alias("max_balance"),
@@ -701,6 +715,17 @@ def percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT_VALUE_LIMIT, approx_percentile's mergeable sketch above.
     The registered scales resolve to exact; a 100 TB run never builds
     the single-buffer plan.
+
+    ORACLE-CONTRACT BOUND (r13 review): the DuckDB oracle is always
+    exact quantile_cont, so the hash equivalence holds only while the
+    form resolves to exact — below EXACT_VALUE_LIMIT=20M values per
+    group (lineitem's biggest flag group crosses it near SF~30).
+    Above that the plan switches to the sketch BY DESIGN and the face
+    must be read rows-only: a +/-0.01%-rank-error sketch cannot
+    hash-match an exact quantile; the oracle contract is pinned to
+    the sf0.01 driver scale. (The same bound applies to
+    feature_winsorize_robust's global orders quantiles, crossing
+    near SF~13.)
     """
     from pythondataingestionprocess_spark.operators.quantiles import (
         choose_quantile_form,
@@ -995,30 +1020,41 @@ WITH per_part AS (
   SELECT l_partkey, {sql_dec_sum("l_extendedprice * (1 - l_discount)", "part_value")}
   FROM lineitem GROUP BY l_partkey
 ), total AS (
-  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS tv
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS tv,
+         CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS np
   FROM lineitem
 )
 SELECT l_partkey, part_value
 FROM per_part, total
-WHERE part_value > 0.0005 * tv
+WHERE part_value > 1.5 * tv / np
 """
 
 
 @query("q11_important_parts", oracle=_IMPORTANT_PARTS_ORACLE, tags=("subquery", "scalar", "agg"))
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose revenue exceeds 0.05% of GLOBAL revenue — the Q11
-    value-concentration shape. Spark-first: the global total is a
-    1-row aggregate cross-joined (auto-broadcast) onto the per-part
-    aggregate; both aggregates share one scan of the two needed
-    lineitem columns, and the filter runs map-side post-join — no
-    second fact shuffle, no correlated re-scan per group."""
+    """Parts whose revenue exceeds 1.5x the MEAN per-part revenue —
+    the Q11 value-concentration shape with a SCALE-STABLE threshold
+    (r13 review: the previous absolute 0.05%-of-global fraction was
+    already empty at sf0.1 — per-part share shrinks ~1/n_parts with
+    SF, which is exactly why TPC-H scales Q11's fraction by 1/SF;
+    the mean-relative form selects ~1.4% of parts at every SF, so
+    the face checks real rows at any scale). Both threshold inputs
+    are exact (decimal global sum, distinct-key count), so the
+    double arithmetic `1.5 * tv / np` is bit-identical across
+    engines. Spark-first: the global total is a 1-row aggregate
+    cross-joined (auto-broadcast) onto the per-part aggregate; the
+    filter runs map-side post-join — no second fact shuffle, no
+    correlated re-scan per group."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_part = lineitem.groupBy("l_partkey").agg(dec_sum(rev, "part_value"))
-    total = lineitem.agg(dec_sum(rev, "tv"))
+    total = lineitem.agg(
+        dec_sum(rev, "tv"),
+        F.countDistinct("l_partkey").cast("double").alias("np"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > 0.0005 * F.col("tv"))
+        .filter(F.col("part_value") > 1.5 * F.col("tv") / F.col("np"))
         .select("l_partkey", "part_value")
     )
 

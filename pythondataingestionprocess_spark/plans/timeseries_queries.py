@@ -50,7 +50,10 @@ SELECT user_id, end_seq,
        strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS end_ts,
        ROUND(dist, 6) AS dist
 FROM scored
-ORDER BY dist, user_id, end_seq
+-- select on the ROUNDED distance (r13 review): the raw double fold
+-- diverges across engines in the last ulps, and a knife-edge at the
+-- k-th/k+1-th boundary would flip the result set
+ORDER BY ROUND(dist, 6), user_id, end_seq
 LIMIT 10
 """
 
@@ -65,12 +68,12 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_llm_operators.py::
     test_subsequence_match_single_shuffle_no_python."""
     ev = load_table(spark, sf_dir, "events")
-    out = subsequence_match(ev, _PATTERN, k=10)
+    out = subsequence_match(ev, _PATTERN, k=10, round_dist=6)
     return out.select(
         "user_id",
         "end_seq",
         F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
-        F.round("dist", 6).alias("dist"),
+        "dist",
     )
 
 

@@ -255,8 +255,9 @@ def test_registered_oracle_parity_on_sf0001(spark, sf_dir):
     }
     assert got == oracle
     # groups of 3 resolve in one pass: both later copies name the base
-    assert all(b == a % 1000000 for a, b in got)
-    assert any(a >= 2000000 for a, _ in got)
+    # (plants sit at +1e12/+2e12 since the r13 collision-margin fix)
+    assert all(b == a % 1000000000000 for a, b in got)
+    assert any(a >= 2000000000000 for a, _ in got)
 
 
 def test_planted_corpus_screen(spark, sf_dir):
