@@ -151,6 +151,18 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "n_frames": 1,
                     "mean_intensity": mean,
                 }
+            if content[:4] == b"qoif":
+                # r13: QOI — byte-aligned ops, no entropy coder
+                from pythondataingestionprocess_spark.multimodal import qoi_lite
+
+                stats = qoi_lite.decode(content)
+                return {
+                    "byte_len": len(content),
+                    "width": stats["width"],
+                    "height": stats["height"],
+                    "n_frames": 1,
+                    "mean_intensity": stats["mean_intensity"],
+                }
             if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
                 # r13: WebP — VP8L lossless pixel-decodes for real
                 # (prefix codes + LZ77 + color cache + all four
