@@ -5,7 +5,7 @@ star).
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
 partition sizing — is real and tested, and by r13 most DECODING is
 real too, from-scratch against the public specs (the container ships
-no media libraries): PNG/GIF/BMP/TIFF/PNM/TGA/ICO, baseline and
+no media libraries): PNG/GIF/BMP/TIFF/PNM/TGA/ICO/QOI, baseline and
 progressive JPEG, and WebP-lossless (full VP8L) pixel decode; WAV
 (PCM, float, G.711, IMA/MS ADPCM), FLAC, AIFF, and AU audio sample
 decode; MJPEG and uncompressed MOV video first-frame decode;
