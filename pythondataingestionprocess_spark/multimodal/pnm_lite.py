@@ -104,9 +104,12 @@ def decode(data: bytes) -> dict:
             if len(data) - pos < need:
                 raise ValueError("truncated binary PNM")
             dt = np.uint8 if step == 1 else ">u2"
-            vals = np.frombuffer(data, dt, width * height * ch, pos).astype(
-                np.float64
-            )
+            raw = np.frombuffer(data, dt, width * height * ch, pos)
+            # mirror the ASCII-path maxval check: samples above maxval
+            # would scale past the documented 0-1 luminance contract
+            if int(raw.max()) > maxval:
+                raise ValueError("binary PNM sample exceeds maxval")
+            vals = raw.astype(np.float64)
     mean = float(vals.mean() / maxval)
     return {"width": width, "height": height, "channels": ch,
             "mean_intensity": mean}

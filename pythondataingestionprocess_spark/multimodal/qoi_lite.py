@@ -55,9 +55,13 @@ def decode(data: bytes) -> dict:
         byte = data[pos]
         pos += 1
         if byte == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > end:  # operands must not straddle the marker
+                raise ValueError("QOI stream truncated")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif byte == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > end:
+                raise ValueError("QOI stream truncated")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         else:
@@ -69,6 +73,8 @@ def decode(data: bytes) -> dict:
                 g = (g + ((byte >> 2) & 3) - 2) & 0xFF
                 b = (b + (byte & 3) - 2) & 0xFF
             elif tag == 2:  # QOI_OP_LUMA
+                if pos + 1 > end:
+                    raise ValueError("QOI stream truncated")
                 dg = (byte & 0x3F) - 32
                 nxt = data[pos]
                 pos += 1

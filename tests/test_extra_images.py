@@ -52,6 +52,12 @@ def test_pnm_rejects():
         pnm_lite.decode(b"P6 four 4 255\n")
     with pytest.raises(ValueError, match="maxval"):
         pnm_lite.decode(b"P5 1 1 70000\n\x00\x00")
+    # r14 ADVICE: binary samples above maxval must quarantine like the
+    # ASCII path (250 > 100 would have scaled to a 2.5 "luminance")
+    with pytest.raises(ValueError, match="maxval"):
+        pnm_lite.decode(b"P5 2 1 100\n" + bytes([250, 250]))
+    with pytest.raises(ValueError, match="maxval"):
+        pnm_lite.decode(b"P6 1 1 300\n" + struct.pack(">3H", 301, 0, 0))
 
 
 def test_pnm_fuzz_vs_numpy():

@@ -123,6 +123,11 @@ def test_rejects_and_router():
     bad_run = _hdr(2, 1) + bytes([0xC0 | 10]) + _END  # run 11 > 2 px
     with pytest.raises(ValueError, match="overflows"):
         qoi_lite.decode(bad_run)
+    # r14 ADVICE: an op whose OPERANDS straddle the end marker must
+    # raise, not decode marker zero bytes as pixel data
+    for straddle_op in (b"\xFE", b"\xFF", bytes([0x80 | 32])):
+        with pytest.raises(ValueError, match="truncated"):
+            qoi_lite.decode(_hdr(1, 1) + straddle_op + _END)
     st = media.real_decode(good, "image/qoi")
     assert (st["width"], st["height"], st["n_frames"]) == (2, 2, 1)
     assert st["mean_intensity"] == pytest.approx(1.0)
