@@ -230,8 +230,13 @@ def host_noise_verdict(
     item 6 — the reading rules used to live only in BASELINE.md
     prose, so a polluted artifact did not flag itself):
 
-    - end/start calib ratio outside ±15% → the host's speed CHANGED
-      mid-run; per-query timings are not mutually comparable.
+    - end/start calib ratio outside ±20% (inclusive boundary: 0.80
+      and 1.20 are clean BY RULE) → the host's speed CHANGED mid-run;
+      per-query timings are not mutually comparable. The band was
+      ±15% through r13; widened per r13 VERDICT item 7 because the
+      calibration probe's own variance exceeds raw-wall variance on
+      this host (r13 ledger: calibs moved 0.41→0.33 between two runs
+      whose raw walls matched within 0.6%).
     - loadavg above the core count on either edge → the sweep
       competed for CPU; the total is an upper bound.
     - loadavg well above idle at START (before the sweep ran — e.g.
@@ -243,9 +248,9 @@ def host_noise_verdict(
     notes = []
     if calib and calib_end:
         ratio = calib_end / calib
-        if not (0.85 <= ratio <= 1.15):
+        if not (0.80 <= ratio <= 1.20):
             notes.append(
-                f"calib drifted {ratio:.2f}x mid-run (outside +/-15%)"
+                f"calib drifted {ratio:.2f}x mid-run (outside +/-20%)"
             )
     loads = [x for x in (load_start, load_end) if x is not None]
     if loads and max(loads) > cores:
@@ -261,22 +266,48 @@ def host_noise_verdict(
     return ("WARN: " + "; ".join(notes)) if notes else "clean"
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="pdip-spark-bench")
+# Pre-start quiet gate + one-shot retry (r13 VERDICT item 4): three
+# consecutive official BENCH artifacts were WARN'd by ambient load /
+# mid-run calib drift while same-session ledger reruns were clean —
+# the archived number was systematically the worst one. The ambient
+# threshold matches host_noise_verdict's "ambient loadavg > 4" rule.
+QUIET_LOAD = 4.0
+QUIET_WAIT_MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", 120))
 
-    names = [
-        n for n in HEADLINE if n in REGISTRY or n in RETIRED_BENCH_PLANS
-    ]
 
-    def plan_fn(name):
-        spec = REGISTRY.get(name)
-        return spec.fn if spec is not None else RETIRED_BENCH_PLANS[name]
+def _wait_for_quiet_host() -> float:
+    """Bounded pre-start wait for ambient load to drop below the
+    threshold. Returns seconds waited (0.0 when already quiet)."""
+    waited = 0.0
+    while waited < QUIET_WAIT_MAX_SEC:
+        load = _loadavg_1m()
+        if load is None or load <= QUIET_LOAD:
+            break
+        time.sleep(10)
+        waited += 10
+    return waited
 
-    # warmup: JVM/codegen/parquet footer caches
+
+def run_sweep(spark, sf_dir: str, names, plan_fn, sf) -> dict:
+    """One full timed sweep: warmup, calib, per-query walls, end calib.
+
+    Host-context fields (r7 VERDICT #2 / item 4): the official r7
+    artifact recorded 127.7 s on a contended host while a same-day
+    equal-calib rerun measured 105.6 s — the start-of-run calib
+    scalar alone cannot certify a run. A SECOND calib at the end
+    plus 1-min load averages make contention visible inside the
+    artifact itself: calib_sec_end diverging from calib_sec, or
+    load averages far above the core count's idle baseline, mark
+    the totals as ambient-noise-suspect (read with BASELINE.md's
+    s-per-calib ledger; never compare absolute seconds across
+    rounds). A per-query second pass within one session is
+    deliberately NOT taken: the dedup/graph families memoize within
+    a session, so warm reps measure cache hits, not plans — the
+    drift retry in main() cycles the SparkSession instead, which
+    evicts those per-session memos (graph_queries._EDGE_MEMO et al
+    key on the session object)."""
     load_start = _loadavg_1m()
+    # warmup: JVM/codegen/parquet footer caches
     materialize(plan_fn(names[0])(spark, sf_dir))
     calib = calibrate(spark)
 
@@ -286,18 +317,6 @@ def main() -> None:
         materialize(plan_fn(name)(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # Host-context fields (r7 VERDICT #2 / item 4): the official r7
-    # artifact recorded 127.7 s on a contended host while a same-day
-    # equal-calib rerun measured 105.6 s — the start-of-run calib
-    # scalar alone cannot certify a run. A SECOND calib at the end
-    # plus 1-min load averages make contention visible inside the
-    # artifact itself: calib_sec_end diverging from calib_sec, or
-    # load averages far above the core count's idle baseline, mark
-    # the totals as ambient-noise-suspect (read with BASELINE.md's
-    # s-per-calib ledger; never compare absolute seconds across
-    # rounds). A per-query second pass is deliberately NOT taken: the
-    # dedup/graph families memoize within a session, so warm reps
-    # measure cache hits, not plans.
     calib_end = calibrate(spark)
     load_end = _loadavg_1m()
 
@@ -320,7 +339,7 @@ def main() -> None:
         if calib and calib_end
         else None
     )
-    detail = {
+    return {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -334,6 +353,52 @@ def main() -> None:
         "loadavg_1m_end": load_end,
         "host_noise": noise,
     }
+
+
+def _calib_drifted(detail: dict) -> bool:
+    return "calib drifted" in detail.get("host_noise", "")
+
+
+def _drift_badness(detail: dict) -> float:
+    """|log(end/start calib)| — 0 for a perfectly stable pair."""
+    import math
+
+    c0, c1 = detail.get("calib_sec"), detail.get("calib_sec_end")
+    if not c0 or not c1:
+        return float("inf")
+    return abs(math.log(c1 / c0))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    quiet_wait = _wait_for_quiet_host()
+    spark = get_spark(app_name="pdip-spark-bench")
+
+    names = [
+        n for n in HEADLINE if n in REGISTRY or n in RETIRED_BENCH_PLANS
+    ]
+
+    def plan_fn(name):
+        spec = REGISTRY.get(name)
+        return spec.fn if spec is not None else RETIRED_BENCH_PLANS[name]
+
+    runs = [run_sweep(spark, sf_dir, names, plan_fn, sf)]
+    if _calib_drifted(runs[0]):
+        # One-shot retry on a FRESH session (evicts per-session memos
+        # so the rerun measures plans, not cache hits). Both runs ride
+        # the artifact; the stabler calib pair becomes the parsed one.
+        spark.stop()
+        spark = get_spark(app_name="pdip-spark-bench-retry")
+        runs.append(run_sweep(spark, sf_dir, names, plan_fn, sf))
+    detail = min(runs, key=_drift_badness)
+    detail["quiet_wait_sec"] = quiet_wait
+    if len(runs) > 1:
+        discarded = runs[0] if detail is runs[1] else runs[1]
+        detail["bench_runs"] = 2
+        detail["discarded_run"] = discarded
     # Full per-query detail: one JSON line (for humans/judge reading
     # the stream) plus a committed-path file, since the driver keeps
     # only the last 2000 chars of output.
@@ -349,24 +414,30 @@ def main() -> None:
     # BENCH_r05.json recorded parsed:null exactly because of that
     # (VERDICT r5 item 1). This line must stay well under 2000 chars
     # and must be printed LAST.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "r1_subset_wall": subset,
-                "r1_subset_per_calib": per_calib,
-                "calib_sec": calib,
-                "calib_sec_end": calib_end,
-                "loadavg_1m_start": load_start,
-                "loadavg_1m_end": load_end,
-                "host_noise": noise,
-            }
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(detail["queries"]),
+        "r1_subset_wall": detail["r1_subset_wall"],
+        "r1_subset_per_calib": detail["r1_subset_per_calib"],
+        "calib_sec": detail["calib_sec"],
+        "calib_sec_end": detail["calib_sec_end"],
+        "loadavg_1m_start": detail["loadavg_1m_start"],
+        "loadavg_1m_end": detail["loadavg_1m_end"],
+        "host_noise": detail["host_noise"],
+    }
+    if quiet_wait:
+        compact["quiet_wait_sec"] = quiet_wait
+    if len(runs) > 1:
+        compact["bench_runs"] = 2
+        # truncated here to protect the tail-buffer bound; the full
+        # string rides the discarded run in the detail artifact
+        compact["discarded_host_noise"] = (
+            detail["discarded_run"]["host_noise"][:60]
         )
-    )
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -35,102 +35,86 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-13 rotation -----------------------------------------------
-# Driver-check union after r12 is all-green (CORRECTNESS_r12 50/50 —
-# no failure in twelve rounds). Evidence ages over the r01..r12 files
-# for the 180 registered queries: 30 last-checked-r9, 48 r10, 50 r11,
-# 50 r12; nothing unchecked, nothing past the MAX_EVIDENCE_AGE=4
-# bound. The window carries ALL 30 r9-aged queries (the front-load
-# left-overs pinned in tests/test_registry_rotation.py last round)
-# plus the alphabetical first 18 of the 48 r10-aged (the 30 same-age
-# left-overs front-load r14), then the two staged r13 faces —
-# `text_bpe_merge_learn_batched` (the driver-checked proof of the r12
-# parity-batch certificate against the SAME sequential-replay oracle)
-# and `text_bpe_tokenize_vectorized` (the rank-dict mapInPandas
-# tokenizer vs the positional replay's post-merge segmentation) —
-# take their first official driver rows. Derived by
-# scripts/rotation_calc.py (exit 0, no warnings); the era-pinned test
-# replays the derivation from an explicit r01..r12 file list.
-STALE_R10 = [
-    "approx_distinct_customers",
-    "cdc_snapshot_latest",
-    "corpus_build_pipeline",
-    "corpus_curation_filter",
-    "cube_agg",
-    "dedup_exact_docs",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "distinct_dims",
-    "doc_chunking_overlap",
-    "doc_packing_greedy",
-    "doc_packing_lookahead",
-    "dq_malformed_json_rate",
-    "dq_orders_expectations",
-    "dq_profile_orders",
-    "dq_referential_integrity",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "equidepth_price_bands",
-    "events_bounce_rate",
-    "events_concurrency_peak",
-    "events_decayed_feature",
-    "events_scd2_enrich",
-    "inverted_index_incremental",
-    "inverted_index_postings",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q4_priority_order_checks",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "qualify_above_avg_suppliers",
-    "range_join_quantity_bands",
-    "revenue_share_top_customers",
-    "scalar_subquery_small_qty",
-    "skewed_join_salted",
-    "string_agg_nations",
-    "text_bpe_token_count",
-    "text_contamination_check",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "text_token_count",
-    "train_val_test_split",
-    "unnest_top_words",
-    "zorder_file_skipping",
+# --- round-14 rotation -----------------------------------------------
+# Driver-check union after r13 is all-green (CORRECTNESS_r13 50/50 —
+# 47 hash + 3 rows-only per contract; no failure in thirteen rounds).
+# Evidence ages over the r01..r13 files for the 180 registered
+# queries: 30 last-checked-r10, 49 r11, 50 r12, 50 r13 (the two r13
+# NEW faces took their first rows r13); nothing unchecked, nothing
+# past the MAX_EVIDENCE_AGE=4 bound. The window carries ALL 30
+# r10-aged queries (the front-load left-overs pinned in
+# tests/test_registry_rotation.py last round) plus the alphabetical
+# first 19 of the 49 r11-aged (the 30 same-age left-overs front-load
+# r15), then the staged r14 face — `multimodal_real_decode_roundtrip`,
+# the first face where the format decoders THEMSELVES are
+# oracle-checked (multimodal/synth.py closed-form blob synthesis vs a
+# DuckDB restatement) — takes its first official driver row. Derived
+# by scripts/rotation_calc.py (exit 0, no warnings); the era-pinned
+# test replays the derivation from an explicit r01..r13 file list.
+STALE_R11 = [
+    "argmax_customer_balance",
+    "bilateral_trade_volume",
+    "conditional_agg_priority",
+    "copurchase_triangles",
+    "corpus_dsir_importance",
+    "corr_moments_stats",
+    "dedup_containment",
+    "dedup_incremental_components",
+    "dedup_semantic_semdedup",
+    "disjunctive_predicate_revenue",
+    "doc_packing_shards",
+    "dq_order_reconciliation",
+    "dq_price_outliers_mad",
+    "embedding_ann_pq",
+    "embedding_knn_brute",
+    "events_asof_last_click",
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+    "events_distinct_users_sketch",
+    "events_interval_join",
+    "events_next_event_training",
+    "events_pattern_match",
+    "filter_nonempty_text",
+    "filter_not_contains",
+    "flagship_revenue_by_nation",
+    "forward_fill_locf",
+    "full_outer_reconciliation",
+    "fuzzy_join_symdelete",
+    "hierarchy_depth_rollup",
+    "json_variant_props_stats",
+    "left_join_enrich",
+    "left_join_reverse_agg",
+    "multi_agg_stats",
+    "multimodal_frame_sample",
+    "pagerank_nations",
+    "positional_attach",
+    "pricing_summary",
+    "projection_narrow",
+    "q9_profit_by_nation_year",
+    "rollup_agg",
+    "semi_join_membership",
+    "stream_static_revenue_rollup",
+    "tiered_pricing",
+    "top_orders_by_price",
+    "topk_per_group_agg",
+    "union_all_slices",
+    "url_canonicalize",
+    "url_store_name",
 ]
 
-# Staged late-r12, riding INSIDE the r13 window immediately after the
-# stale block: the batched BPE learner through the SAME
-# sequential-replay DuckDB oracle as `text_bpe_merge_learn` (the
-# driver-checked proof of the r12 parity-batch certificate) and the
-# rank-dict vectorized tokenizer application (sanctioned MapInPandas;
-# checked against the positional replay's post-merge segmentation).
-# Both driver_sim hash-green at sf0.01 at registration (r12) and
-# re-verified at the r12 HEAD tree.
-NEW_R13 = [
-    "text_bpe_merge_learn_batched",
-    "text_bpe_tokenize_vectorized",
-]
-
-# Staged mid-r13, riding the r14 window (outside the current 50 —
-# tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
-# the fully oracle-checked REAL media decode face — synthesized
-# BMP/TIFF/WAV/MOV blobs whose decoded stats are closed-form integer
-# arithmetic on doc_id (multimodal/synth.py), vs a DuckDB restatement.
-# Slot freed by the same-session `histogram_quantity` retirement
-# (core_relational.py — substance migrated to tests/test_plans.py),
-# keeping the registry AT the 180 cap. Hash-green at sf0.01 under a
-# vanilla session at registration.
-NEW_R14_STAGED = [
+# Staged mid-r13 as NEW_R14_STAGED, folded into the applied rotation
+# here: synthesized BMP/TIFF/WAV/MOV blobs whose decoded stats are
+# closed-form integer arithmetic on doc_id, vs a DuckDB restatement.
+# Hash-green at sf0.01 under a vanilla session at registration (r13)
+# and re-verified at the r14 fold.
+NEW_R14 = [
     "multimodal_real_decode_roundtrip",
 ]
 
 
 def _apply_rotation() -> None:
-    priority = STALE_R10 + NEW_R13
+    priority = STALE_R11 + NEW_R14
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -147,14 +131,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R13
+NEW_CURRENT = NEW_R14
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R10",
-    "NEW_R13",
-    "NEW_R14_STAGED",
+    "STALE_R11",
+    "NEW_R14",
     "NEW_CURRENT",
 ]

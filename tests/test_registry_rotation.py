@@ -2,17 +2,16 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-13 window = 48 stale + 2 new: ALL 30 last-checked-r9
+The round-14 window = 49 stale + 1 new: ALL 30 last-checked-r10
 queries (the front-load left-overs pinned here last round) plus the
-alphabetical first 18 of the 48 last-checked-r10 (the 30 same-age
-left-overs front-load r14), then ``text_bpe_merge_learn_batched`` and
-``text_bpe_tokenize_vectorized`` — the two faces staged late-r12 —
-take their first official driver rows. These tests make the rotation
-explicit and fail loudly if a later registration or refactor silently
-reorders the window.
+alphabetical first 19 of the 49 last-checked-r11 (the 30 same-age
+left-overs front-load r15), then ``multimodal_real_decode_roundtrip``
+— staged mid-r13 — takes its first official driver row. These tests
+make the rotation explicit and fail loudly if a later registration or
+refactor silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r12 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r13 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
@@ -20,7 +19,7 @@ rows, no evidence-lag tripwire), never the window composition.
 Capacity (r8 VERDICT item 3): rotation_calc hard-fails above
 WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
 retiring is mechanically impossible, not just a written rule. The
-registry sits AT the cap (180): any r13 registration requires a
+registry sits AT the cap (180): any r14 registration requires a
 retirement first. The calculator guard behaviors (capacity trip,
 evidence-lag tripwire, failed-row alert, parsed-round ordering,
 filename rejection, oversubscribed-window clamp) are pinned below
@@ -35,89 +34,90 @@ import subprocess
 import sys
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R13,
+    NEW_R14,
     REGISTRY,
-    STALE_R10,
+    STALE_R11,
 )
 
 DRIVER_WINDOW = 50
 
-# The file set the committed rotation was derived from (rounds 1..12).
-# Frozen: later rounds' files must NOT retroactively change what r13's
+# The file set the committed rotation was derived from (rounds 1..13).
+# Frozen: later rounds' files must NOT retroactively change what r14's
 # window was.
-R13_EVIDENCE_FILES = sorted(
+R14_EVIDENCE_FILES = sorted(
     (
         f
         for f in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 12
+        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 13
     ),
     key=lambda f: int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)),
 )
 
 
-# The 30 r10-checked queries the alphabetical cut left out of
-# STALE_R10 (same evidence age); they front-load round 14's window.
-# Recorded verbatim from scripts/rotation_calc.py's round-13
+# The 30 r11-checked queries the alphabetical cut left out of
+# STALE_R11 (same evidence age); they front-load round 15's window.
+# Recorded verbatim from scripts/rotation_calc.py's round-14
 # derivation.
-R14_FRONT_LOAD_LEFT_OVERS = [
-    "events_distinct_users_sketch",
-    "events_interval_join",
-    "events_next_event_training",
-    "events_pattern_match",
-    "filter_nonempty_text",
-    "filter_not_contains",
-    "flagship_revenue_by_nation",
-    "forward_fill_locf",
-    "full_outer_reconciliation",
-    "fuzzy_join_symdelete",
-    "hierarchy_depth_rollup",
-    "json_variant_props_stats",
-    "left_join_enrich",
-    "left_join_reverse_agg",
-    "multi_agg_stats",
-    "multimodal_frame_sample",
-    "pagerank_nations",
-    "positional_attach",
-    "pricing_summary",
-    "projection_narrow",
-    "q9_profit_by_nation_year",
-    "rollup_agg",
-    "semi_join_membership",
-    "stream_static_revenue_rollup",
-    "tiered_pricing",
-    "top_orders_by_price",
-    "topk_per_group_agg",
-    "union_all_slices",
-    "url_canonicalize",
-    "url_store_name",
+R15_FRONT_LOAD_LEFT_OVERS = [
+    "events_resample_interpolate",
+    "events_session_window",
+    "events_sessionize_manual",
+    "events_sliding_window",
+    "events_time_weighted_value",
+    "events_tumbling_window",
+    "except_keys",
+    "fuzzy_name_distance",
+    "grouping_sets_agg",
+    "intersect_keys",
+    "islands_user_activity",
+    "json_map_functions",
+    "lateral_top_orders",
+    "not_in_null_semantics",
+    "percent_rank_ntile",
+    "pivot_status_revenue",
+    "q11_important_parts",
+    "q12_lateness_priority",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "quantile_disc_prices",
+    "rolling_median_user_value",
+    "scd2_build_user_state",
+    "state_change_compression",
+    "text_bpe_pair_counts",
+    "text_repeated_span_dedup",
+    "text_strip_boilerplate",
 ]
 
-# The 18 last-checked-r10 queries INSIDE the committed window (the
-# other 30 are r9-checked). If a NEW_R14_STAGED block is pending at
-# runtime, the calculator's stale budget shrinks below 48 and the
+# The 19 last-checked-r11 queries INSIDE the committed window (the
+# other 30 are r10-checked). If a NEW_R15_STAGED block is pending at
+# runtime, the calculator's stale budget shrinks below 49 and the
 # displaced names must come from this set's alphabetical tail; with no
 # staged block the budget grows back to 50 and the derived stale set
 # EXTENDS the committed window with the alphabetical front of the
-# r10-age left-overs.
-R10_AGE_IN_WINDOW = [
-    "approx_distinct_customers",
-    "cdc_snapshot_latest",
-    "corpus_build_pipeline",
-    "corpus_curation_filter",
-    "cube_agg",
-    "dedup_exact_docs",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "doc_packing_greedy",
-    "doc_packing_lookahead",
-    "dq_orders_expectations",
-    "dq_referential_integrity",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "equidepth_price_bands",
-    "events_bounce_rate",
-    "events_concurrency_peak",
-    "events_decayed_feature",
+# r11-age left-overs.
+R11_AGE_IN_WINDOW = [
+    "argmax_customer_balance",
+    "bilateral_trade_volume",
+    "conditional_agg_priority",
+    "copurchase_triangles",
+    "corpus_dsir_importance",
+    "corr_moments_stats",
+    "dedup_containment",
+    "dedup_incremental_components",
+    "dedup_semantic_semdedup",
+    "disjunctive_predicate_revenue",
+    "doc_packing_shards",
+    "dq_order_reconciliation",
+    "dq_price_outliers_mad",
+    "embedding_ann_pq",
+    "embedding_knn_brute",
+    "events_asof_last_click",
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
 ]
 
 # Retired across rounds: these names must never silently reappear in
@@ -139,6 +139,9 @@ RETIRED_R11 = [
     "first_match_pick",
     "json_extract_props",
 ]
+RETIRED_R13 = [
+    "histogram_quantity",
+]
 
 OK_ROW = {"rows_match": True, "schema_match": True,
           "hash_match": True, "err": None}
@@ -147,14 +150,14 @@ BAD_ROW = {"rows_match": True, "schema_match": True,
 
 
 def _intended():
-    return STALE_R10 + NEW_R13
+    return STALE_R11 + NEW_R14
 
 
 def test_stalest_queries_front_loaded():
-    """The 48 stale slots (all 30 r9-checked + 18 r10-checked, the
-    stalest evidence eras after r12's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R10)] == STALE_R10
-    assert len(STALE_R10) == 48
+    """The 49 stale slots (all 30 r10-checked + 19 r11-checked, the
+    stalest evidence eras after r13's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R11)] == STALE_R11
+    assert len(STALE_R11) == 49
 
 
 def test_first_50_is_the_intended_rotation():
@@ -164,12 +167,12 @@ def test_first_50_is_the_intended_rotation():
 def test_new_queries_ride_inside_the_window():
     """Anything first registered for this round's window must be
     driver-checked this round: those names sit immediately after the
-    stale block, inside the 50-row window (this round: the batched BPE
-    learner + the vectorized tokenizer)."""
+    stale block, inside the 50-row window (this round: the real media
+    decode roundtrip face)."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R13):
-        assert names[len(STALE_R10) + i] == n
-    assert len(STALE_R10) + len(NEW_R13) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R14):
+        assert names[len(STALE_R11) + i] == n
+    assert len(STALE_R11) + len(NEW_R14) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -196,7 +199,7 @@ def test_registry_intact_after_rotation():
 
 
 def test_retired_queries_stay_retired():
-    for n in RETIRED_R9 + RETIRED_R10 + RETIRED_R11:
+    for n in RETIRED_R9 + RETIRED_R10 + RETIRED_R11 + RETIRED_R13:
         assert n not in REGISTRY, f"{n} was retired"
 
 
@@ -211,11 +214,11 @@ def test_registry_within_capacity_cap():
     )
 
 
-def test_r14_front_load_promise_is_registered():
-    """Every r10-age left-over promised to front-load r14's window must
+def test_r15_front_load_promise_is_registered():
+    """Every r11-age left-over promised to front-load r15's window must
     still be registered (a retirement there needs this pin updated
     alongside the documented substance migration)."""
-    missing = [n for n in R14_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
+    missing = [n for n in R15_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
     assert not missing, missing
 
 
@@ -238,27 +241,27 @@ def test_no_staged_blocks_inside_the_window():
             assert n not in window
 
 
-def test_rotation_calculator_reproduces_r13_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r14_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r12 CORRECTNESS files alone.
+    window composition from the r01..r13 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r13+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r14+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: the committed window was derived with the two-face r13
-    block staged (stale budget 48). After the fold the block sits in
-    NEW_CURRENT, so the calculator treats both faces as riding THIS
+    Era note: the committed window was derived with the one-face r14
+    block staged (stale budget 49). After the fold the block sits in
+    NEW_CURRENT, so the calculator treats the face as riding THIS
     round's window (pending, not a hole) and the stale budget is 50
-    minus whatever NEW_R14_STAGED holds at runtime (k names, initially
-    0): the derived stale set EXTENDS the committed 48 with the
-    (2 - k)-name alphabetical prefix of the r10-age front-load
-    left-overs, or — were a staged block to exceed two names — shrinks
-    from the committed window's r10-age alphabetical tail. Both
+    minus whatever NEW_R15_STAGED holds at runtime (k names, initially
+    0): the derived stale set EXTENDS the committed 49 with the
+    (1 - k)-name alphabetical prefix of the r11-age front-load
+    left-overs, or — were a staged block to exceed one name — shrinks
+    from the committed window's r11-age alphabetical tail. Both
     directions are asserted exactly."""
-    assert len(R13_EVIDENCE_FILES) == 12, R13_EVIDENCE_FILES
+    assert len(R14_EVIDENCE_FILES) == 13, R14_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R13_EVIDENCE_FILES],
+         "--files", *R14_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -272,21 +275,21 @@ def test_rotation_calculator_reproduces_r13_window_from_frozen_files():
     staged_names = re.findall(r'"([^"]+)"', new)
     # the staged block and the stale budget trade one-for-one
     assert len(names) == DRIVER_WINDOW - len(staged_names)
-    committed = set(STALE_R10)
+    committed = set(STALE_R11)
     derived = set(names)
-    if len(names) >= len(STALE_R10):
+    if len(names) >= len(STALE_R11):
         # small/no staged block: committed window plus the
-        # alphabetical front of the r10-age left-overs
+        # alphabetical front of the r11-age left-overs
         assert committed <= derived, committed - derived
         extra = derived - committed
-        front = R14_FRONT_LOAD_LEFT_OVERS[: len(extra)]
+        front = R15_FRONT_LOAD_LEFT_OVERS[: len(extra)]
         assert extra == set(front), (extra, front)
     else:
         # larger staged block: displaced names come only from the
-        # committed window's r10-age alphabetical tail
+        # committed window's r11-age alphabetical tail
         assert derived <= committed, derived - committed
         displaced = committed - derived
-        tail = sorted(R10_AGE_IN_WINDOW)[len(R10_AGE_IN_WINDOW) - len(displaced):]
+        tail = sorted(R11_AGE_IN_WINDOW)[len(R11_AGE_IN_WINDOW) - len(displaced):]
         assert displaced == set(tail), (displaced, tail)
 
 
@@ -331,12 +334,12 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     """VERDICT r5 item 8: the calculator must exit non-zero on a
     synthetic evidence hole — a query last checked more than
     MAX_EVIDENCE_AGE rounds before the newest file."""
-    victim = STALE_R10[0]
+    victim = STALE_R11[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     old.write_text(json.dumps({victim: OK_ROW}))
-    new.write_text(json.dumps({STALE_R10[1]: OK_ROW}))
+    new.write_text(json.dumps({STALE_R11[1]: OK_ROW}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -352,7 +355,7 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
 def test_rotation_calculator_failed_row_alert(tmp_path):
     """A FAILED latest driver row must alert and exit 1 — failed rows
     are not evidence and must ride the next window again."""
-    victim = STALE_R10[0]
+    victim = STALE_R11[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({victim: BAD_ROW}))
     proc = subprocess.run(
@@ -372,7 +375,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     PARSED-round order, not lexicographic (CORRECTNESS_r010 sorts
     before r02 as a string). A green r10 row must clear an r2 failure
     for the same query — and the unpadded r10 spelling must parse."""
-    victim = STALE_R10[0]
+    victim = STALE_R11[0]
     f2 = tmp_path / "CORRECTNESS_r02.json"
     f10 = tmp_path / "CORRECTNESS_r10.json"
     f2.write_text(json.dumps({victim: BAD_ROW}))
@@ -413,7 +416,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     budget must clamp to zero (an empty STALE list), not silently
     select items from the end of the age list."""
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: OK_ROW for n in STALE_R10}))
+    f.write_text(json.dumps({n: OK_ROW for n in STALE_R11}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
