@@ -123,6 +123,9 @@ HEADLINE = [
     # decode face — two Arrow mapInPandas stages (closed-form blob
     # synthesis + the real decoders) over the documents table
     "multimodal_real_decode_roundtrip",
+    # r14 addition (staged for r15): the ANN recall certificate —
+    # registered-config LSH + brute-force top-5 + recall join
+    "embedding_ann_recall",
 ]
 
 # Where the full per-query detail lands (module-level so tests can

@@ -113,6 +113,21 @@ NEW_R14 = [
 ]
 
 
+# Staged mid-r14, riding the r15 window (outside the current 50 —
+# tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
+# the ANN family's oracle-checked recall certificate (r13 VERDICT
+# item 5) — per-query recall@5 of the registered LSH configuration
+# against the brute-force cosine top-5, with the seeded hyperplanes
+# embedded as exact literals in the DuckDB replay. Slot freed by the
+# same-session `text_token_count` retirement (llm_ops.py — substance
+# migrated to tests/test_llm_operators.py), keeping the registry AT
+# the 180 cap. Hash-green at sf0.01 under a vanilla session at
+# registration.
+NEW_R15_STAGED = [
+    "embedding_ann_recall",
+]
+
+
 def _apply_rotation() -> None:
     priority = STALE_R11 + NEW_R14
     missing = [n for n in priority if n not in REGISTRY]
@@ -139,5 +154,6 @@ __all__ = [
     "query",
     "STALE_R11",
     "NEW_R14",
+    "NEW_R15_STAGED",
     "NEW_CURRENT",
 ]

@@ -189,28 +189,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_TOKEN_ORACLE = """
-SELECT lang,
-       COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
-FROM documents GROUP BY lang
-"""
-
-
-@query("text_token_count", oracle=_TOKEN_ORACLE, tags=("text",))
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting per language group."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("n_tokens", tx.token_count("text"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
-        )
-    )
+# RETIRED r14 (capacity lever, r13 VERDICT item 6 shortlist #2):
+# `text_token_count` — whitespace token counting is a strict subset of
+# `text_quality_score`'s feature columns (functions/text.py
+# quality_score computes token_count inside its mean-token-length and
+# stopword-ratio bands, and that face's oracle restates the same
+# string_split_regex tokenization) and of `text_bpe_token_count`'s
+# harder regex tokenization. The retired face's exact per-lang
+# whitespace-count aggregation now lives in tests/test_llm_operators.py
+# ::test_whitespace_token_count_per_lang_matches_duckdb (the migrated
+# oracle comparison). Last driver row r13 hash-green. Slot reused by
+# `embedding_ann_recall` (llm_heavy.py, staged NEW_R15) — the ANN
+# family's oracle-checked recall certificate. Same documented-substance
+# discipline as the histogram_quantity (r13) / first_match_pick (r11) /
+# F18 (r10) retirements.
 
 
 _BPE_ORACLE = r"""

@@ -56,6 +56,9 @@ NESTED_LOOP_OK |= {
     "q11_important_parts",
     "idle_customers_segment",
     "embedding_knn_brute",
+    "embedding_ann_recall",  # brute side = the same declared-small
+    # query-set broadcast as embedding_knn_brute (the LSH side joins
+    # on equi bucket keys and carries no nested-loop node)
     "text_tfidf_top_terms",
     "feature_winsorize_robust",
     "bm25_retrieval_topk",

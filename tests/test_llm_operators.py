@@ -252,6 +252,43 @@ def test_bpe_token_count_known_strings(spark):
     assert got[3] == 5
 
 
+def test_whitespace_token_count_per_lang_matches_duckdb(spark):
+    """Migrated substance of the retired `text_token_count` face (r14
+    capacity lever): the exact per-lang whitespace-count aggregation
+    the retired oracle pinned, compared against DuckDB on real
+    testdata — plus known-string spot checks of token_count itself,
+    which stays live inside text_quality_score's feature columns."""
+    import duckdb
+
+    from pythondataingestionprocess_spark.catalog import load_table
+    from pythondataingestionprocess_spark.functions.text import token_count
+    from pyspark.sql import functions as F
+
+    rows = [(1, "  one two   three "), (2, "solo"), (3, "   ")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}  # trim-then-split: "" counts 1
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    spark_rows = {
+        r["lang"]: (r["n_docs"], r["total_tokens"])
+        for r in docs.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"))
+        .collect()
+    }
+    oracle = duckdb.sql(f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                 AS total_tokens
+        FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY lang
+    """).fetchall()
+    assert spark_rows == {r[0]: (r[1], r[2]) for r in oracle}
+
+
 def test_asof_join_directions_and_ties(spark):
     from pythondataingestionprocess_spark.operators.asof import asof_join
 

@@ -49,6 +49,12 @@ SANCTIONED_VECTORIZED = {
     # doc_id + the real decoders over Arrow batches of binary);
     # everything around them is a plain grouped aggregate.
     "multimodal_real_decode_roundtrip",
+    # r14 (staged NEW_R15): the ANN recall certificate runs the
+    # registered LSH path, whose bucket assignment is the sanctioned
+    # GEMM pandas_udf (similarity._buckets_udf — same kernel the
+    # embedding_ann_lsh face carries); everything around it is
+    # relational.
+    "embedding_ann_recall",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

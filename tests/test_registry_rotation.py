@@ -142,6 +142,9 @@ RETIRED_R11 = [
 RETIRED_R13 = [
     "histogram_quantity",
 ]
+RETIRED_R14 = [
+    "text_token_count",
+]
 
 OK_ROW = {"rows_match": True, "schema_match": True,
           "hash_match": True, "err": None}
@@ -199,7 +202,8 @@ def test_registry_intact_after_rotation():
 
 
 def test_retired_queries_stay_retired():
-    for n in RETIRED_R9 + RETIRED_R10 + RETIRED_R11 + RETIRED_R13:
+    for n in (RETIRED_R9 + RETIRED_R10 + RETIRED_R11 + RETIRED_R13
+              + RETIRED_R14):
         assert n not in REGISTRY, f"{n} was retired"
 
 
