@@ -211,11 +211,108 @@ def _decode_ms(
     of (uint8 predictor-table index, int16 idelta, int16 sample1,
     int16 sample2); output starts sample2 THEN sample1 (sample2 is the
     older), then 4-bit codes high-nibble-first, channel-interleaved
-    nibble-wise."""
+    nibble-wise.
+
+    Block-parallel path (r13 VERDICT item 8): blocks are independent,
+    so the decode loops over code POSITIONS with all blocks as int64
+    numpy lanes — the same lane trick as IMA, ~10x on multi-block
+    files. MS ADPCM's idelta is the documented clamp hazard (it
+    adapts by up to 768/256 = 3x per code with no spec ceiling, so a
+    crafted stream overflows any fixed width): the lanes carry a
+    2**46 guard and fall back to the exact-Python-int scalar path for
+    the whole stream when any lane trips it. Below the guard every
+    int64 op here (arithmetic >> on negatives, products bounded by
+    768 * 2**46 < 2**63) matches Python-int semantics exactly.
+    """
     header = 7 * channels
     if block_align <= header:
         raise ValueError(f"bad MS ADPCM block_align {block_align}")
+    n_blocks = (len(data) - block_align) // block_align + 1 \
+        if len(data) >= block_align else 0
+    if n_blocks <= 0:
+        return np.empty((0, channels), dtype=np.int16)
+    raw = np.frombuffer(data, np.uint8, n_blocks * block_align).reshape(
+        n_blocks, block_align
+    )
+    pred_idx = raw[:, :channels].astype(np.int64)
+    if int(pred_idx.max()) >= len(_MS_COEF):
+        raise ValueError(
+            f"MS ADPCM predictor index {int(pred_idx.max())} > 6"
+        )
+    coef = np.asarray(_MS_COEF, dtype=np.int64)
+    coef1 = coef[pred_idx, 0]
+    coef2 = coef[pred_idx, 1]
+    hdr = raw[:, channels:header]
+    vals = (
+        (hdr[:, 0::2].astype(np.int64) | (hdr[:, 1::2].astype(np.int64) << 8))
+        .astype(np.uint16)
+        .astype(np.int16)  # sign-extend the little-endian int16 fields
+        .astype(np.int64)
+    )
+    idelta = vals[:, :channels].copy()
+    s1 = vals[:, channels:2 * channels].copy()
+    s2 = vals[:, 2 * channels:3 * channels].copy()
+    body = raw[:, header:]
+    nib = np.empty((n_blocks, body.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = body >> 4                  # high nibble first
+    nib[:, 1::2] = body & 0xF
+    # decode only full frames: trailing codes that don't fill a whole
+    # cross-channel row are block padding
+    n_codes = nib.shape[1] - nib.shape[1] % channels
+    rows = 2 + n_codes // channels
+    out = np.empty((n_blocks, rows, channels), dtype=np.int16)
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    adapt = np.asarray(_MS_ADAPT, dtype=np.int64)
+    guard = np.int64(1) << 46
+    for i in range(n_codes):
+        c = i % channels
+        col = nib[:, i].astype(np.int64)
+        signed = col - ((col & 8) << 1)
+        pred = (
+            (s1[:, c] * coef1[:, c] + s2[:, c] * coef2[:, c]) >> 8
+        ) + signed * idelta[:, c]
+        np.clip(pred, -32768, 32767, out=pred)
+        s2[:, c] = s1[:, c]
+        s1[:, c] = pred
+        idelta[:, c] = np.maximum(16, (adapt[col] * idelta[:, c]) >> 8)
+        if int(idelta[:, c].max()) > guard:
+            return _decode_ms_scalar(data, channels, block_align, n_frames)
+        out[:, 2 + i // channels, c] = pred
+    frames = out.reshape(n_blocks * rows, channels)
+    return _trim_ms_frames(frames, n_frames, channels, block_align, header)
+
+
+def _trim_ms_frames(
+    frames: np.ndarray,
+    n_frames: int | None,
+    channels: int,
+    block_align: int,
+    header: int,
+) -> np.ndarray:
     frames_per_block = (block_align - header) * 2 // channels + 2
+    if n_frames is not None:
+        if n_frames > len(frames):
+            raise ValueError(
+                f"fact count {n_frames} exceeds decoded {len(frames)}"
+            )
+        # only the LAST block may be partial — a fact count that would
+        # also truncate earlier blocks means a corrupt header
+        if len(frames) - n_frames >= frames_per_block:
+            raise ValueError(
+                f"fact count {n_frames} inconsistent with block layout"
+            )
+        frames = frames[:n_frames]
+    return frames
+
+
+def _decode_ms_scalar(
+    data: bytes, channels: int, block_align: int, n_frames: int | None
+) -> np.ndarray:
+    """Exact-Python-int MS ADPCM decode — the overflow-safe fallback
+    the lane path drops to when a crafted stream runs idelta past the
+    2**46 guard (Python ints are unbounded, so no clamp hazard)."""
+    header = 7 * channels
     chunks = []
     for base in range(0, len(data) - block_align + 1, block_align):
         block = data[base:base + block_align]
@@ -262,17 +359,7 @@ def _decode_ms(
     if not chunks:
         return np.empty((0, channels), dtype=np.int16)
     frames = np.concatenate(chunks, axis=0)
-    if n_frames is not None:
-        if n_frames > len(frames):
-            raise ValueError(
-                f"fact count {n_frames} exceeds decoded {len(frames)}"
-            )
-        if len(frames) - n_frames >= frames_per_block:
-            raise ValueError(
-                f"fact count {n_frames} inconsistent with block layout"
-            )
-        frames = frames[:n_frames]
-    return frames
+    return _trim_ms_frames(frames, n_frames, channels, block_align, header)
 
 
 # ------------------------------------------------- shared stats kernels

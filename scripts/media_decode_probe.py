@@ -132,6 +132,48 @@ def main() -> None:
             "file_mb_per_sec": round(len(blob) / 1e6 / best, 1),
         }))
 
+    # MS ADPCM lane-vs-scalar (r13 VERDICT item 8): blocks are
+    # independent, so the r14 decoder runs all blocks as int64 numpy
+    # lanes (scalar within the code loop) with a 2**46 idelta guard
+    # falling back to the Python-int path. Codes drawn from the
+    # small-magnitude classes (adapt 230/409) so idelta stays in its
+    # realistic floor regime and the LANE path is what's measured.
+    import struct as _s2
+
+    from pythondataingestionprocess_spark.multimodal import wav_lite
+
+    rng2 = np.random.default_rng(11)
+    code_vals = np.array([0, 1, 2, 3, 12, 13, 14, 15], dtype=np.uint8)
+    n_blocks, block_align = 246, 1024
+    blocks_ms = []
+    for _ in range(n_blocks):
+        nibs = rng2.choice(code_vals, (block_align - 7) * 2)
+        packed = (nibs[0::2] << 4 | nibs[1::2]).astype(np.uint8).tobytes()
+        blocks_ms.append(
+            bytes([int(rng2.integers(0, 7))])
+            + _s2.pack("<hhh", int(rng2.integers(16, 2000)),
+                       int(rng2.integers(-20000, 20000)),
+                       int(rng2.integers(-20000, 20000)))
+            + packed
+        )
+    ms_data = b"".join(blocks_ms)
+    decoded_mb = n_blocks * ((block_align - 7) * 2 + 2) * 2 / 1e6
+    for fn, label in ((wav_lite._decode_ms, "lane"),
+                      (wav_lite._decode_ms_scalar, "scalar")):
+        fn(ms_data, 1, block_align, None)
+        best = min(
+            (lambda t0: (fn(ms_data, 1, block_align, None),
+                         time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(3)
+        )
+        print(json.dumps({
+            "probe": f"wav_ms_adpcm_{label}",
+            "file_mb": round(len(ms_data) / 1e6, 2),
+            "decoded_mb": round(decoded_mb, 2),
+            "wall_sec": round(best, 3),
+            "file_mb_per_sec": round(len(ms_data) / 1e6 / best, 1),
+        }))
+
 
 if __name__ == "__main__":
     main()

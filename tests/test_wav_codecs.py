@@ -347,6 +347,29 @@ def test_ms_adpcm_random_blocks_match_replay():
         ), trial
 
 
+def test_ms_adpcm_idelta_overflow_falls_back_to_python_ints():
+    """r14 block-parallel path: MS ADPCM's idelta has no spec ceiling
+    (x3 per code at adapt=768), so a crafted stream overflows any
+    fixed lane width. The int64 lanes carry a 2**46 guard and must
+    fall back to the exact-Python-int scalar decode — same samples as
+    the spec replay, no silent wraparound."""
+    n_code_bytes = 60
+    codes = [8] * (n_code_bytes * 2)      # adapt[8] = 768 → idelta x3/code
+    packed = bytes([0x88] * n_code_bytes)
+    block = bytes([0]) + struct.pack("<hhh", 32000, 1000, 900) + packed
+    # prove the fixture actually runs idelta past the guard
+    d = 32000
+    for code in codes:
+        d = max(16, (_MS_ADAPT[code] * d) >> 8)
+    assert d > 1 << 46
+    got = wav_lite._decode_ms(block, 1, len(block), None)
+    exp = _ms_replay(codes, [0], [32000], [1000], [900], 1)[0]
+    assert got[:, 0].tolist() == exp
+    # and the scalar path agrees with the dispatcher bit-for-bit
+    scalar = wav_lite._decode_ms_scalar(block, 1, len(block), None)
+    assert np.array_equal(got, scalar)
+
+
 def test_ms_adpcm_rejects_bad_predictor():
     block = bytes([7]) + struct.pack("<hhh", 300, 0, 0) + b"\0" * 4
     with pytest.raises(ValueError, match="predictor index"):
