@@ -166,7 +166,8 @@ def real_decode(content: bytes, media_type: str) -> dict:
             if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
                 # r13: WebP — VP8L lossless pixel-decodes for real
                 # (prefix codes + LZ77 + color cache + all four
-                # transforms); lossy VP8 and extended/animated files
+                # transforms); r14: lossy VP8 keyframes pixel-decode
+                # for real too (vp8_lite); extended/animated files
                 # return real container metadata with NULL stats
                 from pythondataingestionprocess_spark.multimodal import (
                     webp_lite,

@@ -91,11 +91,46 @@ def _large_blobs() -> dict[str, bytes]:
     ul = audioop.lin2ulaw(sig.tobytes(), 2)
     out["wav_ulaw"] = make_wav(7, 1, 8000, 8, 1, ul + ul)
     # WebP VP8L: 512x512 (0.26MP) few-color image with LZ77+cache —
-    # measures the per-pixel Python loop the 4MP guard bounds
+    # measures the per-symbol Python entropy loop the 10MP guard
+    # bounds
     from tests.test_webp_decode import _rand_argb, encode_vp8l
 
     img = _rand_argb(rng, 512, 512, distinct=7)
     out["webp_vp8l"] = encode_vp8l(img, lz77=True, cache_bits=6)
+    # WebP VP8 lossy (r14): QVGA keyframe through the full intra
+    # decoder (bool decoder + tokens + iDCT + prediction + loop
+    # filter) — the per-MB Python loop the 2MP guard bounds.
+    # Encoded by the system libwebp when present (realistic token
+    # density), else by the test-side encoder.
+    from tests import libwebp_ref as _lref
+
+    _lib = _lref.load()
+    if _lib is not None:
+        yy, xx = np.mgrid[0:240, 0:320]
+        photo = np.stack([
+            128 + 60 * np.sin(yy / 9) * np.cos(xx / 13),
+            120 + 50 * np.cos(yy / 17 + 1) * np.sin(xx / 7),
+            100 + 80 * np.sin((xx + yy) / 21),
+        ], axis=2).clip(0, 255).astype(np.uint8)
+        out["webp_vp8_lossy"] = _lref.encode_rgb(_lib, photo, 60)
+    else:
+        from tests.vp8_enc import encode_keyframe, wrap_webp
+        from pythondataingestionprocess_spark.multimodal.vp8_lite import (
+            B_PRED,
+        )
+
+        mbs = []
+        for i in range(20 * 15):
+            lv = lambda: [int(rng.integers(-20, 21)) if rng.integers(0, 3) == 0
+                          else 0 for _ in range(16)]
+            mbs.append({"ymode": B_PRED, "uv": int(rng.integers(0, 4)),
+                        "sub": [int(rng.integers(0, 10)) for _ in range(16)],
+                        "y": [lv() for _ in range(16)],
+                        "u": [lv() for _ in range(4)],
+                        "v": [lv() for _ in range(4)]})
+        out["webp_vp8_lossy"] = wrap_webp(
+            encode_keyframe(320, 240, mbs, filter_level=30)
+        )
     return out
 
 

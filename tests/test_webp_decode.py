@@ -696,13 +696,17 @@ def test_container_and_routing():
     assert (st["width"], st["height"], st["n_frames"]) == (5, 3, 1)
     assert st["mean_intensity"] == pytest.approx(exp, abs=1e-12)
 
-    # lossy VP8: header metadata only, honest NULL stats
-    frame = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
-    vp8 = b"VP8 " + struct.pack("<I", len(frame) + 10) + frame + bytes(10)
-    lossy = b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
-    st = media.real_decode(lossy, "image/webp")
-    assert (st["width"], st["height"]) == (320, 240)
-    assert st["mean_intensity"] is None
+    # lossy VP8 (r14): REAL intra keyframe decode through vp8_lite —
+    # an all-DC zero-residual keyframe reconstructs flat 128 luma
+    from tests.vp8_enc import encode_keyframe, wrap_webp
+    from pythondataingestionprocess_spark.multimodal.vp8_lite import DC_PRED
+
+    payload = encode_keyframe(
+        32, 16, [{"ymode": DC_PRED, "uv": DC_PRED}] * 2
+    )
+    st = media.real_decode(wrap_webp(payload), "image/webp")
+    assert (st["width"], st["height"], st["n_frames"]) == (32, 16, 1)
+    assert st["mean_intensity"] == pytest.approx(128 / 255.0, abs=1e-12)
 
     # VP8X animation: canvas dims + ANMF count
     vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(4) + (
