@@ -509,7 +509,10 @@ def _inv_color_transform(img: np.ndarray, w: int, h: int, bits: int,
             r = (px >> 16) & 0xFF
             g = (px >> 8) & 0xFF
             b = px & 0xFF
-            # deltas use SIGNED channel values (int8) per spec
+            # delta = (element * channel) >> 5, BOTH as int8 (spec
+            # semantics, pinned against the system libwebp with
+            # hand-built single-pixel streams — r14 certification
+            # test). The r2b delta sees the RECOVERED red.
             r = (r + ((g2r * s8(g)) >> 5)) & 0xFF
             b = (b + ((g2b * s8(g)) >> 5)) & 0xFF
             b = (b + ((r2b * s8(r)) >> 5)) & 0xFF

@@ -402,17 +402,24 @@ def encode_vp8l(argb: np.ndarray, *, cache_bits=0, lz77=False,
             for x in range(w):
                 px = int(img[y, x])
                 a, r, g, b = chan(px, 24), chan(px, 16), chan(px, 8), chan(px, 0)
-                nr = (r - ((s8(g2r) * s8(g)) >> 5)) & 0xFF
-                nb = (b - ((s8(g2b) * s8(g)) >> 5)) & 0xFF
+                nr = (r - ((s8(g2r & 0xFF) * s8(g)) >> 5)) & 0xFF
+                nb = (b - ((s8(g2b & 0xFF) * s8(g)) >> 5)) & 0xFF
                 # r2b uses the ORIGINAL red: the decoder recovers red
                 # first, so its r2b delta sees the original value
-                nb = (nb - ((s8(r2b) * s8(r)) >> 5)) & 0xFF
+                nb = (nb - ((s8(r2b & 0xFF) * s8(r)) >> 5)) & 0xFF
                 res[y, x] = (a << 24) | (nr << 16) | (g << 8) | nb
         img = res
         bits = 3
         tw = (w + (1 << bits) - 1) >> bits
         th = (h + (1 << bits) - 1) >> bits
-        element = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+        # mask each element to its byte: Python's | with a NEGATIVE
+        # int collapses the whole pixel (x | -1 == -1) — caught by the
+        # r14 libwebp certification test; negative elements never
+        # reached the stream correctly before
+        element = (
+            0xFF000000 | ((r2b & 0xFF) << 16)
+            | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+        )
         tile_img = np.full((th, tw), element, dtype=np.int64)
 
         def _wr(bw=bw, tile_img=tile_img, bits=bits, tw=tw, th=th):
@@ -805,3 +812,63 @@ def test_lz77_2d_distance_neighborhood_hand_built():
     got = st["argb"].reshape(2, 5)
     assert [int(v) for v in got[0]] == row_px
     assert [int(v) for v in got[1]] == row_px  # copied from one row up
+
+
+def test_vp8l_test_encoder_certified_by_libwebp():
+    """r14: the system libwebp (independent implementation, ctypes
+    test gate) must decode the TEST-SIDE encoder's streams to exactly
+    the input pixels, for every transform combination. This closes
+    the encoder half of the roundtrip loop externally: the engine
+    decoder is pinned against this encoder by the tests above, and
+    the encoder is now pinned against libwebp — so a matched
+    encoder/decoder misreading of the format can no longer hide."""
+    import ctypes
+
+    from tests import libwebp_ref as lref
+
+    lib = lref.load()
+    if lib is None:
+        pytest.skip("system libwebp not available")
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+
+    def dec_rgba(blob):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        p = lib.WebPDecodeRGBA(
+            blob, ctypes.c_size_t(len(blob)), ctypes.byref(w), ctypes.byref(h)
+        )
+        assert p, "libwebp rejected the test-encoder stream"
+        arr = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+        lib.WebPFree(p)
+        return arr
+
+    rng = np.random.default_rng(9)
+    combos = [
+        {},
+        {"lz77": True},
+        {"cache_bits": 4},
+        {"lz77": True, "cache_bits": 6},
+        {"subtract_green": True},
+        {"predictor_mode": 2},
+        {"predictor_mode": 11, "lz77": True},
+        {"color_elements": (12, -7, 5)},
+        {"palette": True},
+        {"palette": True, "lz77": True},
+        {"subtract_green": True, "predictor_mode": 5, "cache_bits": 3},
+    ]
+    for kw in combos:
+        h, w = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+        img = _rand_argb(rng, h, w, distinct=(7 if kw.get("palette") else None))
+        blob = encode_vp8l(img, **kw)
+        rgba = dec_rgba(blob)
+        got = (
+            rgba[:, :, 3].astype(np.int64) << 24
+            | rgba[:, :, 0].astype(np.int64) << 16
+            | rgba[:, :, 1].astype(np.int64) << 8
+            | rgba[:, :, 2].astype(np.int64)
+        )
+        assert np.array_equal(got, img & 0xFFFFFFFF), kw
+        # and the engine decoder agrees with libwebp's RGB mean
+        st = webp_lite.decode(blob)
+        exp = rgba[:, :, :3].astype(np.float64).mean() / 255.0
+        assert st["mean_intensity"] == pytest.approx(exp, abs=1e-12), kw
