@@ -252,3 +252,24 @@ def test_spec_tables_structurally_sound():
     assert t.DC_QLOOKUP[0] == 4 and t.DC_QLOOKUP[127] == 157
     assert sorted(V.ZIGZAG) == list(range(16))
     assert len(V.COEFF_BANDS) == 16 and max(V.COEFF_BANDS) == 7
+
+
+def test_bool_coder_roundtrip_fuzz():
+    """Seeded fuzz over the RFC 7 boolean coder pair (test encoder vs
+    engine decoder): random (prob, bit) sequences roundtrip exactly —
+    statistically exercises the encoder's carry propagation (incl.
+    0xFF cascades, where a naive bytearray increment would raise)."""
+    import random
+
+    from tests.vp8_enc import BoolEncoder
+
+    rng = random.Random(5)
+    for trial in range(300):
+        seq = [(rng.randrange(1, 256), rng.randrange(2))
+               for _ in range(rng.randrange(1, 400))]
+        be = BoolEncoder()
+        for p, b in seq:
+            be.put(p, b)
+        bd = V._Bool(be.flush())
+        for p, b in seq:
+            assert bd.get(p) == b, trial

@@ -47,11 +47,13 @@ class BoolEncoder:
 
     def _carry(self):
         i = len(self.out) - 1
-        while True:
-            self.out[i] += 1
-            if self.out[i] != 0:  # no wrap -> carry absorbed
-                break
+        while i >= 0 and self.out[i] == 0xFF:
+            self.out[i] = 0  # bytearray[i] += 1 would RAISE on 0xFF
             i -= 1
+        if i < 0:  # cannot happen on valid prob sequences — fail
+            # loudly instead of wrapping to out[-1]
+            raise AssertionError("bool-encoder carry past start")
+        self.out[i] += 1
 
     def put(self, prob: int, value: int):
         split = 1 + (((self.range - 1) * prob) >> 8)
