@@ -809,9 +809,56 @@ def decode(content: bytes) -> dict:
             raise ValueError("truncated VP8X header")
         w = 1 + int.from_bytes(body[4:7], "little")
         h = 1 + int.from_bytes(body[7:10], "little")
-        n_anmf = sum(1 for c, _ in chunks if c == b"ANMF")
+        anmf = [b for c, b in chunks if c == b"ANMF"]
+        if anmf:
+            # animation: stats from the FIRST frame (the mp4/MJPEG
+            # first-frame convention); frame data = subchunks after
+            # the 16-byte ANMF frame header
+            if len(anmf[0]) < 16:
+                raise ValueError("truncated ANMF frame header")
+            first = _subchunks(anmf[0][16:])
+            mean = _image_chunk_mean(first)
+            return {
+                "width": w, "height": h,
+                "n_frames": len(anmf), "mean_intensity": mean,
+            }
+        # extended still image (e.g. with ALPH / EXIF / ICCP): decode
+        # the inner VP8/VP8L for real — mean_intensity is over R,G,B
+        # (alpha excluded by contract), so the ALPH plane doesn't
+        # enter the stat
+        mean = _image_chunk_mean(chunks)
         return {
             "width": w, "height": h,
-            "n_frames": n_anmf or 1, "mean_intensity": None,
+            "n_frames": 1, "mean_intensity": mean,
         }
     raise ValueError("WebP without VP8/VP8L/VP8X chunk")
+
+
+def _subchunks(data: bytes) -> list:
+    out = []
+    pos = 0
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WebP subchunk {cid!r}")
+        out.append((cid, body))
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _image_chunk_mean(chunks: list) -> float | None:
+    """mean_intensity from the first VP8L or VP8 chunk in a chunk
+    list (r14: both codecs pixel-decode for real); None when neither
+    is present (honest for metadata-only fragments)."""
+    for cid, body in chunks:
+        if cid == b"VP8L":
+            return decode_vp8l(body)["mean_intensity"]
+        if cid == b"VP8 ":
+            from pythondataingestionprocess_spark.multimodal import (
+                vp8_lite,
+            )
+
+            return vp8_lite.decode_stats(body)["mean_intensity"]
+    return None

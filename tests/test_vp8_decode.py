@@ -273,3 +273,74 @@ def test_bool_coder_roundtrip_fuzz():
         bd = V._Bool(be.flush())
         for p, b in seq:
             assert bd.get(p) == b, trial
+
+
+def _anmf(payload_chunks: bytes, fw: int, fh: int) -> bytes:
+    hdr = (
+        (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+        + (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+        + (100).to_bytes(3, "little") + b"\x00"
+    )
+    body = hdr + payload_chunks
+    chunk = b"ANMF" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return chunk
+
+
+def test_vp8x_animation_first_frame_decodes():
+    """r14: animated WebP stats come from the FIRST frame (the
+    mp4/MJPEG convention): canvas dims from VP8X, n_frames = ANMF
+    count, mean from frame 0's inner VP8 keyframe."""
+    p0 = encode_keyframe(16, 16, [{"ymode": V.DC_PRED, "uv": V.DC_PRED}])
+    p1 = encode_keyframe(
+        16, 16,
+        [{"ymode": V.DC_PRED, "uv": V.DC_PRED, "y2": [3] + [0] * 15}],
+    )
+    def vp8_chunk(p):
+        c = b"VP8 " + struct.pack("<I", len(p)) + p
+        return c + (b"\x00" if len(p) & 1 else b"")
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + bytes(3) + (
+        (15).to_bytes(3, "little") + (15).to_bytes(3, "little")
+    )
+    frames = _anmf(vp8_chunk(p0), 16, 16) + _anmf(vp8_chunk(p1), 16, 16)
+    blob = b"RIFF" + struct.pack(
+        "<I", 4 + len(vp8x) + len(frames)
+    ) + b"WEBP" + vp8x + frames
+    st = media.real_decode(blob, "image/webp")
+    assert (st["width"], st["height"], st["n_frames"]) == (16, 16, 2)
+    # frame 0 is the flat-128 keyframe (frame 1's mean would be 129)
+    assert st["mean_intensity"] == pytest.approx(128 / 255.0, abs=1e-12)
+
+
+@needs_libwebp
+def test_vp8x_alpha_still_decodes_via_inner_vp8():
+    """libwebp's RGBA encoder emits VP8X + ALPH + VP8; the stats
+    contract excludes alpha, so mean_intensity equals the inner VP8
+    keyframe's Y mean — cross-checked against libwebp's own YUV
+    decode of the same container."""
+    import ctypes
+
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32, 4)).astype(np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGBA(
+        img.tobytes(), 32, 24, 32 * 4, ctypes.c_float(75.0),
+        ctypes.byref(out),
+    )
+    blob = bytes(bytearray(
+        ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents
+    ))
+    _LIB.WebPFree(out)
+    assert b"VP8X" in blob and b"ALPH" in blob
+    ry, _, _ = ref.decode_yuv(_LIB, blob)
+    st = media.real_decode(blob, "image/webp")
+    assert (st["width"], st["height"], st["n_frames"]) == (32, 24, 1)
+    exp = ry.astype(np.float64).mean() / 255.0
+    assert st["mean_intensity"] == pytest.approx(exp, abs=1e-12)

@@ -715,11 +715,13 @@ def test_container_and_routing():
     assert (st["width"], st["height"], st["n_frames"]) == (32, 16, 1)
     assert st["mean_intensity"] == pytest.approx(128 / 255.0, abs=1e-12)
 
-    # VP8X animation: canvas dims + ANMF count
+    # VP8X animation: canvas dims + ANMF count; frames with no inner
+    # image chunk stay honestly NULL (r14: frames WITH one decode for
+    # real — test_vp8x_animation_first_frame_decodes)
     vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(4) + (
         (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
     )
-    anmf = (b"ANMF" + struct.pack("<I", 2) + b"\0\0") * 3
+    anmf = (b"ANMF" + struct.pack("<I", 16) + bytes(16)) * 3
     blob = b"RIFF" + struct.pack(
         "<I", 4 + len(vp8x) + len(anmf)
     ) + b"WEBP" + vp8x + anmf
