@@ -392,6 +392,23 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     mean = jpeg_lite.decode(frame)["mean_intensity"]
                 except ValueError:
                     pass
+        elif meta["codec"] == "vp08":
+            # VP8-in-ISO-BMFF (r14): each sample is a raw VP8 frame
+            # and the first sample of a valid track is a keyframe, so
+            # the libwebp-certified intra decoder (vp8_lite) yields
+            # real first-frame stats; inter first-samples / oversize
+            # frames quarantine to metadata-only via the same
+            # ValueError split as MJPEG.
+            frame = mp4_lite.first_video_sample(content)
+            if frame is not None:
+                from pythondataingestionprocess_spark.multimodal import (
+                    vp8_lite,
+                )
+
+                try:
+                    mean = vp8_lite.decode_stats(frame)["mean_intensity"]
+                except ValueError:
+                    pass
         elif meta["codec"] in mp4_lite.RAW_CODECS:
             # uncompressed video (r13): samples ARE pixel data, so
             # first-frame stats need zero codec math — same

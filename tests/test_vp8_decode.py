@@ -344,3 +344,25 @@ def test_vp8x_alpha_still_decodes_via_inner_vp8():
     assert (st["width"], st["height"], st["n_frames"]) == (32, 24, 1)
     exp = ry.astype(np.float64).mean() / 255.0
     assert st["mean_intensity"] == pytest.approx(exp, abs=1e-12)
+
+
+def test_vp8_in_mp4_first_frame_stats():
+    """r14: 'vp08' sample entries route the first sample (a raw VP8
+    keyframe) through vp8_lite; an inter first-sample quarantines to
+    metadata-only, never a misread."""
+    from tests.test_multimodal_headers import _mp4_mjpeg
+
+    payload = encode_keyframe(
+        16, 16,
+        [{"ymode": V.DC_PRED, "uv": V.DC_PRED, "y2": [3] + [0] * 15}],
+    )
+    blob = _mp4_mjpeg(payload, codec=b"vp08", n_samples=4, w=16, h=16)
+    st = media.real_decode(blob, "video/mp4")
+    assert (st["width"], st["height"], st["n_frames"]) == (16, 16, 4)
+    assert st["mean_intensity"] == pytest.approx(129 / 255.0, abs=1e-12)
+
+    inter = bytearray(payload)
+    inter[0] |= 1  # frame_type = inter -> metadata-only
+    blob2 = _mp4_mjpeg(bytes(inter), codec=b"vp08", n_samples=2, w=16, h=16)
+    st2 = media.real_decode(blob2, "video/mp4")
+    assert st2["n_frames"] == 2 and st2["mean_intensity"] is None
