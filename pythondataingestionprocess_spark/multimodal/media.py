@@ -3,16 +3,20 @@ columns with typed metadata (engine-added per BASELINE.json north
 star).
 
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
-partition sizing — is real and tested, and by r13 most DECODING is
-real too, from-scratch against the public specs (the container ships
-no media libraries): PNG/GIF/BMP/TIFF/PNM/TGA/ICO/QOI, baseline and
-progressive JPEG, and WebP-lossless (full VP8L) pixel decode; WAV
-(PCM, float, G.711, IMA/MS ADPCM), FLAC, AIFF, and AU audio sample
-decode; MJPEG and uncompressed MOV video first-frame decode;
-MP3/AAC, MP4, and lossy-WebP frame/box-walk metadata. What
-genuinely needs a codec the specs tabulate rather than define
-(MP3/AAC synthesis windows, H.264...) stays honestly NULL-stats /
-``NotImplementedError``. ``fake_decode_stats`` remains the
+partition sizing — is real and tested, and by r14 most DECODING is
+real too, from-scratch against the public specs (the container's
+only media library, the system libwebp, serves as an independent
+TEST oracle — never as a decode path): PNG/GIF/BMP/TIFF/PNM/TGA/
+ICO/QOI, baseline and progressive JPEG, and full WebP pixel decode —
+lossless (VP8L) AND lossy (VP8 intra keyframes: bool decoder,
+tokens, iDCT, prediction, loop filter — certified bit-exact against
+libwebp), including VP8X extended stills with alpha and first
+frames of animations; WAV (PCM, float, G.711, IMA/MS ADPCM), FLAC,
+AIFF, and AU audio sample decode; MJPEG, uncompressed, and
+VP8-sample-entry video first-frame decode; MP3/AAC and MP4
+frame/box-walk metadata. What genuinely needs a codec the specs
+tabulate rather than define (MP3/AAC synthesis windows, H.264...)
+stays honestly NULL-stats / ``NotImplementedError``. ``fake_decode_stats`` remains the
 deterministic stand-in for pipeline tests that don't care about
 real formats: it derives "pixel stats" purely from the raw bytes, so
 the full pipeline (binary in → mapInPandas → typed stats out) runs
