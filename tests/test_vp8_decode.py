@@ -366,3 +366,37 @@ def test_vp8_in_mp4_first_frame_stats():
     blob2 = _mp4_mjpeg(bytes(inter), codec=b"vp08", n_samples=2, w=16, h=16)
     st2 = media.real_decode(blob2, "video/mp4")
     assert st2["n_frames"] == 2 and st2["mean_intensity"] is None
+
+
+def test_malformed_streams_quarantine_cleanly():
+    """Corrupted/truncated/random payloads must either decode (VP8
+    has no integrity check — zero padding decodes deterministically,
+    as libwebp also accepts) or raise ValueError (the quarantine
+    split) — never hang, IndexError, or overflow out of an Arrow
+    batch."""
+    rng = np.random.default_rng(7)
+    good = encode_keyframe(
+        32, 32, [{"ymode": V.DC_PRED, "uv": V.DC_PRED}] * 4
+    )
+    for trial in range(120):
+        kind = trial % 4
+        if kind == 0:
+            blob = bytes(good[:10]) + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 80))).astype(np.uint8)
+            )
+        elif kind == 1:
+            blob = bytes(good[:int(rng.integers(3, len(good)))])
+        elif kind == 2:
+            b = bytearray(good)
+            for _ in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            blob = bytes(b)
+        else:
+            blob = bytes(
+                rng.integers(0, 256, int(rng.integers(0, 60))).astype(np.uint8)
+            )
+        try:
+            out = V.decode_frame(blob)
+            assert out["y"].shape[0] == out["height"]
+        except ValueError:
+            pass
