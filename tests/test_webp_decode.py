@@ -874,3 +874,82 @@ def test_vp8l_test_encoder_certified_by_libwebp():
         st = webp_lite.decode(blob)
         exp = rgba[:, :, :3].astype(np.float64).mean() / 255.0
         assert st["mean_intensity"] == pytest.approx(exp, abs=1e-12), kw
+
+
+def test_vp8l_decoder_certified_on_real_libwebp_streams():
+    """r14: REAL lossless streams from the system libwebp's own
+    encoder — encoder-chosen feature stacks the test-side encoder
+    never emits (META prefix groups, combined predictor+color
+    transforms, encoder-tuned caches/LZ77). Opaque images must
+    roundtrip to the exact input; random-alpha images are compared
+    against libwebp's own decode (the simple lossless API is NOT
+    RGB-exact under transparency — cleanup is the encoder's
+    documented default, not decoder drift)."""
+    import ctypes
+
+    from tests import libwebp_ref as lref
+
+    lib = lref.load()
+    if lib is None:
+        pytest.skip("system libwebp not available")
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+
+    def enc(img):
+        h, w, _ = img.shape
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeLosslessRGBA(
+            np.ascontiguousarray(img).tobytes(), w, h, w * 4,
+            ctypes.byref(out),
+        )
+        assert n
+        blob = bytes(bytearray(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents
+        ))
+        lib.WebPFree(out)
+        return blob
+
+    def dec(blob):
+        wv = ctypes.c_int()
+        hv = ctypes.c_int()
+        p = lib.WebPDecodeRGBA(
+            blob, ctypes.c_size_t(len(blob)), ctypes.byref(wv),
+            ctypes.byref(hv),
+        )
+        arr = np.ctypeslib.as_array(p, shape=(hv.value, wv.value, 4)).copy()
+        lib.WebPFree(p)
+        return arr
+
+    rng = np.random.default_rng(21)
+    cases = []
+    noise = rng.integers(0, 256, (64, 48, 4)).astype(np.uint8)
+    noise[:, :, 3] = 255
+    cases.append(("noise-opaque", noise, True))
+    half = np.zeros((128, 256, 4), np.uint8)
+    half[:, :128] = rng.integers(0, 256, (128, 128, 4)).astype(np.uint8)
+    half[:, :, 3] = 255
+    cases.append(("half-noise META groups", half, True))
+    yy, xx = np.mgrid[0:200, 0:300]
+    photo = np.stack([
+        (128 + 90 * np.sin(yy / 4) * np.cos(xx / 5)).clip(0, 255),
+        (100 + 90 * np.cos(yy / 3 + xx / 9)).clip(0, 255),
+        (90 + 90 * np.sin((xx * yy) / 700)).clip(0, 255),
+        np.full(yy.shape, 255),
+    ], axis=2).astype(np.uint8)
+    cases.append(("photo predictor+color+META", photo, True))
+    randalpha = rng.integers(0, 256, (64, 48, 4)).astype(np.uint8)
+    cases.append(("random alpha (vs libwebp decode)", randalpha, False))
+    for name, img, exact in cases:
+        blob = enc(img)
+        st = webp_lite.decode(blob)
+        if exact:
+            exp = img[:, :, :3].astype(np.float64).mean() / 255.0
+        else:
+            rgba = dec(blob)
+            exp = rgba[:, :, :3].astype(np.float64).mean() / 255.0
+        assert st["mean_intensity"] == pytest.approx(exp, abs=1e-12), name
+        assert (st["width"], st["height"]) == (img.shape[1], img.shape[0])
