@@ -13,8 +13,8 @@ tokens, iDCT, prediction, loop filter — certified bit-exact against
 libwebp), including VP8X extended stills with alpha and first
 frames of animations; WAV (PCM, float, G.711, IMA/MS ADPCM), FLAC,
 AIFF, and AU audio sample decode; MJPEG, uncompressed, and
-VP8-sample-entry video first-frame decode; MP3/AAC and MP4
-frame/box-walk metadata. What genuinely needs a codec the specs
+VP8-sample-entry video first-frame decode; MP3/AAC, MP4, and
+HEIF/AVIF frame/box-walk metadata. What genuinely needs a codec the specs
 tabulate rather than define (MP3/AAC synthesis windows, H.264...)
 stays honestly NULL-stats / ``NotImplementedError``. ``fake_decode_stats`` remains the
 deterministic stand-in for pipeline tests that don't care about
@@ -214,6 +214,24 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     "n_frames": 1,
                     "mean_intensity": stats["mean_intensity"],
                 }
+            if len(content) >= 12 and content[4:8] == b"ftyp":
+                from pythondataingestionprocess_spark.multimodal import (
+                    heif_lite,
+                )
+
+                if heif_lite.is_heif(content):
+                    # r14: HEIF/AVIF — real box-walk metadata (primary
+                    # item dimensions via pitm→ipma→ispe); the payload
+                    # is an AV1/HEVC intra frame, honestly NULL stats
+                    # (same documented gap class as MP3/AAC samples)
+                    meta = heif_lite.parse_meta(content)
+                    return {
+                        "byte_len": len(content),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_frames": 1,
+                        "mean_intensity": None,
+                    }
             if content[:6] in (b"GIF87a", b"GIF89a"):
                 # r12: GIF is the third stdlib-decodable web image
                 # format — LZW is pure integer coding (gif_lite)
