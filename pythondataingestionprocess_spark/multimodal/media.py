@@ -13,8 +13,8 @@ tokens, iDCT, prediction, loop filter — certified bit-exact against
 libwebp), including VP8X extended stills with alpha and first
 frames of animations; WAV (PCM, float, G.711, IMA/MS ADPCM), FLAC,
 AIFF, and AU audio sample decode; MJPEG, uncompressed, and
-VP8-sample-entry video first-frame decode; MP3/AAC, MP4, and
-HEIF/AVIF frame/box-walk metadata. What genuinely needs a codec the specs
+VP8-sample-entry video first-frame decode; MP3/AAC, MP4, HEIF/AVIF,
+and Ogg Opus/Vorbis frame/box/page-walk metadata. What genuinely needs a codec the specs
 tabulate rather than define (MP3/AAC synthesis windows, H.264...)
 stays honestly NULL-stats / ``NotImplementedError``. ``fake_decode_stats`` remains the
 deterministic stand-in for pipeline tests that don't care about
@@ -331,6 +331,25 @@ def real_decode(content: bytes, media_type: str) -> dict:
             return _audio_stats(
                 len(content), aiff_au_lite.decode_au(content)
             )
+        if content[:4] == b"OggS":
+            # r14: Ogg Opus/Vorbis — real page-walk metadata (codec,
+            # channels, rate, samples from the terminal granule);
+            # MDCT sample decode stays honestly NULL, the MP3/AAC
+            # split
+            from pythondataingestionprocess_spark.multimodal import ogg_lite
+
+            meta = ogg_lite.decode_meta(content)
+            if meta["n_samples"] > 2**31 - 1:
+                raise ValueError(
+                    "sample count exceeds the int32 stats column"
+                )
+            return {
+                "byte_len": len(content),
+                "width": meta["sample_rate"],
+                "height": meta["channels"],
+                "n_frames": meta["n_samples"],
+                "mean_intensity": None,
+            }
         from pythondataingestionprocess_spark.multimodal import (
             mpeg_audio_lite,
         )
