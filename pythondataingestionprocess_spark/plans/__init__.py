@@ -35,101 +35,88 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-14 rotation -----------------------------------------------
-# Driver-check union after r13 is all-green (CORRECTNESS_r13 50/50 —
-# 47 hash + 3 rows-only per contract; no failure in thirteen rounds).
-# Evidence ages over the r01..r13 files for the 180 registered
-# queries: 30 last-checked-r10, 49 r11, 50 r12, 50 r13 (the two r13
-# NEW faces took their first rows r13); nothing unchecked, nothing
-# past the MAX_EVIDENCE_AGE=4 bound. The window carries ALL 30
-# r10-aged queries (the front-load left-overs pinned in
+# --- round-15 rotation -----------------------------------------------
+# Driver-check union after r14 is all-green (CORRECTNESS_r14 50/50 —
+# 48 hash + 2 rows-only per contract; no failure in fourteen rounds).
+# Evidence ages over the r01..r14 files for the 180 registered
+# queries: 30 last-checked-r11, 50 r12, 49 r13, 50 r14 (embedding_
+# ann_recall, staged mid-r14, has no driver evidence yet by design);
+# nothing past the MAX_EVIDENCE_AGE=4 bound. The window carries ALL
+# 30 r11-aged queries (the front-load left-overs pinned in
 # tests/test_registry_rotation.py last round) plus the alphabetical
-# first 19 of the 49 r11-aged (the 30 same-age left-overs front-load
-# r15), then the staged r14 face — `multimodal_real_decode_roundtrip`,
-# the first face where the format decoders THEMSELVES are
-# oracle-checked (multimodal/synth.py closed-form blob synthesis vs a
-# DuckDB restatement) — takes its first official driver row. Derived
-# by scripts/rotation_calc.py (exit 0, no warnings); the era-pinned
-# test replays the derivation from an explicit r01..r13 file list.
-STALE_R11 = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
-    "copurchase_triangles",
-    "corpus_dsir_importance",
-    "corr_moments_stats",
-    "dedup_containment",
-    "dedup_incremental_components",
-    "dedup_semantic_semdedup",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_order_reconciliation",
-    "dq_price_outliers_mad",
-    "embedding_ann_pq",
-    "embedding_knn_brute",
-    "events_asof_last_click",
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
-    "events_distinct_users_sketch",
-    "events_interval_join",
-    "events_next_event_training",
-    "events_pattern_match",
-    "filter_nonempty_text",
-    "filter_not_contains",
-    "flagship_revenue_by_nation",
-    "forward_fill_locf",
-    "full_outer_reconciliation",
-    "fuzzy_join_symdelete",
-    "hierarchy_depth_rollup",
-    "json_variant_props_stats",
-    "left_join_enrich",
-    "left_join_reverse_agg",
-    "multi_agg_stats",
-    "multimodal_frame_sample",
-    "pagerank_nations",
-    "positional_attach",
-    "pricing_summary",
-    "projection_narrow",
-    "q9_profit_by_nation_year",
-    "rollup_agg",
-    "semi_join_membership",
-    "stream_static_revenue_rollup",
-    "tiered_pricing",
-    "top_orders_by_price",
-    "topk_per_group_agg",
-    "union_all_slices",
-    "url_canonicalize",
-    "url_store_name",
+# first 19 of the 50 r12-aged (the 31 same-age left-overs front-load
+# r16), then the staged r15 face — `embedding_ann_recall`, the ANN
+# family's oracle-checked recall certificate (per-query recall@5 of
+# the registered LSH configuration vs brute-force cosine top-5, with
+# the seeded hyperplanes embedded as exact literals in the DuckDB
+# replay) — takes its first official driver row. Derived by
+# scripts/rotation_calc.py (exit 0, no warnings); the era-pinned test
+# replays the derivation from an explicit r01..r14 file list.
+STALE_R12 = [
+    "anti_join_dedup",
+    "bm25_retrieval_topk",
+    "broadcast_dim_join",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
+    "corpus_block_dedup",
+    "corpus_mix_resample",
+    "corpus_temperature_mix",
+    "corpus_weighted_sample",
+    "dedup_cosine_incremental",
+    "dedup_embedding_cosine",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_per_source",
+    "events_funnel_watermark",
+    "events_resample_interpolate",
+    "events_session_window",
+    "events_sessionize_manual",
+    "events_sliding_window",
+    "events_time_weighted_value",
+    "events_tumbling_window",
+    "except_keys",
+    "fuzzy_name_distance",
+    "grouping_sets_agg",
+    "intersect_keys",
+    "islands_user_activity",
+    "json_map_functions",
+    "lateral_top_orders",
+    "not_in_null_semantics",
+    "percent_rank_ntile",
+    "pivot_status_revenue",
+    "q11_important_parts",
+    "q12_lateness_priority",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "quantile_disc_prices",
+    "rolling_median_user_value",
+    "scd2_build_user_state",
+    "state_change_compression",
+    "text_bpe_pair_counts",
+    "text_repeated_span_dedup",
+    "text_strip_boilerplate",
 ]
 
-# Staged mid-r13 as NEW_R14_STAGED, folded into the applied rotation
-# here: synthesized BMP/TIFF/WAV/MOV blobs whose decoded stats are
-# closed-form integer arithmetic on doc_id, vs a DuckDB restatement.
-# Hash-green at sf0.01 under a vanilla session at registration (r13)
-# and re-verified at the r14 fold.
-NEW_R14 = [
-    "multimodal_real_decode_roundtrip",
-]
-
-
-# Staged mid-r14, riding the r15 window (outside the current 50 —
-# tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
-# the ANN family's oracle-checked recall certificate (r13 VERDICT
-# item 5) — per-query recall@5 of the registered LSH configuration
-# against the brute-force cosine top-5, with the seeded hyperplanes
-# embedded as exact literals in the DuckDB replay. Slot freed by the
-# same-session `text_token_count` retirement (llm_ops.py — substance
-# migrated to tests/test_llm_operators.py), keeping the registry AT
-# the 180 cap. Hash-green at sf0.01 under a vanilla session at
-# registration.
-NEW_R15_STAGED = [
+# Staged mid-r14 as NEW_R15_STAGED, folded into the applied rotation
+# here: the ANN recall certificate (r13 VERDICT item 5). Slot was
+# freed by the r14 `text_token_count` retirement (substance migrated
+# to tests/test_llm_operators.py), keeping the registry AT the 180
+# cap. Hash-green at sf0.01 under a vanilla session at registration
+# (r14) and re-verified at the r15 fold.
+NEW_R15 = [
     "embedding_ann_recall",
 ]
 
 
 def _apply_rotation() -> None:
-    priority = STALE_R11 + NEW_R14
+    priority = STALE_R12 + NEW_R15
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -146,14 +133,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R14
+NEW_CURRENT = NEW_R15
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R11",
-    "NEW_R14",
-    "NEW_R15_STAGED",
+    "STALE_R12",
+    "NEW_R15",
     "NEW_CURRENT",
 ]

@@ -2,16 +2,16 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-14 window = 49 stale + 1 new: ALL 30 last-checked-r10
+The round-15 window = 49 stale + 1 new: ALL 30 last-checked-r11
 queries (the front-load left-overs pinned here last round) plus the
-alphabetical first 19 of the 49 last-checked-r11 (the 30 same-age
-left-overs front-load r15), then ``multimodal_real_decode_roundtrip``
-— staged mid-r13 — takes its first official driver row. These tests
-make the rotation explicit and fail loudly if a later registration or
-refactor silently reorders the window.
+alphabetical first 19 of the 50 last-checked-r12 (the 31 same-age
+left-overs front-load r16), then ``embedding_ann_recall`` — staged
+mid-r14 — takes its first official driver row. These tests make the
+rotation explicit and fail loudly if a later registration or refactor
+silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r13 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r14 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
@@ -19,7 +19,7 @@ rows, no evidence-lag tripwire), never the window composition.
 Capacity (r8 VERDICT item 3): rotation_calc hard-fails above
 WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
 retiring is mechanically impossible, not just a written rule. The
-registry sits AT the cap (180): any r14 registration requires a
+registry sits AT the cap (180): any r15 registration requires a
 retirement first. The calculator guard behaviors (capacity trip,
 evidence-lag tripwire, failed-row alert, parsed-round ordering,
 filename rejection, oversubscribed-window clamp) are pinned below
@@ -34,90 +34,91 @@ import subprocess
 import sys
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R14,
+    NEW_R15,
     REGISTRY,
-    STALE_R11,
+    STALE_R12,
 )
 
 DRIVER_WINDOW = 50
 
-# The file set the committed rotation was derived from (rounds 1..13).
-# Frozen: later rounds' files must NOT retroactively change what r14's
+# The file set the committed rotation was derived from (rounds 1..14).
+# Frozen: later rounds' files must NOT retroactively change what r15's
 # window was.
-R14_EVIDENCE_FILES = sorted(
+R15_EVIDENCE_FILES = sorted(
     (
         f
         for f in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 13
+        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 14
     ),
     key=lambda f: int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)),
 )
 
 
-# The 30 r11-checked queries the alphabetical cut left out of
-# STALE_R11 (same evidence age); they front-load round 15's window.
-# Recorded verbatim from scripts/rotation_calc.py's round-14
+# The 31 r12-checked queries the alphabetical cut left out of
+# STALE_R12 (same evidence age); they front-load round 16's window.
+# Recorded verbatim from scripts/rotation_calc.py's round-15
 # derivation.
-R15_FRONT_LOAD_LEFT_OVERS = [
-    "events_resample_interpolate",
-    "events_session_window",
-    "events_sessionize_manual",
-    "events_sliding_window",
-    "events_time_weighted_value",
-    "events_tumbling_window",
-    "except_keys",
-    "fuzzy_name_distance",
-    "grouping_sets_agg",
-    "intersect_keys",
-    "islands_user_activity",
-    "json_map_functions",
-    "lateral_top_orders",
-    "not_in_null_semantics",
-    "percent_rank_ntile",
-    "pivot_status_revenue",
-    "q11_important_parts",
-    "q12_lateness_priority",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_dominant_suppliers",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "quantile_disc_prices",
-    "rolling_median_user_value",
-    "scd2_build_user_state",
-    "state_change_compression",
-    "text_bpe_pair_counts",
-    "text_repeated_span_dedup",
-    "text_strip_boilerplate",
+R16_FRONT_LOAD_LEFT_OVERS = [
+    "exists_agg_discounted_orders",
+    "exists_not_exists_orders",
+    "feature_winsorize_robust",
+    "funnel_three_step",
+    "having_large_orders",
+    "hierarchical_revenue_share",
+    "idle_customers_segment",
+    "incremental_agg_maintenance",
+    "merge_event_intervals",
+    "monthly_revenue_trend",
+    "multimodal_binary_meta",
+    "multimodal_decode_stats",
+    "part_clustering_coefficient",
+    "percentile_cont_prices",
+    "pii_pseudonymize_vault",
+    "pit_scd2_price_join",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "recursive_cte_subtree_rollup",
+    "stmt_charge_line_grammar",
+    "stratified_sample_events",
+    "text_bigram_lm",
+    "text_bpe_merge_learn",
+    "text_rolling_fingerprint",
+    "topk_per_group",
+    "trend_slope_per_nation",
+    "unpivot_charge_components",
+    "window_edge_values",
+    "window_range_frame",
+    "window_running_total",
+    "zorder_layout_cells",
 ]
 
-# The 19 last-checked-r11 queries INSIDE the committed window (the
-# other 30 are r10-checked). If a NEW_R15_STAGED block is pending at
+# The 19 last-checked-r12 queries INSIDE the committed window (the
+# other 30 are r11-checked). If a NEW_R16_STAGED block is pending at
 # runtime, the calculator's stale budget shrinks below 49 and the
 # displaced names must come from this set's alphabetical tail; with no
 # staged block the budget grows back to 50 and the derived stale set
 # EXTENDS the committed window with the alphabetical front of the
-# r11-age left-overs.
-R11_AGE_IN_WINDOW = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
-    "copurchase_triangles",
-    "corpus_dsir_importance",
-    "corr_moments_stats",
-    "dedup_containment",
-    "dedup_incremental_components",
-    "dedup_semantic_semdedup",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_order_reconciliation",
-    "dq_price_outliers_mad",
-    "embedding_ann_pq",
-    "embedding_knn_brute",
-    "events_asof_last_click",
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
+# r12-age left-overs.
+R12_AGE_IN_WINDOW = [
+    "anti_join_dedup",
+    "bm25_retrieval_topk",
+    "broadcast_dim_join",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
+    "corpus_block_dedup",
+    "corpus_mix_resample",
+    "corpus_temperature_mix",
+    "corpus_weighted_sample",
+    "dedup_cosine_incremental",
+    "dedup_embedding_cosine",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_per_source",
+    "events_funnel_watermark",
 ]
 
 # Retired across rounds: these names must never silently reappear in
@@ -153,14 +154,14 @@ BAD_ROW = {"rows_match": True, "schema_match": True,
 
 
 def _intended():
-    return STALE_R11 + NEW_R14
+    return STALE_R12 + NEW_R15
 
 
 def test_stalest_queries_front_loaded():
-    """The 49 stale slots (all 30 r10-checked + 19 r11-checked, the
-    stalest evidence eras after r13's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R11)] == STALE_R11
-    assert len(STALE_R11) == 49
+    """The 49 stale slots (all 30 r11-checked + 19 r12-checked, the
+    stalest evidence eras after r14's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R12)] == STALE_R12
+    assert len(STALE_R12) == 49
 
 
 def test_first_50_is_the_intended_rotation():
@@ -170,12 +171,12 @@ def test_first_50_is_the_intended_rotation():
 def test_new_queries_ride_inside_the_window():
     """Anything first registered for this round's window must be
     driver-checked this round: those names sit immediately after the
-    stale block, inside the 50-row window (this round: the real media
-    decode roundtrip face)."""
+    stale block, inside the 50-row window (this round: the ANN recall
+    certificate face)."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R14):
-        assert names[len(STALE_R11) + i] == n
-    assert len(STALE_R11) + len(NEW_R14) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R15):
+        assert names[len(STALE_R12) + i] == n
+    assert len(STALE_R12) + len(NEW_R15) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -218,11 +219,11 @@ def test_registry_within_capacity_cap():
     )
 
 
-def test_r15_front_load_promise_is_registered():
-    """Every r11-age left-over promised to front-load r15's window must
+def test_r16_front_load_promise_is_registered():
+    """Every r12-age left-over promised to front-load r16's window must
     still be registered (a retirement there needs this pin updated
     alongside the documented substance migration)."""
-    missing = [n for n in R15_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
+    missing = [n for n in R16_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
     assert not missing, missing
 
 
@@ -245,27 +246,27 @@ def test_no_staged_blocks_inside_the_window():
             assert n not in window
 
 
-def test_rotation_calculator_reproduces_r14_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r15_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r13 CORRECTNESS files alone.
+    window composition from the r01..r14 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r14+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r15+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: the committed window was derived with the one-face r14
+    Era note: the committed window was derived with the one-face r15
     block staged (stale budget 49). After the fold the block sits in
     NEW_CURRENT, so the calculator treats the face as riding THIS
     round's window (pending, not a hole) and the stale budget is 50
-    minus whatever NEW_R15_STAGED holds at runtime (k names, initially
+    minus whatever NEW_R16_STAGED holds at runtime (k names, initially
     0): the derived stale set EXTENDS the committed 49 with the
-    (1 - k)-name alphabetical prefix of the r11-age front-load
+    (1 - k)-name alphabetical prefix of the r12-age front-load
     left-overs, or — were a staged block to exceed one name — shrinks
-    from the committed window's r11-age alphabetical tail. Both
+    from the committed window's r12-age alphabetical tail. Both
     directions are asserted exactly."""
-    assert len(R14_EVIDENCE_FILES) == 13, R14_EVIDENCE_FILES
+    assert len(R15_EVIDENCE_FILES) == 14, R15_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R14_EVIDENCE_FILES],
+         "--files", *R15_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -279,21 +280,21 @@ def test_rotation_calculator_reproduces_r14_window_from_frozen_files():
     staged_names = re.findall(r'"([^"]+)"', new)
     # the staged block and the stale budget trade one-for-one
     assert len(names) == DRIVER_WINDOW - len(staged_names)
-    committed = set(STALE_R11)
+    committed = set(STALE_R12)
     derived = set(names)
-    if len(names) >= len(STALE_R11):
+    if len(names) >= len(STALE_R12):
         # small/no staged block: committed window plus the
-        # alphabetical front of the r11-age left-overs
+        # alphabetical front of the r12-age left-overs
         assert committed <= derived, committed - derived
         extra = derived - committed
-        front = R15_FRONT_LOAD_LEFT_OVERS[: len(extra)]
+        front = R16_FRONT_LOAD_LEFT_OVERS[: len(extra)]
         assert extra == set(front), (extra, front)
     else:
         # larger staged block: displaced names come only from the
-        # committed window's r11-age alphabetical tail
+        # committed window's r12-age alphabetical tail
         assert derived <= committed, derived - committed
         displaced = committed - derived
-        tail = sorted(R11_AGE_IN_WINDOW)[len(R11_AGE_IN_WINDOW) - len(displaced):]
+        tail = sorted(R12_AGE_IN_WINDOW)[len(R12_AGE_IN_WINDOW) - len(displaced):]
         assert displaced == set(tail), (displaced, tail)
 
 
@@ -338,12 +339,12 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     """VERDICT r5 item 8: the calculator must exit non-zero on a
     synthetic evidence hole — a query last checked more than
     MAX_EVIDENCE_AGE rounds before the newest file."""
-    victim = STALE_R11[0]
+    victim = STALE_R12[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     old.write_text(json.dumps({victim: OK_ROW}))
-    new.write_text(json.dumps({STALE_R11[1]: OK_ROW}))
+    new.write_text(json.dumps({STALE_R12[1]: OK_ROW}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -359,7 +360,7 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
 def test_rotation_calculator_failed_row_alert(tmp_path):
     """A FAILED latest driver row must alert and exit 1 — failed rows
     are not evidence and must ride the next window again."""
-    victim = STALE_R11[0]
+    victim = STALE_R12[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({victim: BAD_ROW}))
     proc = subprocess.run(
@@ -379,7 +380,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     PARSED-round order, not lexicographic (CORRECTNESS_r010 sorts
     before r02 as a string). A green r10 row must clear an r2 failure
     for the same query — and the unpadded r10 spelling must parse."""
-    victim = STALE_R11[0]
+    victim = STALE_R12[0]
     f2 = tmp_path / "CORRECTNESS_r02.json"
     f10 = tmp_path / "CORRECTNESS_r10.json"
     f2.write_text(json.dumps({victim: BAD_ROW}))
@@ -420,7 +421,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     budget must clamp to zero (an empty STALE list), not silently
     select items from the end of the age list."""
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: OK_ROW for n in STALE_R11}))
+    f.write_text(json.dumps({n: OK_ROW for n in STALE_R12}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
