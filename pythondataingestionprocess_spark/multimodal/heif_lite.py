@@ -89,8 +89,16 @@ def parse_meta(content: bytes) -> dict:
                 continue
             iver, ioff = _fullbox(content, b)
             if iver >= 2:
-                item_id = struct.unpack_from(">H", content, ioff)[0]
-                item_type = content[ioff + 4:ioff + 8]
+                # infe v2: 16-bit item_ID; v3+: 32-bit item_ID, so
+                # item_type shifts 2 bytes right (ISO 14496-12 §8.11.6
+                # — r14 ADVICE: v3 read 2 bytes early made codec and
+                # the primary-item match garbage)
+                if iver == 2:
+                    item_id = struct.unpack_from(">H", content, ioff)[0]
+                    item_type = content[ioff + 4:ioff + 8]
+                else:
+                    item_id = struct.unpack_from(">I", content, ioff)[0]
+                    item_type = content[ioff + 6:ioff + 10]
                 if item_type in (b"av01", b"hvc1", b"grid") and (
                     codec is None or item_id == primary
                 ):

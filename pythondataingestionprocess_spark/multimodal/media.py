@@ -225,6 +225,18 @@ def real_decode(content: bytes, media_type: str) -> dict:
                     # is an AV1/HEVC intra frame, honestly NULL stats
                     # (same documented gap class as MP3/AAC samples)
                     meta = heif_lite.parse_meta(content)
+                    if (
+                        meta["width"] > 2**31 - 1
+                        or meta["height"] > 2**31 - 1
+                    ):
+                        # ispe carries raw uint32s ('>II'); the int32
+                        # guard discipline of the audio branches — one
+                        # quarantine row, not a dead Arrow batch
+                        # (r14 ADVICE)
+                        raise ValueError(
+                            "ispe dimensions exceed the int32 stats "
+                            "columns"
+                        )
                     return {
                         "byte_len": len(content),
                         "width": meta["width"],
@@ -339,17 +351,13 @@ def real_decode(content: bytes, media_type: str) -> dict:
             from pythondataingestionprocess_spark.multimodal import ogg_lite
 
             meta = ogg_lite.decode_meta(content)
-            if meta["n_samples"] > 2**31 - 1:
-                raise ValueError(
-                    "sample count exceeds the int32 stats column"
-                )
-            return {
-                "byte_len": len(content),
-                "width": meta["sample_rate"],
-                "height": meta["channels"],
-                "n_frames": meta["n_samples"],
-                "mean_intensity": None,
-            }
+            # route through the shared int32 validation: Vorbis
+            # sample_rate is an attacker-controlled raw uint32 ('<I'
+            # at offset 12) and must quarantine per-row, not kill the
+            # batch astype("Int32") (r14 ADVICE)
+            return _audio_stats(
+                len(content), {**meta, "mean_abs_amplitude": None}
+            )
         from pythondataingestionprocess_spark.multimodal import (
             mpeg_audio_lite,
         )

@@ -798,7 +798,20 @@ def decode(content: bytes) -> dict:
         # via the ValueError the caller already routes.
         from pythondataingestionprocess_spark.multimodal import vp8_lite
 
-        st = vp8_lite.decode_stats(body)
+        try:
+            st = vp8_lite.decode_stats(body)
+        except ValueError:
+            # stream the decoder cannot certify (>2MP guard, decode
+            # desync): keep the REAL keyframe-header dimensions
+            # (start code already validated above) with honest NULL
+            # stats rather than quarantining the file (r14 ADVICE —
+            # any >1080p lossy photo lands here)
+            w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            return {
+                "width": w, "height": h,
+                "n_frames": 1, "mean_intensity": None,
+            }
         return {
             "width": st["width"], "height": st["height"],
             "n_frames": 1, "mean_intensity": st["mean_intensity"],

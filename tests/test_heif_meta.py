@@ -127,3 +127,41 @@ def test_media_routes_avif_with_null_stats():
     # compatible-brand form (major mif1, avif in compatibles)
     blob2 = _avif(brand=b"avif")
     assert heif_lite.is_heif(blob2)
+
+
+def _infe_v3(item_id: int, item_type: bytes) -> bytes:
+    """infe version 3: 32-bit item_ID (ISO 14496-12 §8.11.6), so
+    item_type sits at +6 after the 16-bit protection index."""
+    return _full(
+        b"infe", struct.pack(">IH", item_id, 0) + item_type + b"\x00",
+        version=3,
+    )
+
+
+def test_infe_v3_32bit_item_id_codec(monkeypatch):
+    """infe v3 carries a 32-bit item_ID; reading it as 16-bit shifted
+    item_type 2 bytes early and garbled the codec (r14 ADVICE)."""
+    # rebuild the fixture with a v3 infe for the primary item
+    items_body = struct.pack(">H", 1) + _infe_v3(1, b"av01")
+    ftyp = _box(b"ftyp", b"avif\x00\x00\x00\x00mif1avif")
+    parts = _full(b"hdlr", bytes(4) + b"pict" + bytes(12))
+    parts += _full(b"pitm", struct.pack(">H", 1))
+    parts += _full(b"iinf", items_body)
+    ipco = _box(b"ipco", _ispe(320, 200))
+    ipma = _full(
+        b"ipma",
+        struct.pack(">I", 1) + struct.pack(">H", 1) + bytes([1, 1]),
+    )
+    blob = ftyp + _full(b"meta", parts + _box(b"iprp", ipco + ipma))
+    m = heif_lite.parse_meta(blob)
+    assert m["codec"] == "av01"
+    assert (m["width"], m["height"]) == (320, 200)
+
+
+def test_media_quarantines_ispe_above_int32():
+    """ispe dimensions are raw uint32s; width >= 2^31 must quarantine
+    the row via ValueError, not kill the Arrow batch astype('Int32')
+    (r14 ADVICE)."""
+    blob = _avif(props=[_ispe(2**31, 16)])
+    with pytest.raises(ValueError, match="int32"):
+        media.real_decode(blob, "image/avif")

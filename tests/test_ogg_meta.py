@@ -96,3 +96,15 @@ def test_media_routes_ogg_audio_null_amplitude():
     assert (st["width"], st["height"]) == (48000, 2)
     assert st["n_frames"] == 480000
     assert st["mean_intensity"] is None
+
+
+def test_media_quarantines_vorbis_rate_above_int32():
+    """Vorbis sample_rate is a raw uint32 ('<I' at offset 12); a rate
+    past int32 must quarantine THIS row via ValueError, not escape
+    into the batch-level astype('Int32') (r14 ADVICE)."""
+    blob = (
+        _page(9, _vorbis_id(channels=2, rate=2**31), header_type=2)
+        + _page(9, bytes(10), granule=1000, seq=1, header_type=4)
+    )
+    with pytest.raises(ValueError, match="int32"):
+        media.real_decode(blob, "audio/ogg")

@@ -953,3 +953,24 @@ def test_vp8l_decoder_certified_on_real_libwebp_streams():
             exp = rgba[:, :, :3].astype(np.float64).mean() / 255.0
         assert st["mean_intensity"] == pytest.approx(exp, abs=1e-12), name
         assert (st["width"], st["height"]) == (img.shape[1], img.shape[0])
+
+
+def test_oversize_lossy_keyframe_keeps_header_dimensions():
+    """A lossy still past the 2MP decode guard (any >1080p photo) must
+    keep its REAL keyframe-header dimensions with honest NULL stats —
+    not quarantine the whole file (r14 ADVICE)."""
+    # keyframe tag (bit0=0), start code, 2000x2000 (4MP > guard)
+    hdr = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" + struct.pack(
+        "<HH", 2000, 2000
+    )
+    payload = hdr + bytes(64)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    st = webp_lite.decode(blob)
+    assert (st["width"], st["height"], st["n_frames"]) == (2000, 2000, 1)
+    assert st["mean_intensity"] is None
+    # a broken START CODE is still a hard reject (dims unparseable)
+    bad = bytearray(blob)
+    bad[blob.index(b"\x9d\x01\x2a")] = 0x00
+    with pytest.raises(ValueError, match="VP8"):
+        webp_lite.decode(bytes(bad))
