@@ -275,7 +275,11 @@ def host_noise_verdict(
 # the archived number was systematically the worst one. The ambient
 # threshold matches host_noise_verdict's "ambient loadavg > 4" rule.
 QUIET_LOAD = 4.0
-QUIET_WAIT_MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", 120))
+# 120 s through r14; the r14 official artifact still archived a WARN
+# because the gate gave up after a short wait against ambient 6.5
+# (r14 VERDICT item "What's wrong 1") — a few minutes of bounded
+# patience is cheaper than a polluted committed number.
+QUIET_WAIT_MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", 300))
 
 
 def _wait_for_quiet_host() -> float:
@@ -358,10 +362,6 @@ def run_sweep(spark, sf_dir: str, names, plan_fn, sf) -> dict:
     }
 
 
-def _calib_drifted(detail: dict) -> bool:
-    return "calib drifted" in detail.get("host_noise", "")
-
-
 def _drift_badness(detail: dict) -> float:
     """|log(end/start calib)| — 0 for a perfectly stable pair."""
     import math
@@ -370,6 +370,16 @@ def _drift_badness(detail: dict) -> float:
     if not c0 or not c1:
         return float("inf")
     return abs(math.log(c1 / c0))
+
+
+def _run_badness(detail: dict) -> tuple:
+    """Run-selection key: a clean run ALWAYS beats a WARN'd one (the
+    r14 artifact parsed a WARN'd run while a clean rerun existed —
+    r14 VERDICT item "What's wrong 1"); ties break on calib drift."""
+    return (
+        0 if detail.get("host_noise") == "clean" else 1,
+        _drift_badness(detail),
+    )
 
 
 def main() -> None:
@@ -389,14 +399,19 @@ def main() -> None:
         return spec.fn if spec is not None else RETIRED_BENCH_PLANS[name]
 
     runs = [run_sweep(spark, sf_dir, names, plan_fn, sf)]
-    if _calib_drifted(runs[0]):
-        # One-shot retry on a FRESH session (evicts per-session memos
-        # so the rerun measures plans, not cache hits). Both runs ride
-        # the artifact; the stabler calib pair becomes the parsed one.
+    if runs[0].get("host_noise") != "clean":
+        # One-shot retry on ANY noise verdict — ambient load as well
+        # as calib drift (r14 VERDICT item 5: the drift-only trigger
+        # let an ambient-load WARN become the parsed number). Fresh
+        # session (evicts per-session memos so the rerun measures
+        # plans, not cache hits), preceded by another bounded quiet
+        # wait since the ambient load may still be draining. Both
+        # runs ride the artifact; the cleaner/stabler one is parsed.
         spark.stop()
+        quiet_wait += _wait_for_quiet_host()
         spark = get_spark(app_name="pdip-spark-bench-retry")
         runs.append(run_sweep(spark, sf_dir, names, plan_fn, sf))
-    detail = min(runs, key=_drift_badness)
+    detail = min(runs, key=_run_badness)
     detail["quiet_wait_sec"] = quiet_wait
     if len(runs) > 1:
         discarded = runs[0] if detail is runs[1] else runs[1]

@@ -242,30 +242,47 @@ def test_clean_run_does_not_retry(monkeypatch, capsys, tmp_path):
     assert "discarded_host_noise" not in compact
 
 
-def test_ambient_load_warn_alone_does_not_retry(monkeypatch, capsys,
-                                                tmp_path):
-    """Only CALIB DRIFT triggers the rerun — an ambient-load WARN with
-    a stable calib pair stays a single archived run (the pre-start
-    quiet gate already addressed ambient load)."""
-    calls = {"sweeps": 0}
-
-    def fake_sweep(spark, sf_dir, names, plan_fn, sf):
-        calls["sweeps"] += 1
-        return _fake_detail(
-            0.5, 0.5, "WARN: ambient loadavg 4.4 at start; "
-            "compare within-run ratios only")
+def test_ambient_load_warn_triggers_retry_and_clean_run_wins(
+        monkeypatch, capsys, tmp_path):
+    """r14 VERDICT item 5: an ambient-load WARN triggers the one-shot
+    retry too (the drift-only trigger let an ambient WARN become the
+    parsed number), with a SECOND bounded quiet wait before the rerun;
+    the clean rerun is parsed even when its calib pair is no stabler
+    than the WARN'd run's."""
+    calls = {"sweeps": 0, "stops": 0, "quiet_waits": 0}
 
     class FakeSpark:
         def stop(self):
-            raise AssertionError("must not cycle the session")
+            calls["stops"] += 1
+
+    def fake_sweep(spark, sf_dir, names, plan_fn, sf):
+        calls["sweeps"] += 1
+        if calls["sweeps"] == 1:
+            return _fake_detail(
+                0.5, 0.5, "WARN: ambient loadavg 6.5 at start; "
+                "compare within-run ratios only")
+        # rerun: clean verdict but a (slightly) LESS stable calib pair
+        # — the clean/WARN split must dominate the selection
+        return _fake_detail(0.5, 0.52, "clean")
+
+    def fake_quiet():
+        calls["quiet_waits"] += 1
+        return 30.0
 
     monkeypatch.setattr(bench, "get_spark", lambda app_name=None: FakeSpark())
     monkeypatch.setattr(bench, "run_sweep", fake_sweep)
-    monkeypatch.setattr(bench, "_wait_for_quiet_host", lambda: 0.0)
+    monkeypatch.setattr(bench, "_wait_for_quiet_host", fake_quiet)
     monkeypatch.setattr(bench, "DETAIL_PATH",
                         str(tmp_path / "BENCH_DETAIL.json"))
     bench.main()
-    assert calls["sweeps"] == 1
+    assert calls == {"sweeps": 2, "stops": 1, "quiet_waits": 2}
+    out = [ln for ln in capsys.readouterr().out.strip().splitlines()
+           if ln.strip()]
+    compact = json.loads(out[-1])
+    assert compact["host_noise"] == "clean"
+    assert compact["bench_runs"] == 2
+    assert "ambient loadavg" in compact["discarded_host_noise"]
+    assert compact["quiet_wait_sec"] == 60.0
 
 
 def test_quiet_host_gate_waits_bounded(monkeypatch):

@@ -393,6 +393,31 @@ def test_two_sheet_excel_sink_roundtrip_real_file(spark, tmp_path):
     assert book["compras"]["rows"][1] == ["OXXO", "89.9"]
 
 
+def test_two_sheet_excel_sink_size_guard(spark, tmp_path):
+    """The driver-side sink must fail LOUD when misused on a frame
+    past the row bound, before any toPandas()/collect() OOMs the
+    driver (r14 VERDICT item 7) — and the explicit max_rows override
+    still works for legitimately larger exports."""
+    import pytest
+
+    big = spark.range(6).selectExpr("cast(id as string) concepto",
+                                    "cast(id as double) monto")
+    small = spark.createDataFrame([("OXXO", 1.0)],
+                                  "concepto string, monto double")
+    out = str(tmp_path / "guarded.xlsx")
+    with pytest.raises(ValueError, match="exceeds 5 rows"):
+        stmt.write_two_sheet_excel(big, small, out, max_rows=5)
+    # charges sheet is guarded too
+    with pytest.raises(ValueError, match="'compras' exceeds"):
+        stmt.write_two_sheet_excel(small, big, out, max_rows=5)
+    # raising the bound explicitly unblocks the export
+    stmt.write_two_sheet_excel(big, small, out, max_rows=6)
+    from pythondataingestionprocess_spark.sources import xlsx_lite
+
+    book = xlsx_lite.read_sheets(out)
+    assert len(book["msi"]["rows"]) == 7  # header + 6
+
+
 def test_read_workbook_real_file_end_to_end(spark, tmp_path):
     """S2/S3/S4 against a REAL .xlsx on disk: sheet decode, the
     Preview hyperlink side-channel, positional attach, and the full
