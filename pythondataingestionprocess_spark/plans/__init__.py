@@ -115,6 +115,21 @@ NEW_R15 = [
 ]
 
 
+# Staged mid-r15, riding the r16 window (outside the current 50 —
+# tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
+# the TPC-H Q2 shape (r14 VERDICT item 4, the last uncovered
+# Q-number) — correlated min-supplycost subquery over the
+# lineitem-derived supply relation through the part/supplier/nation/
+# region star. Slot freed by the same-session `topk_per_group_agg`
+# retirement (plans/windows.py — substance migrated to
+# tests/test_plans.py::test_topk_agg_formulation_matches_window_face),
+# keeping the registry AT the 180 cap. Hash-green at sf0.01 under a
+# vanilla session at registration.
+NEW_R16_STAGED = [
+    "q2_min_cost_supplier",
+]
+
+
 def _apply_rotation() -> None:
     priority = STALE_R12 + NEW_R15
     missing = [n for n in priority if n not in REGISTRY]
@@ -141,5 +156,6 @@ __all__ = [
     "query",
     "STALE_R12",
     "NEW_R15",
+    "NEW_R16_STAGED",
     "NEW_CURRENT",
 ]

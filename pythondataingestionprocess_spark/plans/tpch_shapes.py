@@ -778,3 +778,124 @@ def q12_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2: minimum-cost supplier per part within a region — the last
+# uncovered Q-number (r14 VERDICT item 4). The testdata ships no
+# partsupp, so the supply relation is DERIVED from lineitem the same
+# way q11/q16/q20 derive it: ps_supplycost := the best (minimum) unit
+# price each supplier ever quoted for the part,
+# MIN(l_extendedprice / l_quantity) per (partkey, suppkey). The plan
+# shape Q2 actually exercises survives intact: a correlated scalar
+# MIN subquery over the supply relation (correlated only on partkey)
+# joined through the part/supplier/nation/region star with a region
+# filter on BOTH the outer block and the subquery.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+), euro AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM supply
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       ps_suppkey AS s_suppkey, ps_supplycost AS supplycost
+FROM part JOIN euro ON p_partkey = ps_partkey
+WHERE p_size <= 15 AND p_type = 'MEDIUM'
+  AND ps_supplycost = (
+    SELECT MIN(e2.ps_supplycost) FROM euro e2
+    WHERE e2.ps_partkey = p_partkey
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE,
+       tags=("subquery", "correlated", "star", "topk"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for each qualifying part, the EUROPE supplier(s)
+    quoting the minimum supply cost — correlated scalar MIN subquery
+    + 4-dim star, the composition q17 (correlated scalar) and q5/q8
+    (multi-dim stars) each cover alone.
+
+    Spark-first decorrelation (what the 100 TB plan must be):
+
+    - The supply relation is ONE fact aggregation — lineitem shuffles
+      once on (l_partkey, l_suppkey). MIN(price/qty) is
+      order-independent IEEE double, bit-identical on both engines.
+    - supplier⋈nation⋈region reduces to a broadcast-able supplier→
+      (acctbal, name, nation) map BEFORE touching the fact: region
+      and nation broadcast into supplier, the filtered result
+      broadcasts into the supply agg — the fact is never shuffled a
+      second time for dims.
+    - The part filter (p_size, p_type) SEMI-prunes the supply
+      relation before the correlated MIN is evaluated: the subquery
+      correlates only on partkey, so restricting to qualifying parts
+      first is semantics-preserving and cuts the min-agg input by
+      ~25x (Catalyst can't do this rewrite itself — the subquery
+      would otherwise aggregate every part).
+    - The correlated scalar MIN decorrelates to a PARTITIONED WINDOW
+      over the aggregated supply relation (min over partkey, filter
+      equality — tie-keeping), NOT a self-join back on partkey: the
+      self-join form plans the whole supply subtree twice (two fact
+      scans + an SMJ — measured on this plan before the rewrite).
+      The window's exchange moves only the aggregated pairs, orders
+      of magnitude smaller than the fact.
+    - LIMIT 100 under a TOTAL order (suppkey breaks any cost tie), so
+      the kept set is deterministic; TakeOrderedAndProject caps
+      driver-side state at k rows per partition.
+    """
+    from pyspark.sql import Window as W
+
+    part, supplier, nation, region, lineitem = _t(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
+    )
+    euro_supp = (
+        supplier
+        .join(F.broadcast(nation),
+              supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    good_parts = part.filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey", "p_brand")
+    supply = (
+        lineitem
+        .join(F.broadcast(good_parts.select("p_partkey")),
+              lineitem["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("ps_supplycost"))
+        .join(F.broadcast(euro_supp),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
+    return (
+        supply
+        .withColumn("min_cost", min_cost)
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(good_parts),
+              F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("ps_suppkey").alias("s_suppkey"),
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey", "s_suppkey")
+        .limit(100)
+    )

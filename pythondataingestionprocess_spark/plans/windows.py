@@ -29,7 +29,7 @@ from pythondataingestionprocess_spark.plans.registry import query
 # filtered price list, import_files_to_postgre.py:215), last driver
 # row r10 hash-green. It was the k=1 special case of the row_number
 # pick that `topk_per_group` (k=3, same partition/order discipline,
-# driver-checked) and `topk_per_group_agg` keep oracle-faced; the
+# driver-checked) keeps oracle-faced; the
 # rn=1 shape also stays driver-checked inside `events_asof_last_click`
 # and scd2 builds, and pipeline-side by test_dims_and_facts. Same
 # documented-substance discipline as the F18 retirement (r10).
@@ -227,52 +227,16 @@ def percent_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "topk_per_group_agg",
-    oracle="""
-SELECT o_orderpriority, o_orderkey, o_totalprice
-FROM (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders
-) t WHERE rn <= 3
-""",
-    tags=("agg", "topk"),
-)
-def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group as an AGGREGATION (sorted-slice over collected
-    structs) — the TakeOrdered generalization referenced by the
-    deterministic-sample and topk docstrings, pinned here against the
-    window formulation's oracle (identical output).
-
-    Scale trade vs topk_per_group's window: the agg form never sorts
-    whole partitions (WindowExec must), only each group's own items —
-    right when the GROUP COUNT is huge and per-group rows are modest.
-    Honest caveat: collect_list buffers a full group before the slice
-    (Spark has no k-capped partial for it), so for huge groups with
-    small k, window + WindowGroupLimit is strictly better; a true
-    bounded-state top-k per group needs a custom Aggregator (JVM) or
-    applyInPandas heap. Both formulations are pinned to the same
-    oracle, like sessionize_manual vs session_window.
-    """
-    orders = load_table(spark, sf_dir, "orders")
-    item = F.struct(
-        F.col("o_totalprice").alias("p"),
-        (-F.col("o_orderkey")).alias("nk"),  # struct sort is ascending-major;
-        F.col("o_orderkey").alias("k"),      # negate key for DESC-price, ASC-key
-    )
-    topk = F.slice(F.reverse(F.sort_array(F.collect_list(item))), 1, 3)
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(topk.alias("top"))
-        .select("o_orderpriority", F.explode("top").alias("t"))
-        .select(
-            "o_orderpriority",
-            F.col("t.k").alias("o_orderkey"),
-            F.col("t.p").alias("o_totalprice"),
-        )
-    )
+# RETIRED r15 (capacity lever for the Q2 registration, r14 VERDICT
+# item 4): `topk_per_group_agg` — the top-k-per-group face expressed
+# as an AGGREGATION (sorted-slice over collected structs), last
+# driver row r14 hash-green. It pinned the SAME oracle as
+# `topk_per_group` (k=3, identical output, still driver-faced); the
+# agg formulation and its scale trade (collect_list buffers a full
+# group; window + WindowGroupLimit is strictly better for huge
+# groups) migrate to tests/test_plans.py::
+# test_topk_agg_formulation_matches_window_face. Same documented-
+# substance discipline as the F18 / first_match_pick retirements.
 
 
 @query(

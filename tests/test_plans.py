@@ -821,3 +821,54 @@ def test_width_bucket_binning_equals_desugared_case(spark):
     a = sorted(map(tuple, via_builtin.collect()))
     b = sorted(map(tuple, via_case.collect()))
     assert a == b and len(a) > 1
+
+
+def test_topk_agg_formulation_matches_window_face(spark):
+    """Migrated substance of the retired `topk_per_group_agg` face
+    (r15 capacity lever for the Q2 registration): top-k per group as
+    an AGGREGATION — sorted-slice over collected structs, the
+    TakeOrdered generalization — must equal the window formulation
+    (`topk_per_group`-style row_number pick) row for row.
+
+    Scale trade the retired docstring pinned: the agg form never
+    sorts whole partitions (WindowExec must), only each group's own
+    items — right when the group count is huge and per-group rows are
+    modest. collect_list still buffers a full group before the slice,
+    so for huge groups with small k, window + WindowGroupLimit is
+    strictly better; a true bounded-state top-k per group needs a
+    custom Aggregator (JVM) or an applyInPandas heap."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pythondataingestionprocess_spark.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    item = F.struct(
+        F.col("o_totalprice").alias("p"),
+        (-F.col("o_orderkey")).alias("nk"),  # ascending-major struct
+        F.col("o_orderkey").alias("k"),      # sort: negate for DESC,ASC
+    )
+    topk = F.slice(F.reverse(F.sort_array(F.collect_list(item))), 1, 3)
+    agg_form = (
+        orders.groupBy("o_orderpriority")
+        .agg(topk.alias("top"))
+        .select("o_orderpriority", F.explode("top").alias("t"))
+        .select(
+            "o_orderpriority",
+            F.col("t.k").alias("o_orderkey"),
+            F.col("t.p").alias("o_totalprice"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), "o_orderkey"
+        )
+    )
+    window_form = (
+        orders.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+    a = sorted(map(tuple, agg_form.collect()))
+    b = sorted(map(tuple, window_form.collect()))
+    assert a == b and len(a) >= 3

@@ -146,6 +146,9 @@ RETIRED_R13 = [
 RETIRED_R14 = [
     "text_token_count",
 ]
+RETIRED_R15 = [
+    "topk_per_group_agg",
+]
 
 OK_ROW = {"rows_match": True, "schema_match": True,
           "hash_match": True, "err": None}
@@ -204,7 +207,7 @@ def test_registry_intact_after_rotation():
 
 def test_retired_queries_stay_retired():
     for n in (RETIRED_R9 + RETIRED_R10 + RETIRED_R11 + RETIRED_R13
-              + RETIRED_R14):
+              + RETIRED_R14 + RETIRED_R15):
         assert n not in REGISTRY, f"{n} was retired"
 
 
