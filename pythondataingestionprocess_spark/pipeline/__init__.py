@@ -13,3 +13,7 @@ defaults).
 
 from pythondataingestionprocess_spark.pipeline.ingest import IngestResult, ingest_batch  # noqa: F401
 from pythondataingestionprocess_spark.pipeline.store import ParquetTableStore  # noqa: F401
+from pythondataingestionprocess_spark.pipeline.snapshot_store import (  # noqa: F401
+    ConcurrentWriteError,
+    SnapshotTableStore,
+)
