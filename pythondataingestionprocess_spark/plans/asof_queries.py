@@ -132,7 +132,7 @@ joined AS (
 )
 SELECT version,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(versioned_price AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(versioned_price AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_price
 FROM joined
 GROUP BY version
 """

@@ -625,8 +625,8 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECON_ORACLE = """
 WITH li AS (
   SELECT l_orderkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                       AS DECIMAL(25,6))) AS DOUBLE) AS recomputed
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS recomputed
   FROM lineitem
   GROUP BY 1
 ),

@@ -465,7 +465,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """

@@ -59,8 +59,8 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
 _INCR_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
        COUNT(*) AS order_cnt,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue_total,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS revenue_avg
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue_total,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(*) AS revenue_avg
 FROM orders
 GROUP BY 1, 2
 """
@@ -289,7 +289,7 @@ WITH b AS (
 mz AS (SELECT {morton} AS morton, o_totalprice FROM b)
 SELECT morton >> 8 AS cell,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
 FROM mz
 GROUP BY 1
 """

@@ -853,7 +853,7 @@ WITH RECURSIVE r(id, root_id, depth, price) AS (
 SELECT root_id,
        COUNT(*) AS n_nodes,
        CAST(MAX(depth) AS BIGINT) AS max_depth,
-       CAST(SUM(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS subtree_value
+       CAST(CAST(SUM(CAST(price AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS subtree_value
 FROM r
 GROUP BY root_id
 """

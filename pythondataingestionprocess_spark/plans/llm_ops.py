@@ -280,7 +280,7 @@ WITH q AS (
   FROM q
 )
 SELECT source, COUNT(*) AS n_docs,
-       CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE) AS sum_score
+       CAST(CAST(SUM(CAST(score AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_score
 FROM s GROUP BY source
 """
 
@@ -639,9 +639,9 @@ SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(CASE WHEN n_distinct * 1.0 / n_tokens < 0.4
                   OR top_n * 1.0 / n_tokens > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_flagged,
-  CAST(SUM(CAST(n_distinct * 1.0 / n_tokens AS DECIMAL(25,6))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(n_distinct * 1.0 / n_tokens AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
     / COUNT(*) AS avg_distinct_ratio,
-  CAST(SUM(CAST(top_n * 1.0 / n_tokens AS DECIMAL(25,6))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(top_n * 1.0 / n_tokens AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
     / COUNT(*) AS avg_top_frac
 FROM per_doc GROUP BY source
 """

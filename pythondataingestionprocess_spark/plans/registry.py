@@ -67,8 +67,17 @@ def query(
 
 def dec_sum(col: Column | str, alias: str) -> Column:
     """Order-insensitive double sum: exact decimal accumulation, one
-    final cast to double. Mirror in SQL with
-    ``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)``."""
+    CORRECTLY-ROUNDED final cast to double (Spark's Decimal→double
+    goes through BigDecimal.doubleValue — nearest double to the exact
+    value). Mirror in SQL with :func:`sql_dec_sum`, NOT a bare
+    ``CAST(dec AS DOUBLE)``: DuckDB's direct decimal→double is
+    ``(double)hugeint / 10^scale`` — TWO roundings — which diverges
+    from the JVM by 1 ulp once the sum reaches ~17 significant digits
+    (first seen at sf1: pricing_summary's 4.2e10 sums hashed apart —
+    BASELINE.md r15 sf1 entry). Routing the cast through
+    STRING (valid SQL on BOTH engines — some oracles are also run by
+    Spark) makes each engine perform one correctly-rounded conversion
+    of the same exact decimal, at ANY magnitude."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast("decimal(25,6)")).cast("double").alias(alias)
 
@@ -82,13 +91,18 @@ def dec_avg(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
-# SQL fragment helpers for oracles
+# SQL fragment helpers for oracles. The STRING hop is load-bearing —
+# see dec_sum's docstring (1-ulp decimal→double divergence at 17+
+# significant digits without it).
 def sql_dec_sum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS STRING)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def sql_dec_avg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS STRING)"
+        f" AS DOUBLE) / COUNT({expr}) AS {alias}"
     )

@@ -20,7 +20,7 @@ SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP AS window_start,
        to_timestamp(floor(epoch(ts) / 600) * 600 + 600)::TIMESTAMP AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -44,7 +44,7 @@ WITH exploded AS (
 SELECT to_timestamp(ws)::TIMESTAMP AS window_start,
        to_timestamp(ws + 600)::TIMESTAMP AS window_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_value
 FROM exploded
 GROUP BY 1, 2
 """
@@ -75,7 +75,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_value
 FROM numbered
 GROUP BY user_id, session_seq
 """
@@ -449,7 +449,7 @@ _STREAM_STATIC_ORACLE = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        n_name,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
 FROM events
 JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

@@ -47,7 +47,7 @@ SELECT p_brand,
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE l_quantity < 0.2 * (
-        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                / COUNT(l_quantity)
         FROM lineitem l2
         WHERE l2.l_partkey = lineitem.l_partkey
@@ -99,7 +99,7 @@ def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LARGE_ORDERS_ORACLE = """
 WITH big AS (
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_orderkey
     HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 250
@@ -465,12 +465,12 @@ WITH seg AS (
   SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
   WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
 ), avg_bal AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS a
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / COUNT(*) AS a
   FROM seg WHERE c_acctbal > 0
 )
 SELECT c_mktsegment AS segment,
        COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS totacctbal
 FROM seg, avg_bal
 WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = seg.c_custkey)
@@ -623,11 +623,11 @@ SELECT l_returnflag, n_items, covar_qty_price, corr_qty_price
 FROM (
     SELECT l_returnflag,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
-           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
-           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
-           CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sx,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sy,
+           CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sxy,
+           CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sxx,
+           CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS syy
     FROM lineitem
     GROUP BY l_returnflag
 ) m
@@ -805,7 +805,7 @@ WHERE EXISTS (
   SELECT 1 FROM lineitem
   WHERE l_orderkey = o_orderkey AND l_discount >= 0.05
   HAVING COUNT(*) >= 2
-     AND CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 50
+     AND CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) > 50
 )
 GROUP BY o_orderpriority
 """
@@ -1020,7 +1020,7 @@ WITH per_part AS (
   SELECT l_partkey, {sql_dec_sum("l_extendedprice * (1 - l_discount)", "part_value")}
   FROM lineitem GROUP BY l_partkey
 ), total AS (
-  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS tv,
+  SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS tv,
          CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS np
   FROM lineitem
 )
@@ -1164,11 +1164,11 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOMINANT_SUPP_ORACLE = """
 WITH per_pair AS (
   SELECT l_partkey, l_suppkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS pair_qty
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS pair_qty
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ), per_part AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(pair_qty AS DECIMAL(25,6))) AS DOUBLE) AS part_qty,
+         CAST(CAST(SUM(CAST(pair_qty AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS part_qty,
          COUNT(*) AS n_suppliers
   FROM per_pair GROUP BY l_partkey
 ), dominant AS (

@@ -323,9 +323,9 @@ WITH all_sales AS (
     AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
 )
 SELECT o_year,
-       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
-                     AS DECIMAL(25,6))) AS DOUBLE)
-       / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS mkt_share
 FROM all_sales GROUP BY o_year
 """
 
@@ -434,10 +434,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q14_ORACLE = f"""
-SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+SELECT 100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                                   THEN {_REV} ELSE 0 END
-                          AS DECIMAL(25,6))) AS DOUBLE)
-       / CAST(SUM(CAST({_REV} AS DECIMAL(25,6))) AS DOUBLE) AS promo_pct
+                          AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+       / CAST(CAST(SUM(CAST({_REV} AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
 """
@@ -472,7 +472,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q18_ORACLE = """
 WITH big AS (
   SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 140
 )
