@@ -330,6 +330,140 @@ class SnapshotTableStore(ParquetTableStore):
             )
         self._commit(name, "append", df, None)
 
+    # -- exactly-once appends (streaming sink integration) ----------------
+
+    def committed_txns(self, name: str) -> set[tuple[str, int]]:
+        """Every (app_id, batch_id) pair recorded in the log."""
+        out = set()
+        for sid in self.snapshot_ids(name):
+            txn = self._load_commit(name, sid).get("txn")
+            if txn:
+                out.add((txn["app_id"], int(txn["batch_id"])))
+        return out
+
+    def append_once(self, name: str, df: DataFrame, app_id: str,
+                    batch_id: int) -> bool:
+        """Idempotent append keyed by (app_id, batch_id) — the Delta
+        ``txnAppId``/``txnVersion`` pattern that makes a foreachBatch
+        sink EXACTLY-ONCE: Structured Streaming re-delivers a batch
+        after a crash-between-write-and-checkpoint, and the replay
+        must become a no-op instead of a duplicate. The txn id rides
+        the commit manifest itself, so the dedup check and the data
+        commit are one atomic unit (a separate ledger table would
+        reintroduce the two-writes race this store exists to close).
+        Returns True if the batch committed, False if it was already
+        in the log. Claim races rebase like ``append`` and re-check
+        the txn set each attempt."""
+        if (app_id, batch_id) in self.committed_txns(name):
+            return False
+        new_dir, files = self._write_data(name, df)
+        schema = df.schema.json()
+        rebases = 0
+        while True:
+            if (app_id, batch_id) in self.committed_txns(name):
+                # a concurrent replay of the SAME batch won the race;
+                # our data dir becomes a vacuumable orphan
+                return False
+            current = self.current_snapshot(name) or 0
+            record = {
+                "snapshot_id": current + 1,
+                "action": "append",
+                "dirs": [new_dir] if new_dir else [],
+                "files": files,
+                "schema": schema,
+                "writer_id": self.writer_id,
+                "base_snapshot": current,
+                "txn": {"app_id": app_id, "batch_id": int(batch_id)},
+                "ts_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }
+            if self._claim(name, record, current + 1):
+                return True
+            rebases += 1
+            if rebases > MAX_APPEND_REBASES:
+                raise ConcurrentWriteError(
+                    f"table {name!r}: append_once lost {rebases} "
+                    "claim races — giving up"
+                )
+
+    # -- change data feed ----------------------------------------------------
+
+    def changes(self, name: str, after: int, until: int | None = None
+                ) -> DataFrame:
+        """Rows APPENDED in snapshots (after, until] with a
+        ``_snapshot_id`` column — the incremental-consumer feed (read
+        what landed since my last cursor, advance the cursor). Fails
+        loud if an overwrite commit sits in the range: a rewrite
+        (MERGE/OPTIMIZE) has no append-grain delta in the log — use
+        :meth:`diff_snapshots` for the row-level diff instead."""
+        current = self.current_snapshot(name)
+        if current is None:
+            raise ValueError(f"table {name!r} has no commits")
+        until = current if until is None else until
+        parts = []
+        for sid in self.snapshot_ids(name):
+            if sid <= after or sid > until:
+                continue
+            c = self._load_commit(name, sid)
+            if c["action"] != "append":
+                raise ValueError(
+                    f"snapshot {sid} is an {c['action']} — no "
+                    "append-grain delta; use diff_snapshots"
+                )
+            if any(not os.path.isdir(d) for d in c["dirs"]):
+                raise ValueError(
+                    f"snapshot {sid}'s data files were vacuumed — "
+                    "the change feed cursor fell behind the retention "
+                    "window"
+                )
+            if c["dirs"]:
+                parts.append(
+                    self.spark.read.parquet(*c["dirs"])
+                    .withColumn("_snapshot_id", F.lit(sid))
+                )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], self._schema_of(name, until).add("_snapshot_id", "long")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def diff_snapshots(self, name: str, a: int, b: int) -> DataFrame:
+        """Row-level diff between two snapshots — works across
+        overwrites. Returns full rows tagged ``_change_type``
+        ('insert' rows present in b but not a, 'delete' the reverse).
+        Set-oriented (two anti-joins over whole-row comparison — one
+        shuffle each); at 100 TB this is the audit/backfill tool, not
+        a hot path, and a keyed variant should anti-join on the key
+        columns only."""
+        da, db = self.read(name, snapshot_id=a), self.read(name, snapshot_id=b)
+        cols = da.columns
+        ins = db.join(da, cols, "left_anti").withColumn(
+            "_change_type", F.lit("insert"))
+        dele = da.join(db, cols, "left_anti").withColumn(
+            "_change_type", F.lit("delete"))
+        return ins.unionByName(dele)
+
+    def optimize(self, name: str, max_files_per_commit: int = 128) -> int:
+        """Compact the live file set into one fresh directory — the
+        table-service OPTIMIZE, expressed as an ordinary overwrite
+        commit so readers never see a half-compacted state and time
+        travel still reaches the pre-compaction snapshots. Data is
+        byte-identical (same rows, fewer files); the base-snapshot
+        validation makes a concurrent writer fail THIS commit loud
+        rather than silently losing their rows. Returns the new
+        snapshot id."""
+        df = self.read(name)  # pins the base snapshot
+        n_dirs = len(self._live_dirs(name, self.current_snapshot(name)))
+        compacted = df.coalesce(max(1, min(max_files_per_commit, n_dirs)))
+        base = self._read_base.get(name)
+        sid = self._commit(name, "overwrite", compacted, base)
+        self._read_base[name] = None
+        return sid
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, name: str, keep_last: int = 1) -> list[str]:

@@ -228,3 +228,75 @@ def test_commit_manifest_is_json_and_claim_is_exclusive(spark, tmp_path):
     assert rec["action"] == "overwrite" and rec["snapshot_id"] == 1
     assert rec["files"][0]["n_rows"] == 1
     assert not st._claim("store", {"snapshot_id": 1}, 1)  # loser
+
+
+def test_append_once_is_exactly_once(spark, tmp_path):
+    """The Delta txnAppId/txnVersion pattern: a foreachBatch replay of
+    an already-committed (app_id, batch_id) must be a no-op — the
+    dedup check rides the commit manifest, atomically with the data."""
+    st = SnapshotTableStore(spark, str(tmp_path), writer_id="sink")
+    assert st.append_once("store", _df(spark, [(1, "b0", "u", True)]),
+                          "job-7", 0) is True
+    assert st.append_once("store", _df(spark, [(2, "b1", "u", True)]),
+                          "job-7", 1) is True
+    # replay of batch 1 (crash between write and checkpoint): no-op
+    assert st.append_once("store", _df(spark, [(2, "b1", "u", True)]),
+                          "job-7", 1) is False
+    # a DIFFERENT app's batch 1 is its own txn
+    assert st.append_once("store", _df(spark, [(3, "x", "u", True)]),
+                          "job-8", 1) is True
+    assert st.read("store").count() == 3
+    assert st.committed_txns("store") == {
+        ("job-7", 0), ("job-7", 1), ("job-8", 1)}
+
+
+def test_changes_feed_and_overwrite_guard(spark, tmp_path):
+    st = SnapshotTableStore(spark, str(tmp_path))
+    st.append("store", _df(spark, [(1, "a", "u", True)]))
+    st.append("store", _df(spark, [(2, "b", "u", True)]))
+    st.append("store", _df(spark, [(3, "c", "u", True)]))
+    feed = st.changes("store", after=1).collect()
+    got = sorted((r["id_store"], r["_snapshot_id"]) for r in feed)
+    assert got == [(2, 2), (3, 3)]
+    # bounded range
+    assert [r["id_store"] for r in st.changes("store", 1, 2).collect()] == [2]
+    # empty range: typed empty with the cursor column
+    empty = st.changes("store", after=3)
+    assert empty.count() == 0 and "_snapshot_id" in empty.columns
+    # an overwrite in range has no append-grain delta
+    st.overwrite("store", _df(spark, [(9, "z", "u", True)]))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="diff_snapshots"):
+        st.changes("store", after=1)
+
+
+def test_diff_snapshots_across_overwrites(spark, tmp_path):
+    st = SnapshotTableStore(spark, str(tmp_path))
+    st.overwrite("store", _df(spark, [(1, "a", "u", True),
+                                      (2, "b", "u", True)]))
+    st.upsert("store", _df(spark, [(2, "B", "u", True),
+                                   (3, "c", "u", True)]), keys=["id_store"])
+    d = st.diff_snapshots("store", 1, 2)
+    got = sorted((r["id_store"], r["store_name"], r["_change_type"])
+                 for r in d.collect())
+    assert got == [(2, "B", "insert"), (2, "b", "delete"), (3, "c", "insert")]
+
+
+def test_optimize_compacts_without_changing_rows(spark, tmp_path):
+    st = SnapshotTableStore(spark, str(tmp_path))
+    for i in range(5):
+        st.append("store", _df(spark, [(i, f"r{i}", "u", True)]))
+    before = sorted(r["id_store"] for r in st.read("store").collect())
+    n_dirs_before = len(st._live_dirs("store", st.current_snapshot("store")))
+    assert n_dirs_before == 5
+    sid = st.optimize("store")
+    assert sid == 6
+    assert len(st._live_dirs("store", sid)) == 1
+    after = sorted(r["id_store"] for r in st.read("store").collect())
+    assert after == before
+    # pre-compaction snapshots still time-travel
+    assert st.read("store", snapshot_id=3).count() == 3
+    # vacuum then drops the 5 small dirs
+    removed = st.vacuum("store", keep_last=1)
+    assert len(removed) == 5
+    assert sorted(r["id_store"] for r in st.read("store").collect()) == before
