@@ -300,3 +300,43 @@ def test_optimize_compacts_without_changing_rows(spark, tmp_path):
     removed = st.vacuum("store", keep_last=1)
     assert len(removed) == 5
     assert sorted(r["id_store"] for r in st.read("store").collect()) == before
+
+
+def test_streaming_foreachbatch_sink_exactly_once(spark, tmp_path):
+    """End-to-end: a file-stream source through the foreachBatch table
+    sink — every micro-batch is one atomic commit with its (app_id,
+    batch_id) in the manifest, and a crash-replay of a committed batch
+    (foreachBatch's at-least-once window) is a no-op."""
+    import time as _t
+
+    from pythondataingestionprocess_spark.streaming.table_sink import (
+        run_stream_to_table,
+        table_sink_batch_fn,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(3):
+        _df(spark, [(i, f"row{i}", "u", True)]).coalesce(1).write.mode(
+            "append").parquet(str(inbox))
+        _t.sleep(1.1)  # distinct mtimes → deterministic batch order
+    st = SnapshotTableStore(spark, str(tmp_path / "tables"))
+    stream = spark.readStream.schema(
+        "id_store long, store_name string, store_url string, status boolean"
+    ).option("maxFilesPerTrigger", 1).parquet(str(inbox))
+    q = run_stream_to_table(stream, st, "store", "ingest-q1",
+                            str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted(r["id_store"] for r in st.read("store").collect())
+    assert got == [0, 1, 2]
+    txns = st.committed_txns("store")
+    assert {a for a, _ in txns} == {"ingest-q1"} and len(txns) >= 1
+    n_commits = st.current_snapshot("store")
+
+    # simulate the crash-replay window: re-invoke the batch function
+    # with an already-committed batch id — must not duplicate
+    fn = table_sink_batch_fn(st, "store", "ingest-q1")
+    replay_bid = max(b for _, b in txns)
+    fn(_df(spark, [(99, "dup", "u", True)]), replay_bid)
+    assert st.current_snapshot("store") == n_commits
+    assert sorted(r["id_store"] for r in st.read("store").collect()) == [0, 1, 2]
