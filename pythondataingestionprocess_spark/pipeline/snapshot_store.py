@@ -492,6 +492,42 @@ class SnapshotTableStore(ParquetTableStore):
                        "vacuumed_by": self.writer_id}, f)
         return removed
 
+    def read_range(self, name: str, col: str, lo, hi) -> DataFrame:
+        """Range read that PLANS FROM THE LOG: files whose recorded
+        [min, max] envelope for ``col`` misses [lo, hi] are never
+        handed to Spark at all (no footer read, no task), and the
+        residual filter still applies row-grain on the survivors.
+        At 100 TB this is the difference between scheduling a task
+        per file and scheduling one per overlapping file — the same
+        contract Delta/Iceberg data skipping provides, served from
+        the commit manifests. Falls back to a plain filtered read
+        when no stats were recorded for ``col``."""
+        current = self.current_snapshot(name)
+        df = self.read(name, snapshot_id=current) if current else self.read(name)
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if current is None:
+            return df.filter(pred)
+        skip = set(self.skippable_files(name, col, lo, hi))
+        if not skip:
+            return df.filter(pred)
+        live = set(self._live_dirs(name, current))
+        keep = []
+        for sid in self.snapshot_ids(name):
+            if sid > current:
+                break
+            c = self._load_commit(name, sid)
+            for d in c["dirs"]:
+                if d not in live:
+                    continue
+                keep.extend(
+                    e["path"] for e in c["files"] if e["path"] not in skip
+                )
+        if not keep:
+            return self.spark.createDataFrame(
+                [], self._schema_of(name, current)
+            )
+        return self.spark.read.parquet(*sorted(set(keep))).filter(pred)
+
     def skippable_files(self, name: str, col: str, lo, hi) -> list[str]:
         """Files a ``col BETWEEN lo AND hi`` reader can skip, decided
         from the COMMIT MANIFEST's recorded min/max — no storage

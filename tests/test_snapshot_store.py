@@ -340,3 +340,26 @@ def test_streaming_foreachbatch_sink_exactly_once(spark, tmp_path):
     fn(_df(spark, [(99, "dup", "u", True)]), replay_bid)
     assert st.current_snapshot("store") == n_commits
     assert sorted(r["id_store"] for r in st.read("store").collect()) == [0, 1, 2]
+
+
+def test_read_range_plans_from_the_log(spark, tmp_path):
+    """read_range never hands pruned files to Spark: with three
+    single-file commits covering disjoint key ranges, a range probe
+    touching one commit scans exactly one file (inputFiles-verified)
+    and still row-filters the survivor."""
+    st = SnapshotTableStore(spark, str(tmp_path),
+                            stats_cols={"store": ["id_store"]})
+    for lo in (0, 100, 200):
+        st.append("store", _df(spark, [(i, "x", "u", True)
+                                       for i in range(lo, lo + 10)]
+                               ).coalesce(1))
+    probe = st.read_range("store", "id_store", 102, 105)
+    assert len(probe.inputFiles()) == 1  # two of three files pruned
+    assert sorted(r["id_store"] for r in probe.collect()) == [102, 103, 104, 105]
+    # fully-out-of-range probe: typed empty, zero files scanned
+    none = st.read_range("store", "id_store", 900, 999)
+    assert none.count() == 0 and "id_store" in none.columns
+    # no stats recorded → plain filtered read still correct
+    st2 = SnapshotTableStore(spark, str(tmp_path / "nostats"))
+    st2.append("store", _df(spark, [(1, "a", "u", True)]))
+    assert st2.read_range("store", "id_store", 0, 5).count() == 1
