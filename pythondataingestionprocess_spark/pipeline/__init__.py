@@ -17,3 +17,4 @@ from pythondataingestionprocess_spark.pipeline.snapshot_store import (  # noqa: 
     ConcurrentWriteError,
     SnapshotTableStore,
 )
+from pythondataingestionprocess_spark.pipeline.txn_group import TableGroup  # noqa: F401

@@ -1,0 +1,253 @@
+"""Multi-table atomic transactions: a TABLE GROUP sharing one commit
+log.
+
+The reference's ingest writes purchase + operation + price as one
+logical unit (import_files_to_postgre.py:145-227 inside one DB
+session); ``SnapshotTableStore`` gives each table its OWN log, so a
+crash between two tables' commits could expose a purchase without its
+operations. Per-table logs cannot fix this — two independent claim
+points can never be atomic together. The standard lakehouse answer
+(Delta's catalog-level commit / Iceberg's multi-table transaction
+proposals) is a SHARED log: one ordered sequence of commit manifests,
+each listing the actions of EVERY table it touches, claimed by the
+same os.link-atomic rename as the single-table store. A crash
+anywhere before the claim leaves orphan data files in any number of
+tables and ZERO visible change in all of them.
+
+Scope rule: tables in a group are read and written ONLY through the
+group (the shared log IS their total order — mixing in per-table
+commits would create unorderable histories). Group membership is the
+schema's natural transaction boundary: the reference's star schema is
+one group.
+
+Concurrency: same write-serializable rules as the single-table store,
+applied at GROUP grain — a transaction containing any overwrite
+validates that no commit landed after the snapshot it read (the
+tables it derived from are stale otherwise); append-only transactions
+commute and rebase on claim races.
+
+Usage::
+
+    grp = TableGroup(spark, root)
+    with grp.transaction() as txn:
+        txn.overwrite("purchase", p_df)
+        txn.append("operation", op_df)
+        txn.overwrite("price", price_df)
+    # exactly one commit; all three visible together or not at all
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from pythondataingestionprocess_spark.pipeline.snapshot_store import (
+    MAX_APPEND_REBASES,
+    ConcurrentWriteError,
+)
+
+_TXLOG = "_txlog"
+_DATA = "data"
+
+
+class TableGroup:
+    """Snapshot-log table store with ONE log for many tables."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 writer_id: str | None = None):
+        self.spark = spark
+        self.root = root
+        self.writer_id = writer_id or f"writer-{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(root, _TXLOG), exist_ok=True)
+        # snapshot the group was last read at by this instance — the
+        # base the next overwrite-bearing transaction validates
+        self._read_base: int | None = None
+
+    # -- log primitives (group-wide) ---------------------------------------
+
+    def _txdir(self) -> str:
+        return os.path.join(self.root, _TXLOG)
+
+    def snapshot_ids(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._txdir()):
+            stem, ext = os.path.splitext(f)
+            if ext == ".json" and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def current_snapshot(self) -> int | None:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else None
+
+    def _load_commit(self, sid: int) -> dict:
+        with open(os.path.join(self._txdir(), f"{sid:020d}.json")) as f:
+            return json.load(f)
+
+    def _claim(self, record: dict, next_id: int) -> bool:
+        tmp = os.path.join(self._txdir(), f".{uuid.uuid4().hex}.tmp")
+        final = os.path.join(self._txdir(), f"{next_id:020d}.json")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # -- read side -----------------------------------------------------------
+
+    def _state(self, name: str, snapshot_id: int) -> tuple[list[str], str | None]:
+        """(live dirs, schema json) for ``name`` at ``snapshot_id``."""
+        dirs: list[str] = []
+        schema = None
+        for sid in self.snapshot_ids():
+            if sid > snapshot_id:
+                break
+            entry = self._load_commit(sid)["tables"].get(name)
+            if entry is None:
+                continue
+            schema = entry["schema"]
+            if entry["action"] == "overwrite":
+                dirs = list(entry["dirs"])
+            else:
+                dirs.extend(entry["dirs"])
+        return dirs, schema
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        current = self.current_snapshot()
+        if current is None:
+            raise KeyError(f"group has no commits (table {name!r})")
+        sid = current if snapshot_id is None else snapshot_id
+        if sid > current:
+            raise ValueError(f"snapshot {sid} does not exist")
+        if snapshot_id is None:
+            self._read_base = sid
+        dirs, schema = self._state(name, sid)
+        if schema is None:
+            raise KeyError(f"table {name!r} has no commits at snapshot {sid}")
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema)))
+        return self.spark.read.parquet(*dirs)
+
+    def tables(self) -> list[str]:
+        seen: set[str] = set()
+        for sid in self.snapshot_ids():
+            seen.update(self._load_commit(sid)["tables"])
+        return sorted(seen)
+
+    def history(self) -> DataFrame:
+        rows = []
+        for sid in self.snapshot_ids():
+            c = self._load_commit(sid)
+            for name, entry in sorted(c["tables"].items()):
+                rows.append((sid, name, entry["action"], c["writer_id"],
+                             c["base_snapshot"], c["ts_utc"]))
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, table_name string, action string, "
+            "writer_id string, base_snapshot long, ts_utc string")
+
+    # -- write side ------------------------------------------------------------
+
+    def _write_data(self, name: str, df: DataFrame) -> tuple[str | None, list[dict]]:
+        d = os.path.join(self.root, name, _DATA, uuid.uuid4().hex)
+        df.write.parquet(d)
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            shutil.rmtree(d)
+            return None, []
+        n = self.spark.read.parquet(d).count()
+        return d, [{"path": d, "n_rows": n}]
+
+    def transaction(self) -> "GroupTransaction":
+        return GroupTransaction(self)
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        with self.transaction() as txn:
+            txn.overwrite(name, df)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        with self.transaction() as txn:
+            txn.append(name, df)
+
+    def _commit_txn(self, actions: list[tuple[str, str, DataFrame]]) -> int:
+        """Write every staged table's data, then ONE claim."""
+        staged = {}
+        has_overwrite = False
+        for action, name, df in actions:
+            if name in staged:
+                raise ValueError(
+                    f"table {name!r} staged twice in one transaction")
+            new_dir, files = self._write_data(name, df)
+            staged[name] = {
+                "action": action,
+                "dirs": [new_dir] if new_dir else [],
+                "files": files,
+                "schema": df.schema.json(),
+            }
+            has_overwrite = has_overwrite or action == "overwrite"
+        base = self._read_base
+        rebases = 0
+        while True:
+            current = self.current_snapshot() or 0
+            if has_overwrite and base is not None and current != base:
+                raise ConcurrentWriteError(
+                    f"group snapshot advanced {base} -> {current} since "
+                    "this transaction's base was read — re-read and "
+                    "re-derive"
+                )
+            record = {
+                "snapshot_id": current + 1,
+                "tables": staged,
+                "writer_id": self.writer_id,
+                "base_snapshot": base if base is not None else current,
+                "ts_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            if self._claim(record, current + 1):
+                self._read_base = None
+                return current + 1
+            if has_overwrite:
+                raise ConcurrentWriteError(
+                    "lost the commit race for an overwrite-bearing "
+                    "transaction — re-read and re-derive"
+                )
+            rebases += 1
+            if rebases > MAX_APPEND_REBASES:
+                raise ConcurrentWriteError(
+                    f"append-only transaction lost {rebases} claim races"
+                )
+
+
+class GroupTransaction:
+    """Stages per-table actions; commits atomically on clean exit,
+    commits NOTHING on an exception inside the block."""
+
+    def __init__(self, group: TableGroup):
+        self._group = group
+        self._actions: list[tuple[str, str, DataFrame]] = []
+        self.snapshot_id: int | None = None
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        self._actions.append(("overwrite", name, df))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        self._actions.append(("append", name, df))
+
+    def __enter__(self) -> "GroupTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None and self._actions:
+            self.snapshot_id = self._group._commit_txn(self._actions)
+        return False

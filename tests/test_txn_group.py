@@ -1,0 +1,107 @@
+"""TableGroup: multi-table atomic transactions on a shared snapshot
+log — the all-or-nothing ingest unit the reference gets from a DB
+session (import_files_to_postgre.py:145-227) and per-table logs
+cannot provide (two claim points are never atomic together)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pythondataingestionprocess_spark.pipeline.snapshot_store import (
+    ConcurrentWriteError,
+)
+from pythondataingestionprocess_spark.pipeline.txn_group import TableGroup
+
+
+def _p(spark, rows):
+    return spark.createDataFrame(rows, "id_purchase long, total double")
+
+
+def _op(spark, rows):
+    return spark.createDataFrame(
+        rows, "id_purchase long, id_product long, quantity long")
+
+
+def test_three_table_txn_is_one_commit(spark, tmp_path):
+    grp = TableGroup(spark, str(tmp_path), writer_id="ing")
+    with grp.transaction() as txn:
+        txn.overwrite("purchase", _p(spark, [(1, 99.5)]))
+        txn.append("operation", _op(spark, [(1, 7, 2), (1, 8, 1)]))
+        txn.overwrite("price", spark.createDataFrame(
+            [(7, 10.0)], "id_product long, price double"))
+    assert txn.snapshot_id == 1
+    assert grp.current_snapshot() == 1
+    assert grp.read("purchase").count() == 1
+    assert grp.read("operation").count() == 2
+    assert grp.tables() == ["operation", "price", "purchase"]
+    h = grp.history().collect()
+    assert len(h) == 3 and {r["snapshot_id"] for r in h} == {1}
+
+
+def test_exception_inside_txn_commits_nothing(spark, tmp_path):
+    grp = TableGroup(spark, str(tmp_path))
+    grp.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    with pytest.raises(RuntimeError, match="boom"):
+        with grp.transaction() as txn:
+            txn.overwrite("purchase", _p(spark, [(2, 6.0)]))
+            txn.append("operation", _op(spark, [(2, 1, 1)]))
+            raise RuntimeError("boom")
+    # nothing moved: purchase still snapshot 1, operation never born
+    assert grp.current_snapshot() == 1
+    assert [r["id_purchase"] for r in grp.read("purchase").collect()] == [1]
+    with pytest.raises(KeyError):
+        grp.read("operation")
+
+
+def test_crash_between_data_write_and_claim_is_invisible(spark, tmp_path):
+    """The partial-ingest failure the per-table design could expose:
+    data for BOTH tables written, no claim — zero visible change in
+    either table."""
+    grp = TableGroup(spark, str(tmp_path))
+    grp.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    d1, _ = grp._write_data("purchase", _p(spark, [(2, 6.0)]))
+    d2, _ = grp._write_data("operation", _op(spark, [(2, 1, 1)]))
+    assert os.path.isdir(d1) and os.path.isdir(d2)  # orphans exist
+    assert grp.current_snapshot() == 1
+    assert grp.read("purchase").count() == 1
+    with pytest.raises(KeyError):
+        grp.read("operation")
+
+
+def test_group_time_travel_and_per_table_replay(spark, tmp_path):
+    grp = TableGroup(spark, str(tmp_path))
+    with grp.transaction() as t1:
+        t1.overwrite("purchase", _p(spark, [(1, 5.0)]))
+        t1.overwrite("operation", _op(spark, [(1, 7, 1)]))
+    with grp.transaction() as t2:
+        t2.append("operation", _op(spark, [(1, 8, 3)]))
+    with grp.transaction() as t3:
+        t3.overwrite("purchase", _p(spark, [(9, 1.0)]))
+    # snapshot 2: purchase unchanged, operation grew
+    assert grp.read("purchase", snapshot_id=2).count() == 1
+    assert grp.read("operation", snapshot_id=2).count() == 2
+    # snapshot 3: purchase replaced, operation untouched by t3
+    assert [r["id_purchase"] for r in grp.read("purchase", 3).collect()] == [9]
+    assert grp.read("operation", snapshot_id=3).count() == 2
+
+
+def test_overwrite_txn_detects_concurrent_commit(spark, tmp_path):
+    a = TableGroup(spark, str(tmp_path), writer_id="A")
+    b = TableGroup(spark, str(tmp_path), writer_id="B")
+    a.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    a.read("purchase")
+    b.read("purchase")  # both pin group snapshot 1
+    a.overwrite("purchase", _p(spark, [(1, 7.0)]))
+    with pytest.raises(ConcurrentWriteError, match="advanced 1 -> 2"):
+        with b.transaction() as txn:
+            txn.overwrite("purchase", _p(spark, [(1, 8.0)]))
+    # append-only transactions commute and land
+    with b.transaction() as txn:
+        txn.append("purchase", _p(spark, [(2, 9.0)]))
+    assert grp_count(b) == 2
+
+
+def grp_count(grp):
+    return grp.read("purchase").count()
