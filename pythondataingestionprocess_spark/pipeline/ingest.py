@@ -426,6 +426,47 @@ def ingest_batch(
     return result
 
 
+def ingest_batch_txn(
+    compras: DataFrame,
+    precios: DataFrame,
+    group,
+    current_date: date | None = None,
+    collect_metrics: bool = True,
+    verify_urls: bool = False,
+    url_transport=None,
+) -> IngestResult:
+    """:func:`ingest_batch` as ONE atomic commit on a
+    :class:`~pythondataingestionprocess_spark.pipeline.txn_group.TableGroup`.
+
+    The plain path is seven independent store commits; a crash in the
+    middle exposes e.g. a purchase without its operations — exactly
+    the partial-batch state the reference avoids by holding one DB
+    session (import_files_to_postgre.py:145-227). Here every dim
+    merge, both fact appends, and the price SCD stage into a single
+    group transaction: all seven tables move together or not at all,
+    and a concurrent committer is detected at the claim instead of
+    interleaving between table writes. The group should be built with
+    ``schemas=SCHEMAS`` so first-batch reads bootstrap typed-empty.
+    """
+    current_date = current_date or date.today()
+    result = stage_batch(
+        compras, precios, group, collect_metrics,
+        verify_urls=verify_urls, url_transport=url_transport,
+    )
+    with group.transaction() as txn:
+        txn.insert_if_absent("payment_type", rows_payment(result),
+                             ["payment_type"])
+        txn.insert_if_absent("store", result.stores, ["store_name"])
+        txn.insert_if_absent("provider", result.providers,
+                             ["id_store", "provider_url"])
+        txn.insert_if_absent("product", result.products, ["product_name"])
+        txn.append("purchase", result.purchases)
+        txn.append("operation", result.operations)
+        txn.overwrite("price", apply_price_scd(
+            group.read("price"), result.prices, current_date))
+    return result
+
+
 def rows_payment(result: IngestResult) -> DataFrame:
     return result.purchases.sparkSession.createDataFrame(
         [(1, PAYMENT_TYPE)], "id_payment_type long, payment_type string"

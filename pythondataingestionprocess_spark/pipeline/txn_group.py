@@ -61,10 +61,16 @@ class TableGroup:
     """Snapshot-log table store with ONE log for many tables."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 writer_id: str | None = None):
+                 writer_id: str | None = None,
+                 schemas: dict[str, str] | None = None):
         self.spark = spark
         self.root = root
         self.writer_id = writer_id or f"writer-{uuid.uuid4().hex[:8]}"
+        # optional DDL schemas for tables not yet born: read() of an
+        # uncommitted table returns a typed-empty frame instead of
+        # KeyError — the ParquetTableStore bootstrap contract, which
+        # lets ingest/merge code run unchanged on a fresh group
+        self.schemas = schemas or {}
         os.makedirs(os.path.join(root, _TXLOG), exist_ok=True)
         # snapshot the group was last read at by this instance — the
         # base the next overwrite-bearing transaction validates
@@ -125,9 +131,18 @@ class TableGroup:
                 dirs.extend(entry["dirs"])
         return dirs, schema
 
+    def _empty(self, name: str) -> DataFrame | None:
+        if name in self.schemas:
+            return self.spark.createDataFrame([], self.schemas[name])
+        return None
+
     def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
         current = self.current_snapshot()
         if current is None:
+            self._read_base = None
+            empty = self._empty(name)
+            if empty is not None:
+                return empty
             raise KeyError(f"group has no commits (table {name!r})")
         sid = current if snapshot_id is None else snapshot_id
         if sid > current:
@@ -136,6 +151,9 @@ class TableGroup:
             self._read_base = sid
         dirs, schema = self._state(name, sid)
         if schema is None:
+            empty = self._empty(name)
+            if empty is not None and snapshot_id is None:
+                return empty
             raise KeyError(f"table {name!r} has no commits at snapshot {sid}")
         if not dirs:
             return self.spark.createDataFrame(
@@ -243,6 +261,35 @@ class GroupTransaction:
 
     def append(self, name: str, df: DataFrame) -> None:
         self._actions.append(("append", name, df))
+
+    def insert_if_absent(self, name: str, incoming: DataFrame,
+                         keys: list[str],
+                         order_col: str | None = None) -> None:
+        """Stage a MERGE WHEN NOT MATCHED THEN INSERT — the same
+        semantics as ParquetTableStore.insert_if_absent, expressed as
+        a staged overwrite so the whole transaction is one commit."""
+        from pythondataingestionprocess_spark.pipeline.store import (
+            ParquetTableStore,
+        )
+
+        existing = self._group.read(name)
+        incoming = ParquetTableStore._one_per_key(incoming, keys, order_col)
+        fresh = incoming.join(
+            existing.select(*keys).distinct(), keys, "left_anti")
+        self.overwrite(name, existing.unionByName(fresh))
+
+    def upsert(self, name: str, incoming: DataFrame, keys: list[str],
+               order_col: str | None = None) -> None:
+        """Stage a whole-row MERGE (incoming wins on key match)."""
+        from pythondataingestionprocess_spark.pipeline.store import (
+            ParquetTableStore,
+        )
+
+        existing = self._group.read(name)
+        incoming = ParquetTableStore._one_per_key(incoming, keys, order_col)
+        kept = existing.join(
+            incoming.select(*keys).distinct(), keys, "left_anti")
+        self.overwrite(name, kept.unionByName(incoming))
 
     def __enter__(self) -> "GroupTransaction":
         return self

@@ -105,3 +105,62 @@ def test_overwrite_txn_detects_concurrent_commit(spark, tmp_path):
 
 def grp_count(grp):
     return grp.read("purchase").count()
+
+
+def test_ingest_batch_txn_matches_plain_path_and_is_atomic(spark, tmp_path):
+    """The whole reference ingest (4 dim merges + 2 fact appends +
+    the price SCD) as ONE group commit, equal to the 7-commit plain
+    path table for table — and all-or-nothing under a crash."""
+    from datetime import date
+
+    from pythondataingestionprocess_spark.pipeline.ingest import (
+        ingest_batch,
+        ingest_batch_txn,
+    )
+    from pythondataingestionprocess_spark.pipeline.store import (
+        SCHEMAS,
+        ParquetTableStore,
+    )
+    from tests.fixtures import (
+        AMZ,
+        ML,
+        compras_row,
+        make_compras,
+        make_precios,
+        precios_row,
+    )
+
+    D = date(2024, 6, 1)
+    compras = make_compras(spark, [
+        compras_row(desc="A", liga=AMZ, row_idx=0),
+        compras_row(desc="B", liga=ML, row_idx=1),
+    ])
+    precios = make_precios(spark, [
+        precios_row(desc="A", p_venta=180.0, p_oferta=150.0),
+    ])
+    plain = ParquetTableStore(spark, str(tmp_path / "plain"))
+    ingest_batch(compras, precios, plain, current_date=D)
+
+    grp = TableGroup(spark, str(tmp_path / "grp"), schemas=SCHEMAS)
+    ingest_batch_txn(compras, precios, grp, current_date=D)
+    assert grp.current_snapshot() == 1  # seven tables, ONE commit
+    for t in ("payment_type", "store", "provider", "product",
+              "purchase", "operation", "price"):
+        a = sorted(map(tuple, plain.read(t).collect()))
+        b = sorted(map(tuple, grp.read(t).collect()))
+        assert a == b, t
+
+    # atomicity: fail the txn mid-staging → NOTHING from batch 2 lands
+    compras2 = make_compras(spark, [compras_row(desc="Z", liga=AMZ, row_idx=0)])
+    try:
+        with grp.transaction() as txn:
+            txn.append("purchase", grp.read("purchase"))
+            raise RuntimeError("simulated crash")
+    except RuntimeError:
+        pass
+    assert grp.current_snapshot() == 1
+    # a second real batch lands as exactly one more commit
+    ingest_batch_txn(compras2, make_precios(spark, []), grp,
+                     current_date=date(2024, 6, 2))
+    assert grp.current_snapshot() == 2
+    assert grp.read("purchase").count() == plain.read("purchase").count() + 1
