@@ -137,11 +137,32 @@ class SnapshotTableStore(ParquetTableStore):
         with open(mark) as f:
             return int(json.load(f)["min_readable_snapshot"])
 
+    def _checkpoint(self, name: str) -> dict | None:
+        """The log checkpoint written by vacuum (Delta's every-10th-
+        commit checkpoint idea): the materialized live-dir state at
+        the vacuum horizon, so replay cost resets there instead of
+        growing forever with commit count. Manifests are never
+        deleted — the checkpoint is a perf shortcut, the full log
+        stays as the audit trail."""
+        p = os.path.join(self._txdir(name), "_checkpoint.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     def _live_dirs(self, name: str, snapshot_id: int) -> list[str]:
         """Replay the log up to ``snapshot_id``: overwrite resets the
-        file set, append extends it."""
+        file set, append extends it. Starts from the vacuum-written
+        checkpoint when one covers the requested snapshot."""
         dirs: list[str] = []
+        start_after = 0
+        ck = self._checkpoint(name)
+        if ck is not None and snapshot_id >= ck["as_of"]:
+            dirs = list(ck["dirs"])
+            start_after = ck["as_of"]
         for sid in self.snapshot_ids(name):
+            if sid <= start_after:
+                continue
             if sid > snapshot_id:
                 break
             c = self._load_commit(name, sid)
@@ -490,6 +511,17 @@ class SnapshotTableStore(ParquetTableStore):
         with open(mark, "w") as f:
             json.dump({"min_readable_snapshot": keep_from,
                        "vacuumed_by": self.writer_id}, f)
+        # materialize the live-dir state at the new horizon so log
+        # replay restarts there (bounded by vacuum cadence) instead
+        # of walking every manifest since table birth
+        ck = os.path.join(self._txdir(name), "_checkpoint.json")
+        # resolve BEFORE opening: _live_dirs consults the checkpoint
+        # file, which is empty mid-write
+        state = self._live_dirs(name, keep_from)
+        tmp = ck + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"as_of": keep_from, "dirs": state}, f)
+        os.replace(tmp, ck)
         return removed
 
     def read_range(self, name: str, col: str, lo, hi) -> DataFrame:

@@ -363,3 +363,28 @@ def test_read_range_plans_from_the_log(spark, tmp_path):
     st2 = SnapshotTableStore(spark, str(tmp_path / "nostats"))
     st2.append("store", _df(spark, [(1, "a", "u", True)]))
     assert st2.read_range("store", "id_store", 0, 5).count() == 1
+
+
+def test_vacuum_checkpoint_bounds_log_replay(spark, tmp_path):
+    """vacuum materializes the live state at the horizon; replay
+    starts there (bounded by vacuum cadence), and reads before/after
+    more commits stay exactly equal to the unchunked replay."""
+    st = SnapshotTableStore(spark, str(tmp_path))
+    for i in range(6):
+        st.append("store", _df(spark, [(i, f"r{i}", "u", True)]))
+    st.overwrite("store", _df(spark, [(100, "base", "u", True)]))
+    st.append("store", _df(spark, [(101, "post", "u", True)]))
+    st.vacuum("store", keep_last=2)  # horizon at snapshot 7
+    ck = st._checkpoint("store")
+    assert ck is not None and ck["as_of"] == 7
+    assert sorted(r["id_store"] for r in st.read("store").collect()) == [100, 101]
+    # commits after the checkpoint replay on top of it
+    st.append("store", _df(spark, [(102, "later", "u", True)]))
+    assert sorted(r["id_store"] for r in st.read("store").collect()) == [
+        100, 101, 102]
+    # time travel to the checkpointed snapshot itself still works
+    assert [r["id_store"] for r in st.read("store", snapshot_id=7).collect()] == [100]
+    # a second vacuum advances the checkpoint
+    st.vacuum("store", keep_last=1)
+    assert st._checkpoint("store")["as_of"] == 9
+    assert st.read("store").count() == 3
