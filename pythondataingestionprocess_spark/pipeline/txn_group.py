@@ -188,6 +188,33 @@ class TableGroup:
         n = self.spark.read.parquet(d).count()
         return d, [{"path": d, "n_rows": n}]
 
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete data directories (across ALL tables) unreferenced by
+        the newest ``keep_last`` group snapshots — crashed-transaction
+        orphans included. Manifests are never deleted (audit trail).
+        Returns removed paths."""
+        ids = self.snapshot_ids()
+        if not ids:
+            return []
+        retained = ids[max(0, len(ids) - keep_last):]
+        live: set[str] = set()
+        names = self.tables()
+        for name in names:
+            for sid in retained:
+                dirs, _ = self._state(name, sid)
+                live.update(dirs)
+        removed = []
+        for name in names:
+            datadir = os.path.join(self.root, name, _DATA)
+            if not os.path.isdir(datadir):
+                continue
+            for d in sorted(os.listdir(datadir)):
+                full = os.path.join(datadir, d)
+                if full not in live:
+                    shutil.rmtree(full)
+                    removed.append(full)
+        return removed
+
     def transaction(self) -> "GroupTransaction":
         return GroupTransaction(self)
 

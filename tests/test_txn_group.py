@@ -164,3 +164,21 @@ def test_ingest_batch_txn_matches_plain_path_and_is_atomic(spark, tmp_path):
                      current_date=date(2024, 6, 2))
     assert grp.current_snapshot() == 2
     assert grp.read("purchase").count() == plain.read("purchase").count() + 1
+
+
+def test_group_vacuum_sweeps_orphans_and_superseded(spark, tmp_path):
+    grp = TableGroup(spark, str(tmp_path))
+    with grp.transaction() as t1:
+        t1.overwrite("purchase", _p(spark, [(1, 5.0)]))
+        t1.overwrite("operation", _op(spark, [(1, 7, 1)]))
+    # crashed txn leaves orphans in two tables
+    grp._write_data("purchase", _p(spark, [(2, 0.0)]))
+    grp._write_data("operation", _op(spark, [(2, 1, 1)]))
+    with grp.transaction() as t2:
+        t2.overwrite("purchase", _p(spark, [(9, 1.0)]))
+    removed = grp.vacuum(keep_last=1)
+    # removed: 2 orphans + purchase's superseded t1 dir (operation's
+    # t1 dir is still live at the retained snapshot 2)
+    assert len(removed) == 3
+    assert [r["id_purchase"] for r in grp.read("purchase").collect()] == [9]
+    assert grp.read("operation").count() == 1
