@@ -388,3 +388,113 @@ def test_vacuum_checkpoint_bounds_log_replay(spark, tmp_path):
     st.vacuum("store", keep_last=1)
     assert st._checkpoint("store")["as_of"] == 9
     assert st.read("store").count() == 3
+
+
+def test_claim_primitive_under_real_process_contention(tmp_path):
+    """The os.link claim under TRUE concurrency: 8 OS processes race
+    to claim 60 snapshot ids; every id must be claimed EXACTLY once
+    across all processes (the monkeypatched race tests cover protocol
+    logic; this pins the atomicity primitive itself)."""
+    import json as _json
+    import multiprocessing as mp
+    import os as _os
+    import uuid as _uuid
+
+    txdir = str(tmp_path / "_txlog")
+    _os.makedirs(txdir)
+
+    def hammer(worker: int, wins):
+        got = []
+        for sid in range(1, 61):
+            tmp = _os.path.join(txdir, f".{_uuid.uuid4().hex}.tmp")
+            final = _os.path.join(txdir, f"{sid:020d}.json")
+            with open(tmp, "w") as f:
+                _json.dump({"sid": sid, "worker": worker}, f)
+            try:
+                _os.link(tmp, final)
+                got.append(sid)
+            except FileExistsError:
+                pass
+            finally:
+                _os.unlink(tmp)
+        wins.extend(got)
+
+    ctx = mp.get_context("fork")
+    mgr = ctx.Manager()
+    wins = mgr.list()
+    procs = [ctx.Process(target=hammer, args=(w, wins)) for w in range(8)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    claimed = sorted(wins)
+    assert claimed == list(range(1, 61))  # every id exactly once
+    # and every committed manifest is fully-written valid JSON
+    for sid in range(1, 61):
+        with open(_os.path.join(txdir, f"{sid:020d}.json")) as f:
+            rec = _json.load(f)
+        assert rec["sid"] == sid
+
+
+def test_randomized_model_walk(spark, tmp_path):
+    """Seeded 60-op random walk (append / overwrite / upsert /
+    delete_keys / vacuum / time-travel read) against a plain-dict
+    model — every read at every step must equal the model exactly."""
+    import random
+
+    rng = random.Random(1517)
+    st = SnapshotTableStore(spark, str(tmp_path))
+    model: dict[int, str] = {}
+    snapshots: dict[int, dict[int, str]] = {}
+    vacuum_floor = 0
+
+    def frame(items):
+        return _df(spark, [(k, v, "u", True) for k, v in items])
+
+    def check():
+        got = {r["id_store"]: r["store_name"]
+               for r in st.read("store").collect()}
+        assert got == model, (got, model)
+
+    for step in range(60):
+        op = rng.choice(["append", "overwrite", "upsert", "delete",
+                         "vacuum", "time_travel"])
+        if op == "append" and model is not None:
+            k = max(model, default=0) + 1 + rng.randrange(3)
+            if k in model:
+                continue
+            st.append("store", frame([(k, f"a{step}")]))
+            model[k] = f"a{step}"
+            snapshots[st.current_snapshot("store")] = dict(model)
+        elif op == "overwrite":
+            new = {rng.randrange(50): f"o{step}"}
+            st.read("store")
+            st.overwrite("store", frame(sorted(new.items())))
+            model = dict(new)
+            snapshots[st.current_snapshot("store")] = dict(model)
+        elif op == "upsert" and st.current_snapshot("store"):
+            k = rng.randrange(50)
+            st.upsert("store", frame([(k, f"u{step}")]), keys=["id_store"])
+            model[k] = f"u{step}"
+            snapshots[st.current_snapshot("store")] = dict(model)
+        elif op == "delete" and model:
+            k = rng.choice(sorted(model))
+            st.delete_keys(
+                "store",
+                st.spark.createDataFrame([(k,)], "id_store long"),
+                keys=["id_store"])
+            model.pop(k)
+            snapshots[st.current_snapshot("store")] = dict(model)
+        elif op == "vacuum" and st.current_snapshot("store"):
+            st.vacuum("store", keep_last=2)
+            vacuum_floor = max(
+                0, (st.current_snapshot("store") or 0) - 1)
+        elif op == "time_travel" and snapshots:
+            sid = rng.choice(sorted(snapshots))
+            if sid < vacuum_floor:
+                continue
+            got = {r["id_store"]: r["store_name"]
+                   for r in st.read("store", snapshot_id=sid).collect()}
+            assert got == snapshots[sid], (sid, got, snapshots[sid])
+        if st.current_snapshot("store"):
+            check()
