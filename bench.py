@@ -126,6 +126,10 @@ HEADLINE = [
     # r14 addition (staged for r15): the ANN recall certificate —
     # registered-config LSH + brute-force top-5 + recall join
     "embedding_ann_recall",
+    # r15 addition (staged for r16): TPC-H Q2 — correlated min
+    # supplycost decorrelated to one fact shuffle + a partitioned
+    # window over the aggregated supply pairs
+    "q2_min_cost_supplier",
 ]
 
 # Where the full per-query detail lands (module-level so tests can
