@@ -202,7 +202,15 @@ class SnapshotTableStore(ParquetTableStore):
         dirs = self._live_dirs(name, sid)
         if not dirs:
             return self.spark.createDataFrame([], self._schema_of(name, sid))
-        return self.spark.read.parquet(*dirs)
+        # the RECORDED schema (the union after any merge_schema
+        # evolution) is projected onto every file: parquet schema
+        # projection NULL-fills columns a file's vintage predates —
+        # one read for a table holding files of several vintages, and
+        # no footer-sampling inference either
+        return (
+            self.spark.read.schema(self._schema_of(name, sid))
+            .parquet(*dirs)
+        )
 
     def history(self, name: str) -> DataFrame:
         """The commit log as a DataFrame (queryable audit trail)."""
@@ -276,7 +284,7 @@ class SnapshotTableStore(ParquetTableStore):
             os.unlink(tmp)
 
     def _commit(self, name: str, action: str, df: DataFrame,
-                base: int | None) -> int:
+                base: int | None, merge_schema: bool = False) -> int:
         new_dir, files = self._write_data(name, df)
         schema = df.schema.json()
         rebases = 0
@@ -291,14 +299,40 @@ class SnapshotTableStore(ParquetTableStore):
             if action == "append" and current:
                 # appends must match the live schema's names+types
                 # (nullability excluded — parquet round-trips relax
-                # it) — a silent widen would corrupt later readers
+                # it) — a silent widen would corrupt later readers.
+                # merge_schema=True permits EVOLUTION: new columns may
+                # be added and a batch may omit existing ones (read
+                # reconciles by name, NULL-filling either side); a
+                # TYPE change on a shared column is always an error.
+                live_st = StructType.fromJson(
+                    json.loads(self._load_commit(name, current)["schema"]))
                 live = _name_types(self._load_commit(name, current)["schema"])
                 mine = _name_types(schema)
                 if live != mine:
-                    raise ValueError(
-                        f"append schema mismatch on {name!r}: "
-                        f"table has {live}, batch has {mine}"
-                    )
+                    if not merge_schema:
+                        raise ValueError(
+                            f"append schema mismatch on {name!r}: "
+                            f"table has {live}, batch has {mine} — "
+                            "pass merge_schema=True to evolve"
+                        )
+                    live_d, mine_d = dict(live), dict(mine)
+                    conflicts = {
+                        c: (live_d[c], mine_d[c])
+                        for c in live_d.keys() & mine_d.keys()
+                        if live_d[c] != mine_d[c]
+                    }
+                    if conflicts:
+                        raise ValueError(
+                            f"schema evolution on {name!r} cannot "
+                            f"change column types: {conflicts}"
+                        )
+                    # table schema becomes the union: existing fields
+                    # first (stable order), new fields appended
+                    union = StructType(list(live_st.fields))
+                    for f in df.schema.fields:
+                        if f.name not in live_d:
+                            union = union.add(f.name, f.dataType, True)
+                    schema = union.json()
             record = {
                 "snapshot_id": current + 1,
                 "action": action,
@@ -338,18 +372,23 @@ class SnapshotTableStore(ParquetTableStore):
         self._read_base[name] = None
 
     def append(self, name: str, df: DataFrame,
-               partition_by: list[str] | None = None) -> None:
+               partition_by: list[str] | None = None,
+               merge_schema: bool = False) -> None:
         """Blind append: new files only, auto-rebases on claim races.
         Hive ``partition_by`` is deliberately unsupported here — the
         manifest's per-file min/max stats serve the same pruning
-        (:meth:`skippable_files`) without directory explosion."""
+        (:meth:`skippable_files`) without directory explosion.
+        ``merge_schema=True`` permits additive evolution: the batch
+        may carry new columns (the table schema widens; older files
+        read as NULL there) and may omit existing ones; type changes
+        on shared columns always fail loud."""
         if partition_by:
             raise ValueError(
                 "SnapshotTableStore.append does not hive-partition; "
                 "skipping stats in the commit manifest replace it "
                 "(pass stats_cols={table: [cols]})"
             )
-        self._commit(name, "append", df, None)
+        self._commit(name, "append", df, None, merge_schema=merge_schema)
 
     # -- exactly-once appends (streaming sink integration) ----------------
 

@@ -498,3 +498,41 @@ def test_randomized_model_walk(spark, tmp_path):
             assert got == snapshots[sid], (sid, got, snapshots[sid])
         if st.current_snapshot("store"):
             check()
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """merge_schema=True widens the table: a batch carrying a NEW
+    column evolves the recorded schema (older files read NULL there),
+    a batch OMITTING a column is NULL-filled, and a type change on a
+    shared column always fails loud. Time travel keeps each
+    snapshot's own schema vintage."""
+    st = SnapshotTableStore(spark, str(tmp_path))
+    st.overwrite("store", _df(spark, [(1, "a", "u", True)]))
+    wide = spark.createDataFrame(
+        [(2, "b", "u", False, 42)],
+        "id_store long, store_name string, store_url string, "
+        "status boolean, region_id long",
+    )
+    # without the flag: loud mismatch
+    with pytest.raises(ValueError, match="merge_schema=True to evolve"):
+        st.append("store", wide)
+    st.append("store", wide, merge_schema=True)
+    got = {r["id_store"]: r["region_id"] for r in st.read("store").collect()}
+    assert got == {1: None, 2: 42}  # old file NULL-fills the new col
+    # a narrow batch (omits region_id AND store_url) appends fine
+    narrow = spark.createDataFrame(
+        [(3, "c", True)], "id_store long, store_name string, status boolean")
+    st.append("store", narrow, merge_schema=True)
+    rows = {r["id_store"]: (r["store_url"], r["region_id"])
+            for r in st.read("store").collect()}
+    assert rows[3] == (None, None) and rows[2] == ("u", 42)
+    assert len(st.read("store").columns) == 5
+    # time travel: snapshot 1 predates the evolution — 4 columns
+    assert len(st.read("store", snapshot_id=1).columns) == 4
+    # type change on a shared column: always an error
+    bad = spark.createDataFrame([(4, 9)], "id_store long, store_name long")
+    with pytest.raises(ValueError, match="cannot change column types"):
+        st.append("store", bad, merge_schema=True)
+    # MERGE paths still work on the evolved table
+    st.upsert("store", st.read("store").limit(1), keys=["id_store"])
+    assert st.read("store").count() == 3
