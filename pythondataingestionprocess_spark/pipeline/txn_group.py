@@ -155,10 +155,11 @@ class TableGroup:
             if empty is not None and snapshot_id is None:
                 return empty
             raise KeyError(f"table {name!r} has no commits at snapshot {sid}")
+        st = StructType.fromJson(json.loads(schema))
         if not dirs:
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema)))
-        return self.spark.read.parquet(*dirs)
+            return self.spark.createDataFrame([], st)
+        # project the recorded schema — no footer-sampling inference
+        return self.spark.read.schema(st).parquet(*dirs)
 
     def tables(self) -> list[str]:
         seen: set[str] = set()
@@ -234,6 +235,26 @@ class TableGroup:
             if name in staged:
                 raise ValueError(
                     f"table {name!r} staged twice in one transaction")
+            if action == "append":
+                # appends must match the live schema's names+types —
+                # a mismatched batch would silently become the
+                # recorded schema and drop earlier files' columns
+                current = self.current_snapshot()
+                live = (
+                    self._state(name, current)[1] if current else None
+                )
+                if live is not None:
+                    from pythondataingestionprocess_spark.pipeline import (
+                        snapshot_store as _ss,
+                    )
+
+                    lt, mt = _ss._name_types(live), _ss._name_types(
+                        df.schema.json())
+                    if lt != mt:
+                        raise ValueError(
+                            f"append schema mismatch on {name!r}: "
+                            f"table has {lt}, batch has {mt}"
+                        )
             new_dir, files = self._write_data(name, df)
             staged[name] = {
                 "action": action,

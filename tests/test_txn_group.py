@@ -182,3 +182,15 @@ def test_group_vacuum_sweeps_orphans_and_superseded(spark, tmp_path):
     assert len(removed) == 3
     assert [r["id_purchase"] for r in grp.read("purchase").collect()] == [9]
     assert grp.read("operation").count() == 1
+
+
+def test_group_append_schema_mismatch_fails_loud(spark, tmp_path):
+    """A mismatched append batch must fail at stage time — its schema
+    would otherwise silently become the recorded one and drop earlier
+    files' columns on read."""
+    grp = TableGroup(spark, str(tmp_path))
+    grp.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    bad = spark.createDataFrame([(2,)], "id_purchase long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        grp.append("purchase", bad)
+    assert grp.current_snapshot() == 1  # nothing committed
