@@ -223,22 +223,29 @@ class TableGroup:
         with self.transaction() as txn:
             txn.overwrite(name, df)
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(self, name: str, df: DataFrame,
+               merge_schema: bool = False) -> None:
         with self.transaction() as txn:
-            txn.append(name, df)
+            txn.append(name, df, merge_schema=merge_schema)
 
-    def _commit_txn(self, actions: list[tuple[str, str, DataFrame]]) -> int:
+    def _commit_txn(
+        self, actions: list[tuple[str, str, DataFrame, bool]]
+    ) -> int:
         """Write every staged table's data, then ONE claim."""
         staged = {}
         has_overwrite = False
-        for action, name, df in actions:
+        for action, name, df, merge_schema in actions:
             if name in staged:
                 raise ValueError(
                     f"table {name!r} staged twice in one transaction")
+            schema = df.schema.json()
             if action == "append":
                 # appends must match the live schema's names+types —
                 # a mismatched batch would silently become the
-                # recorded schema and drop earlier files' columns
+                # recorded schema and drop earlier files' columns.
+                # merge_schema permits ADDITIVE evolution (union
+                # recorded; reads project it, NULL-filling either
+                # vintage); type changes always fail loud.
                 current = self.current_snapshot()
                 live = (
                     self._state(name, current)[1] if current else None
@@ -248,19 +255,36 @@ class TableGroup:
                         snapshot_store as _ss,
                     )
 
-                    lt, mt = _ss._name_types(live), _ss._name_types(
-                        df.schema.json())
+                    lt, mt = _ss._name_types(live), _ss._name_types(schema)
                     if lt != mt:
-                        raise ValueError(
-                            f"append schema mismatch on {name!r}: "
-                            f"table has {lt}, batch has {mt}"
-                        )
+                        if not merge_schema:
+                            raise ValueError(
+                                f"append schema mismatch on {name!r}: "
+                                f"table has {lt}, batch has {mt} — "
+                                "pass merge_schema=True to evolve"
+                            )
+                        lt_d, mt_d = dict(lt), dict(mt)
+                        conflicts = {
+                            c: (lt_d[c], mt_d[c])
+                            for c in lt_d.keys() & mt_d.keys()
+                            if lt_d[c] != mt_d[c]
+                        }
+                        if conflicts:
+                            raise ValueError(
+                                f"schema evolution on {name!r} cannot "
+                                f"change column types: {conflicts}"
+                            )
+                        union = StructType.fromJson(json.loads(live))
+                        for f in df.schema.fields:
+                            if f.name not in lt_d:
+                                union = union.add(f.name, f.dataType, True)
+                        schema = union.json()
             new_dir, files = self._write_data(name, df)
             staged[name] = {
                 "action": action,
                 "dirs": [new_dir] if new_dir else [],
                 "files": files,
-                "schema": df.schema.json(),
+                "schema": schema,
             }
             has_overwrite = has_overwrite or action == "overwrite"
         base = self._read_base
@@ -301,14 +325,15 @@ class GroupTransaction:
 
     def __init__(self, group: TableGroup):
         self._group = group
-        self._actions: list[tuple[str, str, DataFrame]] = []
+        self._actions: list[tuple[str, str, DataFrame, bool]] = []
         self.snapshot_id: int | None = None
 
     def overwrite(self, name: str, df: DataFrame) -> None:
-        self._actions.append(("overwrite", name, df))
+        self._actions.append(("overwrite", name, df, False))
 
-    def append(self, name: str, df: DataFrame) -> None:
-        self._actions.append(("append", name, df))
+    def append(self, name: str, df: DataFrame,
+               merge_schema: bool = False) -> None:
+        self._actions.append(("append", name, df, merge_schema))
 
     def insert_if_absent(self, name: str, incoming: DataFrame,
                          keys: list[str],

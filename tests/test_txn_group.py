@@ -194,3 +194,23 @@ def test_group_append_schema_mismatch_fails_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         grp.append("purchase", bad)
     assert grp.current_snapshot() == 1  # nothing committed
+
+
+def test_group_schema_evolution_additive(spark, tmp_path):
+    """merge_schema parity with the single-table store: an evolving
+    append widens the recorded union (older files NULL-fill), type
+    changes fail loud, and time travel keeps the old vintage."""
+    grp = TableGroup(spark, str(tmp_path))
+    grp.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    wide = spark.createDataFrame(
+        [(2, 6.0, "mx")], "id_purchase long, total double, region string")
+    with pytest.raises(ValueError, match="merge_schema=True to evolve"):
+        grp.append("purchase", wide)
+    grp.append("purchase", wide, merge_schema=True)
+    got = {r["id_purchase"]: r["region"]
+           for r in grp.read("purchase").collect()}
+    assert got == {1: None, 2: "mx"}
+    assert len(grp.read("purchase", snapshot_id=1).columns) == 2
+    bad = spark.createDataFrame([(3, "x")], "id_purchase long, total string")
+    with pytest.raises(ValueError, match="cannot change column types"):
+        grp.append("purchase", bad, merge_schema=True)
