@@ -536,3 +536,62 @@ def test_schema_evolution_additive_append(spark, tmp_path):
     # MERGE paths still work on the evolved table
     st.upsert("store", st.read("store").limit(1), keys=["id_store"])
     assert st.read("store").count() == 3
+
+
+def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
+    """The round's pieces composed end-to-end: file stream →
+    exactly-once foreachBatch sink → incremental change-feed consumer
+    → OPTIMIZE as a committed action → vacuum with checkpoint →
+    time-travel audit across all of it."""
+    import time as _t
+
+    from pythondataingestionprocess_spark.streaming.table_sink import (
+        run_stream_to_table,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for i in range(3):
+        _df(spark, [(i, f"row{i}", "u", True)]).coalesce(1).write.mode(
+            "append").parquet(str(inbox))
+        _t.sleep(1.1)
+    st = SnapshotTableStore(spark, str(tmp_path / "tables"),
+                            stats_cols={"store": ["id_store"]})
+    q = run_stream_to_table(
+        spark.readStream.schema(
+            "id_store long, store_name string, store_url string, "
+            "status boolean").option("maxFilesPerTrigger", 1)
+        .parquet(str(inbox)),
+        st, "store", "lifecycle-q", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    ingested_at = st.current_snapshot("store")
+
+    # incremental consumer: tail the change feed from cursor 0,
+    # advance the cursor, see nothing new on the second poll
+    feed = st.changes("store", after=0)
+    assert feed.count() == 3
+    cursor = max(r["_snapshot_id"] for r in feed.collect())
+    assert st.changes("store", after=cursor).count() == 0
+
+    # compact (a committed action) and verify data + history intact
+    st.optimize("store")
+    assert st.read("store").count() == 3
+    # a post-compaction MERGE still works and is conflict-checked
+    st.upsert("store", _df(spark, [(0, "edited", "u", False)]),
+              keys=["id_store"])
+    got = {r["id_store"]: r["store_name"] for r in st.read("store").collect()}
+    assert got[0] == "edited" and len(got) == 3
+
+    # vacuum: checkpoint written, pre-horizon time travel fails loud,
+    # post-horizon time travel still serves the pre-merge state
+    st.vacuum("store", keep_last=2)
+    assert st._checkpoint("store") is not None
+    with pytest.raises(ValueError, match="vacuumed"):
+        st.read("store", snapshot_id=ingested_at)
+    pre_merge = st.current_snapshot("store") - 1
+    audit = {r["id_store"]: r["store_name"]
+             for r in st.read("store", snapshot_id=pre_merge).collect()}
+    assert audit[0] == "row0"  # the pre-edit value, via time travel
+    # and the full history of all of it is queryable
+    actions = [r["action"] for r in st.history("store").collect()]
+    assert actions == ["append"] * 3 + ["overwrite", "overwrite"]
