@@ -2,16 +2,16 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-15 window = 49 stale + 1 new: ALL 30 last-checked-r11
+The round-16 window = 49 stale + 1 new: ALL 31 last-checked-r12
 queries (the front-load left-overs pinned here last round) plus the
-alphabetical first 19 of the 50 last-checked-r12 (the 31 same-age
-left-overs front-load r16), then ``embedding_ann_recall`` — staged
-mid-r14 — takes its first official driver row. These tests make the
+alphabetical first 18 of the 49 last-checked-r13 (the 31 same-age
+left-overs front-load r17), then ``q2_min_cost_supplier`` — staged
+mid-r15 — takes its first official driver row. These tests make the
 rotation explicit and fail loudly if a later registration or refactor
 silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r14 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r15 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
@@ -19,7 +19,7 @@ rows, no evidence-lag tripwire), never the window composition.
 Capacity (r8 VERDICT item 3): rotation_calc hard-fails above
 WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
 retiring is mechanically impossible, not just a written rule. The
-registry sits AT the cap (180): any r15 registration requires a
+registry sits AT the cap (180): any r16 registration requires a
 retirement first. The calculator guard behaviors (capacity trip,
 evidence-lag tripwire, failed-row alert, parsed-round ordering,
 filename rejection, oversubscribed-window clamp) are pinned below
@@ -34,91 +34,90 @@ import subprocess
 import sys
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R15,
+    NEW_R16,
     REGISTRY,
-    STALE_R12,
+    STALE_R13,
 )
 
 DRIVER_WINDOW = 50
 
-# The file set the committed rotation was derived from (rounds 1..14).
-# Frozen: later rounds' files must NOT retroactively change what r15's
+# The file set the committed rotation was derived from (rounds 1..15).
+# Frozen: later rounds' files must NOT retroactively change what r16's
 # window was.
-R15_EVIDENCE_FILES = sorted(
+R16_EVIDENCE_FILES = sorted(
     (
         f
         for f in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 14
+        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 15
     ),
     key=lambda f: int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)),
 )
 
 
-# The 31 r12-checked queries the alphabetical cut left out of
-# STALE_R12 (same evidence age); they front-load round 16's window.
-# Recorded verbatim from scripts/rotation_calc.py's round-15
+# The 31 r13-checked queries the alphabetical cut left out of
+# STALE_R13 (same evidence age); they front-load round 17's window.
+# Recorded verbatim from scripts/rotation_calc.py's round-16
 # derivation.
-R16_FRONT_LOAD_LEFT_OVERS = [
-    "exists_agg_discounted_orders",
-    "exists_not_exists_orders",
-    "feature_winsorize_robust",
-    "funnel_three_step",
-    "having_large_orders",
-    "hierarchical_revenue_share",
-    "idle_customers_segment",
-    "incremental_agg_maintenance",
-    "merge_event_intervals",
-    "monthly_revenue_trend",
-    "multimodal_binary_meta",
-    "multimodal_decode_stats",
-    "part_clustering_coefficient",
-    "percentile_cont_prices",
-    "pii_pseudonymize_vault",
-    "pit_scd2_price_join",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "recursive_cte_subtree_rollup",
-    "stmt_charge_line_grammar",
-    "stratified_sample_events",
-    "text_bigram_lm",
-    "text_bpe_merge_learn",
-    "text_rolling_fingerprint",
-    "topk_per_group",
-    "trend_slope_per_nation",
-    "unpivot_charge_components",
-    "window_edge_values",
-    "window_range_frame",
-    "window_running_total",
-    "zorder_layout_cells",
+R17_FRONT_LOAD_LEFT_OVERS = [
+    "equidepth_price_bands",
+    "events_bounce_rate",
+    "events_concurrency_peak",
+    "events_decayed_feature",
+    "events_scd2_enrich",
+    "inverted_index_incremental",
+    "inverted_index_postings",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q4_priority_order_checks",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "qualify_above_avg_suppliers",
+    "range_join_quantity_bands",
+    "revenue_share_top_customers",
+    "scalar_subquery_small_qty",
+    "skewed_join_salted",
+    "string_agg_nations",
+    "text_bpe_merge_learn_batched",
+    "text_bpe_token_count",
+    "text_bpe_tokenize_vectorized",
+    "text_contamination_check",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "train_val_test_split",
+    "unnest_top_words",
+    "zorder_file_skipping",
 ]
 
-# The 19 last-checked-r12 queries INSIDE the committed window (the
-# other 30 are r11-checked). If a NEW_R16_STAGED block is pending at
+# The 18 last-checked-r13 queries INSIDE the committed window (the
+# other 31 are r12-checked). If a NEW_R17_STAGED block is pending at
 # runtime, the calculator's stale budget shrinks below 49 and the
 # displaced names must come from this set's alphabetical tail; with no
 # staged block the budget grows back to 50 and the derived stale set
 # EXTENDS the committed window with the alphabetical front of the
-# r12-age left-overs.
-R12_AGE_IN_WINDOW = [
-    "anti_join_dedup",
-    "bm25_retrieval_topk",
-    "broadcast_dim_join",
-    "clean_safe_float",
-    "clean_signed_money",
-    "clean_stmt_date_roundtrip",
-    "corpus_block_dedup",
-    "corpus_mix_resample",
-    "corpus_temperature_mix",
-    "corpus_weighted_sample",
-    "dedup_cosine_incremental",
-    "dedup_embedding_cosine",
-    "dedup_groups_cc",
-    "dedup_incremental_minhash",
-    "dedup_keep_one",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "deterministic_sample_per_source",
-    "events_funnel_watermark",
+# r13-age left-overs.
+R13_AGE_IN_WINDOW = [
+    "approx_distinct_customers",
+    "cdc_snapshot_latest",
+    "corpus_build_pipeline",
+    "corpus_curation_filter",
+    "cube_agg",
+    "dedup_exact_docs",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "distinct_dims",
+    "doc_chunking_overlap",
+    "doc_packing_greedy",
+    "doc_packing_lookahead",
+    "dq_malformed_json_rate",
+    "dq_orders_expectations",
+    "dq_profile_orders",
+    "dq_referential_integrity",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
 ]
 
 # Retired across rounds: these names must never silently reappear in
@@ -157,14 +156,14 @@ BAD_ROW = {"rows_match": True, "schema_match": True,
 
 
 def _intended():
-    return STALE_R12 + NEW_R15
+    return STALE_R13 + NEW_R16
 
 
 def test_stalest_queries_front_loaded():
-    """The 49 stale slots (all 30 r11-checked + 19 r12-checked, the
-    stalest evidence eras after r14's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R12)] == STALE_R12
-    assert len(STALE_R12) == 49
+    """The 49 stale slots (all 31 r12-checked + 18 r13-checked, the
+    stalest evidence eras after r15's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R13)] == STALE_R13
+    assert len(STALE_R13) == 49
 
 
 def test_first_50_is_the_intended_rotation():
@@ -174,12 +173,12 @@ def test_first_50_is_the_intended_rotation():
 def test_new_queries_ride_inside_the_window():
     """Anything first registered for this round's window must be
     driver-checked this round: those names sit immediately after the
-    stale block, inside the 50-row window (this round: the ANN recall
-    certificate face)."""
+    stale block, inside the 50-row window (this round: the TPC-H Q2
+    shape)."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R15):
-        assert names[len(STALE_R12) + i] == n
-    assert len(STALE_R12) + len(NEW_R15) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R16):
+        assert names[len(STALE_R13) + i] == n
+    assert len(STALE_R13) + len(NEW_R16) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -222,11 +221,11 @@ def test_registry_within_capacity_cap():
     )
 
 
-def test_r16_front_load_promise_is_registered():
-    """Every r12-age left-over promised to front-load r16's window must
+def test_r17_front_load_promise_is_registered():
+    """Every r13-age left-over promised to front-load r17's window must
     still be registered (a retirement there needs this pin updated
     alongside the documented substance migration)."""
-    missing = [n for n in R16_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
+    missing = [n for n in R17_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
     assert not missing, missing
 
 
@@ -249,27 +248,27 @@ def test_no_staged_blocks_inside_the_window():
             assert n not in window
 
 
-def test_rotation_calculator_reproduces_r15_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r16_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r14 CORRECTNESS files alone.
+    window composition from the r01..r15 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r15+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r16+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: the committed window was derived with the one-face r15
+    Era note: the committed window was derived with the one-face r16
     block staged (stale budget 49). After the fold the block sits in
     NEW_CURRENT, so the calculator treats the face as riding THIS
     round's window (pending, not a hole) and the stale budget is 50
-    minus whatever NEW_R16_STAGED holds at runtime (k names, initially
+    minus whatever NEW_R17_STAGED holds at runtime (k names, initially
     0): the derived stale set EXTENDS the committed 49 with the
-    (1 - k)-name alphabetical prefix of the r12-age front-load
+    (1 - k)-name alphabetical prefix of the r13-age front-load
     left-overs, or — were a staged block to exceed one name — shrinks
-    from the committed window's r12-age alphabetical tail. Both
+    from the committed window's r13-age alphabetical tail. Both
     directions are asserted exactly."""
-    assert len(R15_EVIDENCE_FILES) == 14, R15_EVIDENCE_FILES
+    assert len(R16_EVIDENCE_FILES) == 15, R16_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R15_EVIDENCE_FILES],
+         "--files", *R16_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -283,21 +282,21 @@ def test_rotation_calculator_reproduces_r15_window_from_frozen_files():
     staged_names = re.findall(r'"([^"]+)"', new)
     # the staged block and the stale budget trade one-for-one
     assert len(names) == DRIVER_WINDOW - len(staged_names)
-    committed = set(STALE_R12)
+    committed = set(STALE_R13)
     derived = set(names)
-    if len(names) >= len(STALE_R12):
+    if len(names) >= len(STALE_R13):
         # small/no staged block: committed window plus the
-        # alphabetical front of the r12-age left-overs
+        # alphabetical front of the r13-age left-overs
         assert committed <= derived, committed - derived
         extra = derived - committed
-        front = R16_FRONT_LOAD_LEFT_OVERS[: len(extra)]
+        front = R17_FRONT_LOAD_LEFT_OVERS[: len(extra)]
         assert extra == set(front), (extra, front)
     else:
         # larger staged block: displaced names come only from the
-        # committed window's r12-age alphabetical tail
+        # committed window's r13-age alphabetical tail
         assert derived <= committed, derived - committed
         displaced = committed - derived
-        tail = sorted(R12_AGE_IN_WINDOW)[len(R12_AGE_IN_WINDOW) - len(displaced):]
+        tail = sorted(R13_AGE_IN_WINDOW)[len(R13_AGE_IN_WINDOW) - len(displaced):]
         assert displaced == set(tail), (displaced, tail)
 
 
@@ -342,12 +341,12 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     """VERDICT r5 item 8: the calculator must exit non-zero on a
     synthetic evidence hole — a query last checked more than
     MAX_EVIDENCE_AGE rounds before the newest file."""
-    victim = STALE_R12[0]
+    victim = STALE_R13[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     old.write_text(json.dumps({victim: OK_ROW}))
-    new.write_text(json.dumps({STALE_R12[1]: OK_ROW}))
+    new.write_text(json.dumps({STALE_R13[1]: OK_ROW}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -363,7 +362,7 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
 def test_rotation_calculator_failed_row_alert(tmp_path):
     """A FAILED latest driver row must alert and exit 1 — failed rows
     are not evidence and must ride the next window again."""
-    victim = STALE_R12[0]
+    victim = STALE_R13[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({victim: BAD_ROW}))
     proc = subprocess.run(
@@ -383,7 +382,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     PARSED-round order, not lexicographic (CORRECTNESS_r010 sorts
     before r02 as a string). A green r10 row must clear an r2 failure
     for the same query — and the unpadded r10 spelling must parse."""
-    victim = STALE_R12[0]
+    victim = STALE_R13[0]
     f2 = tmp_path / "CORRECTNESS_r02.json"
     f10 = tmp_path / "CORRECTNESS_r10.json"
     f2.write_text(json.dumps({victim: BAD_ROW}))
@@ -424,7 +423,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     budget must clamp to zero (an empty STALE list), not silently
     select items from the end of the age list."""
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: OK_ROW for n in STALE_R12}))
+    f.write_text(json.dumps({n: OK_ROW for n in STALE_R13}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
