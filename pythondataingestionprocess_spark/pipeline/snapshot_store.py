@@ -75,6 +75,11 @@ _TXLOG = "_txlog"
 _DATA = "data"
 _VACUUM_MARK = "_vacuum.json"
 MAX_APPEND_REBASES = 5
+# vacuum treats a data dir referenced by NO manifest as possibly an
+# in-flight commit (data lands before the claim) and only sweeps it
+# past this age — the Delta VACUUM retention idea, scaled to this
+# store's commit latency (~seconds) rather than Delta's 7 days
+DEFAULT_ORPHAN_RETENTION_S = 600.0
 
 
 def _name_types(schema_json: str) -> list[tuple[str, str]]:
@@ -82,6 +87,47 @@ def _name_types(schema_json: str) -> list[tuple[str, str]]:
     (nullability and metadata excluded)."""
     st = StructType.fromJson(json.loads(schema_json))
     return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+
+def _resolve_append_schema(live_schema_json: str, batch_schema: StructType,
+                           merge_schema: bool, name: str) -> str:
+    """The schema an append commit must RECORD, validated against the
+    CURRENT live schema: names+types must match exactly (nullability
+    excluded — parquet round-trips relax it); ``merge_schema=True``
+    permits ADDITIVE evolution (the union is recorded: existing fields
+    first, new fields appended; a batch may also omit existing columns
+    — reads project the union, NULL-filling either vintage); a TYPE
+    change on a shared column always fails loud.
+
+    MUST be called inside the claim-retry loop, against the head of
+    each attempt: a rebased append can land on a head whose schema a
+    concurrent commit evolved, and recording a stale schema would
+    silently drop the evolved column from every read (ADVICE r15)."""
+    live = _name_types(live_schema_json)
+    mine = [(f.name, f.dataType.simpleString()) for f in batch_schema.fields]
+    if live == mine:
+        return batch_schema.json()
+    if not merge_schema:
+        raise ValueError(
+            f"append schema mismatch on {name!r}: table has {live}, "
+            f"batch has {mine} — pass merge_schema=True to evolve"
+        )
+    live_d, mine_d = dict(live), dict(mine)
+    conflicts = {
+        c: (live_d[c], mine_d[c])
+        for c in live_d.keys() & mine_d.keys()
+        if live_d[c] != mine_d[c]
+    }
+    if conflicts:
+        raise ValueError(
+            f"schema evolution on {name!r} cannot change column "
+            f"types: {conflicts}"
+        )
+    union = StructType.fromJson(json.loads(live_schema_json))
+    for f in batch_schema.fields:
+        if f.name not in live_d:
+            union = union.add(f.name, f.dataType, True)
+    return union.json()
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -196,8 +242,14 @@ class SnapshotTableStore(ParquetTableStore):
                 f"{self._vacuum_horizon(name)}) — its data files are "
                 "gone; a partial read would be silent corruption"
             )
-        if snapshot_id is None:
+        if snapshot_id is None and self._read_base.get(name) is None:
             # pin the base for this instance's next read-modify-write
+            # at the FIRST read since the last commit/reset — a later
+            # read must NOT advance it, or a transaction whose reads
+            # straddle a concurrent commit would validate its
+            # overwrite against the last read's snapshot and silently
+            # clobber the concurrent writer's changes (ADVICE r15,
+            # the lost update this class exists to detect)
             self._read_base[name] = sid
         dirs = self._live_dirs(name, sid)
         if not dirs:
@@ -291,48 +343,21 @@ class SnapshotTableStore(ParquetTableStore):
         while True:
             current = self.current_snapshot(name) or 0
             if action == "overwrite" and base is not None and current != base:
+                # the prescribed recovery is re-read + re-derive; the
+                # re-read must re-pin a FRESH base (first-pin read)
+                self._read_base[name] = None
                 raise ConcurrentWriteError(
                     f"table {name!r}: snapshot advanced {base} -> "
                     f"{current} since this write's base was read — "
                     "re-read and re-derive (read-modify-write is stale)"
                 )
             if action == "append" and current:
-                # appends must match the live schema's names+types
-                # (nullability excluded — parquet round-trips relax
-                # it) — a silent widen would corrupt later readers.
-                # merge_schema=True permits EVOLUTION: new columns may
-                # be added and a batch may omit existing ones (read
-                # reconciles by name, NULL-filling either side); a
-                # TYPE change on a shared column is always an error.
-                live_st = StructType.fromJson(
-                    json.loads(self._load_commit(name, current)["schema"]))
-                live = _name_types(self._load_commit(name, current)["schema"])
-                mine = _name_types(schema)
-                if live != mine:
-                    if not merge_schema:
-                        raise ValueError(
-                            f"append schema mismatch on {name!r}: "
-                            f"table has {live}, batch has {mine} — "
-                            "pass merge_schema=True to evolve"
-                        )
-                    live_d, mine_d = dict(live), dict(mine)
-                    conflicts = {
-                        c: (live_d[c], mine_d[c])
-                        for c in live_d.keys() & mine_d.keys()
-                        if live_d[c] != mine_d[c]
-                    }
-                    if conflicts:
-                        raise ValueError(
-                            f"schema evolution on {name!r} cannot "
-                            f"change column types: {conflicts}"
-                        )
-                    # table schema becomes the union: existing fields
-                    # first (stable order), new fields appended
-                    union = StructType(list(live_st.fields))
-                    for f in df.schema.fields:
-                        if f.name not in live_d:
-                            union = union.add(f.name, f.dataType, True)
-                    schema = union.json()
+                # re-resolved on EVERY attempt: a rebase may land on a
+                # head a concurrent commit evolved
+                schema = _resolve_append_schema(
+                    self._load_commit(name, current)["schema"],
+                    df.schema, merge_schema, name,
+                )
             record = {
                 "snapshot_id": current + 1,
                 "action": action,
@@ -350,6 +375,7 @@ class SnapshotTableStore(ParquetTableStore):
                 return current + 1
             # lost the race
             if action == "overwrite":
+                self._read_base[name] = None
                 raise ConcurrentWriteError(
                     f"table {name!r}: lost the commit race for "
                     f"snapshot {current + 1} — re-read and re-derive"
@@ -402,7 +428,7 @@ class SnapshotTableStore(ParquetTableStore):
         return out
 
     def append_once(self, name: str, df: DataFrame, app_id: str,
-                    batch_id: int) -> bool:
+                    batch_id: int, merge_schema: bool = False) -> bool:
         """Idempotent append keyed by (app_id, batch_id) — the Delta
         ``txnAppId``/``txnVersion`` pattern that makes a foreachBatch
         sink EXACTLY-ONCE: Structured Streaming re-delivers a batch
@@ -413,11 +439,15 @@ class SnapshotTableStore(ParquetTableStore):
         reintroduce the two-writes race this store exists to close).
         Returns True if the batch committed, False if it was already
         in the log. Claim races rebase like ``append`` and re-check
-        the txn set each attempt."""
+        the txn set each attempt. Schema discipline is the same as
+        :meth:`append` — validated against the head INSIDE the claim
+        loop (ADVICE r15: a divergent batch must fail loud, never
+        record its own schema and NULL-out existing columns for every
+        reader), with ``merge_schema=True`` permitting additive
+        evolution."""
         if (app_id, batch_id) in self.committed_txns(name):
             return False
         new_dir, files = self._write_data(name, df)
-        schema = df.schema.json()
         rebases = 0
         while True:
             if (app_id, batch_id) in self.committed_txns(name):
@@ -425,6 +455,12 @@ class SnapshotTableStore(ParquetTableStore):
                 # our data dir becomes a vacuumable orphan
                 return False
             current = self.current_snapshot(name) or 0
+            schema = df.schema.json()
+            if current:
+                schema = _resolve_append_schema(
+                    self._load_commit(name, current)["schema"],
+                    df.schema, merge_schema, name,
+                )
             record = {
                 "snapshot_id": current + 1,
                 "action": "append",
@@ -478,8 +514,14 @@ class SnapshotTableStore(ParquetTableStore):
                     "window"
                 )
             if c["dirs"]:
+                # project every part onto the schema recorded at
+                # ``until`` — parquet projection NULL-fills columns an
+                # older vintage predates, so a range crossing an
+                # additive merge_schema boundary unions cleanly
+                # instead of raising (ADVICE r15)
                 parts.append(
-                    self.spark.read.parquet(*c["dirs"])
+                    self.spark.read.schema(self._schema_of(name, until))
+                    .parquet(*c["dirs"])
                     .withColumn("_snapshot_id", F.lit(sid))
                 )
         if not parts:
@@ -526,11 +568,23 @@ class SnapshotTableStore(ParquetTableStore):
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, name: str, keep_last: int = 1) -> list[str]:
+    def vacuum(self, name: str, keep_last: int = 1,
+               orphan_retention_s: float = DEFAULT_ORPHAN_RETENTION_S
+               ) -> list[str]:
         """Delete data directories unreferenced by the newest
         ``keep_last`` snapshots (orphans from crashed commits
         included), and advance the time-travel horizon so vacuumed
-        snapshots fail loud on read. Returns the removed paths."""
+        snapshots fail loud on read. Returns the removed paths.
+
+        A directory referenced by NO manifest at all is
+        indistinguishable from a commit IN FLIGHT (``_commit`` writes
+        data BEFORE the claim), so such orphans are only swept once
+        older than ``orphan_retention_s`` (mtime-based — the Delta
+        VACUUM retention idea, ADVICE r15); a racing vacuum would
+        otherwise delete the files a manifest is about to publish.
+        Directories referenced by a superseded manifest cannot be
+        in flight and are removed regardless of age. Pass 0 only when
+        the caller holds exclusive access."""
         ids = self.snapshot_ids(name)
         if not ids:
             return []
@@ -538,14 +592,26 @@ class SnapshotTableStore(ParquetTableStore):
         live: set[str] = set()
         for sid in ids[max(0, len(ids) - keep_last):]:
             live.update(self._live_dirs(name, sid))
+        referenced: set[str] = set()
+        for sid in ids:
+            referenced.update(self._load_commit(name, sid)["dirs"])
+        now = time.time()
         datadir = self._datadir(name)
         removed = []
         if os.path.isdir(datadir):
             for d in sorted(os.listdir(datadir)):
                 full = os.path.join(datadir, d)
-                if full not in live:
-                    shutil.rmtree(full)
-                    removed.append(full)
+                if full in live:
+                    continue
+                if full not in referenced:
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # concurrently claimed/removed
+                    if age < orphan_retention_s:
+                        continue  # possibly an in-flight commit
+                shutil.rmtree(full)
+                removed.append(full)
         mark = os.path.join(self._txdir(name), _VACUUM_MARK)
         with open(mark, "w") as f:
             json.dump({"min_readable_snapshot": keep_from,

@@ -49,8 +49,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from pythondataingestionprocess_spark.pipeline.snapshot_store import (
+    DEFAULT_ORPHAN_RETENTION_S,
     MAX_APPEND_REBASES,
     ConcurrentWriteError,
+    _resolve_append_schema,
 )
 
 _TXLOG = "_txlog"
@@ -147,7 +149,14 @@ class TableGroup:
         sid = current if snapshot_id is None else snapshot_id
         if sid > current:
             raise ValueError(f"snapshot {sid} does not exist")
-        if snapshot_id is None:
+        if snapshot_id is None and self._read_base is None:
+            # pin the group base at the FIRST read since the last
+            # commit/reset; later reads must NOT advance it — a
+            # transaction whose reads straddle a concurrent commit
+            # would otherwise validate its overwrites against the
+            # LAST read's snapshot and silently clobber the
+            # concurrent writer's changes (ADVICE r15: writer B
+            # commits between A's read of X and A's read of Y)
             self._read_base = sid
         dirs, schema = self._state(name, sid)
         if schema is None:
@@ -189,11 +198,19 @@ class TableGroup:
         n = self.spark.read.parquet(d).count()
         return d, [{"path": d, "n_rows": n}]
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(self, keep_last: int = 1,
+               orphan_retention_s: float = DEFAULT_ORPHAN_RETENTION_S
+               ) -> list[str]:
         """Delete data directories (across ALL tables) unreferenced by
         the newest ``keep_last`` group snapshots — crashed-transaction
         orphans included. Manifests are never deleted (audit trail).
-        Returns removed paths."""
+        Returns removed paths.
+
+        As in :meth:`SnapshotTableStore.vacuum`, a directory no
+        manifest references may be a transaction IN FLIGHT (data lands
+        before the claim), so such orphans are only swept once older
+        than ``orphan_retention_s``; manifest-referenced superseded
+        dirs are removed regardless of age (ADVICE r15)."""
         ids = self.snapshot_ids()
         if not ids:
             return []
@@ -204,6 +221,11 @@ class TableGroup:
             for sid in retained:
                 dirs, _ = self._state(name, sid)
                 live.update(dirs)
+        referenced: set[str] = set()
+        for sid in ids:
+            for entry in self._load_commit(sid)["tables"].values():
+                referenced.update(entry["dirs"])
+        now = time.time()
         removed = []
         for name in names:
             datadir = os.path.join(self.root, name, _DATA)
@@ -211,9 +233,17 @@ class TableGroup:
                 continue
             for d in sorted(os.listdir(datadir)):
                 full = os.path.join(datadir, d)
-                if full not in live:
-                    shutil.rmtree(full)
-                    removed.append(full)
+                if full in live:
+                    continue
+                if full not in referenced:
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # concurrently claimed/removed
+                    if age < orphan_retention_s:
+                        continue  # possibly an in-flight transaction
+                shutil.rmtree(full)
+                removed.append(full)
         return removed
 
     def transaction(self) -> "GroupTransaction":
@@ -233,70 +263,47 @@ class TableGroup:
     ) -> int:
         """Write every staged table's data, then ONE claim."""
         staged = {}
+        pending: dict[str, tuple[str, StructType, bool]] = {}
         has_overwrite = False
         for action, name, df, merge_schema in actions:
             if name in staged:
                 raise ValueError(
                     f"table {name!r} staged twice in one transaction")
-            schema = df.schema.json()
-            if action == "append":
-                # appends must match the live schema's names+types —
-                # a mismatched batch would silently become the
-                # recorded schema and drop earlier files' columns.
-                # merge_schema permits ADDITIVE evolution (union
-                # recorded; reads project it, NULL-filling either
-                # vintage); type changes always fail loud.
-                current = self.current_snapshot()
-                live = (
-                    self._state(name, current)[1] if current else None
-                )
-                if live is not None:
-                    from pythondataingestionprocess_spark.pipeline import (
-                        snapshot_store as _ss,
-                    )
-
-                    lt, mt = _ss._name_types(live), _ss._name_types(schema)
-                    if lt != mt:
-                        if not merge_schema:
-                            raise ValueError(
-                                f"append schema mismatch on {name!r}: "
-                                f"table has {lt}, batch has {mt} — "
-                                "pass merge_schema=True to evolve"
-                            )
-                        lt_d, mt_d = dict(lt), dict(mt)
-                        conflicts = {
-                            c: (lt_d[c], mt_d[c])
-                            for c in lt_d.keys() & mt_d.keys()
-                            if lt_d[c] != mt_d[c]
-                        }
-                        if conflicts:
-                            raise ValueError(
-                                f"schema evolution on {name!r} cannot "
-                                f"change column types: {conflicts}"
-                            )
-                        union = StructType.fromJson(json.loads(live))
-                        for f in df.schema.fields:
-                            if f.name not in lt_d:
-                                union = union.add(f.name, f.dataType, True)
-                        schema = union.json()
             new_dir, files = self._write_data(name, df)
             staged[name] = {
                 "action": action,
                 "dirs": [new_dir] if new_dir else [],
                 "files": files,
-                "schema": schema,
             }
+            pending[name] = (action, df.schema, merge_schema)
             has_overwrite = has_overwrite or action == "overwrite"
         base = self._read_base
         rebases = 0
         while True:
             current = self.current_snapshot() or 0
             if has_overwrite and base is not None and current != base:
+                self._read_base = None
                 raise ConcurrentWriteError(
                     f"group snapshot advanced {base} -> {current} since "
                     "this transaction's base was read — re-read and "
                     "re-derive"
                 )
+            # resolve each table's RECORDED schema against the head of
+            # THIS attempt — re-run on every rebase, so an append-only
+            # transaction that lost the race to a schema-evolving
+            # commit re-validates instead of recording a stale schema
+            # that would drop the evolved column from reads (ADVICE
+            # r15). merge_schema permits ADDITIVE evolution (union
+            # recorded; reads project it, NULL-filling either
+            # vintage); type changes always fail loud.
+            for name, (action, batch_schema, merge_schema) in pending.items():
+                schema = batch_schema.json()
+                if action == "append" and current:
+                    live = self._state(name, current)[1]
+                    if live is not None:
+                        schema = _resolve_append_schema(
+                            live, batch_schema, merge_schema, name)
+                staged[name]["schema"] = schema
             record = {
                 "snapshot_id": current + 1,
                 "tables": staged,
@@ -308,6 +315,7 @@ class TableGroup:
                 self._read_base = None
                 return current + 1
             if has_overwrite:
+                self._read_base = None
                 raise ConcurrentWriteError(
                     "lost the commit race for an overwrite-bearing "
                     "transaction — re-read and re-derive"

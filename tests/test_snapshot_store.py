@@ -73,8 +73,13 @@ def test_crash_mid_commit_is_invisible(spark, tmp_path):
     # the next real commit proceeds normally at snapshot 2
     st.append("store", _df(spark, [(2, "b", "u", True)]))
     assert st.read("store").count() == 2
-    # vacuum sweeps the orphan
-    removed = st.vacuum("store", keep_last=2)
+    # a default vacuum SPARES the fresh orphan — it is
+    # indistinguishable from a commit in flight (ADVICE r15 race:
+    # data lands before the claim)
+    assert orphan not in st.vacuum("store", keep_last=2)
+    assert os.path.isdir(orphan)
+    # with exclusive access declared (retention 0) it is swept
+    removed = st.vacuum("store", keep_last=2, orphan_retention_s=0)
     assert orphan in removed
     assert st.read("store").count() == 2
 
@@ -595,3 +600,73 @@ def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     # and the full history of all of it is queryable
     actions = [r["action"] for r in st.history("store").collect()]
     assert actions == ["append"] * 3 + ["overwrite", "overwrite"]
+
+
+# --- ADVICE r15 regressions ------------------------------------------------
+
+
+def test_append_once_validates_schema_against_head(spark, tmp_path):
+    """ADVICE r15: a divergent batch through append_once must fail
+    loud, not record its own schema as the table's read schema (which
+    NULL-ed existing columns for every reader)."""
+    st = SnapshotTableStore(spark, str(tmp_path))
+    st.overwrite("store", _df(spark, [(1, "a", "u", True)]))
+    bad = spark.createDataFrame([(2, 99)], "id_store long, rogue long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        st.append_once("store", bad, app_id="app", batch_id=0)
+    got = st.read("store")
+    assert got.columns == ["id_store", "store_name", "store_url", "status"]
+    assert [r["store_name"] for r in got.collect()] == ["a"]
+    # merge_schema parity with append: additive evolution allowed
+    extra = spark.createDataFrame(
+        [(2, "b", "u2", True, "mx")],
+        "id_store long, store_name string, store_url string, "
+        "status boolean, region string")
+    assert st.append_once("store", extra, app_id="app", batch_id=1,
+                          merge_schema=True)
+    got = st.read("store")
+    assert "region" in got.columns
+    assert {r["id_store"]: r["region"] for r in got.collect()} == {
+        1: None, 2: "mx"}
+    # replay of the same batch id is still a no-op
+    assert not st.append_once("store", extra, app_id="app", batch_id=1,
+                              merge_schema=True)
+
+
+def test_change_feed_crosses_schema_evolution_boundary(spark, tmp_path):
+    """ADVICE r15: changes() over a range straddling an additive
+    merge_schema append must NULL-fill the older vintage, not raise."""
+    st = SnapshotTableStore(spark, str(tmp_path))
+    st.append("store", _df(spark, [(1, "a", "u", True)]))
+    wide = spark.createDataFrame(
+        [(2, "b", "u2", True, "mx")],
+        "id_store long, store_name string, store_url string, "
+        "status boolean, region string")
+    st.append("store", wide, merge_schema=True)
+    feed = st.changes("store", after=0)
+    assert "region" in feed.columns
+    rows = {r["id_store"]: (r["region"], r["_snapshot_id"])
+            for r in feed.collect()}
+    assert rows == {1: (None, 1), 2: ("mx", 2)}
+
+
+def test_straddling_reads_pin_first_snapshot_single_table(spark, tmp_path):
+    """ADVICE r15 (high, group variant — same discipline here): a
+    second read of the table must not advance the pinned base past a
+    concurrent commit; the overwrite derived from the FIRST read must
+    fail loud."""
+    a = SnapshotTableStore(spark, str(tmp_path), writer_id="a")
+    b = SnapshotTableStore(spark, str(tmp_path), writer_id="b")
+    a.overwrite("store", _df(spark, [(1, "a", "u", True)]))
+    a._read_base["store"] = None  # fresh transaction boundary
+    first = a.read("store")  # pins base 1
+    b.append("store", _df(spark, [(2, "b", "u", True)]))  # snapshot 2
+    a.read("store")  # must NOT re-pin to 2
+    derived = _df(spark, [(r["id_store"], r["store_name"] + "!", "u", True)
+                          for r in first.collect()])
+    with pytest.raises(ConcurrentWriteError, match="advanced 1 -> 2"):
+        a.overwrite("store", derived)
+    # failure reset the base; re-read re-pins and the retry lands
+    again = a.read("store")
+    a.overwrite("store", again.limit(1))
+    assert a.read("store").count() == 1

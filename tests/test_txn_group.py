@@ -176,10 +176,14 @@ def test_group_vacuum_sweeps_orphans_and_superseded(spark, tmp_path):
     grp._write_data("operation", _op(spark, [(2, 1, 1)]))
     with grp.transaction() as t2:
         t2.overwrite("purchase", _p(spark, [(9, 1.0)]))
-    removed = grp.vacuum(keep_last=1)
-    # removed: 2 orphans + purchase's superseded t1 dir (operation's
-    # t1 dir is still live at the retained snapshot 2)
-    assert len(removed) == 3
+    # default vacuum spares the fresh orphans (possible in-flight
+    # transactions — ADVICE r15) but sweeps the manifest-referenced
+    # superseded dir immediately
+    assert len(grp.vacuum(keep_last=1)) == 1
+    removed = grp.vacuum(keep_last=1, orphan_retention_s=0)
+    # removed now: the 2 orphans (purchase's superseded t1 dir went in
+    # the first pass; operation's t1 dir is still live at snapshot 2)
+    assert len(removed) == 2
     assert [r["id_purchase"] for r in grp.read("purchase").collect()] == [9]
     assert grp.read("operation").count() == 1
 
@@ -214,3 +218,84 @@ def test_group_schema_evolution_additive(spark, tmp_path):
     bad = spark.createDataFrame([(3, "x")], "id_purchase long, total string")
     with pytest.raises(ValueError, match="cannot change column types"):
         grp.append("purchase", bad, merge_schema=True)
+
+
+# --- ADVICE r15 regressions ------------------------------------------------
+
+
+def test_straddling_reads_pin_first_snapshot_not_last(spark, tmp_path):
+    """The lost update (ADVICE r15, high): A reads table X, writer B
+    commits, A reads table Y (base must NOT advance to B's snapshot),
+    A's overwrite-bearing transaction must fail loud — validating
+    against the LAST read would let A silently clobber B's changes."""
+    a = TableGroup(spark, str(tmp_path), writer_id="a")
+    b = TableGroup(spark, str(tmp_path), writer_id="b")
+    with a.transaction() as t0:
+        t0.overwrite("purchase", _p(spark, [(1, 5.0)]))
+        t0.overwrite("operation", _op(spark, [(1, 7, 1)]))
+    x = a.read("purchase")  # pins A's base at snapshot 1
+    b.append("operation", _op(spark, [(9, 9, 9)]))  # B lands snapshot 2
+    a.read("operation")  # must NOT re-pin A's base to 2
+    derived = _p(spark, [(r["id_purchase"], r["total"] + 1.0)
+                         for r in x.collect()])
+    with pytest.raises(ConcurrentWriteError, match="advanced 1 -> 2"):
+        with a.transaction() as txn:
+            txn.overwrite("purchase", derived)
+    # the failed commit reset the base: re-read re-pins fresh and the
+    # re-derived transaction goes through
+    x2 = a.read("purchase")
+    with a.transaction() as txn:
+        txn.overwrite("purchase", _p(
+            spark, [(r["id_purchase"], r["total"] + 1.0)
+                    for r in x2.collect()]))
+    assert [r["total"] for r in a.read("purchase").collect()] == [6.0]
+
+
+def test_rebased_append_revalidates_schema_against_new_head(spark, tmp_path):
+    """ADVICE r15: an append-only transaction that loses the claim race
+    to a schema-EVOLVING commit must re-validate on rebase — recording
+    the stale pre-evolution schema would silently drop the evolved
+    column from every read."""
+    grp = TableGroup(spark, str(tmp_path), writer_id="a")
+    rival = TableGroup(spark, str(tmp_path), writer_id="b")
+    grp.overwrite("purchase", _p(spark, [(1, 5.0)]))
+
+    evolved = spark.createDataFrame(
+        [(7, 7.0, "web")], "id_purchase long, total double, channel string")
+    real_claim = grp._claim
+    fired = {"done": False}
+
+    def racing_claim(record, next_id):
+        if not fired["done"]:
+            fired["done"] = True
+            # rival wins THIS snapshot id with a schema-evolving append
+            rival.append("purchase", evolved, merge_schema=True)
+        return real_claim(record, next_id)
+
+    grp._claim = racing_claim
+    # plain batch in the OLD schema: the rebase lands on the EVOLVED
+    # head, so the re-validation must fail LOUD (the pre-fix behavior
+    # recorded the stale schema and silently dropped `channel` from
+    # every read)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        grp.append("purchase", _p(spark, [(2, 6.0)]))
+    assert fired["done"]
+    # with merge_schema the rebase records the union and the evolved
+    # column survives
+    grp.append("purchase", _p(spark, [(2, 6.0)]), merge_schema=True)
+    got = grp.read("purchase")
+    assert "channel" in got.columns
+    rows = {r["id_purchase"]: r["channel"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 7: "web"}
+
+
+def test_fresh_orphan_survives_default_group_vacuum(spark, tmp_path):
+    """ADVICE r15: a data dir no manifest references may be an
+    in-flight transaction (data lands before the claim) — default
+    vacuum must not sweep it."""
+    grp = TableGroup(spark, str(tmp_path))
+    grp.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    d, _ = grp._write_data("purchase", _p(spark, [(2, 6.0)]))
+    assert grp.vacuum(keep_last=1) == []
+    assert os.path.isdir(d)
+    assert grp.vacuum(keep_last=1, orphan_retention_s=0) == [d]
