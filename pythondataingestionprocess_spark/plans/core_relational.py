@@ -712,23 +712,69 @@ _TYPO_CORPUS_SQL = """
   FROM part WHERE p_partkey % 5 = 0
 """
 
+# Full relational replay of the CAPPED symmetric-delete pipeline
+# (r15 VERDICT item 2): depth-1 delete-neighborhood buckets, the
+# bucket_candidate_pairs cap semantics (≤ _FUZZY_CAP members →
+# in-bucket all-pairs; above it → star pairs against the bucket-min
+# anchor only), candidate dedup, exact levenshtein verify. DuckDB
+# independently executes every algorithmic step, so the equivalence is
+# checked exactly at ANY scale — including where the cap binds (the
+# pre-r16 oracle was the exact O(n²) scan, equivalent only while every
+# bucket stayed under the cap; at sf1 the 625-member same-name groups
+# made the uncapped face emit 32M pairs / 92 s).
+_FUZZY_CAP = 64
+
 _FUZZY_JOIN_ORACLE = f"""
-WITH corpus AS ({_TYPO_CORPUS_SQL})
-SELECT a.sid AS id_a, b.sid AS id_b,
-       CAST(levenshtein(a.s, b.s) AS INTEGER) AS edit_dist
-FROM corpus a JOIN corpus b ON a.sid < b.sid
-WHERE levenshtein(a.s, b.s) <= 1
+WITH corpus AS ({_TYPO_CORPUS_SQL}),
+nb AS (
+  SELECT sid, unnest(list_distinct(list_prepend(s,
+           list_transform(range(1, length(s) + 1),
+             i -> substr(s, 1, i - 1) || substr(s, i + 1))))) AS bucket
+  FROM corpus
+),
+bstat AS (
+  SELECT bucket, COUNT(*) AS c, MIN(sid) AS anchor FROM nb GROUP BY 1
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.sid AS id_a, b.sid AS id_b
+    FROM nb a
+    JOIN nb b ON a.bucket = b.bucket AND a.sid < b.sid
+    JOIN bstat st ON st.bucket = a.bucket
+    WHERE st.c <= {_FUZZY_CAP}
+    UNION ALL
+    SELECT st.anchor AS id_a, nb.sid AS id_b
+    FROM nb JOIN bstat st ON st.bucket = nb.bucket
+    WHERE st.c > {_FUZZY_CAP} AND nb.sid <> st.anchor
+  )
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(ca.s, cb.s) AS INTEGER) AS edit_dist
+FROM cand c
+JOIN corpus ca ON ca.sid = c.id_a
+JOIN corpus cb ON cb.sid = c.id_b
+WHERE levenshtein(ca.s, cb.s) <= 1
 """
 
 
 @query("fuzzy_join_symdelete", oracle=_FUZZY_JOIN_ORACLE, tags=("text", "fuzzy", "join"))
 def fuzzy_join_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE fuzzy self-join (edit distance ≤ 1) over part names with
+    """Fuzzy self-join (edit distance ≤ 1) over part names with
     planted single-character typos — symmetric-delete blocking + exact
-    levenshtein verify (operators/fuzzyjoin.py). The oracle is the
-    exact O(n²) scan; the Spark plan never forms it (candidates come
-    from delete-neighborhood buckets, the same capped pair generator
-    as the MinHash/cosine/simhash families). Complements
+    levenshtein verify (operators/fuzzyjoin.py), bucket expansion
+    capped at {cap} (r15 VERDICT item 2: the corpus has only 64
+    distinct part names, so same-name groups grow linearly with SF and
+    the uncapped pair set grows QUADRATICALLY — 125k pairs at sf0.1,
+    32M at sf1/92 s wall; with the anchor-star cap the emitted set is
+    linear in group size and every member stays connected to its
+    group's anchor at dist 0, the keep-one/components contract). The
+    oracle replays the capped pipeline relationally (see
+    _FUZZY_JOIN_ORACLE), so the equivalence is exact at any SF —
+    below the cap it degenerates to the exact pair list (sf0.01
+    buckets are ~6-12 deep; the r1-r15 green rows' basis is a strict
+    subset of this one). Recall trade where the cap binds, documented:
+    a dist-1 pair whose every shared bucket exceeds the cap surfaces
+    only through its anchor edges, not directly. Complements
     fuzzy_name_distance, which only checks key-adjacent pairs."""
     from pythondataingestionprocess_spark.operators.fuzzyjoin import fuzzy_self_join
 
@@ -745,7 +791,7 @@ def fuzzy_join_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sampled.select(
         F.col("p_partkey").alias("sid"), F.col("p_name").alias("s")
     ).unionAll(typos)
-    return fuzzy_self_join(corpus, "sid", "s", max_dist=1)
+    return fuzzy_self_join(corpus, "sid", "s", max_dist=1, bucket_cap=_FUZZY_CAP)
 
 
 _EQUIDEPTH_ORACLE = """

@@ -183,10 +183,22 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
 @query("dedup_embedding_cosine", oracle=_COSINE_DUP_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over a corpus with planted duplicate
-    vectors (the raw corpus is near-orthogonal noise — no natural
-    pairs). Spark side is the LSH-bucketed scale path; the oracle is
+    vectors. Spark side is the LSH-bucketed scale path; the oracle is
     the exact O(n²) scan — identical vectors share every bucket, so
-    LSH recall at the dup end is exactly 1 and the outputs coincide."""
+    LSH recall at the dup end is exactly 1 and the outputs coincide
+    (measured: every qualifying pair at every SF is an exact copy at
+    cos = 1; the generator's 10 Gaussian clusters top out near 0.95).
+
+    bits_per_table is 24 here, not the operator's 12 (r15 VERDICT
+    item 2): candidate volume scales with Σ bucket², and the corpus'
+    cluster structure keeps ~14% of within-cluster pairs per 12-bit
+    bucket — at sf1 that was 20M verified candidates for a 2 000-pair
+    answer (44 s). Doubling the bits cuts the per-pair collision to
+    ~2% (measured sf1: 44 s → 9 s) while exact-copy recall stays
+    exactly 1 at ANY bit width — deeper buckets only trade recall for
+    pairs strictly inside (threshold, 1), which this certificate
+    corpus does not contain. The general rule rides the operator
+    docstring: bits should grow ~log2(corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dupes = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1000000000000
@@ -194,7 +206,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionAll(
         dupes.select("vec_id", "embedding")
     )
-    return dd.cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99)
+    return dd.cosine_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99, bits_per_table=24
+    )
 
 
 # ------------------------------------------------------ SemDeDup screen

@@ -602,6 +602,59 @@ def test_fuzzy_self_join_complete_at_k1(spark):
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
 
 
+def test_fuzzy_self_join_cap_matches_duckdb_replay(spark):
+    """Where the bucket cap BINDS, the Spark pipeline and the DuckDB
+    oracle replay (plans/core_relational._FUZZY_JOIN_ORACLE's shape)
+    must emit the IDENTICAL capped pair set — the r16 oracle-basis
+    change for fuzzy_join_symdelete rests on this equivalence. Corpus:
+    a 9-member identical-string group (over cap 8 → anchor-star) plus
+    a small typo cluster (under cap → all-pairs)."""
+    import duckdb
+
+    from pythondataingestionprocess_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    rows = [(i, "omega relay") for i in range(1, 10)]  # 9 identical
+    rows += [(20, "omega relaz"), (21, "omega relaz")]  # dist-1 typos
+    rows += [(30, "unrelated words")]
+    df = spark.createDataFrame(rows, "sid long, s string")
+    cap = 8
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_self_join(df, "sid", "s", bucket_cap=cap).collect()
+    )
+    # the 9-member group must NOT expand quadratically: anchor-star
+    # only (8 pairs to sid 1), never the 36 all-pairs
+    star = [(a, b) for a, b, _ in got if b <= 9]
+    assert star == [(1, i) for i in range(2, 10)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE corpus(sid BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+    oracle = f"""
+WITH nb AS (
+  SELECT sid, unnest(list_distinct(list_prepend(s,
+           list_transform(range(1, length(s) + 1),
+             i -> substr(s, 1, i - 1) || substr(s, i + 1))))) AS bucket
+  FROM corpus
+),
+bstat AS (SELECT bucket, COUNT(*) AS c, MIN(sid) AS anchor FROM nb GROUP BY 1),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.sid AS id_a, b.sid AS id_b
+    FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.sid < b.sid
+    JOIN bstat st ON st.bucket = a.bucket WHERE st.c <= {cap}
+    UNION ALL
+    SELECT st.anchor, nb.sid FROM nb JOIN bstat st ON st.bucket = nb.bucket
+    WHERE st.c > {cap} AND nb.sid <> st.anchor
+  )
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(ca.s, cb.s) AS INTEGER) AS edit_dist
+FROM cand c JOIN corpus ca ON ca.sid = c.id_a JOIN corpus cb ON cb.sid = c.id_b
+WHERE levenshtein(ca.s, cb.s) <= 1
+"""
+    want = sorted(map(tuple, con.sql(oracle).fetchall()))
+    assert got == want
+
+
 def test_resolve_roots_path_doubling(spark):
     """Deep chain (depth 64) resolves in O(log) rounds within the
     20-round cap, with exact depths; forest separation preserved."""
