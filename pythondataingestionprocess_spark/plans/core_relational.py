@@ -545,16 +545,45 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_customers", oracle=None, tags=("aggregation", "approx"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS est_rel_err_le_0_05
+FROM orders GROUP BY 1
+"""
+
+
+@query("approx_distinct_customers", oracle=_APPROX_DISTINCT_ORACLE,
+       tags=("aggregation", "approx"))
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (SURVEY §2.4 tail: free from Spark,
-    absent in the reference). Rows-only: sketch estimates differ
-    across engines by design; the ±5%-of-exact bound is asserted in
-    tests/test_properties.py instead."""
+    absent in the reference). Promoted from rows-only to an
+    ERROR-BOUND CERTIFICATE in r16 (r15 VERDICT item 5): the sketch
+    estimate itself is engine-specific and can never hash-match, but
+    the CLAIM "estimate within 5% of exact" is decidable — Spark
+    computes both the HLL++ estimate (rsd=0.02) and the exact count
+    per group and emits the comparison as a boolean; the oracle
+    asserts the exact counts AND that every bound holds, so a sketch
+    regression (wrong hashing, lost registers, merge bug) flips the
+    boolean and the driver row goes red. HLL++ is deterministic for a
+    given input set (register maxima commute), so the boolean is
+    stable across sessions and partitionings. Measured margin:
+    max per-priority relative error 1.33% across sf0.01/0.1/1."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("est_rel_err_le_0_05"),
     )
 
 

@@ -1040,17 +1040,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_distinct_users_sketch", oracle=None, tags=("sketch", "agg"))
+_SKETCH_CERT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_rel_err_le_0_05
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_rel_err_le_0_05
+FROM events
+"""
+
+
+@query("events_distinct_users_sketch", oracle=_SKETCH_CERT_ORACLE,
+       tags=("sketch", "agg"))
 def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     hll_sketch_agg): per-event-type user sketches, PLUS an 'ALL' row
     whose estimate comes from hll_union_agg over the per-type sketches
-    — never re-scanning the data. Mergeability is THE 100 TB pattern:
-    partial sketches combine across partitions/days/tiers where exact
-    distinct state cannot. Rows-only (DuckDB's HLL is a different
-    implementation); each row carries the exact count alongside so the
-    driver's rows check still sees a self-auditing result, and the
-    ≤2% relative error is pinned in pytest."""
+    — never re-scanning the data for the union. Mergeability is THE
+    100 TB pattern: partial sketches combine across
+    partitions/days/tiers where exact distinct state cannot.
+
+    Promoted from rows-only to an ERROR-BOUND CERTIFICATE in r16 (r15
+    VERDICT item 5, the approx_distinct_customers pattern): the
+    DataSketches estimate can never hash-match DuckDB's HLL, but the
+    claim "every estimate — per type AND the sketch-union ALL row —
+    is within 5% of exact" is decidable; the oracle asserts the exact
+    counts and the bounds, so a sketch or UNION regression flips a
+    boolean and the driver row goes red. The ≤2% measured error is
+    also pinned in pytest; the certificate's 5% leaves host-agnostic
+    margin. The union row's exact count needs one extra exact pass —
+    driver-scale only; the sketch path itself never re-scans."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -1058,15 +1080,23 @@ def events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     typed = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        F.hll_sketch_estimate("sk").cast("long").alias("_est"),
         "exact_users",
     )
     merged = per_type.agg(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_users"),
-        F.lit(None).cast("long").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("_est"),
+    ).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("exact_users"))
     )
-    return typed.unionByName(merged)
+    return typed.unionByName(merged).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_rel_err_le_0_05"),
+    )
 
 
 # --------------------------------------------------------- bigram LM counts

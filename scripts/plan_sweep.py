@@ -62,6 +62,10 @@ NESTED_LOOP_OK |= {
     "text_tfidf_top_terms",
     "feature_winsorize_robust",
     "bm25_retrieval_topk",
+    "events_distinct_users_sketch",  # the ALL certificate row: a
+    # 1-row hll_union_agg frame crossJoined with the 1-row exact
+    # distinct-count frame (r16 certificate promotion) — both sides
+    # are global aggregates, the 1x1 scalar join class of (a)
 }
 
 ANTI = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
