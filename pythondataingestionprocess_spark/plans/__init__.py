@@ -48,6 +48,16 @@ from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 # its first official driver row. Derived by scripts/rotation_calc.py
 # (exit 0, no warnings); the era-pinned test replays the derivation
 # from an explicit r01..r15 file list.
+#
+# Mid-r16 amendment: `doc_packing_lookahead` (r13-aged, in the
+# derived window) RETIRED — the r15 VERDICT's named capacity lever;
+# its DuckDB state-machine replay migrated to tests/test_llm_operators
+# .py::test_lookahead_packing_matches_duckdb_state_machine_replay,
+# and the freed slot carries the snapshot-store change-feed face
+# (NEW_R17_STAGED below). The window's 49th stale slot refills with
+# `equidepth_price_bands`, the alphabetical front of the r13-age
+# left-overs — exactly what rotation_calc re-derives post-retirement
+# (the era-pinned test asserts this).
 STALE_R13 = [
     "approx_distinct_customers",
     "cdc_snapshot_latest",
@@ -60,13 +70,13 @@ STALE_R13 = [
     "distinct_dims",
     "doc_chunking_overlap",
     "doc_packing_greedy",
-    "doc_packing_lookahead",
     "dq_malformed_json_rate",
     "dq_orders_expectations",
     "dq_profile_orders",
     "dq_referential_integrity",
     "embedding_ann_ivf",
     "embedding_ann_lsh",
+    "equidepth_price_bands",
     "exists_agg_discounted_orders",
     "exists_not_exists_orders",
     "feature_winsorize_robust",
@@ -115,6 +125,20 @@ NEW_R16 = [
 ]
 
 
+# Staged mid-r16, riding the r17 window (outside the current 50 —
+# tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
+# the SnapshotTableStore's first driver-facing correctness row (r15
+# VERDICT item 3) — three real commits through the snapshot log, an
+# exactly-once (app_id, batch_id) replay that must be a no-op, then
+# the append-grain change feed, hash-checked against a DuckDB
+# reconstruction of the expected feed. Slot freed by the same-session
+# `doc_packing_lookahead` retirement, keeping the registry AT the 180
+# cap. Hash-green at sf0.01, sf0.1 AND sf1 at registration.
+NEW_R17_STAGED = [
+    "snapshot_change_feed",
+]
+
+
 def _apply_rotation() -> None:
     priority = STALE_R13 + NEW_R16
     missing = [n for n in priority if n not in REGISTRY]
@@ -141,5 +165,6 @@ __all__ = [
     "query",
     "STALE_R13",
     "NEW_R16",
+    "NEW_R17_STAGED",
     "NEW_CURRENT",
 ]

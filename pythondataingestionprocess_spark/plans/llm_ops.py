@@ -792,114 +792,6 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covered by tests/test_llm_operators.py packing invariants.
 
 
-# Recursive replay of the bounded-space best-fit state machine
-# (operators/packing.lookahead_bins): state = two open-bin slots
-# (a_id, a_fill) / (b_id, b_fill — NULL until a second bin opens) plus
-# the next bin id. Placement comparator: fullest fitting bin, ties to
-# the older (lower-id) bin; seal comparator identical. out_bin/out_fill
-# are the per-doc emissions the Spark side aggregates.
-_LOOKAHEAD_PACK_ORACLE = """
-WITH RECURSIVE t AS (
-  SELECT source, doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-  FROM documents
-), walk AS (
-  SELECT source, rn,
-         CAST(0 AS BIGINT) AS a_id, n AS a_fill,
-         CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS BIGINT) AS b_fill,
-         CAST(1 AS BIGINT) AS nid,
-         CAST(0 AS BIGINT) AS out_bin, n AS out_fill
-  FROM t WHERE rn = 1
-  UNION ALL
-  SELECT t.source, t.rn,
-    CASE WHEN (w.a_fill + t.n <= 4096)
-              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
-                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
-         THEN w.a_id
-         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.a_id
-         WHEN w.b_id IS NOT NULL
-              AND (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
-         THEN w.nid
-         ELSE w.a_id END,
-    CASE WHEN (w.a_fill + t.n <= 4096)
-              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
-                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
-         THEN w.a_fill + t.n
-         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.a_fill
-         WHEN w.b_id IS NOT NULL
-              AND (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
-         THEN t.n
-         ELSE w.a_fill END,
-    CASE WHEN (w.a_fill + t.n <= 4096)
-              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
-                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
-         THEN w.b_id
-         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_id
-         WHEN w.b_id IS NULL THEN w.nid
-         WHEN (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
-         THEN w.b_id
-         ELSE w.nid END,
-    CASE WHEN (w.a_fill + t.n <= 4096)
-              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
-                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
-         THEN w.b_fill
-         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_fill + t.n
-         WHEN w.b_id IS NULL THEN t.n
-         WHEN (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
-         THEN w.b_fill
-         ELSE t.n END,
-    CASE WHEN (w.a_fill + t.n <= 4096)
-              OR (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
-         THEN w.nid ELSE w.nid + 1 END,
-    CASE WHEN (w.a_fill + t.n <= 4096)
-              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
-                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
-         THEN w.a_id
-         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_id
-         WHEN w.b_id IS NULL THEN w.nid
-         ELSE w.nid END,
-    CASE WHEN (w.a_fill + t.n <= 4096)
-              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
-                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
-         THEN w.a_fill + t.n
-         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_fill + t.n
-         ELSE t.n END
-  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
-)
-SELECT source, out_bin AS bin_id, COUNT(*) AS n_docs,
-       CAST(MAX(out_fill) AS BIGINT) AS bin_tokens
-FROM walk GROUP BY 1, 2
-"""
-
-
-@query(
-    "doc_packing_lookahead",
-    oracle=_LOOKAHEAD_PACK_ORACLE,
-    tags=("packing", "pandas-udf"),
-)
-def doc_packing_lookahead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-open-bin best-fit packing (budget 4096): per-(source, bin)
-    fill stats. Strictly better fill than the single-bin greedy packer
-    (never more bins — property-tested), same applyInPandas shape.
-    Promoted from rows-only to a full oracle (VERDICT r2 item 5): the
-    DuckDB recursive CTE replays the two-open-bin state machine
-    step-by-step, carrying both bin slots and the next-id counter as
-    recursion state — an independent sequential formulation of
-    operators/packing.lookahead_bins."""
-    from pythondataingestionprocess_spark.operators.packing import (
-        pack_documents_lookahead,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("source", "doc_id", tx.token_count("text").alias("n_tokens"))
-    packed = pack_documents_lookahead(t, "source", "doc_id", "n_tokens", 4096)
-    return packed.groupBy("source", "bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("bin_fill").alias("bin_tokens"),
-    )
-
-
 _MIX_ORACLE = """
 WITH rated AS (
   SELECT doc_id, source,

@@ -273,3 +273,74 @@ def state_change_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", _TS_FMT).alias("changed_at"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-store change feed: the transaction layer's driver-facing face.
+# ---------------------------------------------------------------------------
+
+# Expected feed reconstructed relationally: snapshots 2 and 3 appended
+# exactly the %7==1 and %7==2 order slices (the %7==1 REPLAY between
+# them must be invisible — its batch id was already in the log).
+_SNAPSHOT_FEED_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       CAST(2 AS BIGINT) AS _snapshot_id
+FROM orders WHERE o_orderkey % 7 = 1
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       CAST(3 AS BIGINT) AS _snapshot_id
+FROM orders WHERE o_orderkey % 7 = 2
+"""
+
+
+@query("snapshot_change_feed", oracle=_SNAPSHOT_FEED_ORACLE,
+       tags=("lakehouse", "cdc", "snapshot"))
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SnapshotTableStore's first driver-facing correctness row
+    (r15 VERDICT item 3 — the r15 transaction layer had 31 pytest
+    pins but no oracle evidence). End-to-end through the REAL commit
+    protocol in a scratch store: three appends of deterministic order
+    slices (o_orderkey % 7 ∈ {0,1,2} → snapshots 1,2,3), an
+    exactly-once REPLAY of snapshot 2's (app_id, batch_id) between
+    them that must be a no-op (the Delta txnAppId idiom — a duplicate
+    would poison the feed and the hash), then ``changes(after=1)`` —
+    the incremental consumer's cursor read. The oracle reconstructs
+    the expected feed (slices 1 and 2 tagged with their snapshot ids)
+    straight from the orders parquet, so manifest bookkeeping, the
+    append-grain log replay, exactly-once dedup, and the feed's
+    snapshot tagging are all checked against an independent engine.
+    The scratch store is rebuilt per invocation (md5+pid-keyed tmp
+    dir) — commits are data-write-bound, metadata is one JSON per
+    snapshot (BASELINE.md protocol probe)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pythondataingestionprocess_spark.pipeline.snapshot_store import (
+        SnapshotTableStore,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "pdip_snapfeed_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12], os.getpid()
+        ),
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    st = SnapshotTableStore(spark, root, writer_id="feed-face")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+    def batch(r: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 7 == r)
+
+    st.append("orders_feed", batch(0))  # snapshot 1 (before the cursor)
+    if not st.append_once("orders_feed", batch(1), "feed", 1):  # snapshot 2
+        raise AssertionError("first append_once must commit")
+    if st.append_once("orders_feed", batch(1), "feed", 1):  # crash replay
+        raise AssertionError("replayed (app_id, batch_id) must be a no-op")
+    st.append("orders_feed", batch(2))  # snapshot 3
+    return st.changes("orders_feed", after=1)

@@ -204,26 +204,33 @@ def _funnel_update(key, pdfs, state):
         pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"], kind="stable"
         )
-        out = []
-        for _, row in pdf.iterrows():
-            if row["event_type"] == "view":
-                last_view = row["ts"]
-            elif (
-                row["event_type"] == "purchase"
-                and last_view is not None
-                and row["ts"] >= last_view
-                and row["ts"] - last_view <= window
-            ):
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "view_ts": last_view,
-                        "purchase_ts": row["ts"],
-                        "value": row["value"],
-                    }
-                )
-        if out:
-            yield pd.DataFrame(out)
+        # vectorized scan (r15 VERDICT item 6 — the per-row iterrows
+        # single-threaded a hot key at ~10⁶ events/micro-batch): the
+        # "most recent view at each row" is a forward-fill of view
+        # timestamps over the sorted frame, seeded with the carried
+        # state; the ts >= anchor guard stays because the carry-in
+        # from a previous batch may postdate this batch's early rows.
+        is_view = pdf["event_type"].eq("view")
+        anchor = pdf["ts"].where(is_view).ffill()
+        if last_view is not None:
+            anchor = anchor.fillna(last_view)
+        hits = pdf[
+            pdf["event_type"].eq("purchase")
+            & anchor.notna()
+            & (pdf["ts"] >= anchor)
+            & (pdf["ts"] - anchor <= window)
+        ]
+        if len(hits):
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "view_ts": anchor[hits.index],
+                    "purchase_ts": hits["ts"],
+                    "value": hits["value"],
+                }
+            )
+        if is_view.any():
+            last_view = pdf.loc[is_view, "ts"].iloc[-1]
     state.update((last_view,))
 
 

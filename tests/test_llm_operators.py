@@ -1549,3 +1549,115 @@ def test_packing_tied_order_col_is_deterministic(spark):
         if baseline is None:
             baseline = (got, shards)
         assert (got, shards) == baseline
+
+
+# Migrated from the retired `doc_packing_lookahead` driver face
+# (RETIRED_R16 — the r15 VERDICT's named capacity lever: the slot now
+# carries the snapshot-store change-feed face). The face's substance —
+# an independent DuckDB recursive-CTE replay of the two-open-bin
+# best-fit state machine, carrying both bin slots and the next-id
+# counter as recursion state — is pinned HERE instead, at sf0.001.
+_LOOKAHEAD_REPLAY_SQL = """
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, rn,
+         CAST(0 AS BIGINT) AS a_id, n AS a_fill,
+         CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS BIGINT) AS b_fill,
+         CAST(1 AS BIGINT) AS nid,
+         CAST(0 AS BIGINT) AS out_bin, n AS out_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_id
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.a_id
+         WHEN w.b_id IS NOT NULL
+              AND (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN w.nid
+         ELSE w.a_id END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_fill + t.n
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.a_fill
+         WHEN w.b_id IS NOT NULL
+              AND (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN t.n
+         ELSE w.a_fill END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.b_id
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_id
+         WHEN w.b_id IS NULL THEN w.nid
+         WHEN (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN w.b_id
+         ELSE w.nid END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.b_fill
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_fill + t.n
+         WHEN w.b_id IS NULL THEN t.n
+         WHEN (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id))
+         THEN w.b_fill
+         ELSE t.n END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              OR (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+         THEN w.nid ELSE w.nid + 1 END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_id
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_id
+         WHEN w.b_id IS NULL THEN w.nid
+         ELSE w.nid END,
+    CASE WHEN (w.a_fill + t.n <= 4096)
+              AND (NOT (w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096)
+                   OR (w.a_fill > w.b_fill OR (w.a_fill = w.b_fill AND w.a_id < w.b_id)))
+         THEN w.a_fill + t.n
+         WHEN w.b_id IS NOT NULL AND w.b_fill + t.n <= 4096 THEN w.b_fill + t.n
+         ELSE t.n END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, out_bin AS bin_id, COUNT(*) AS n_docs,
+       CAST(MAX(out_fill) AS BIGINT) AS bin_tokens
+FROM walk GROUP BY 1, 2
+"""
+
+
+def test_lookahead_packing_matches_duckdb_state_machine_replay(spark, sf_dir):
+    """operators/packing.pack_documents_lookahead vs the sequential
+    DuckDB replay of the same comparator (fullest fitting bin, ties to
+    the older bin; identical seal rule) — the retired driver face's
+    oracle contract, kept as a pytest gate."""
+    import duckdb
+
+    from pythondataingestionprocess_spark.functions import text as _tx
+    from pythondataingestionprocess_spark.operators.packing import (
+        pack_documents_lookahead,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "doc_id", _tx.token_count("text").alias("n_tokens"))
+    packed = pack_documents_lookahead(t, "source", "doc_id", "n_tokens", 4096)
+    got = sorted(
+        (r["source"], r["bin_id"], r["n_docs"], r["bin_tokens"])
+        for r in packed.groupBy("source", "bin_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("bin_fill").alias("bin_tokens"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(_LOOKAHEAD_REPLAY_SQL).fetchall()))
+    assert got == want

@@ -24,7 +24,6 @@ from pythondataingestionprocess_spark.plans import REGISTRY  # noqa: E402
 
 SANCTIONED_VECTORIZED = {
     "doc_packing_greedy",
-    "doc_packing_lookahead",
     "multimodal_decode_stats",
     "multimodal_frame_sample",
     "dedup_embedding_cosine",

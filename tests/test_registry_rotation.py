@@ -3,12 +3,17 @@
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
 The round-16 window = 49 stale + 1 new: ALL 31 last-checked-r12
-queries (the front-load left-overs pinned here last round) plus the
-alphabetical first 18 of the 49 last-checked-r13 (the 31 same-age
-left-overs front-load r17), then ``q2_min_cost_supplier`` — staged
-mid-r15 — takes its first official driver row. These tests make the
-rotation explicit and fail loudly if a later registration or refactor
-silently reorders the window.
+queries (the front-load left-overs pinned here last round) plus 18 of
+the 49 last-checked-r13 (the 30 same-age left-overs front-load r17),
+then ``q2_min_cost_supplier`` — staged mid-r15 — takes its first
+official driver row. Mid-r16 amendment: ``doc_packing_lookahead``
+retired (substance migrated to test_llm_operators' DuckDB replay
+test; the freed registry slot carries the staged snapshot-store
+change-feed face), and its window slot refilled with
+``equidepth_price_bands``, the alphabetical front of the r13-age
+left-overs — rotation_calc's own post-retirement derivation. These
+tests make the rotation explicit and fail loudly if a later
+registration or refactor silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
 feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r15 file
@@ -59,7 +64,6 @@ R16_EVIDENCE_FILES = sorted(
 # Recorded verbatim from scripts/rotation_calc.py's round-16
 # derivation.
 R17_FRONT_LOAD_LEFT_OVERS = [
-    "equidepth_price_bands",
     "events_bounce_rate",
     "events_concurrency_peak",
     "events_decayed_feature",
@@ -111,13 +115,13 @@ R13_AGE_IN_WINDOW = [
     "distinct_dims",
     "doc_chunking_overlap",
     "doc_packing_greedy",
-    "doc_packing_lookahead",
     "dq_malformed_json_rate",
     "dq_orders_expectations",
     "dq_profile_orders",
     "dq_referential_integrity",
     "embedding_ann_ivf",
     "embedding_ann_lsh",
+    "equidepth_price_bands",
 ]
 
 # Retired across rounds: these names must never silently reappear in
@@ -147,6 +151,9 @@ RETIRED_R14 = [
 ]
 RETIRED_R15 = [
     "topk_per_group_agg",
+]
+RETIRED_R16 = [
+    "doc_packing_lookahead",
 ]
 
 OK_ROW = {"rows_match": True, "schema_match": True,
@@ -206,7 +213,7 @@ def test_registry_intact_after_rotation():
 
 def test_retired_queries_stay_retired():
     for n in (RETIRED_R9 + RETIRED_R10 + RETIRED_R11 + RETIRED_R13
-              + RETIRED_R14 + RETIRED_R15):
+              + RETIRED_R14 + RETIRED_R15 + RETIRED_R16):
         assert n not in REGISTRY, f"{n} was retired"
 
 

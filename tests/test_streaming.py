@@ -1970,3 +1970,67 @@ def test_progress_logger_rejects_object_store_scheme(spark, tmp_path):
     local = ProgressFileLogger(f"file://{tmp_path}/logs")
     assert os.path.isdir(f"{tmp_path}/logs")
     assert local.log_dir == f"{tmp_path}/logs"
+
+
+def test_funnel_update_vectorized_matches_loop_reference():
+    """r16 (r15 VERDICT item 6): the ffill/mask formulation that
+    replaced the per-row iterrows scan must emit the identical
+    conversion rows AND leave identical state for random streams —
+    including the carry-in case where the state's view postdates early
+    batch rows. The reference loop below is the retired
+    implementation, kept verbatim as the semantic pin."""
+    import random
+
+    import pandas as pd
+
+    from pythondataingestionprocess_spark.streaming.stateful import _funnel_update
+
+    def loop_reference(pdf, last_view):
+        window = pd.Timedelta(minutes=30)
+        out = []
+        for _, row in pdf.iterrows():
+            if row["event_type"] == "view":
+                last_view = row["ts"]
+            elif (
+                row["event_type"] == "purchase"
+                and last_view is not None
+                and row["ts"] >= last_view
+                and row["ts"] - last_view <= window
+            ):
+                out.append((last_view, row["ts"], row["value"]))
+        return out, last_view
+
+    rng = random.Random(420)
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    for trial in range(40):
+        n = rng.randrange(1, 60)
+        rows = [
+            {
+                "user_id": 7,
+                "event_id": i,
+                "ts": base + pd.Timedelta(minutes=rng.randrange(0, 120)),
+                "event_type": rng.choice(["view", "purchase", "click"]),
+                "value": float(i),
+            }
+            for i in range(n)
+        ]
+        carry = (
+            None
+            if rng.random() < 0.3
+            else base + pd.Timedelta(minutes=rng.randrange(-40, 90))
+        )
+        pdf = pd.DataFrame(rows).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
+        want, want_state = loop_reference(pdf, carry)
+        st = _StubState((carry,) if carry is not None else None)
+        got_frames = list(
+            _funnel_update((7,), iter([pd.DataFrame(rows)]), st)
+        )
+        got = [
+            (r.view_ts, r.purchase_ts, r.value)
+            for f in got_frames
+            for r in f.itertuples()
+        ]
+        assert got == want, trial
+        assert st._v == (want_state,), trial
