@@ -678,18 +678,54 @@ def fuzzy_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stratified_sample_events", oracle=None, tags=("sampling",))
+# Hash-threshold stratified sampling, replayed exactly: keep an event
+# iff the first 32 bits of md5(event_id) — a uniform u32 both engines
+# compute identically — fall under the stratum's rate × 2³².
+_STRAT_SAMPLE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                < CASE event_type WHEN 'click' THEN 2147483648
+                                  WHEN 'view' THEN 429496729
+                                  ELSE 4294967296 END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM events GROUP BY 1
+"""
+
+
+@query("stratified_sample_events", oracle=_STRAT_SAMPLE_ORACLE, tags=("sampling",))
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy per event_type, fixed seed) —
-    the corpus-downsampling primitive for training-data pipelines.
-    Rows-only: per-row Bernoulli draws depend on partition layout, so
-    exact membership isn't cross-engine stable; the fraction bound is
-    unit-tested instead."""
+    """Stratified sampling — the corpus-downsampling primitive for
+    training-data pipelines (click 50%, view 10%, everything else
+    kept). Promoted from rows-only to a FULL oracle in r16 (r15
+    VERDICT item 5) by moving from ``sampleBy`` to HASH-THRESHOLD
+    sampling: keep an event iff the first 32 bits of md5(event_id)
+    fall under rate·2³². That is not just an oracle trick — it is the
+    sampler a 100 TB pipeline actually wants: membership is a pure
+    function of the ROW (partition-layout-free, so re-runs, retries,
+    engine swaps and incremental reprocessing all select the same
+    rows), strata rates are exact in expectation with the same
+    Bernoulli statistics, and the sample is refinable (rate 0.1 is a
+    strict subset of rate 0.5 under the same hash). ``sampleBy``'s
+    per-partition RNG draws — membership changes with partitioning —
+    stay covered by unit tests as the quick-and-local alternative.
+    DuckDB replays the identical md5 threshold, so per-stratum totals
+    AND sampled counts are checked exactly."""
     events = load_table(spark, sf_dir, "events")
-    sampled = events.sampleBy(
-        "event_type", {"click": 0.5, "view": 0.1, "error": 1.0}, seed=42
+    u32 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    threshold = (
+        F.when(F.col("event_type") == "click", F.lit(2147483648))
+        .when(F.col("event_type") == "view", F.lit(429496729))
+        .otherwise(F.lit(4294967296))
     )
-    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(u32 < threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+    )
 
 
 _FULL_OUTER_ORACLE = """

@@ -45,6 +45,15 @@ DEFAULT_NAMES = [
     "doc_packing_shards",
     "trend_slope_per_nation",
     "forward_fill_locf",
+    # r16 oracle-basis additions: the capped symmetric-delete replay
+    # (the cap BINDS at sf1 — this is the only standing gate that
+    # exercises the bound branch at scale), the snapshot-store change
+    # feed (real commit protocol + exactly-once replay at 1.5M-row
+    # grain), and the PQ ADC full replay (plateau ordering at sf1 is
+    # what caught the unordered-SUM ulp bug at registration).
+    "fuzzy_join_symdelete",
+    "snapshot_change_feed",
+    "embedding_ann_pq",
 ]
 
 ap = argparse.ArgumentParser()
