@@ -356,14 +356,47 @@ FROM documents GROUP BY source
 """
 
 
-@query("multimodal_decode_stats", oracle=None, tags=("multimodal",))
+# fake_decode_stats (multimodal/media.py:616) is pure arithmetic over
+# the blob's byte length — width 16+n%64, height 16+(n//64)%64,
+# n_frames 1 for image else 2+n%29 — so the WHOLE face replays in SQL:
+# octet_length of the utf-8 bytes, the round-robin type assignment,
+# the decode arithmetic, and the per-type aggregates. What the driver
+# then certifies end-to-end is the Arrow plumbing itself: binary
+# column encode, mapInPandas batch traversal, per-row decode dispatch,
+# stats schema, aggregation.
+_DECODE_STATS_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(SUM(n) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN media_type = 'image' THEN 1
+                     ELSE 2 + n % 29 END) AS BIGINT) AS total_frames,
+       CAST(MIN(16 + n % 64) AS INT) AS min_width,
+       CAST(MAX(16 + (n // 64) % 64) AS INT) AS max_height
+FROM b GROUP BY 1
+"""
+
+
+@query("multimodal_decode_stats", oracle=_DECODE_STATS_ORACLE,
+       tags=("multimodal",))
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media decode (mapInPandas) over opaque binary
     payloads: utf-8 doc bytes stand in for media blobs, media_type
     assigned round-robin, deterministic fake decoder (container ships
     no image/audio libs — multimodal/media.py stubs the real one).
-    Rows-only: the per-blob stats have no SQL twin; determinism is
-    pinned by tests/test_llm_operators.py."""
+    Promoted from rows-only to a FULL oracle in r16 (r15 VERDICT
+    item 5): the fake decoder is byte-length arithmetic, so DuckDB
+    replays it exactly (_DECODE_STATS_ORACLE) and the driver row
+    certifies the Arrow binary-column plumbing end-to-end — the same
+    move the real-decode face made in r14 with synth.py's blobs.
+    Determinism of the per-blob stats stays pinned by
+    tests/test_llm_operators.py."""
     from pythondataingestionprocess_spark.multimodal.media import decode_media
 
     docs = load_table(spark, sf_dir, "documents")
