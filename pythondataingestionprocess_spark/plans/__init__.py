@@ -77,6 +77,7 @@ STALE_R13 = [
     "embedding_ann_ivf",
     "embedding_ann_lsh",
     "equidepth_price_bands",
+    "events_bounce_rate",
     "exists_agg_discounted_orders",
     "exists_not_exists_orders",
     "feature_winsorize_robust",
@@ -99,7 +100,6 @@ STALE_R13 = [
     "stmt_charge_line_grammar",
     "stratified_sample_events",
     "text_bigram_lm",
-    "text_bpe_merge_learn",
     "text_rolling_fingerprint",
     "topk_per_group",
     "trend_slope_per_nation",
@@ -127,15 +127,29 @@ NEW_R16 = [
 
 # Staged mid-r16, riding the r17 window (outside the current 50 —
 # tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
-# the SnapshotTableStore's first driver-facing correctness row (r15
-# VERDICT item 3) — three real commits through the snapshot log, an
-# exactly-once (app_id, batch_id) replay that must be a no-op, then
-# the append-grain change feed, hash-checked against a DuckDB
-# reconstruction of the expected feed. Slot freed by the same-session
-# `doc_packing_lookahead` retirement, keeping the registry AT the 180
-# cap. Hash-green at sf0.01, sf0.1 AND sf1 at registration.
+# (1) the SnapshotTableStore's first driver-facing correctness row
+# (r15 VERDICT item 3) — three real commits through the snapshot log,
+# an exactly-once (app_id, batch_id) replay that must be a no-op,
+# then the append-grain change feed, hash-checked against a DuckDB
+# reconstruction of the expected feed; slot freed by the
+# `doc_packing_lookahead` retirement. (2) the TableGroup's first
+# driver row — one transaction staging three tables must be exactly
+# one group snapshot, a mid-staging failure must be invisible, plus
+# group time travel; slot freed by the `text_bpe_merge_learn`
+# retirement (its oracle was byte-identical to the batched face's —
+# the driver ran one comparison twice; sequential-path evidence
+# migrated to pytest). Registry stays AT the 180 cap; both faces
+# hash-green at sf0.01, sf0.1 AND sf1 at registration. Because this
+# block holds TWO staged names, the calculator's r17 stale budget is
+# 48, one fewer than the committed window's 49 stale: the displaced
+# name is `events_bounce_rate` (added mid-r16 to refill the second
+# retirement; the r13-age alphabetical tail of the window). It IS
+# driver-checked this round — the committed window stays full — it
+# just re-enters the r17 derivation as the freshest r13-age evidence;
+# the era-pinned reproduction test asserts the displacement exactly.
 NEW_R17_STAGED = [
     "snapshot_change_feed",
+    "txn_group_atomic_ingest",
 ]
 
 

@@ -1315,35 +1315,16 @@ FROM top_words t JOIN (
 )
 
 
-@query("text_bpe_merge_learn", oracle=_BPE_LEARN_ORACLE, tags=("text", "tokenizer"))
-def text_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BPE tokenizer-training LOOP (Sennrich et al. 2016), three
-    iterations end-to-end on a letters-only vocabulary: learn three
-    merges (count DESC, lexicographic tie-break), then report the
-    learned table WITH each merge's selection-time count plus the
-    top-10 adjacent pairs of the POST-merge word table — i.e. what
-    iteration 4 would argmax, proving all three folds applied
-    correctly. `rank` orders the merge rows (it is the artifact);
-    pair rows carry the sentinel -1 — their order is already encoded
-    by (n, a, b) and a rank would need a global row_number.
-
-    Spark-first (operators/bpe.py): one corpus pass builds the
-    (word, count) table; each iteration is a vocabulary-sized
-    pair-count aggregation plus a 1-row argmax collect (bounded driver
-    state — the merge list IS the output), and the fold applies
-    map-side as a Catalyst accumulator fold, no shuffle. At 100 TB the
-    corpus pass dominates and everything after is vocabulary-sized —
-    the property that makes 30k-merge training tractable (the batched
-    learner collapses passes further; this face pins the sequential
-    semantics the batch certificate must reproduce).
-
-    The DuckDB oracle replays the same three iterations as an
-    independent SET-BASED formulation: positional symbol rows,
-    window-function pair counts, and gaps-and-islands greedy run
-    handling — two engines, two algorithms, one answer."""
-    return _bpe_merge_face(spark, sf_dir, batched=False)
-
-
+# `text_bpe_merge_learn` (the SEQUENTIAL learner through the same
+# oracle) RETIRED r16 as a capacity lever for the TableGroup face:
+# the batched face below hash-matches the SAME sequential-replay
+# oracle on the same corpus, so the driver was running one comparison
+# twice; the sequential code path keeps driver-grade evidence via
+# tests/test_llm_operators.py::test_sequential_bpe_face_matches_oracle
+# (face body vs the oracle at sf0.001) plus the parity-batch
+# certificate tests. The sequential face's scale notes (one corpus
+# pass; vocabulary-sized iterations; bounded driver state) are the
+# batched face's too.
 @query(
     "text_bpe_merge_learn_batched",
     oracle=_BPE_LEARN_ORACLE,

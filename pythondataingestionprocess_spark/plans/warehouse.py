@@ -344,3 +344,107 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("replayed (app_id, batch_id) must be a no-op")
     st.append("orders_feed", batch(2))  # snapshot 3
     return st.changes("orders_feed", after=1)
+
+
+# ---------------------------------------------------------------------------
+# TableGroup atomic multi-table ingest: the shared-log transaction face.
+# ---------------------------------------------------------------------------
+
+# Expected visible state reconstructed relationally: ONE group commit
+# carrying all three tables (snapshot 1 — the failed transaction
+# between must consume no snapshot id and leave no change), one more
+# append-only commit (snapshot 2). n_rows = current count per table;
+# n_rows_at_1 = the group-wide time-travel read at snapshot 1.
+_TXN_GROUP_ORACLE = """
+WITH f AS (SELECT CAST(COUNT(*) AS BIGINT) c FROM orders WHERE o_orderstatus = 'F'),
+oo AS (SELECT CAST(COUNT(*) AS BIGINT) c FROM orders WHERE o_orderstatus = 'O'),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) c FROM orders WHERE o_orderkey % 4 = 0),
+p AS (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) c FROM orders)
+SELECT CAST(1 AS BIGINT) AS snapshot_id, 'ord_agg' AS table_name,
+       'overwrite' AS action, (SELECT c FROM p) AS n_rows,
+       (SELECT c FROM p) AS n_rows_at_1
+UNION ALL
+SELECT 1, 'ord_flagged', 'append',
+       (SELECT c FROM f) + (SELECT c FROM oo), (SELECT c FROM f)
+UNION ALL
+SELECT 1, 'ord_small', 'overwrite', (SELECT c FROM s), (SELECT c FROM s)
+UNION ALL
+SELECT 2, 'ord_flagged', 'append',
+       (SELECT c FROM f) + (SELECT c FROM oo), (SELECT c FROM f)
+"""
+
+
+@query("txn_group_atomic_ingest", oracle=_TXN_GROUP_ORACLE,
+       tags=("lakehouse", "txn", "snapshot"))
+def txn_group_atomic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TableGroup's first driver-facing correctness row (r16; the
+    multi-table transaction layer had 12 pytest pins but no oracle
+    evidence — the snapshot_change_feed face covers only the
+    single-table store). End-to-end through the REAL shared-log
+    protocol in a scratch group: ONE transaction staging three tables
+    (an overwrite, an append, and a per-priority aggregate overwrite)
+    must land as EXACTLY one group snapshot; a second transaction that
+    raises mid-staging must consume no snapshot id and leave zero
+    visible change in any table; a third, append-only transaction
+    lands as snapshot 2. The output joins the group's queryable
+    history (snapshot_id, table_name, action) with each table's
+    current count AND its group-wide time-travel count at snapshot 1 —
+    so commit granularity, failed-transaction invisibility, per-table
+    log replay, and group time travel are all hash-checked against a
+    DuckDB reconstruction from the orders parquet."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pythondataingestionprocess_spark.pipeline.txn_group import TableGroup
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "pdip_txngrp_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12], os.getpid()
+        ),
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    grp = TableGroup(spark, root, writer_id="ingest-face")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    with grp.transaction() as t1:
+        t1.overwrite("ord_small", orders.filter(F.col("o_orderkey") % 4 == 0))
+        t1.append("ord_flagged", orders.filter(F.col("o_orderstatus") == "F"))
+        t1.overwrite(
+            "ord_agg",
+            orders.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
+    if grp.current_snapshot() != 1:
+        raise AssertionError("three staged tables must be ONE commit")
+    try:
+        with grp.transaction() as bad:
+            bad.append("ord_flagged", orders.limit(5))
+            raise RuntimeError("simulated mid-transaction crash")
+    except RuntimeError:
+        pass
+    if grp.current_snapshot() != 1:
+        raise AssertionError("failed transaction must consume no snapshot")
+    with grp.transaction() as t2:
+        t2.append("ord_flagged", orders.filter(F.col("o_orderstatus") == "O"))
+
+    counts_now = [
+        (t, grp.read(t).count()) for t in ("ord_agg", "ord_flagged", "ord_small")
+    ]
+    counts_at_1 = {
+        t: grp.read(t, snapshot_id=1).count()
+        for t, _ in counts_now
+    }
+    counts = spark.createDataFrame(
+        [(t, n, counts_at_1[t]) for t, n in counts_now],
+        "table_name string, n_rows long, n_rows_at_1 long",
+    )
+    hist = grp.history().select("snapshot_id", "table_name", "action")
+    return hist.join(counts, "table_name").select(
+        "snapshot_id", "table_name", "action", "n_rows", "n_rows_at_1"
+    )

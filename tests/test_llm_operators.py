@@ -1661,3 +1661,28 @@ def test_lookahead_packing_matches_duckdb_state_machine_replay(spark, sf_dir):
     )
     want = sorted(map(tuple, con.sql(_LOOKAHEAD_REPLAY_SQL).fetchall()))
     assert got == want
+
+
+def test_sequential_bpe_face_matches_oracle(spark, sf_dir):
+    """Migrated from the retired `text_bpe_merge_learn` driver face
+    (RETIRED_R16 capacity lever — its oracle is byte-identical to the
+    batched face's, so the driver ran the same comparison twice): the
+    SEQUENTIAL learner path (_bpe_merge_face(batched=False)) must
+    still hash-match the DuckDB set-based replay."""
+    import duckdb
+
+    from pythondataingestionprocess_spark.plans.llm_ops import (
+        _BPE_LEARN_ORACLE,
+        _bpe_merge_face,
+    )
+
+    got = sorted(
+        map(tuple, _bpe_merge_face(spark, sf_dir, batched=False).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(_BPE_LEARN_ORACLE).fetchall()))
+    assert got == want

@@ -6,14 +6,17 @@ The round-16 window = 49 stale + 1 new: ALL 31 last-checked-r12
 queries (the front-load left-overs pinned here last round) plus 18 of
 the 49 last-checked-r13 (the 30 same-age left-overs front-load r17),
 then ``q2_min_cost_supplier`` — staged mid-r15 — takes its first
-official driver row. Mid-r16 amendment: ``doc_packing_lookahead``
+official driver row. Mid-r16 amendments (two): ``doc_packing_lookahead``
 retired (substance migrated to test_llm_operators' DuckDB replay
 test; the freed registry slot carries the staged snapshot-store
-change-feed face), and its window slot refilled with
-``equidepth_price_bands``, the alphabetical front of the r13-age
-left-overs — rotation_calc's own post-retirement derivation. These
-tests make the rotation explicit and fail loudly if a later
-registration or refactor silently reorders the window.
+change-feed face), window slot refilled with
+``equidepth_price_bands``; then ``text_bpe_merge_learn`` retired (its
+oracle was byte-identical to the batched face's; sequential-path
+evidence migrated to pytest; the slot carries the staged TableGroup
+face), window slot refilled with ``events_bounce_rate``. Both refills
+are rotation_calc's own post-retirement derivation. These tests make
+the rotation explicit and fail loudly if a later registration or
+refactor silently reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
 feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r15 file
@@ -64,7 +67,6 @@ R16_EVIDENCE_FILES = sorted(
 # Recorded verbatim from scripts/rotation_calc.py's round-16
 # derivation.
 R17_FRONT_LOAD_LEFT_OVERS = [
-    "events_bounce_rate",
     "events_concurrency_peak",
     "events_decayed_feature",
     "events_scd2_enrich",
@@ -96,13 +98,14 @@ R17_FRONT_LOAD_LEFT_OVERS = [
     "zorder_file_skipping",
 ]
 
-# The 18 last-checked-r13 queries INSIDE the committed window (the
-# other 31 are r12-checked). If a NEW_R17_STAGED block is pending at
-# runtime, the calculator's stale budget shrinks below 49 and the
-# displaced names must come from this set's alphabetical tail; with no
-# staged block the budget grows back to 50 and the derived stale set
-# EXTENDS the committed window with the alphabetical front of the
-# r13-age left-overs.
+# The 19 last-checked-r13 queries INSIDE the committed window after
+# both mid-r16 amendments (the other 30 are r12-checked). If a
+# NEW_R17_STAGED block is pending at runtime, the calculator's stale
+# budget shrinks below 49 and the displaced names must come from this
+# set's alphabetical tail (with the 2-name staged block that is
+# exactly `events_bounce_rate`); with no staged block the budget
+# grows back to 50 and the derived stale set EXTENDS the committed
+# window with the alphabetical front of the r13-age left-overs.
 R13_AGE_IN_WINDOW = [
     "approx_distinct_customers",
     "cdc_snapshot_latest",
@@ -122,6 +125,7 @@ R13_AGE_IN_WINDOW = [
     "embedding_ann_ivf",
     "embedding_ann_lsh",
     "equidepth_price_bands",
+    "events_bounce_rate",
 ]
 
 # Retired across rounds: these names must never silently reappear in
@@ -154,6 +158,7 @@ RETIRED_R15 = [
 ]
 RETIRED_R16 = [
     "doc_packing_lookahead",
+    "text_bpe_merge_learn",
 ]
 
 OK_ROW = {"rows_match": True, "schema_match": True,
