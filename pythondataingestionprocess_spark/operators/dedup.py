@@ -730,13 +730,25 @@ def simhash_pairs(
     )
 
 
+def auto_lsh_bits(n: int, floor: int = 12, ceil: int = 30) -> int:
+    """The bits~log2(corpus) rule as a function: ceil(log2(n)) + 9,
+    clamped. Calibrated on the sf ladder (22k vectors → 24 bits = the
+    measured sf1 sweet spot; 2k → 20; 220k → 27); the ceiling is 30
+    because bucket ids ride ``array<int>`` (int32). Exact-duplicate
+    recall is bit-width-independent (identical vectors share every
+    bucket), so deeper tables only shed sub-threshold candidates."""
+    import math
+
+    return max(floor, min(ceil, math.ceil(math.log2(max(n, 2))) + 9))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
     dim: int = 64,
-    bits_per_table: int = 12,
+    bits_per_table: int | None = 12,
     n_tables: int = 8,
     seed: int = 7,
     bucket_cap: int = 1000,
@@ -771,12 +783,29 @@ def cosine_near_dup_pairs(
     Measured on the sf1 cert corpus (20k+2k vectors): 12 bits =
     ~20M verified candidates / 44 s wall; 24 bits = 9 s, identical
     output (the 2 000 planted exact-copy pairs).
+
+    ``bits_per_table=None`` applies :func:`auto_lsh_bits` from one
+    corpus count — the self-tuning form for ONE-SHOT batch dedup,
+    where the scheme lives only for the job. Persistent/incremental
+    consumers (:func:`cosine_near_dup_pairs_incremental`, the
+    streaming vector store) must keep EXPLICIT bits: an index's
+    bucket scheme is part of its on-disk contract, and auto-resizing
+    it on corpus growth would silently desynchronize store and probe
+    (the r13 one-construction rule).
     """
     from pythondataingestionprocess_spark.functions.vectors import cosine
     from pythondataingestionprocess_spark.operators.similarity import (
         hyperplane_bucket_rows,
     )
 
+    if bits_per_table is None:
+        if banded is not None:
+            raise ValueError(
+                "bits_per_table=None (auto) cannot be combined with a "
+                "precomputed `banded` — the caller already fixed the "
+                "scheme that produced those bucket rows"
+            )
+        bits_per_table = auto_lsh_bits(df.count())
     if banded is None:
         banded = hyperplane_bucket_rows(
             df, id_col, vec_col,

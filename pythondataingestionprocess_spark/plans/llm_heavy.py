@@ -189,16 +189,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured: every qualifying pair at every SF is an exact copy at
     cos = 1; the generator's 10 Gaussian clusters top out near 0.95).
 
-    bits_per_table is 24 here, not the operator's 12 (r15 VERDICT
-    item 2): candidate volume scales with Σ bucket², and the corpus'
-    cluster structure keeps ~14% of within-cluster pairs per 12-bit
-    bucket — at sf1 that was 20M verified candidates for a 2 000-pair
-    answer (44 s). Doubling the bits cuts the per-pair collision to
-    ~2% (measured sf1: 44 s → 9 s) while exact-copy recall stays
-    exactly 1 at ANY bit width — deeper buckets only trade recall for
-    pairs strictly inside (threshold, 1), which this certificate
-    corpus does not contain. The general rule rides the operator
-    docstring: bits should grow ~log2(corpus)."""
+    bits_per_table is AUTO here (operators/dedup.auto_lsh_bits — one
+    corpus count picks ceil(log2 n)+9, clamped to [12, 30]), not the
+    operator's fixed 12 (r15 VERDICT item 2): candidate volume scales
+    with Σ bucket², and the corpus' cluster structure keeps ~14% of
+    within-cluster pairs per 12-bit bucket — at sf1 that was 20M
+    verified candidates for a 2 000-pair answer (44 s); the auto rule
+    resolves to 24 bits there (measured: 9 s, identical output) and
+    27 at sf10 where fixed-24 re-quadraticized (167 s). Exact-copy
+    recall is bit-width-independent (identical vectors share every
+    bucket), so the EXACT oracle below is valid at any auto choice —
+    deeper buckets only shed candidates strictly inside
+    (threshold, 1), which this certificate corpus does not contain.
+    Auto is sound ONLY for one-shot batch dedup like this face; the
+    incremental/streaming twins pin their bits (index contract)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dupes = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1000000000000
@@ -207,7 +211,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dupes.select("vec_id", "embedding")
     )
     return dd.cosine_near_dup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.99, bits_per_table=24
+        corpus, "vec_id", "embedding", threshold=0.99, bits_per_table=None
     )
 
 
