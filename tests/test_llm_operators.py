@@ -1686,3 +1686,18 @@ def test_sequential_bpe_face_matches_oracle(spark, sf_dir):
     )
     want = sorted(map(tuple, con.sql(_BPE_LEARN_ORACLE).fetchall()))
     assert got == want
+
+
+def test_auto_lsh_bits_calibration():
+    """The self-tuning depth rule (r16): ceil(log2 n)+9 clamped to
+    [12, 30] — pinned at the measured calibration points (22k → 24
+    was the sf1 sweet spot; 220k → 27 measured at sf10) and at the
+    int32 bucket-id ceiling."""
+    from pythondataingestionprocess_spark.operators.dedup import auto_lsh_bits
+
+    assert auto_lsh_bits(1) == 12
+    assert auto_lsh_bits(8) == 12
+    assert auto_lsh_bits(2200) == 21
+    assert auto_lsh_bits(22000) == 24
+    assert auto_lsh_bits(220000) == 27
+    assert auto_lsh_bits(10**12) == 30  # clamped: int32 bucket ids
