@@ -786,7 +786,10 @@ def cosine_near_dup_pairs(
 
     ``bits_per_table=None`` applies :func:`auto_lsh_bits` from one
     corpus count — the self-tuning form for ONE-SHOT batch dedup,
-    where the scheme lives only for the job. Persistent/incremental
+    where the scheme lives only for the job. The sizing count is one
+    extra column-pruned scan of ``df``'s lineage (r16 review); when
+    the caller already knows the corpus size (table stats, snapshot
+    manifests' n_rows), pass explicit bits and skip it. Persistent/incremental
     consumers (:func:`cosine_near_dup_pairs_incremental`, the
     streaming vector store) must keep EXPLICIT bits: an index's
     bucket scheme is part of its on-disk contract, and auto-resizing

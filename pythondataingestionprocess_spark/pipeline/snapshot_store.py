@@ -75,6 +75,15 @@ _TXLOG = "_txlog"
 _DATA = "data"
 _VACUUM_MARK = "_vacuum.json"
 MAX_APPEND_REBASES = 5
+
+# Sentinel for a read base INVALIDATED by a failed overwrite commit:
+# distinct from None (no pin → the next read pins fresh) because a
+# caller that catches ConcurrentWriteError and blindly retries the
+# SAME stale derivation must keep failing loud — clearing to None
+# would let the retry skip validation entirely and silently clobber
+# the concurrent writer (r16 review). Only an actual re-READ replaces
+# the sentinel with a fresh pin.
+_STALE_BASE = object()
 # vacuum treats a data dir referenced by NO manifest as possibly an
 # in-flight commit (data lands before the claim) and only sweeps it
 # past this age — the Delta VACUUM retention idea, scaled to this
@@ -242,14 +251,17 @@ class SnapshotTableStore(ParquetTableStore):
                 f"{self._vacuum_horizon(name)}) — its data files are "
                 "gone; a partial read would be silent corruption"
             )
-        if snapshot_id is None and self._read_base.get(name) is None:
+        base = self._read_base.get(name)
+        if snapshot_id is None and (base is None or base is _STALE_BASE):
             # pin the base for this instance's next read-modify-write
             # at the FIRST read since the last commit/reset — a later
             # read must NOT advance it, or a transaction whose reads
             # straddle a concurrent commit would validate its
             # overwrite against the last read's snapshot and silently
             # clobber the concurrent writer's changes (ADVICE r15,
-            # the lost update this class exists to detect)
+            # the lost update this class exists to detect). A
+            # _STALE_BASE sentinel (failed commit) is replaced here —
+            # re-reading IS the prescribed recovery.
             self._read_base[name] = sid
         dirs = self._live_dirs(name, sid)
         if not dirs:
@@ -338,14 +350,28 @@ class SnapshotTableStore(ParquetTableStore):
     def _commit(self, name: str, action: str, df: DataFrame,
                 base: int | None, merge_schema: bool = False) -> int:
         new_dir, files = self._write_data(name, df)
+        if new_dir is not None:
+            # refresh the dir's mtime at the claim edge: the vacuum
+            # orphan retention is mtime-based and must cover the whole
+            # in-flight window, not just the parquet write
+            _now = time.time()
+            os.utime(new_dir, (_now, _now))
         schema = df.schema.json()
         rebases = 0
         while True:
             current = self.current_snapshot(name) or 0
+            if action == "overwrite" and base is _STALE_BASE:
+                raise ConcurrentWriteError(
+                    f"table {name!r}: this instance's read base was "
+                    "invalidated by a previous failed commit — "
+                    "re-READ the table and re-derive before retrying"
+                )
             if action == "overwrite" and base is not None and current != base:
-                # the prescribed recovery is re-read + re-derive; the
-                # re-read must re-pin a FRESH base (first-pin read)
-                self._read_base[name] = None
+                # the prescribed recovery is re-read + re-derive; mark
+                # the pin stale so a blind retry with the SAME
+                # derivation keeps failing loud, while the re-read
+                # re-pins fresh (first-pin read handles the sentinel)
+                self._read_base[name] = _STALE_BASE
                 raise ConcurrentWriteError(
                     f"table {name!r}: snapshot advanced {base} -> "
                     f"{current} since this write's base was read — "
@@ -365,7 +391,11 @@ class SnapshotTableStore(ParquetTableStore):
                 "files": files,
                 "schema": schema,
                 "writer_id": self.writer_id,
-                "base_snapshot": base if base is not None else current,
+                "base_snapshot": base if isinstance(base, int) else current,
+                # isinstance: a _STALE_BASE sentinel (failed overwrite
+                # commit) must not leak into the manifest — an
+                # append-only commit after a failure records the head
+
                 "ts_utc": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                 ),
@@ -375,7 +405,7 @@ class SnapshotTableStore(ParquetTableStore):
                 return current + 1
             # lost the race
             if action == "overwrite":
-                self._read_base[name] = None
+                self._read_base[name] = _STALE_BASE
                 raise ConcurrentWriteError(
                     f"table {name!r}: lost the commit race for "
                     f"snapshot {current + 1} — re-read and re-derive"
@@ -448,6 +478,9 @@ class SnapshotTableStore(ParquetTableStore):
         if (app_id, batch_id) in self.committed_txns(name):
             return False
         new_dir, files = self._write_data(name, df)
+        if new_dir is not None:
+            _now = time.time()
+            os.utime(new_dir, (_now, _now))  # claim-edge mtime refresh
         rebases = 0
         while True:
             if (app_id, batch_id) in self.committed_txns(name):

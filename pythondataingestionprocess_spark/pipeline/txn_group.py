@@ -52,6 +52,7 @@ from pythondataingestionprocess_spark.pipeline.snapshot_store import (
     DEFAULT_ORPHAN_RETENTION_S,
     MAX_APPEND_REBASES,
     ConcurrentWriteError,
+    _STALE_BASE,
     _resolve_append_schema,
 )
 
@@ -149,7 +150,9 @@ class TableGroup:
         sid = current if snapshot_id is None else snapshot_id
         if sid > current:
             raise ValueError(f"snapshot {sid} does not exist")
-        if snapshot_id is None and self._read_base is None:
+        if snapshot_id is None and (
+            self._read_base is None or self._read_base is _STALE_BASE
+        ):
             # pin the group base at the FIRST read since the last
             # commit/reset; later reads must NOT advance it — a
             # transaction whose reads straddle a concurrent commit
@@ -277,12 +280,29 @@ class TableGroup:
             }
             pending[name] = (action, df.schema, merge_schema)
             has_overwrite = has_overwrite or action == "overwrite"
+        # refresh every staged dir's mtime NOW, at the edge of the
+        # claim: vacuum's orphan retention is mtime-based, and a
+        # multi-table transaction writes table A's data long before
+        # the single claim — without this, A's dir could age past the
+        # retention window while the transaction is still staging B
+        # and C, and a concurrent vacuum would sweep it out from under
+        # the imminent commit (r16 review)
+        now = time.time()
+        for entry in staged.values():
+            for d in entry["dirs"]:
+                os.utime(d, (now, now))
         base = self._read_base
         rebases = 0
         while True:
             current = self.current_snapshot() or 0
+            if has_overwrite and base is _STALE_BASE:
+                raise ConcurrentWriteError(
+                    "this group instance's read base was invalidated "
+                    "by a previous failed commit — re-READ and "
+                    "re-derive before retrying"
+                )
             if has_overwrite and base is not None and current != base:
-                self._read_base = None
+                self._read_base = _STALE_BASE
                 raise ConcurrentWriteError(
                     f"group snapshot advanced {base} -> {current} since "
                     "this transaction's base was read — re-read and "
@@ -308,14 +328,18 @@ class TableGroup:
                 "snapshot_id": current + 1,
                 "tables": staged,
                 "writer_id": self.writer_id,
-                "base_snapshot": base if base is not None else current,
+                "base_snapshot": base if isinstance(base, int) else current,
+                # isinstance: a _STALE_BASE sentinel (failed overwrite
+                # commit) must not leak into the manifest — an
+                # append-only commit after a failure records the head
+
                 "ts_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             if self._claim(record, current + 1):
                 self._read_base = None
                 return current + 1
             if has_overwrite:
-                self._read_base = None
+                self._read_base = _STALE_BASE
                 raise ConcurrentWriteError(
                     "lost the commit race for an overwrite-bearing "
                     "transaction — re-read and re-derive"

@@ -275,6 +275,36 @@ def state_change_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scratch stores for the transaction-layer faces: md5+pid-keyed under
+# /tmp, wiped at the START of each same-process invocation (the
+# returned DataFrame is lazy, so an end-of-call rmtree would race the
+# driver's collect) and swept at interpreter exit — without the
+# atexit hook every driver/bench/pytest process abandoned one
+# multi-hundred-thousand-row parquet store per corpus (r16 review).
+_SCRATCH_REGISTERED: set = set()
+
+
+def _scratch_store_root(prefix: str, sf_dir: str) -> str:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "pdip_{}_{}_{}".format(
+            prefix, hashlib.md5(sf_dir.encode()).hexdigest()[:12], os.getpid()
+        ),
+    )
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    if root not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, True)
+    return root
+
+
 # ---------------------------------------------------------------------------
 # Snapshot-store change feed: the transaction layer's driver-facing face.
 # ---------------------------------------------------------------------------
@@ -309,26 +339,14 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight from the orders parquet, so manifest bookkeeping, the
     append-grain log replay, exactly-once dedup, and the feed's
     snapshot tagging are all checked against an independent engine.
-    The scratch store is rebuilt per invocation (md5+pid-keyed tmp
-    dir) — commits are data-write-bound, metadata is one JSON per
-    snapshot (BASELINE.md protocol probe)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    The scratch store is rebuilt per invocation and swept at exit
+    (see _scratch_store_root) — commits are data-write-bound,
+    metadata is one JSON per snapshot (BASELINE.md protocol probe)."""
     from pythondataingestionprocess_spark.pipeline.snapshot_store import (
         SnapshotTableStore,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "pdip_snapfeed_{}_{}".format(
-            hashlib.md5(sf_dir.encode()).hexdigest()[:12], os.getpid()
-        ),
-    )
-    if os.path.exists(root):
-        shutil.rmtree(root)
+    root = _scratch_store_root("snapfeed", sf_dir)
     st = SnapshotTableStore(spark, root, writer_id="feed-face")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
@@ -391,22 +409,11 @@ def txn_group_atomic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     current count AND its group-wide time-travel count at snapshot 1 —
     so commit granularity, failed-transaction invisibility, per-table
     log replay, and group time travel are all hash-checked against a
-    DuckDB reconstruction from the orders parquet."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    DuckDB reconstruction from the orders parquet. Scratch group
+    rebuilt per invocation, swept at exit (_scratch_store_root)."""
     from pythondataingestionprocess_spark.pipeline.txn_group import TableGroup
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "pdip_txngrp_{}_{}".format(
-            hashlib.md5(sf_dir.encode()).hexdigest()[:12], os.getpid()
-        ),
-    )
-    if os.path.exists(root):
-        shutil.rmtree(root)
+    root = _scratch_store_root("txngrp", sf_dir)
     grp = TableGroup(spark, root, writer_id="ingest-face")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"

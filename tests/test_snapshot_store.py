@@ -670,3 +670,29 @@ def test_straddling_reads_pin_first_snapshot_single_table(spark, tmp_path):
     again = a.read("store")
     a.overwrite("store", again.limit(1))
     assert a.read("store").count() == 1
+
+
+def test_blind_retry_after_failed_overwrite_keeps_failing(spark, tmp_path):
+    """r16 review: a caller that catches ConcurrentWriteError and
+    retries the SAME stale derivation WITHOUT re-reading must keep
+    failing loud — the failed commit invalidates the pin (sentinel),
+    it does not clear it, so only an actual re-read re-arms
+    validation."""
+    a = SnapshotTableStore(spark, str(tmp_path), writer_id="a")
+    b = SnapshotTableStore(spark, str(tmp_path), writer_id="b")
+    a.overwrite("store", _df(spark, [(1, "x", "u", True)]))
+    a._read_base["store"] = None
+    stale = a.read("store")  # pins base 1
+    b.append("store", _df(spark, [(2, "y", "u", True)]))  # snapshot 2
+    derived = _df(spark, [(9, "stale", "u", True)])
+    with pytest.raises(ConcurrentWriteError):
+        a.overwrite("store", derived)
+    # the blind retry — same frame, no re-read — must ALSO fail
+    with pytest.raises(ConcurrentWriteError, match="invalidated"):
+        a.overwrite("store", derived)
+    # untouched: both rows still visible
+    assert a.read("store").count() == 2
+    # after the re-read (which just happened above), the retry lands
+    a.overwrite("store", derived)
+    assert [r["id_store"] for r in a.read("store").collect()] == [9]
+    del stale

@@ -299,3 +299,26 @@ def test_fresh_orphan_survives_default_group_vacuum(spark, tmp_path):
     assert grp.vacuum(keep_last=1) == []
     assert os.path.isdir(d)
     assert grp.vacuum(keep_last=1, orphan_retention_s=0) == [d]
+
+
+def test_blind_retry_after_failed_group_txn_keeps_failing(spark, tmp_path):
+    """r16 review twin of the single-table sentinel test: a failed
+    overwrite-bearing group transaction invalidates the group base —
+    retrying the same stale staging without a re-read fails loud."""
+    a = TableGroup(spark, str(tmp_path), writer_id="a")
+    b = TableGroup(spark, str(tmp_path), writer_id="b")
+    a.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    a.read("purchase")  # pins base 1
+    b.append("purchase", _p(spark, [(2, 6.0)]))  # snapshot 2
+    stale_df = _p(spark, [(9, 9.9)])
+    with pytest.raises(ConcurrentWriteError):
+        with a.transaction() as t:
+            t.overwrite("purchase", stale_df)
+    with pytest.raises(ConcurrentWriteError, match="invalidated"):
+        with a.transaction() as t:
+            t.overwrite("purchase", stale_df)
+    assert a.read("purchase").count() == 2  # nothing clobbered...
+    # ...and the read above re-pinned, so the next retry lands
+    with a.transaction() as t:
+        t.overwrite("purchase", stale_df)
+    assert [r["id_purchase"] for r in a.read("purchase").collect()] == [9]
