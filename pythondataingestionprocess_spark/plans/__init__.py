@@ -35,126 +35,104 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-16 rotation -----------------------------------------------
-# Driver-check union after r15 is all-green (CORRECTNESS_r15 50/50;
-# no failure in fifteen rounds). Evidence ages over the r01..r15
-# files for the 180 registered queries: 31 last-checked-r12 (the
-# front-load left-overs pinned in tests/test_registry_rotation.py
-# last round), 49 r13, 49 r14, 50 r15; nothing past the
-# MAX_EVIDENCE_AGE=4 bound. The window carries ALL 31 r12-aged
-# queries plus the alphabetical first 18 of the 49 r13-aged (the 31
-# same-age left-overs front-load r17), then the staged r16 face —
-# `q2_min_cost_supplier`, the TPC-H Q2 shape staged mid-r15 — takes
-# its first official driver row. Derived by scripts/rotation_calc.py
-# (exit 0, no warnings); the era-pinned test replays the derivation
-# from an explicit r01..r15 file list.
+# --- round-17 rotation -----------------------------------------------
+# Driver-check union after r16 is all-green (CORRECTNESS_r16 50/50;
+# sixteen failure-free rounds). Evidence ages over the r01..r16 files
+# for the 180 registered queries: 29 last-checked-r13 (the front-load
+# left-overs pinned in tests/test_registry_rotation.py last round),
+# 49 r14, 50 r15, 50 r16; nothing past the MAX_EVIDENCE_AGE=4 bound.
+# rotation_calc (exit 0, no warnings; stale budget 48 with the 2-name
+# r16-staged block) derives: ALL 29 r13-aged queries + the
+# alphabetical first 19 of the 49 r14-aged.
 #
-# Mid-r16 amendment: `doc_packing_lookahead` (r13-aged, in the
-# derived window) RETIRED — the r15 VERDICT's named capacity lever;
-# its DuckDB state-machine replay migrated to tests/test_llm_operators
-# .py::test_lookahead_packing_matches_duckdb_state_machine_replay,
-# and the freed slot carries the snapshot-store change-feed face
-# (NEW_R17_STAGED below). The window's 49th stale slot refills with
-# `equidepth_price_bands`, the alphabetical front of the r13-age
-# left-overs — exactly what rotation_calc re-derives post-retirement
-# (the era-pinned test asserts this).
-STALE_R13 = [
-    "approx_distinct_customers",
-    "cdc_snapshot_latest",
-    "corpus_build_pipeline",
-    "corpus_curation_filter",
-    "cube_agg",
-    "dedup_exact_docs",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "distinct_dims",
-    "doc_chunking_overlap",
-    "doc_packing_greedy",
-    "dq_malformed_json_rate",
-    "dq_orders_expectations",
-    "dq_profile_orders",
-    "dq_referential_integrity",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "equidepth_price_bands",
-    "events_bounce_rate",
-    "exists_agg_discounted_orders",
-    "exists_not_exists_orders",
-    "feature_winsorize_robust",
-    "funnel_three_step",
-    "having_large_orders",
-    "hierarchical_revenue_share",
-    "idle_customers_segment",
-    "incremental_agg_maintenance",
-    "merge_event_intervals",
-    "monthly_revenue_trend",
-    "multimodal_binary_meta",
-    "multimodal_decode_stats",
-    "part_clustering_coefficient",
-    "percentile_cont_prices",
-    "pii_pseudonymize_vault",
-    "pit_scd2_price_join",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "recursive_cte_subtree_rollup",
-    "stmt_charge_line_grammar",
-    "stratified_sample_events",
-    "text_bigram_lm",
-    "text_rolling_fingerprint",
-    "topk_per_group",
-    "trend_slope_per_nation",
-    "unpivot_charge_components",
-    "window_edge_values",
-    "window_range_frame",
-    "window_running_total",
-    "zorder_layout_cells",
+# Committed amendment (r16 VERDICT item 1 / NEXT.md): the three
+# oracle-basis-changed faces whose contract changed AFTER their last
+# driver row are front-loaded in place of the derived r14-age
+# alphabetical tail —
+#   displaced (r14-aged; they front-load r18 with the other 30
+#   same-age left-overs): `events_asof_next_purchase`,
+#   `events_cohort_retention`, `events_cumulative_unique_users`;
+#   promoted: `fuzzy_join_symdelete` (capped-pipeline replay oracle,
+#   r16), `events_distinct_users_sketch` (rows-only -> 5% error-bound
+#   certificate, r16) — both r14-aged anyway — and
+#   `dedup_embedding_cosine` (face bits_per_table 12->24 mid-r16;
+#   last driver row r15 predates it).
+# `embedding_ann_pq` (rows-only -> full ADC replay, r16) is already
+# inside the derived window by age. The era-pinned test replays the
+# pure-age derivation from an explicit r01..r16 file list and asserts
+# exactly this three-for-three swap.
+STALE_R14 = [
+    "argmax_customer_balance",
+    "bilateral_trade_volume",
+    "conditional_agg_priority",
+    "copurchase_triangles",
+    "corpus_dsir_importance",
+    "corr_moments_stats",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_incremental_components",
+    "dedup_semantic_semdedup",
+    "disjunctive_predicate_revenue",
+    "doc_packing_shards",
+    "dq_order_reconciliation",
+    "dq_price_outliers_mad",
+    "embedding_ann_pq",
+    "embedding_knn_brute",
+    "events_asof_last_click",
+    "events_concurrency_peak",
+    "events_decayed_feature",
+    "events_distinct_users_sketch",
+    "events_scd2_enrich",
+    "fuzzy_join_symdelete",
+    "inverted_index_incremental",
+    "inverted_index_postings",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q4_priority_order_checks",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "qualify_above_avg_suppliers",
+    "range_join_quantity_bands",
+    "revenue_share_top_customers",
+    "scalar_subquery_small_qty",
+    "skewed_join_salted",
+    "string_agg_nations",
+    "text_bpe_merge_learn_batched",
+    "text_bpe_token_count",
+    "text_bpe_tokenize_vectorized",
+    "text_contamination_check",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "train_val_test_split",
+    "unnest_top_words",
+    "zorder_file_skipping",
 ]
 
-# Staged mid-r15 as NEW_R16_STAGED, folded into the applied rotation
-# here: the TPC-H Q2 shape (r14 VERDICT item 4, the last uncovered
-# Q-number) — correlated min-supplycost subquery over the
-# lineitem-derived supply relation through the part/supplier/nation/
-# region star, decorrelated to one fact shuffle + a partitioned-window
-# min. Slot was freed by the r15 `topk_per_group_agg` retirement
-# (substance migrated to tests/test_plans.py::
-# test_topk_agg_formulation_matches_window_face), keeping the registry
-# AT the 180 cap. Hash-green at sf0.01 AND sf1 at registration (r15)
-# and judge-verified green at the r15 fold.
-NEW_R16 = [
-    "q2_min_cost_supplier",
-]
-
-
-# Staged mid-r16, riding the r17 window (outside the current 50 —
-# tests/test_registry_rotation.py::test_no_staged_blocks_inside_the_window):
-# (1) the SnapshotTableStore's first driver-facing correctness row
-# (r15 VERDICT item 3) — three real commits through the snapshot log,
-# an exactly-once (app_id, batch_id) replay that must be a no-op,
-# then the append-grain change feed, hash-checked against a DuckDB
-# reconstruction of the expected feed; slot freed by the
-# `doc_packing_lookahead` retirement. (2) the TableGroup's first
-# driver row — one transaction staging three tables must be exactly
-# one group snapshot, a mid-staging failure must be invisible, plus
-# group time travel; slot freed by the `text_bpe_merge_learn`
-# retirement (its oracle was byte-identical to the batched face's —
-# the driver ran one comparison twice; sequential-path evidence
-# migrated to pytest). Registry stays AT the 180 cap; both faces
-# hash-green at sf0.01, sf0.1 AND sf1 at registration. Because this
-# block holds TWO staged names, the calculator's r17 stale budget is
-# 48, one fewer than the committed window's 49 stale: the displaced
-# name is `events_bounce_rate` (added mid-r16 to refill the second
-# retirement; the r13-age alphabetical tail of the window). It IS
-# driver-checked this round — the committed window stays full — it
-# just re-enters the r17 derivation as the freshest r13-age evidence;
-# the era-pinned reproduction test asserts the displacement exactly.
-NEW_R17_STAGED = [
+# Staged mid-r16 (as NEW_R17_STAGED), folded into the applied rotation
+# here: the two lakehouse faces take their first official driver rows.
+# (1) `snapshot_change_feed` — three real commits through the
+# SnapshotTableStore log, an exactly-once (app_id, batch_id) replay
+# that must be a no-op, then the append-grain change feed vs a DuckDB
+# reconstruction (slot freed by the r16 `doc_packing_lookahead`
+# retirement). (2) `txn_group_atomic_ingest` — one TableGroup
+# transaction staging three tables must be exactly one group
+# snapshot, a mid-staging failure must be invisible, plus group time
+# travel (slot freed by the r16 `text_bpe_merge_learn` retirement).
+# Both hash-green at sf0.01/sf0.1/sf1 at registration (r16) and
+# judge-verified green in the r16 session. Registry stays AT the 180
+# cap.
+NEW_R17 = [
     "snapshot_change_feed",
     "txn_group_atomic_ingest",
 ]
 
 
 def _apply_rotation() -> None:
-    priority = STALE_R13 + NEW_R16
+    priority = STALE_R14 + NEW_R17
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -171,14 +149,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R16
+NEW_CURRENT = NEW_R17
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R13",
-    "NEW_R16",
-    "NEW_R17_STAGED",
+    "STALE_R14",
+    "NEW_R17",
     "NEW_CURRENT",
 ]

@@ -2,24 +2,22 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-16 window = 49 stale + 1 new: ALL 31 last-checked-r12
-queries (the front-load left-overs pinned here last round) plus 18 of
-the 49 last-checked-r13 (the 30 same-age left-overs front-load r17),
-then ``q2_min_cost_supplier`` — staged mid-r15 — takes its first
-official driver row. Mid-r16 amendments (two): ``doc_packing_lookahead``
-retired (substance migrated to test_llm_operators' DuckDB replay
-test; the freed registry slot carries the staged snapshot-store
-change-feed face), window slot refilled with
-``equidepth_price_bands``; then ``text_bpe_merge_learn`` retired (its
-oracle was byte-identical to the batched face's; sequential-path
-evidence migrated to pytest; the slot carries the staged TableGroup
-face), window slot refilled with ``events_bounce_rate``. Both refills
-are rotation_calc's own post-retirement derivation. These tests make
-the rotation explicit and fail loudly if a later registration or
-refactor silently reorders the window.
+The round-17 window = 48 stale + 2 new: ALL 29 last-checked-r13
+queries (the front-load left-overs pinned here last round) plus 16 of
+the 49 last-checked-r14 (alphabetical front) plus the THREE
+oracle-basis-changed faces front-loaded per the r16 VERDICT
+(`dedup_embedding_cosine`, `events_distinct_users_sketch`,
+`fuzzy_join_symdelete` — swapped in for the derived r14-age
+alphabetical tail `events_asof_next_purchase` /
+`events_cohort_retention` / `events_cumulative_unique_users`, which
+front-load r18), then the two r16-staged lakehouse faces
+(`snapshot_change_feed`, `txn_group_atomic_ingest`) take their first
+official driver rows. These tests make the rotation explicit and fail
+loudly if a later registration or refactor silently reorders the
+window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r15 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r16 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
@@ -27,7 +25,7 @@ rows, no evidence-lag tripwire), never the window composition.
 Capacity (r8 VERDICT item 3): rotation_calc hard-fails above
 WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
 retiring is mechanically impossible, not just a written rule. The
-registry sits AT the cap (180): any r16 registration requires a
+registry sits AT the cap (180): any r17 registration requires a
 retirement first. The calculator guard behaviors (capacity trip,
 evidence-lag tripwire, failed-row alert, parsed-round ordering,
 filename rejection, oversubscribed-window clamp) are pinned below
@@ -42,31 +40,29 @@ import subprocess
 import sys
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R16,
+    NEW_R17,
     REGISTRY,
-    STALE_R13,
+    STALE_R14,
 )
 
 DRIVER_WINDOW = 50
 
-# The file set the committed rotation was derived from (rounds 1..15).
-# Frozen: later rounds' files must NOT retroactively change what r16's
+# The file set the committed rotation was derived from (rounds 1..16).
+# Frozen: later rounds' files must NOT retroactively change what r17's
 # window was.
-R16_EVIDENCE_FILES = sorted(
+R17_EVIDENCE_FILES = sorted(
     (
         f
         for f in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 15
+        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 16
     ),
     key=lambda f: int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)),
 )
 
 
-# The 31 r13-checked queries the alphabetical cut left out of
-# STALE_R13 (same evidence age); they front-load round 17's window.
-# Recorded verbatim from scripts/rotation_calc.py's round-16
-# derivation.
-R17_FRONT_LOAD_LEFT_OVERS = [
+# The 29 last-checked-r13 queries (this round's guaranteed stale
+# front — the left-overs pinned for r17 last round).
+R13_AGE_29 = [
     "events_concurrency_peak",
     "events_decayed_feature",
     "events_scd2_enrich",
@@ -98,35 +94,83 @@ R17_FRONT_LOAD_LEFT_OVERS = [
     "zorder_file_skipping",
 ]
 
-# The 19 last-checked-r13 queries INSIDE the committed window after
-# both mid-r16 amendments (the other 30 are r12-checked). If a
-# NEW_R17_STAGED block is pending at runtime, the calculator's stale
-# budget shrinks below 49 and the displaced names must come from this
-# set's alphabetical tail (with the 2-name staged block that is
-# exactly `events_bounce_rate`); with no staged block the budget
-# grows back to 50 and the derived stale set EXTENDS the committed
-# window with the alphabetical front of the r13-age left-overs.
-R13_AGE_IN_WINDOW = [
-    "approx_distinct_customers",
-    "cdc_snapshot_latest",
-    "corpus_build_pipeline",
-    "corpus_curation_filter",
-    "cube_agg",
-    "dedup_exact_docs",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "distinct_dims",
-    "doc_chunking_overlap",
-    "doc_packing_greedy",
-    "dq_malformed_json_rate",
-    "dq_orders_expectations",
-    "dq_profile_orders",
-    "dq_referential_integrity",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "equidepth_price_bands",
-    "events_bounce_rate",
+# ALL 49 last-checked-r14 queries, alphabetical — the fill pool the
+# calculator cuts for the remaining stale slots. Recorded verbatim
+# from scripts/rotation_calc.py's round-17 derivation (19 in the
+# derived window + the 30 same-age left-overs it reports).
+R14_AGE_SORTED = [
+    "argmax_customer_balance",
+    "bilateral_trade_volume",
+    "conditional_agg_priority",
+    "copurchase_triangles",
+    "corpus_dsir_importance",
+    "corr_moments_stats",
+    "dedup_containment",
+    "dedup_incremental_components",
+    "dedup_semantic_semdedup",
+    "disjunctive_predicate_revenue",
+    "doc_packing_shards",
+    "dq_order_reconciliation",
+    "dq_price_outliers_mad",
+    "embedding_ann_pq",
+    "embedding_knn_brute",
+    "events_asof_last_click",
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+    "events_distinct_users_sketch",
+    "events_interval_join",
+    "events_next_event_training",
+    "events_pattern_match",
+    "filter_nonempty_text",
+    "filter_not_contains",
+    "flagship_revenue_by_nation",
+    "forward_fill_locf",
+    "full_outer_reconciliation",
+    "fuzzy_join_symdelete",
+    "hierarchy_depth_rollup",
+    "json_variant_props_stats",
+    "left_join_enrich",
+    "left_join_reverse_agg",
+    "multi_agg_stats",
+    "multimodal_frame_sample",
+    "multimodal_real_decode_roundtrip",
+    "pagerank_nations",
+    "positional_attach",
+    "pricing_summary",
+    "projection_narrow",
+    "q9_profit_by_nation_year",
+    "rollup_agg",
+    "semi_join_membership",
+    "stream_static_revenue_rollup",
+    "tiered_pricing",
+    "top_orders_by_price",
+    "union_all_slices",
+    "url_canonicalize",
+    "url_store_name",
 ]
+
+# Committed r17 amendment (r16 VERDICT item 1): the derived r14-age
+# alphabetical tail displaced to front-load the oracle-basis-changed
+# faces. The displaced three plus the 28 r14-age names left outside
+# the window front-load r18.
+DISPLACED_R17 = [
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+]
+BASIS_PROMOTED_R17 = [
+    "dedup_embedding_cosine",
+    "events_distinct_users_sketch",
+    "fuzzy_join_symdelete",
+]
+
+# The r14-aged queries that front-load round 18's window: the 28
+# same-age left-overs outside the window plus the three displaced by
+# the basis-change amendment.
+R18_FRONT_LOAD_LEFT_OVERS = sorted(
+    (set(R14_AGE_SORTED) - set(STALE_R14)) | set(DISPLACED_R17)
+)
 
 # Retired across rounds: these names must never silently reappear in
 # the registry.
@@ -168,14 +212,15 @@ BAD_ROW = {"rows_match": True, "schema_match": True,
 
 
 def _intended():
-    return STALE_R13 + NEW_R16
+    return STALE_R14 + NEW_R17
 
 
 def test_stalest_queries_front_loaded():
-    """The 49 stale slots (all 31 r12-checked + 18 r13-checked, the
-    stalest evidence eras after r15's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R13)] == STALE_R13
-    assert len(STALE_R13) == 49
+    """The 48 stale slots (all 29 r13-checked + 16 r14-checked
+    alphabetical front + the 3 basis-promoted faces, the stalest
+    evidence eras after r16's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R14)] == STALE_R14
+    assert len(STALE_R14) == 48
 
 
 def test_first_50_is_the_intended_rotation():
@@ -185,12 +230,12 @@ def test_first_50_is_the_intended_rotation():
 def test_new_queries_ride_inside_the_window():
     """Anything first registered for this round's window must be
     driver-checked this round: those names sit immediately after the
-    stale block, inside the 50-row window (this round: the TPC-H Q2
-    shape)."""
+    stale block, inside the 50-row window (this round: the two
+    staged lakehouse faces)."""
     names = list(REGISTRY)
-    for i, n in enumerate(NEW_R16):
-        assert names[len(STALE_R13) + i] == n
-    assert len(STALE_R13) + len(NEW_R16) <= DRIVER_WINDOW, (
+    for i, n in enumerate(NEW_R17):
+        assert names[len(STALE_R14) + i] == n
+    assert len(STALE_R14) + len(NEW_R17) <= DRIVER_WINDOW, (
         "too many new queries for one driver window — rotate the "
         "overflow into the next round's stale set"
     )
@@ -233,12 +278,13 @@ def test_registry_within_capacity_cap():
     )
 
 
-def test_r17_front_load_promise_is_registered():
-    """Every r13-age left-over promised to front-load r17's window must
+def test_r18_front_load_promise_is_registered():
+    """Every r14-age left-over promised to front-load r18's window must
     still be registered (a retirement there needs this pin updated
     alongside the documented substance migration)."""
-    missing = [n for n in R17_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
+    missing = [n for n in R18_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
     assert not missing, missing
+    assert len(R18_FRONT_LOAD_LEFT_OVERS) == 31
 
 
 def test_no_staged_blocks_inside_the_window():
@@ -260,27 +306,28 @@ def test_no_staged_blocks_inside_the_window():
             assert n not in window
 
 
-def test_rotation_calculator_reproduces_r16_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r17_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r15 CORRECTNESS files alone.
+    window composition from the r01..r16 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r16+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r17+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: the committed window was derived with the one-face r16
-    block staged (stale budget 49). After the fold the block sits in
-    NEW_CURRENT, so the calculator treats the face as riding THIS
-    round's window (pending, not a hole) and the stale budget is 50
-    minus whatever NEW_R17_STAGED holds at runtime (k names, initially
-    0): the derived stale set EXTENDS the committed 49 with the
-    (1 - k)-name alphabetical prefix of the r13-age front-load
-    left-overs, or — were a staged block to exceed one name — shrinks
-    from the committed window's r13-age alphabetical tail. Both
-    directions are asserted exactly."""
-    assert len(R16_EVIDENCE_FILES) == 15, R16_EVIDENCE_FILES
+    Era note: the committed window was derived with the two-face r16
+    block staged (stale budget 48) and then amended per the r16
+    VERDICT: the derived r14-age alphabetical tail (DISPLACED_R17)
+    swapped out for the three oracle-basis-changed faces
+    (BASIS_PROMOTED_R17). The calculator is age-driven and cannot see
+    basis changes, so the PURE derivation at runtime stale budget
+    b = 50 - len(NEW_R*_STAGED at runtime) is exactly
+    R13_AGE_29 + the (b - 29)-name alphabetical front of
+    R14_AGE_SORTED; the committed window is that derivation at b=48
+    minus DISPLACED_R17 plus BASIS_PROMOTED_R17. Both facts are
+    asserted exactly, for any runtime staged-block size."""
+    assert len(R17_EVIDENCE_FILES) == 16, R17_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R16_EVIDENCE_FILES],
+         "--files", *R17_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -289,27 +336,24 @@ def test_rotation_calculator_reproduces_r16_window_from_frozen_files():
     assert "ALERT" not in proc.stderr
     assert "WARNING" not in proc.stderr
     stale = re.search(r"STALE = \[(.*?)\]", proc.stdout, re.S).group(1)
-    names = re.findall(r'"([^"]+)"', stale)
+    derived = set(re.findall(r'"([^"]+)"', stale))
     new = re.search(r"NEW = \[(.*?)\]", proc.stdout, re.S).group(1)
     staged_names = re.findall(r'"([^"]+)"', new)
     # the staged block and the stale budget trade one-for-one
-    assert len(names) == DRIVER_WINDOW - len(staged_names)
-    committed = set(STALE_R13)
-    derived = set(names)
-    if len(names) >= len(STALE_R13):
-        # small/no staged block: committed window plus the
-        # alphabetical front of the r13-age left-overs
-        assert committed <= derived, committed - derived
-        extra = derived - committed
-        front = R17_FRONT_LOAD_LEFT_OVERS[: len(extra)]
-        assert extra == set(front), (extra, front)
-    else:
-        # larger staged block: displaced names come only from the
-        # committed window's r13-age alphabetical tail
-        assert derived <= committed, derived - committed
-        displaced = committed - derived
-        tail = sorted(R13_AGE_IN_WINDOW)[len(R13_AGE_IN_WINDOW) - len(displaced):]
-        assert displaced == set(tail), (displaced, tail)
+    b = DRIVER_WINDOW - len(staged_names)
+    assert len(derived) == b
+    # the pure age derivation at budget b
+    assert derived == set(R13_AGE_29) | set(R14_AGE_SORTED[: b - 29]), (
+        derived ^ (set(R13_AGE_29) | set(R14_AGE_SORTED[: b - 29]))
+    )
+    # committed = derivation at the commit-time budget (48), amended
+    committed_expected = (
+        (set(R13_AGE_29) | set(R14_AGE_SORTED[:19]))
+        - set(DISPLACED_R17)
+    ) | set(BASIS_PROMOTED_R17)
+    assert set(STALE_R14) == committed_expected, (
+        set(STALE_R14) ^ committed_expected
+    )
 
 
 def test_rotation_calculator_live_run_is_healthy():
@@ -353,12 +397,12 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     """VERDICT r5 item 8: the calculator must exit non-zero on a
     synthetic evidence hole — a query last checked more than
     MAX_EVIDENCE_AGE rounds before the newest file."""
-    victim = STALE_R13[0]
+    victim = STALE_R14[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     old.write_text(json.dumps({victim: OK_ROW}))
-    new.write_text(json.dumps({STALE_R13[1]: OK_ROW}))
+    new.write_text(json.dumps({STALE_R14[1]: OK_ROW}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -374,7 +418,7 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
 def test_rotation_calculator_failed_row_alert(tmp_path):
     """A FAILED latest driver row must alert and exit 1 — failed rows
     are not evidence and must ride the next window again."""
-    victim = STALE_R13[0]
+    victim = STALE_R14[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({victim: BAD_ROW}))
     proc = subprocess.run(
@@ -394,7 +438,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     PARSED-round order, not lexicographic (CORRECTNESS_r010 sorts
     before r02 as a string). A green r10 row must clear an r2 failure
     for the same query — and the unpadded r10 spelling must parse."""
-    victim = STALE_R13[0]
+    victim = STALE_R14[0]
     f2 = tmp_path / "CORRECTNESS_r02.json"
     f10 = tmp_path / "CORRECTNESS_r10.json"
     f2.write_text(json.dumps({victim: BAD_ROW}))
@@ -435,7 +479,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     budget must clamp to zero (an empty STALE list), not silently
     select items from the end of the age list."""
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: OK_ROW for n in STALE_R13}))
+    f.write_text(json.dumps({n: OK_ROW for n in STALE_R14}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
