@@ -401,7 +401,23 @@ class SnapshotTableStore(ParquetTableStore):
                 ),
             }
             if self._claim(name, record, current + 1):
-                self._read_base[name] = current + 1
+                if action == "append":
+                    # A successful blind append must neither CREATE a
+                    # pin (a pin certifies "this instance READ at that
+                    # snapshot" — an append-only instance keeps the
+                    # blind-overwrite contract) nor ADVANCE an existing
+                    # read pin: the append's head may cover OTHER
+                    # writers' commits the pinned read never saw
+                    # (read base 1 -> B appends 2 -> own append claims
+                    # 3: advancing the pin to 3 would let an overwrite
+                    # derived from the snapshot-1 read validate clean
+                    # and clobber B's rows). Stale a live read pin so
+                    # the next overwrite without a fresh read fails
+                    # loud; a re-read re-pins (r16 ADVICE, medium).
+                    if isinstance(self._read_base.get(name), int):
+                        self._read_base[name] = _STALE_BASE
+                else:
+                    self._read_base[name] = current + 1
                 return current + 1
             # lost the race
             if action == "overwrite":
@@ -555,7 +571,11 @@ class SnapshotTableStore(ParquetTableStore):
                 parts.append(
                     self.spark.read.schema(self._schema_of(name, until))
                     .parquet(*c["dirs"])
-                    .withColumn("_snapshot_id", F.lit(sid))
+                    # cast: both this branch and the empty-range
+                    # branch (and the driver face's oracle) must agree
+                    # on bigint — a bare IntegerType lit made the
+                    # feed's schema range-dependent (r16 ADVICE)
+                    .withColumn("_snapshot_id", F.lit(sid).cast("long"))
                 )
         if not parts:
             return self.spark.createDataFrame(

@@ -336,7 +336,22 @@ class TableGroup:
                 "ts_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             if self._claim(record, current + 1):
-                self._read_base = None
+                if not has_overwrite and base is not None:
+                    # (covers both a live int pin and an already-stale
+                    # sentinel; a None/absent pin keeps the blind
+                    # contract — appends never CREATE a pin)
+                    # An append-only transaction must NOT clear a live
+                    # read pin on success: clearing it to None would
+                    # make a following overwrite staged from the
+                    # EARLIER read skip base validation entirely and
+                    # clobber any concurrent commits that landed in
+                    # between. Stale the pin instead so that overwrite
+                    # fails loud until a fresh read re-pins (r16
+                    # ADVICE, medium — group twin of the store's
+                    # append-pin hole).
+                    self._read_base = _STALE_BASE
+                else:
+                    self._read_base = None
                 return current + 1
             if has_overwrite:
                 self._read_base = _STALE_BASE

@@ -17,6 +17,8 @@ plans/registry.py determinism notes).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -282,6 +284,14 @@ def state_change_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # atexit hook every driver/bench/pytest process abandoned one
 # multi-hundred-thousand-row parquet store per corpus (r16 review).
 _SCRATCH_REGISTERED: set = set()
+_SCRATCH_SEQ = itertools.count()
+
+
+class _SimulatedCrash(Exception):
+    """Sentinel for the txn face's simulated mid-transaction failure.
+    Deliberately NOT a RuntimeError: the probe's except clause must
+    never swallow ConcurrentWriteError (a RuntimeError subclass) or
+    any genuine RuntimeError from the abort path (r16 ADVICE)."""
 
 
 def _scratch_store_root(prefix: str, sf_dir: str) -> str:
@@ -291,10 +301,20 @@ def _scratch_store_root(prefix: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    # Keyed by an invocation counter: each call gets a FRESH root, so
+    # a lazy DataFrame returned by a prior invocation of the same face
+    # in this process keeps reading ITS OWN store when collected later
+    # (a start-of-call rmtree of a shared root silently rebound such
+    # frames to the rebuilt store — r16 ADVICE). Old roots are left
+    # for the atexit sweep; each is a few-MB scratch, bounded by
+    # invocations-per-process. pid-keyed under /tmp: fine in local
+    # mode (executors share the driver filesystem); on a real cluster
+    # these faces would target a shared-FS root instead.
     root = os.path.join(
         tempfile.gettempdir(),
-        "pdip_{}_{}_{}".format(
-            prefix, hashlib.md5(sf_dir.encode()).hexdigest()[:12], os.getpid()
+        "pdip_{}_{}_{}_i{}".format(
+            prefix, hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+            os.getpid(), next(_SCRATCH_SEQ)
         ),
     )
     if os.path.exists(root):
@@ -432,8 +452,8 @@ def txn_group_atomic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         with grp.transaction() as bad:
             bad.append("ord_flagged", orders.limit(5))
-            raise RuntimeError("simulated mid-transaction crash")
-    except RuntimeError:
+            raise _SimulatedCrash("simulated mid-transaction crash")
+    except _SimulatedCrash:
         pass
     if grp.current_snapshot() != 1:
         raise AssertionError("failed transaction must consume no snapshot")

@@ -696,3 +696,59 @@ def test_blind_retry_after_failed_overwrite_keeps_failing(spark, tmp_path):
     a.overwrite("store", derived)
     assert [r["id_store"] for r in a.read("store").collect()] == [9]
     del stale
+
+
+def test_own_blind_append_does_not_advance_read_pin(spark, tmp_path):
+    """r16 ADVICE (medium): read pins base 1 -> writer B appends
+    (snapshot 2) -> own blind append claims snapshot 3. Advancing the
+    pin to 3 would let an overwrite DERIVED FROM THE SNAPSHOT-1 READ
+    validate clean against head 3 and silently clobber B's rows. The
+    append must stale the pin instead, so the overwrite fails loud
+    until a fresh read re-pins."""
+    a = SnapshotTableStore(spark, str(tmp_path), writer_id="a")
+    b = SnapshotTableStore(spark, str(tmp_path), writer_id="b")
+    a.overwrite("store", _df(spark, [(1, "x", "u", True)]))
+    a.read("store")  # pins base 1
+    b.append("store", _df(spark, [(2, "b-row", "u", True)]))  # snap 2
+    a.append("store", _df(spark, [(3, "a-row", "u", True)]))  # snap 3
+    derived = _df(spark, [(9, "stale", "u", True)])
+    with pytest.raises(ConcurrentWriteError):
+        a.overwrite("store", derived)
+    # nothing clobbered: all three rows (incl. B's) still visible
+    assert a.read("store").count() == 3
+    # the read above re-pinned at head — now the overwrite lands
+    a.overwrite("store", derived)
+    assert [r["id_store"] for r in a.read("store").collect()] == [9]
+
+
+def test_append_without_read_pin_keeps_blind_overwrite_contract(spark, tmp_path):
+    """Companion to the pin-staling fix: an instance that never READ
+    the table (no pin) appends and then blind-overwrites — the
+    documented blind-overwrite contract (no validation without a
+    read) must still hold."""
+    a = SnapshotTableStore(spark, str(tmp_path), writer_id="a")
+    a.overwrite("store", _df(spark, [(1, "x", "u", True)]))
+    a2 = SnapshotTableStore(spark, str(tmp_path), writer_id="a2")
+    a2.append("store", _df(spark, [(2, "y", "u", True)]))
+    a2.overwrite("store", _df(spark, [(9, "z", "u", True)]))
+    assert [r["id_store"] for r in a2.read("store").collect()] == [9]
+
+
+def test_face_reinvocation_keeps_prior_lazy_frame_valid(spark):
+    """r16 ADVICE: the transaction-layer faces build scratch stores
+    under /tmp; a second same-process invocation used to rmtree the
+    FIRST invocation's store at start, silently rebinding (or
+    breaking) the first call's still-lazy DataFrame. Roots are now
+    keyed by an invocation counter: collect the first frame AFTER the
+    second invocation ran and both must agree."""
+    from pythondataingestionprocess_spark.plans.warehouse import (
+        snapshot_change_feed,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    first = snapshot_change_feed(spark, sf_dir)
+    second = snapshot_change_feed(spark, sf_dir)
+    rows_second = sorted(map(tuple, second.collect()))
+    rows_first = sorted(map(tuple, first.collect()))  # collected LAST
+    assert rows_first == rows_second
+    assert len(rows_first) > 0

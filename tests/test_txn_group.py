@@ -322,3 +322,26 @@ def test_blind_retry_after_failed_group_txn_keeps_failing(spark, tmp_path):
     with a.transaction() as t:
         t.overwrite("purchase", stale_df)
     assert [r["id_purchase"] for r in a.read("purchase").collect()] == [9]
+
+
+def test_append_only_txn_stales_group_read_pin(spark, tmp_path):
+    """r16 ADVICE (medium), group twin: an append-only transaction
+    used to reset the group read pin to None, so a following
+    overwrite staged from an EARLIER read skipped base validation
+    entirely and clobbered concurrent commits. The append-only commit
+    must stale a live pin instead; only a fresh read re-arms."""
+    a = TableGroup(spark, str(tmp_path), writer_id="a")
+    b = TableGroup(spark, str(tmp_path), writer_id="b")
+    a.overwrite("purchase", _p(spark, [(1, 5.0)]))
+    a.read("purchase")  # pins base 1
+    b.append("purchase", _p(spark, [(2, 6.0)]))  # snapshot 2 (B)
+    with a.transaction() as t:  # snapshot 3 — append-only, rebases
+        t.append("purchase", _p(spark, [(3, 7.0)]))
+    stale_df = _p(spark, [(9, 9.9)])
+    with pytest.raises(ConcurrentWriteError):
+        with a.transaction() as t:
+            t.overwrite("purchase", stale_df)
+    assert a.read("purchase").count() == 3  # B's row survived
+    with a.transaction() as t:  # re-read above re-pinned: lands now
+        t.overwrite("purchase", stale_df)
+    assert [r["id_purchase"] for r in a.read("purchase").collect()] == [9]
