@@ -258,11 +258,37 @@ def containment_pairs_prefix(
     with an in-expression array intersection. Degenerate corpora where
     some doc's whole shingle set is hyper-common still expand; cap
     with an upstream stop-shingle drop as with jaccard_pairs."""
+    doc_sh = shingle_array_table(df, id_col, text_col, n)
+    cand = _containment_prefix_candidates(doc_sh, id_col, threshold)
+    verified = (
+        cand.join(doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.least(F.size("sh_a"), F.size("sh_b")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    # normalize to the containment_pairs output contract (id_a < id_b)
+    return verified.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "containment",
+    )
+
+
+def _containment_prefix_candidates(
+    doc_sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The prefix-filter CANDIDATE stage — factored out so its volume
+    (the documented scale object: Σ df(prefix shingle) vs the plain
+    join's Σ df²) is directly countable by the heavy-tail regression
+    test, not just asserted in prose."""
     from pyspark.sql.window import Window
 
     # One tokenization pass: the distinct-shingle ARRAY is built once
     # and the exploded blocking form is derived from it.
-    doc_sh = shingle_array_table(df, id_col, text_col, n)
     sh = doc_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     sizes = doc_sh.select(F.col(id_col), F.size("sh").alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -297,7 +323,7 @@ def containment_pairs_prefix(
     b = sh.join(sizes, id_col).select(
         F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("size_b")
     )
-    cand = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") != F.col("id_b"))
         # one direction per pair: the prefix side must be the smaller
@@ -308,22 +334,6 @@ def containment_pairs_prefix(
         )
         .select("id_a", "id_b")
         .distinct()
-    )
-    verified = (
-        cand.join(doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn(
-            "containment",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.least(F.size("sh_a"), F.size("sh_b")).cast("double"),
-        )
-        .filter(F.col("containment") >= threshold)
-    )
-    # normalize to the containment_pairs output contract (id_a < id_b)
-    return verified.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-        "containment",
     )
 
 

@@ -142,6 +142,119 @@ def hyperplane_bucket_rows(
     ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
 
 
+# --------------------------------------------------- replayable LSH
+#
+# Sign-random-projection LSH whose bucket assignment is bit-exactly
+# reproducible in ANY engine (the DuckDB oracle included), so a
+# lossy candidate bound (per-bucket cap) can sit INSIDE a
+# hash-checked face instead of being trusted recall-neutral:
+#
+# - components are quantized q_i = floor(e_i * 2^20) as int64 —
+#   float32 -> float64 promotion is exact, *2^20 is an exponent
+#   shift, floor is unambiguous; every engine gets the same integer;
+# - hyperplanes are Rademacher (+/-1 per component), packed as one
+#   63-bit mask per plane derived from md5 (stdlib-stable forever;
+#   bit 63 is pinned 0 so the mask never reads negative under
+#   SQL's arithmetic >>) — sign-random-projection per Charikar
+#   (STOC 2002) works for any symmetric component law;
+# - the plane dot is Sum +/- q_i: every intermediate is an integer
+#   << 2^53, so even a float64 GEMM (BLAS, any blocking/FMA) is
+#   EXACT — fast vectorized path and cross-engine determinism at
+#   once. Bucket bit = (dot >= 0); bucket id = Sum bit_j << j.
+#
+# The Gaussian path above stays the contract for the persistent /
+# streaming stores (their on-disk scheme is pinned); this path is
+# for one-shot batch faces that want an oracle-replayable pipeline.
+
+_RADEMACHER_QUANT = 1048576  # 2^20
+
+
+def rademacher_masks(
+    n_tables: int, bits_per_table: int, seed: int
+) -> list[list[int]]:
+    """Per-(table, plane) 63-bit sign masks, md5-derived — stable
+    across numpy/python versions (no RNG object in the derivation).
+    Bit i of the mask gives component i's sign (+1 if set); bit 63 is
+    always 0 so the value stays non-negative in engines whose `>>`
+    on signed 64-bit is arithmetic."""
+    import hashlib
+
+    return [
+        [
+            int.from_bytes(
+                hashlib.md5(
+                    f"rademacher:{seed}:{t}:{j}".encode()
+                ).digest()[:8],
+                "big",
+            )
+            & ((1 << 63) - 1)
+            for j in range(bits_per_table)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _rademacher_buckets_udf(masks: list[list[int]]):
+    """All tables' bucket ids in one exact float64 GEMM per Arrow
+    batch (see module comment: integer-valued doubles < 2^53 make
+    BLAS bit-deterministic here)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sign_rows = []
+    for trow in masks:
+        for m in trow:
+            bits = (m >> np.arange(64, dtype=np.int64)) & 1
+            sign_rows.append(bits * 2 - 1)
+    signs_mat = np.asarray(sign_rows, dtype=np.float64)  # (total_bits, 64)
+    sizes = [len(t) for t in masks]
+
+    @pandas_udf("array<long>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        q = np.floor(mat * float(_RADEMACHER_QUANT))  # exact integers
+        dots = q @ signs_mat.T  # exact: integer-valued throughout
+        bit = dots >= 0
+        out = np.zeros((len(mat), len(sizes)), dtype=np.int64)
+        offset = 0
+        for t, sz in enumerate(sizes):
+            weights = (np.int64(1) << np.arange(sz, dtype=np.int64))
+            out[:, t] = bit[:, offset : offset + sz] @ weights
+            offset += sz
+        return pd.Series(list(out))
+
+    return _buckets
+
+
+def rademacher_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    bits_per_table: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, table, bucket) membership rows under the replayable
+    integer-Rademacher scheme — same posexplode shape as
+    :func:`hyperplane_bucket_rows`, different (SQL-replayable)
+    bucket function."""
+    masks = rademacher_masks(n_tables, bits_per_table, seed)
+    return df.select(
+        F.col(id_col),
+        _rademacher_buckets_udf(masks)(F.col(vec_col)).alias("bs"),
+    ).select(F.col(id_col), F.posexplode("bs").alias("table", "bucket"))
+
+
+def rademacher_masks_sql_values(masks: list[list[int]]) -> str:
+    """The masks as a SQL VALUES body `(t, j, m), ...` for inlining
+    into an oracle that replays the bucket assignment."""
+    return ", ".join(
+        f"({t}, {j}, CAST({m} AS BIGINT))"
+        for t, trow in enumerate(masks)
+        for j, m in enumerate(trow)
+    )
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -268,6 +268,23 @@ class TableGroup:
         staged = {}
         pending: dict[str, tuple[str, StructType, bool]] = {}
         has_overwrite = False
+        # The staged dirs' mtimes are a LEASE against vacuum's
+        # mtime-based orphan retention, and a lease must be renewed
+        # more often than it expires: refreshing only at the claim
+        # edge (the r16 shape) still lost table A's dir whenever
+        # TOTAL staging time exceeded the retention — the claim-edge
+        # utime can't resurrect an already-swept dir (caught by the
+        # r17 real-process contention test). Re-touch EVERY staged
+        # dir after EACH table's write, bounding any dir's apparent
+        # age by one table-staging step; the remaining contract is
+        # Delta's own: orphan_retention_s must exceed the longest
+        # single-table stage + the claim, not the whole transaction.
+        def _renew_lease():
+            now = time.time()
+            for entry in staged.values():
+                for d in entry["dirs"]:
+                    os.utime(d, (now, now))
+
         for action, name, df, merge_schema in actions:
             if name in staged:
                 raise ValueError(
@@ -280,17 +297,10 @@ class TableGroup:
             }
             pending[name] = (action, df.schema, merge_schema)
             has_overwrite = has_overwrite or action == "overwrite"
-        # refresh every staged dir's mtime NOW, at the edge of the
-        # claim: vacuum's orphan retention is mtime-based, and a
-        # multi-table transaction writes table A's data long before
-        # the single claim — without this, A's dir could age past the
-        # retention window while the transaction is still staging B
-        # and C, and a concurrent vacuum would sweep it out from under
-        # the imminent commit (r16 review)
-        now = time.time()
-        for entry in staged.values():
-            for d in entry["dirs"]:
-                os.utime(d, (now, now))
+            _renew_lease()
+        # final renewal at the claim edge covers the schema-resolve /
+        # claim-race window
+        _renew_lease()
         base = self._read_base
         rebases = 0
         while True:

@@ -161,19 +161,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- embedding near-dup
 
-_COSINE_DUP_ORACLE = """
+# r17 (VERDICT r16 item 2): the oracle replays the ENTIRE capped LSH
+# pipeline — integer-Rademacher bucket assignment (bit-exact in any
+# engine; operators/similarity.py module comment), per-bucket cap 64
+# with anchor-star overflow (the bucket_candidate_pairs contract),
+# pair dedup, exact-cosine verify. The candidate bound is therefore
+# ENFORCED AND HASH-CHECKED, not trusted recall-neutral — the fuzzy
+# r16 pattern. A separate pytest certificate keeps the recall story
+# honest (capped output == the exact O(n²) scan on the planted-dup
+# corpus at sf0.001/sf0.01).
+_COSINE_CAP = 64
+_COSINE_TABLES = 8
+_COSINE_SEED = 7
+_COSINE_MASKS = sim.rademacher_masks(_COSINE_TABLES, 30, _COSINE_SEED)
+
+_COSINE_DUP_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+), nb AS (
+  SELECT GREATEST(12, LEAST(30, CAST(CEILING(LOG2(COUNT(*))) AS INTEGER) + 9)) AS nbits
+  FROM corpus
+), q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+  FROM corpus
+), masks(t, j, m) AS (
+  VALUES {sim.rademacher_masks_sql_values(_COSINE_MASKS)}
+), dots AS (
+  SELECT q.vec_id, masks.t, masks.j,
+         list_sum(list_transform(range(1, 65),
+           i -> qv[i] * (CASE WHEN ((m >> (i - 1)) & 1) = 1 THEN 1 ELSE -1 END))) AS dot
+  FROM q, masks, nb
+  WHERE masks.j < nb.nbits
+), buckets AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+), sized AS (
+  SELECT vec_id, t, bucket,
+         COUNT(*) OVER (PARTITION BY t, bucket) AS bsz,
+         MIN(vec_id) OVER (PARTITION BY t, bucket) AS anchor
+  FROM buckets
+), cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sized a JOIN sized b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE a.bsz > 1 AND a.bsz <= {_COSINE_CAP}
+    UNION ALL
+    SELECT anchor AS id_a, vec_id AS id_b
+    FROM sized WHERE bsz > {_COSINE_CAP} AND vec_id <> anchor
+  )
 ), v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM corpus
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT c.id_a, c.id_b,
   list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
     / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
        * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
 WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
     / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
        * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.99
@@ -183,26 +233,29 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
 @query("dedup_embedding_cosine", oracle=_COSINE_DUP_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over a corpus with planted duplicate
-    vectors. Spark side is the LSH-bucketed scale path; the oracle is
-    the exact O(n²) scan — identical vectors share every bucket, so
-    LSH recall at the dup end is exactly 1 and the outputs coincide
-    (measured: every qualifying pair at every SF is an exact copy at
-    cos = 1; the generator's 10 Gaussian clusters top out near 0.95).
+    vectors — the one-shot batch face, r17 basis: replayable
+    integer-Rademacher LSH + per-bucket candidate cap 64, with the
+    DuckDB oracle replaying the FULL capped pipeline (bucket
+    assignment is bit-exact cross-engine: quantized int dots, md5
+    masks — operators/similarity.py). The output contract is the
+    capped pipeline's pair set; on this corpus it coincides with the
+    exact O(n²) scan (pytest-certified at sf0.001/sf0.01 — every
+    qualifying pair is a planted exact copy at cos = 1, identical
+    vectors share every bucket, and dup-bearing buckets sit far
+    under the cap at auto bit depths).
 
-    bits_per_table is AUTO here (operators/dedup.auto_lsh_bits — one
-    corpus count picks ceil(log2 n)+9, clamped to [12, 30]), not the
-    operator's fixed 12 (r15 VERDICT item 2): candidate volume scales
-    with Σ bucket², and the corpus' cluster structure keeps ~14% of
-    within-cluster pairs per 12-bit bucket — at sf1 that was 20M
-    verified candidates for a 2 000-pair answer (44 s); the auto rule
-    resolves to 24 bits there (measured: 9 s, identical output) and
-    27 at sf10 where fixed-24 re-quadraticized (167 s). Exact-copy
-    recall is bit-width-independent (identical vectors share every
-    bucket), so the EXACT oracle below is valid at any auto choice —
-    deeper buckets only shed candidates strictly inside
-    (threshold, 1), which this certificate corpus does not contain.
-    Auto is sound ONLY for one-shot batch dedup like this face; the
-    incremental/streaming twins pin their bits (index contract)."""
+    bits_per_table stays AUTO (operators/dedup.auto_lsh_bits =
+    ceil(log2 n)+9 clamped [12, 30]; the oracle computes the same
+    rule from COUNT(*)): candidate volume is Σ bucket² and the
+    generator's Gaussian clusters re-quadraticize any fixed depth at
+    the next magnitude (r15/r16 ledger). The cap is the ENFORCED
+    bound the bit rule alone can't give (r16 VERDICT item 2): a
+    cluster bucket beyond 64 members star-expands against its anchor
+    — linear, constant row width — instead of pairing quadratically,
+    the same contract as the MinHash family
+    (operators/dedup.bucket_candidate_pairs). Auto bits are sound
+    ONLY for one-shot batch dedup; the incremental/streaming twins
+    pin their bits AND keep the Gaussian scheme (index contract)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dupes = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1000000000000
@@ -210,8 +263,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionAll(
         dupes.select("vec_id", "embedding")
     )
+    bits = dd.auto_lsh_bits(corpus.count())
+    banded = sim.rademacher_bucket_rows(
+        corpus, "vec_id", "embedding",
+        bits_per_table=bits, n_tables=_COSINE_TABLES, seed=_COSINE_SEED,
+    )
     return dd.cosine_near_dup_pairs(
-        corpus, "vec_id", "embedding", threshold=0.99, bits_per_table=None
+        corpus, "vec_id", "embedding", threshold=0.99,
+        bits_per_table=bits, n_tables=_COSINE_TABLES, seed=_COSINE_SEED,
+        bucket_cap=_COSINE_CAP, banded=banded,
     )
 
 

@@ -1133,6 +1133,66 @@ def test_containment_auto_picks_form_by_shingle_profile(spark):
     assert auto == plain == prefix
 
 
+def test_containment_heavy_tail_default_threshold_and_margin(spark):
+    """r16 VERDICT item 3 — the heavy-tail claim as a regression, not
+    a code comment: on a boilerplate-contaminated corpus (every doc
+    opens with the same header, the realistic crawl pathology) the
+    auto profile (a) trips at the DEFAULT 20k hot-df threshold, and
+    (b) the prefix form's MEASURED candidate volume beats the plain
+    self-join's Σ C(df,2) by ≥1000× — the predicted margin, asserted
+    on deterministic counts rather than wall clocks. A smaller twin
+    of the same corpus then runs BOTH forms to completion and pins
+    output equality (the switch is a physical-plan choice only)."""
+    import pythondataingestionprocess_spark.operators.dedup as dd
+
+    boiler = "breaking news update for subscribers today"
+
+    def corpus(n_docs):
+        return spark.createDataFrame(
+            [(i, f"{boiler} u{i}x u{i}y u{i}z") for i in range(n_docs)],
+            "doc_id long, text string",
+        )
+
+    big = corpus(21_000)
+    sh = dd.shingle_sets(big, "doc_id", "text", 3)
+    # (a) the DEFAULT threshold trips: boilerplate trigrams have
+    # df = 21 000 > 20 000
+    assert dd.choose_containment_form(sh) == "prefix"
+
+    # (b) candidate-volume margin. Plain's candidate multiset is
+    # exactly Σ C(df,2) over shingles (what _pair_overlap_counts
+    # explodes); the prefix stage is counted for real.
+    plain_cost = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    doc_sh = dd.shingle_array_table(big, "doc_id", "text", 3)
+    prefix_cands = dd._containment_prefix_candidates(doc_sh, "doc_id", 0.8).count()
+    # 4 boilerplate trigrams x C(21000, 2) = 882M candidate pairs
+    assert plain_cost > 500_000_000  # the quadratic cliff is real here
+    assert prefix_cands * 1000 < plain_cost, (
+        f"prefix candidates {prefix_cands} vs plain Σ C(df,2) {plain_cost}"
+    )
+
+    # equality twin at a size where plain still completes
+    small = corpus(600)
+    small_sh = dd.shingle_sets(small, "doc_id", "text", 3)
+    assert dd.choose_containment_form(small_sh, hot_df_threshold=300) == "prefix"
+    auto = {
+        (r.id_a, r.id_b)
+        for r in dd.containment_pairs_auto(
+            small, "doc_id", "text", 3, 0.8, hot_df_threshold=300
+        ).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b)
+        for r in dd.containment_pairs(small_sh, "doc_id", 0.8).collect()
+    }
+    assert auto == plain
+
+
 def test_block_dedup_retention_semantics(spark):
     """Planted-duplicate semantics for C4-style block dedup: a full
     copy of a doc keeps zero blocks; a doc sharing only its first
@@ -1701,3 +1761,104 @@ def test_auto_lsh_bits_calibration():
     assert auto_lsh_bits(22000) == 24
     assert auto_lsh_bits(220000) == 27
     assert auto_lsh_bits(10**12) == 30  # clamped: int32 bucket ids
+
+
+# ------------------------- replayable integer-Rademacher LSH (r17)
+
+
+def test_rademacher_masks_pinned():
+    """The md5 derivation is part of the face's oracle contract (the
+    masks are inlined as literals in _COSINE_DUP_ORACLE) — pin three
+    corners so a derivation change can't silently desynchronize the
+    Spark plan from the SQL text."""
+    m = sim.rademacher_masks(8, 30, 7)
+    assert m[0][0] == 8745539433062548224
+    assert m[0][1] == 606228660163895631
+    assert m[7][29] == 8318247478224891782
+    # bit 63 pinned zero: the inlined literal must never read negative
+    # under SQL's arithmetic >> on signed 64-bit
+    assert all(mask >= 0 and mask < (1 << 63) for row in m for mask in row)
+
+
+def test_rademacher_buckets_match_duckdb_replay(spark, sf_dir):
+    """Bucket assignment is bit-exact cross-engine: quantized integer
+    dots make every intermediate an exactly-representable integer, so
+    numpy GEMM (any blocking) and DuckDB's sequential list_sum agree
+    to the last bit. This is the property that lets the cosine face's
+    oracle replay the capped pipeline instead of trusting the cap."""
+    import duckdb
+
+    bits, n_tables, seed = 14, 4, 7
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.vec_id, r.table, r.bucket)
+        for r in sim.rademacher_bucket_rows(
+            emb, "vec_id", "embedding",
+            bits_per_table=bits, n_tables=n_tables, seed=seed,
+        ).collect()
+    }
+    masks = sim.rademacher_masks(n_tables, bits, seed)
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      FROM read_parquet('{sf_dir}/embeddings.parquet')
+    ), masks(t, j, m) AS (
+      VALUES {sim.rademacher_masks_sql_values(masks)}
+    ), dots AS (
+      SELECT q.vec_id, masks.t, masks.j,
+             list_sum(list_transform(range(1, 65),
+               i -> qv[i] * (CASE WHEN ((m >> (i - 1)) & 1) = 1
+                             THEN 1 ELSE -1 END))) AS dot
+      FROM q, masks
+    )
+    SELECT vec_id, t,
+           CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id, t
+    """
+    want = {
+        (int(v), int(t), int(b))
+        for v, t, b in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("sf_dir_case", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_cosine_capped_face_recall_equals_exact_scan(spark, sf_dir_case):
+    """Recall certificate for the capped face basis (r17): on the
+    planted-dup corpus the capped Rademacher pipeline's output equals
+    the exact O(n^2) cosine scan — the cap is enforced AND lossless
+    here (dup-bearing buckets sit far under 64 members at auto bit
+    depths). The driver oracle replays the capped pipeline; THIS test
+    is what keeps that replay honest about recall."""
+    import duckdb
+
+    from pythondataingestionprocess_spark.plans import REGISTRY
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_embedding_cosine"]
+        .fn(spark, sf_dir_case)
+        .collect()
+    }
+    exact_sql = f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding
+      FROM read_parquet('{sf_dir_case}/embeddings.parquet')
+      UNION ALL
+      SELECT vec_id + 1000000000000, embedding
+      FROM read_parquet('{sf_dir_case}/embeddings.parquet') WHERE vec_id % 10 = 0
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+      FROM corpus
+    )
+    SELECT a.vec_id, b.vec_id
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
+        / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.99
+    """
+    want = {(int(a), int(b)) for a, b in duckdb.connect().execute(exact_sql).fetchall()}
+    assert got == want and len(got) > 0

@@ -2034,3 +2034,71 @@ def test_funnel_update_vectorized_matches_loop_reference():
         ]
         assert got == want, trial
         assert st._v == (want_state,), trial
+
+
+def test_funnel_update_adversarial_fixed_fixtures():
+    """r16 VERDICT item 7: the two self-review edge families as FIXED
+    fixtures (the randomized pin above may or may not draw them):
+    (a) a carried view that POSTDATES early batch rows must not
+    convert purchases that happened before it, while still anchoring
+    later ones — including a purchase exactly AT the carry ts (>=)
+    and exactly at the 30-min window edge (<=); (b) equal-ts
+    view/purchase ties resolve by event_id under the stable
+    (ts, event_id) sort — purchase AFTER the view converts at zero
+    delay, purchase BEFORE it anchors to the carry instead."""
+    import pandas as pd
+
+    from pythondataingestionprocess_spark.streaming.stateful import _funnel_update
+
+    t = lambda m: pd.Timestamp("2024-03-01 12:00:00") + pd.Timedelta(minutes=m)
+
+    def run(rows, carry):
+        st = _StubState((carry,) if carry is not None else None)
+        frames = list(_funnel_update((7,), iter([pd.DataFrame(rows)]), st))
+        got = [
+            (r.view_ts, r.purchase_ts)
+            for f in frames
+            for r in f.itertuples()
+        ]
+        return got, st._v[0]
+
+    def ev(i, m, kind):
+        return {
+            "user_id": 7, "event_id": i, "ts": t(m),
+            "event_type": kind, "value": float(i),
+        }
+
+    # (a) carry-in postdating early rows: carry at 12:50
+    rows = [
+        ev(0, 10, "purchase"),   # predates the carried view -> no
+        ev(1, 50, "purchase"),   # ts == carry exactly -> converts (>=)
+        ev(2, 80, "purchase"),   # 30 min after carry exactly -> converts (<=)
+        ev(3, 81, "purchase"),   # 31 min after carry -> outside window
+        ev(4, 90, "view"),
+        ev(5, 95, "purchase"),   # converts vs the in-batch view
+    ]
+    got, state = run(rows, carry=t(50))
+    assert got == [(t(50), t(50)), (t(50), t(80)), (t(90), t(95))]
+    assert state == t(90)  # the in-batch view replaced the carry
+
+    # (b) equal-ts ties: event_id orders the tie under the stable sort
+    rows = [
+        ev(0, 60, "purchase"),   # same ts as the view, SMALLER id ->
+                                 # sorts first -> anchors to carry 12:00
+                                 # (60 min back: outside the window)
+        ev(1, 60, "view"),
+        ev(2, 60, "purchase"),   # same ts, LARGER id -> zero-delay hit
+    ]
+    got, state = run(rows, carry=t(0))
+    assert got == [(t(60), t(60))]
+    assert state == t(60)
+
+    # same tie with a FRESH carry: the pre-view purchase now converts
+    # against the carry, the post-view one against the view
+    got, state = run(rows, carry=t(40))
+    assert got == [(t(40), t(60)), (t(60), t(60))]
+    assert state == t(60)
+
+    # no carry, purchase-only batch: nothing emitted, state stays None
+    got, state = run([ev(0, 5, "purchase"), ev(1, 6, "click")], carry=None)
+    assert got == [] and state is None

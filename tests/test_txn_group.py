@@ -345,3 +345,106 @@ def test_append_only_txn_stales_group_read_pin(spark, tmp_path):
     with a.transaction() as t:  # re-read above re-pinned: lands now
         t.overwrite("purchase", stale_df)
     assert [r["id_purchase"] for r in a.read("purchase").collect()] == [9]
+
+
+def test_vacuum_during_inflight_group_txn_real_process_contention(
+    spark, tmp_path
+):
+    """r16 VERDICT item 5: vacuum racing an IN-FLIGHT multi-table
+    transaction across REAL OS processes (the monkeypatched races pin
+    protocol logic; this pins the filesystem story end-to-end).
+
+    Main process stages a 3-table transaction whose staging is slowed
+    so the FIRST table's data dir ages well past the vacuum's orphan
+    retention before the claim — exactly the window the claim-edge
+    mtime refresh (_commit_txn) exists to cover. A child process
+    loops vacuum(orphan_retention_s=3) the whole time, and must sweep
+    a pre-aged crashed-transaction orphan (proving the vacuums are
+    live, not no-ops) while never touching the in-flight dirs."""
+    import json as _json
+    import multiprocessing as mp
+    import time as _time
+
+    root = str(tmp_path)
+    grp = TableGroup(spark, root, writer_id="ing")
+    # a prior snapshot so vacuum has a log to work from
+    grp.overwrite("purchase", _p(spark, [(1, 1.0)]))
+
+    # a crashed transaction's orphan: unreferenced, mtime an hour old
+    stale_orphan = os.path.join(root, "purchase", "data", "deadbeefcafe")
+    os.makedirs(stale_orphan)
+    with open(os.path.join(stale_orphan, "part-junk.parquet"), "w") as f:
+        f.write("x")
+    old = _time.time() - 3600
+    os.utime(stale_orphan, (old, old))
+
+    stop = os.path.join(root, "_stop_vacuum_loop")
+    sweep_log = os.path.join(root, "_sweeps.jsonl")
+
+    def vacuum_loop():
+        # Spark-free: TableGroup.vacuum is pure filesystem logic
+        child = TableGroup(None, root, writer_id="vac")
+        with open(sweep_log, "w") as log:
+            while not os.path.exists(stop):
+                for path in child.vacuum(keep_last=1, orphan_retention_s=3):
+                    log.write(_json.dumps(path) + "\n")
+                log.flush()
+                _time.sleep(0.15)
+
+    ctx = mp.get_context("fork")
+    proc = ctx.Process(target=vacuum_loop)
+    proc.start()
+    try:
+        # slow staging: each table's write takes +1.6 s, so table A's
+        # dir is ~4.8 s old (> retention 3 s) when the claim edge
+        # refreshes mtimes; a slowed claim keeps the in-flight window
+        # open under the child's vacuum cadence afterwards too
+        real_write = grp._write_data
+        real_claim = grp._claim
+
+        def slow_write(name, df):
+            out = real_write(name, df)
+            _time.sleep(1.6)
+            return out
+
+        def slow_claim(record, next_id):
+            _time.sleep(1.5)
+            return real_claim(record, next_id)
+
+        grp._write_data = slow_write
+        grp._claim = slow_claim
+        with grp.transaction() as txn:
+            txn.append("purchase", _p(spark, [(2, 2.0)]))
+            txn.overwrite("operation", _op(spark, [(2, 7, 1)]))
+            txn.overwrite(
+                "price",
+                spark.createDataFrame(
+                    [(7, 10.0)], "id_product long, price double"),
+            )
+    finally:
+        grp._write_data = real_write
+        grp._claim = real_claim
+        with open(stop, "w"):
+            pass
+        proc.join(timeout=30)
+        if proc.is_alive():
+            proc.terminate()
+
+    # the transaction survived the vacuums: every table fully readable
+    assert txn.snapshot_id == 2
+    assert sorted(
+        r["id_purchase"] for r in grp.read("purchase").collect()) == [1, 2]
+    assert grp.read("operation").count() == 1
+    assert grp.read("price").count() == 1
+    # the child actually swept (the stale orphan), and ONLY that
+    assert not os.path.exists(stale_orphan)
+    with open(sweep_log) as f:
+        swept = [_json.loads(line) for line in f]
+    assert stale_orphan in swept
+    live_dirs = {
+        d
+        for sid in grp.snapshot_ids()
+        for entry in grp._load_commit(sid)["tables"].values()
+        for d in entry["dirs"]
+    }
+    assert not (set(swept) & live_dirs)
