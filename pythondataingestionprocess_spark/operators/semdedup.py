@@ -110,11 +110,25 @@ def _assign_gemm_udf(centroids: list[tuple[int, list[float]]]):
         dots = mat @ c.T
         d = c_sq[None, :] - 2.0 * dots  # |x|^2 constant per row
         best = d.argmin(axis=1)
+        # cos_c is the KEEP-RANK — the tie-breaker between bit-identical
+        # embeddings — so it must not depend on which Arrow batch a row
+        # landed in. BLAS GEMM results for the SAME row differ by ~1 ulp
+        # across batch shapes (OpenBLAS picks different kernels/threading
+        # by M: measured 7.1e-15 drift between M=64 and M=100), which
+        # flipped (cos, id) rank order between a copy pair whose batches
+        # differed in size (r17 flake). Recompute the selected-centroid
+        # dot per row with numpy's fixed-order row reduction instead —
+        # bit-identical for a given row regardless of batch size or BLAS
+        # threading (pinned by test_gemm_cos_is_batch_shape_invariant).
+        # GEMM still feeds ONLY the argmin, where centroid distance gaps
+        # are orders of magnitude above ulp noise (the r16 margin
+        # certificate's guarantee), so cluster choice is shape-stable.
+        sel = c[best]
+        dot_sel = np.einsum("ij,ij->i", mat, sel)
         x_norm = np.sqrt((mat * mat).sum(axis=1))
-        rows = np.arange(len(best))
         denom = x_norm * c_norm[best]
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dots[rows, best] / denom
+            cos = dot_sel / denom
         # zero-norm rows/centroids: the expr path's try_divide yields
         # NULL — mirror that (NaN would sort ABOVE every double in the
         # keep-rank and silently diverge the dropped set; r10 review).

@@ -159,6 +159,38 @@ def test_gemm_assigner_matches_expression_assigner(spark):
         assert expr[i][1] == pytest.approx(gemm[i][1], abs=1e-12)
 
 
+def test_gemm_cos_is_batch_shape_invariant():
+    """The keep-rank cos_c must be bit-identical for the same row no
+    matter which Arrow batch shape it rode in. BLAS GEMM violates this
+    (OpenBLAS picks different kernels by M — measured ~7e-15 per-row
+    drift between M=64 and M=100), which once flipped the (cos, id)
+    tie between a bit-identical copy pair whose batches differed in
+    size (r17 full-suite flake). The kernel now recomputes the
+    selected-centroid dot with numpy's fixed-order row reduction; this
+    pins that property by driving the raw pandas_udf function on the
+    same vector embedded in batches of many different sizes/positions."""
+    import pandas as pd
+
+    from pythondataingestionprocess_spark.operators.semdedup import (
+        _assign_gemm_udf,
+    )
+
+    rng = np.random.default_rng(7)
+    cents = [(c, [float(x) for x in rng.normal(size=64)]) for c in range(16)]
+    fn = _assign_gemm_udf(cents).func  # raw function, no Spark needed
+    v = rng.normal(size=64).astype("float32")
+    ref = None
+    for m in (1, 2, 3, 7, 64, 100, 1000):
+        for pos in sorted({0, m // 2, m - 1}):
+            batch = rng.normal(size=(m, 64)).astype("float32")
+            batch[pos] = v
+            out = fn(pd.Series(list(batch)))
+            got = (out["c"].iloc[pos], out["cos"].iloc[pos])
+            if ref is None:
+                ref = got
+            assert got == ref, f"shape-dependent assignment at m={m} pos={pos}"
+
+
 def test_gemm_dedup_output_matches_expression(spark, sf_dir):
     # the full dedup verdict is assigner-invariant on a planted corpus
     from pythondataingestionprocess_spark.catalog import load_table

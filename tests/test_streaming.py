@@ -773,10 +773,16 @@ def test_rate_source_tumbling_window(spark, tmp_path):
         .start()
     )
     try:
+        # Poll the sink with a hard deadline (the sibling rate test's
+        # shape) instead of q.processAllAvailable(): a rate source
+        # never runs dry, so on a host where one micro-batch takes
+        # longer than the generation interval processAllAvailable can
+        # chase the tail FOREVER and the deadline at the loop top is
+        # never reached again (observed: 1,500+ micro-batches / 30+
+        # stuck minutes under heavy ambient load, r17).
         deadline = time.time() + 60
         total, n_windows = 0, 0
         while time.time() < deadline:
-            q.processAllAvailable()
             row = spark.sql(
                 "SELECT SUM(n_events) AS n, COUNT(*) AS w FROM rate_tumbling"
             ).collect()[0]
