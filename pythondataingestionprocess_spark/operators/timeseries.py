@@ -188,82 +188,139 @@ def resample_interpolate_hourly(
     points outside the observed range take the nearest observation
     (back/forward fill); a grid point landing exactly on an
     observation reproduces it exactly (its interpolation fraction is
-    0 by construction, not a special case).
+    +0.0 by construction, not a special case).
 
-    Spark-first (no joins at all): observations and generated grid
-    rows are UNIONED into one frame, then ONE per-key sort order
-    (ts, is_grid — observations first on ties, so an exact-hit grid
-    row sees its observation as "previous") carries all four
-    surrounding-neighbor fields via last/first-IGNORE-NULLS window
-    frames. That is the standard interleave trick: two as-of joins
-    (prev + next) collapse into window functions on a single per-key
-    exchange. The two small upstream aggregations (per-(key,ts) dedup
-    so ties can't make the neighbor fields nondeterministic, and
-    per-key bounds for the grid) are key-bounded map-side-combine
-    shuffles. Interpolation fractions use MICROSECOND diffs
-    (timestampdiff is NTZ-polymorphic; second-granularity diffs have
-    engine-specific truncation semantics on sub-second data).
+    ONE exchange, ONE sort (r17 optimization, guide §2.4): every grid
+    point lies in exactly one inter-observation interval, so instead
+    of UNIONING generated grid rows with the observations and carrying
+    the combined frame through TWO opposite-order window sorts (the
+    r7–r16 interleave design: 3 exchanges, both sorting |obs|+|grid|
+    rows), each observation row looks up its successor with one
+    lag-free ``lead`` window and EXPLODES the hourly points of its own
+    half-open interval map-side:
+
+    - row semantics: observation (ts, v) with successor (n_ts, n_v)
+      owns hourly points ts ≤ g < n_ts (its own timestamp when
+      on-hour — interpolation fraction +0.0 — plus the strict
+      interior); the last row owns only its own on-hour point; the
+      first row additionally owns the backfill point hour-floor(ts).
+    - the intervals partition the oracle's grid exactly (consecutive,
+      disjoint, jointly covering hour-floor(min) .. hour-floor(max)),
+      and the value expression keeps the interleave's exact IEEE
+      shape — ``prev_v + (next_v - prev_v) * (μs-diff ratio)`` with
+      the same null-edge branches — so results are bit-identical to
+      the prior form and to the DuckDB oracle (which still replays
+      the portable union+window formulation).
+
+    The single shuffle carries the RAW (key, ts, value) rows once
+    (hash(key) satisfies the downstream (key, ts) dedup's clustering
+    requirement, so the dedup aggregate runs in-partition); the old
+    shape shuffled the observations once to dedup, the per-key bounds
+    a second time, and the union a third. Interpolation fractions use
+    MICROSECOND diffs (timestampdiff is NTZ-polymorphic;
+    second-granularity diffs have engine-specific truncation semantics
+    on sub-second data).
 
     At 100 TB: grid size is bounded by key-count × span-hours, never
-    by event count; every stage is key-partitioned; nothing pairs up.
+    by event count; the explode is map-side after the one exchange;
+    per-task memory is row-bounded (no collected arrays); nothing
+    pairs up.
     """
     k, t = F.col(key_col), F.col(ts_col)
-    obs = df.groupBy(key_col, ts_col).agg(
-        F.min(F.col(value_col).cast("double")).alias("_v")
-    )
-    bounds = obs.groupBy(key_col).agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("_hi"),
-    )
-    grid = bounds.select(
-        k,
-        F.explode(
-            F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias(ts_col),
-    )
-    unioned = obs.select(k, t, "_v", F.lit(0).alias("_is_grid")).unionByName(
-        grid.select(
-            k, t, F.lit(None).cast("double").alias("_v"), F.lit(1).alias("_is_grid")
-        )
-    )
-    # Both neighbor lookups are RUNNING frames (unbounded-preceding →
-    # current), which Spark evaluates incrementally in O(1) per row.
-    # The naive forward frame (currentRow → unboundedFollowing) is NOT
-    # incremental — UnboundedFollowingWindowFunctionFrame rescans to
-    # the partition end for every row, O(rows²) per key: measured 82 s
-    # vs 5 s at 8M vs 2M rows (scripts/timeseries_scaling.py) before
-    # this was rewritten as a running frame over the EXACT inverse
-    # sort order (ts DESC, is_grid DESC), which yields the same "first
-    # observation at-or-after" semantics.
-    w_prev = (
-        W.partitionBy(key_col)
-        .orderBy(ts_col, "_is_grid")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_next = (
-        W.partitionBy(key_col)
-        .orderBy(F.col(ts_col).desc(), F.col("_is_grid").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    obs_ts = F.when(F.col("_v").isNotNull(), t)
-    framed = unioned.select(
+    ev = df.select(
+        k, t, F.col(value_col).cast("double").alias("_v")
+    ).repartition(k)
+    # in-partition dedup: hash(key) co-locates every (key, ts) group
+    obs = ev.groupBy(key_col, ts_col).agg(F.min("_v").alias("_v"))
+    w = W.partitionBy(key_col).orderBy(ts_col)
+    cur = obs.select(
         k,
         t,
-        F.col("_is_grid"),
-        F.last("_v", ignorenulls=True).over(w_prev).alias("prev_v"),
-        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
-        F.last("_v", ignorenulls=True).over(w_next).alias("next_v"),
-        F.last(obs_ts, ignorenulls=True).over(w_next).alias("next_ts"),
-    ).filter(F.col("_is_grid") == 1)
-    num = F.expr(f"timestampdiff(MICROSECOND, prev_ts, {ts_col})").cast("double")
-    den = F.expr("timestampdiff(MICROSECOND, prev_ts, next_ts)").cast("double")
-    interp = (
-        F.when(F.col("prev_v").isNull(), F.col("next_v"))
-        .when(F.col("next_v").isNull(), F.col("prev_v"))
-        .otherwise(
-            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (num / den)
-        )
+        "_v",
+        F.lead(t).over(w).alias("_n_ts"),
+        F.lead("_v").over(w).alias("_n_v"),
+        F.row_number().over(w).alias("_rn"),
     )
-    return framed.select(
-        k, t.alias("grid_ts"), interp.alias("value")
+    # Staged projections keep each derived quantity a PLAIN ATTRIBUTE
+    # by the time the explode references it: building h0/h1 inline in
+    # the generator made the DataFrame API serialize their full
+    # date_trunc CASE trees ~7x into one Generate expression (measured
+    # 2x the whole query's runtime); CollapseProject's multi-reference
+    # guard preserves this staging because every alias below is
+    # non-cheap and consumed more than once.
+    hour = F.expr("INTERVAL 1 HOUR")
+    pre = cur.select(
+        k,
+        t,
+        "_v",
+        "_n_ts",
+        "_n_v",
+        "_rn",
+        F.date_trunc("hour", t).alias("_tr"),
+        F.date_trunc("hour", F.col("_n_ts")).alias("_tr_n"),
+    )
+    tr, tr_n, n_ts = F.col("_tr"), F.col("_tr_n"), F.col("_n_ts")
+    # first hourly point this row owns: the first row anchors the grid
+    # at its hour-floor (backfill point); later rows start at their own
+    # timestamp when on-hour, else the next hour boundary
+    h0 = F.when(F.col("_rn") == 1, tr).otherwise(
+        F.when(tr == t, t).otherwise(tr + hour)
+    )
+    # last hourly point this row owns: the greatest hour < n_ts (an
+    # on-hour successor belongs to ITS row as the fraction-0 point);
+    # the final row owns only its own on-hour point
+    h1 = F.when(
+        n_ts.isNotNull(),
+        F.when(tr_n == n_ts, n_ts - hour).otherwise(tr_n),
+    ).otherwise(F.when(tr == t, t))
+    anchored = pre.select(
+        k,
+        "_v",
+        "_n_v",
+        h0.alias("_h0"),
+        h1.alias("_h1"),
+        F.timestamp_diff("MICROSECOND", t, n_ts).alias("_den_us"),
+        F.timestamp_diff("MICROSECOND", h0, t).alias("_c0_us"),
+    )
+    n_steps = F.timestamp_diff("HOUR", F.col("_h0"), F.col("_h1"))
+    # Grid points are generated as INTEGER step indices, not timestamp
+    # sequences: Spark's temporal Sequence expression costs ~20 us per
+    # CALL (interpreted, per-call allocation — measured 2.2 s for 100k
+    # row-level calls vs 0.7 s for the integer form at sf0.1); the grid
+    # timestamp is reconstructed once per OUTPUT row in the final
+    # projection. No otherwise branch: a NULL array explodes to zero
+    # rows, which is exactly what an empty interval should contribute.
+    stepped = anchored.select(
+        k,
+        "_v",
+        "_n_v",
+        "_h0",
+        "_den_us",
+        "_c0_us",
+        F.explode(
+            F.when(
+                F.col("_h1").isNotNull() & (n_steps >= 0),
+                F.sequence(F.lit(0).cast("long"), n_steps),
+            )
+        ).alias("_n"),
+    )
+    # us(ts -> g) = n*3_600_000_000 - _c0_us exactly (both longs far
+    # below 2^53), so the long->double cast reproduces the
+    # timestampdiff-based numerator of the union+window formulation
+    # bit-for-bit, and the branch tests stay integer comparisons.
+    num_us = F.col("_n") * F.lit(3600000000).cast("long") - F.col("_c0_us")
+    num = num_us.cast("double")
+    den = F.col("_den_us").cast("double")
+    interp = (
+        # num_us < 0 <=> g < ts: the first row's backfill point (no
+        # preceding observation -> nearest fill)
+        F.when(num_us < 0, F.col("_v"))
+        # no successor <=> the last row's own on-hour point
+        .when(F.col("_den_us").isNull(), F.col("_v"))
+        .otherwise(F.col("_v") + (F.col("_n_v") - F.col("_v")) * (num / den))
+    )
+    return stepped.select(
+        k,
+        F.timestamp_add("HOUR", F.col("_n"), F.col("_h0")).alias("grid_ts"),
+        interp.alias("value"),
     )
