@@ -62,7 +62,18 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     mandatory (GraphX materializes its edge RDDs for the same
     reason). Pass False only for plan inspection of the pure shape.
     """
-    edges, deg, closed = _closed_triangles(edges, materialize)
+    return triangle_count_from_chain(*_closed_triangles(edges, materialize))
+
+
+def triangle_count_from_chain(
+    edges: DataFrame, deg: DataFrame, closed: DataFrame
+) -> DataFrame:
+    """The (n_vertices, n_edges, n_triangles) roll-up over an already
+    built (edges, deg, closed) chain — split out so callers that run
+    SEVERAL graph analytics on one graph (triangle count + clustering
+    coefficients here) can build the expensive wedge/closure chain
+    once and aggregate it many ways, the way an engine materializes a
+    shared intermediate (r17 optimization)."""
     n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_vert = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -123,6 +134,14 @@ def clustering_coefficient(edges: DataFrame, materialize: bool = True) -> DataFr
     double division — deterministic cross-engine.
     """
     _, deg, closed = _closed_triangles(edges, materialize)
+    return clustering_coefficient_from_chain(deg, closed)
+
+
+def clustering_coefficient_from_chain(
+    deg: DataFrame, closed: DataFrame
+) -> DataFrame:
+    """Per-vertex coefficients over an already built chain — the
+    shared-intermediate twin of :func:`triangle_count_from_chain`."""
     tri_v = (
         closed.select(
             F.explode(F.array(F.col("src"), F.col("x"), F.col("y"))).alias("w")

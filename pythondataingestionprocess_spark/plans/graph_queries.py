@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 from pythondataingestionprocess_spark.catalog import load_table
 from pythondataingestionprocess_spark.operators.graph import (
-    clustering_coefficient,
-    triangle_count,
+    _closed_triangles,
+    clustering_coefficient_from_chain,
+    triangle_count_from_chain,
 )
 from pythondataingestionprocess_spark.plans.registry import query
 
@@ -101,7 +102,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes quadratic. All equi-joins and integer counts; the oracle
     replays the identical orientation/wedge/closure chain.
     """
-    return triangle_count(_copurchase_edges(spark, sf_dir))
+    return triangle_count_from_chain(*_graph_chain(spark, sf_dir))
 
 
 # Per-(session, sf_dir) memo of the materialized co-purchase edge
@@ -149,6 +150,35 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+# The full (edges, deg, closed-triangles) chain, shared by BOTH graph
+# queries (r17 optimization): the wedge self-join + closure semi-join
+# is the expensive half of either query, and the two aggregate the
+# SAME triangle set — an engine materializes that intermediate once.
+# ``closed`` rides a persist() (recomputable lineage, same rationale
+# as _EDGE_MEMO); eviction mirrors _EDGE_MEMO's one-entry bound.
+_CHAIN_MEMO: list[tuple[SparkSession, str, tuple[DataFrame, DataFrame, DataFrame]]] = []
+
+
+def _graph_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    for sess, cached_dir, chain in _CHAIN_MEMO:
+        if sess is spark and cached_dir == sf_dir:
+            return chain
+    for _sess, _cached_dir, chain in _CHAIN_MEMO:
+        try:
+            chain[2].unpersist()
+        except Exception:
+            pass  # a stopped session can't (and needn't) unpersist
+    _CHAIN_MEMO.clear()
+    edges, deg, closed = _closed_triangles(
+        _copurchase_edges(spark, sf_dir), materialize=True
+    )
+    closed = closed.persist()
+    _CHAIN_MEMO.append((spark, sf_dir, (edges, deg, closed)))
+    return edges, deg, closed
+
+
 @query("part_clustering_coefficient", oracle=_COEFF_ORACLE, tags=("graph", "triangle", "topk"))
 def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 best-connected parts by LOCAL clustering coefficient
@@ -163,7 +193,8 @@ def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine); ordering is on the ROUNDED value with part_id as
     tiebreak, so the LIMIT cuts identically in both engines.
     """
-    cc = clustering_coefficient(_copurchase_edges(spark, sf_dir))
+    _, deg, closed = _graph_chain(spark, sf_dir)
+    cc = clustering_coefficient_from_chain(deg, closed)
     return (
         cc.filter(F.col("deg") >= 5)
         .select(
