@@ -203,7 +203,9 @@ def resample_interpolate_hourly(
       owns hourly points ts ≤ g < n_ts (its own timestamp when
       on-hour — interpolation fraction +0.0 — plus the strict
       interior); the last row owns only its own on-hour point; the
-      first row additionally owns the backfill point hour-floor(ts).
+      first row additionally owns the backfill point hour-floor(ts)
+      (a single-observation key is both, so its one row owns exactly
+      the backfill point hour-floor(ts) whether or not ts is on-hour).
     - the intervals partition the oracle's grid exactly (consecutive,
       disjoint, jointly covering hour-floor(min) .. hour-floor(max)),
       and the value expression keeps the interleave's exact IEEE
@@ -268,11 +270,15 @@ def resample_interpolate_hourly(
     )
     # last hourly point this row owns: the greatest hour < n_ts (an
     # on-hour successor belongs to ITS row as the fraction-0 point);
-    # the final row owns only its own on-hour point
+    # the final row owns only its own on-hour point — EXCEPT when it
+    # is also the FIRST row (a single-observation key): then it owns
+    # its backfill point hour-floor(ts) even off-hour, matching the
+    # oracle's grid span hour-floor(min)..hour-floor(max) (r18 fix:
+    # the r17 form emitted zero rows for a lone off-hour observation)
     h1 = F.when(
         n_ts.isNotNull(),
         F.when(tr_n == n_ts, n_ts - hour).otherwise(tr_n),
-    ).otherwise(F.when(tr == t, t))
+    ).otherwise(F.when(tr == t, t).when(F.col("_rn") == 1, tr))
     anchored = pre.select(
         k,
         "_v",

@@ -1015,6 +1015,10 @@ def test_resample_interpolate_hourly_semantics(spark):
         (1, "2024-01-01 02:30:00", 30.0),
         # user 2: single obs exactly on the hour → one grid point, exact
         (2, "2024-01-01 05:00:00", 7.0),
+        # user 3: single obs OFF the hour → one backfill grid point at
+        # hour-floor(ts) (r18 regression fixture: the r17 lead+explode
+        # form emitted zero rows for this key)
+        (3, "2024-01-01 06:45:00", 3.5),
     ]
     df = spark.createDataFrame(
         rows, "user_id long, ts string, value double"
@@ -1030,7 +1034,11 @@ def test_resample_interpolate_hourly_semantics(spark):
     assert got[(1, "2024-01-01 02:00:00")] == pytest.approx(25.0, abs=1e-12)
     assert (1, "2024-01-01 03:00:00") not in got  # grid ends at hour-floor(max)
     assert got[(2, "2024-01-01 05:00:00")] == 7.0  # exact hit
-    assert len(got) == 4
+    # lone off-hour obs: exactly one backfill row at hour-floor(ts)
+    assert got[(3, "2024-01-01 06:00:00")] == 3.5
+    assert (3, "2024-01-01 06:45:00") not in got
+    assert (3, "2024-01-01 07:00:00") not in got
+    assert len(got) == 5
 
 
 def test_resample_interpolate_property_bounded_and_exact(spark):
