@@ -386,6 +386,34 @@ def _run_badness(detail: dict) -> tuple:
     )
 
 
+def select_run(runs: list) -> dict:
+    """Pick the run the compact line reports (r18, VERDICT r17 item 9).
+
+    Base rule (r14): a clean run beats a WARN'd one, ties break on
+    calib drift. That rule has an asymmetry: a run whose host SPED UP
+    mid-run is WARN'd and loses to a stable-but-slow run even though
+    its total is the better (upper-bound) estimate — the r17
+    end-of-round artifact archived 153.1 s while discarding a 103.3 s
+    run WARN'd only because calib improved 0.51x. New override: when
+    the two runs AGREE per-query — each run's total is within 10% of
+    the elementwise-min composite, i.e. neither run is systematically
+    distorted relative to the other — prefer the lower total. When
+    they disagree, the noise verdicts still decide (clean beats WARN).
+    """
+    if len(runs) < 2:
+        return runs[0]
+    per_q = [r.get("queries", {}) for r in runs]
+    common = set(per_q[0]) & set(per_q[1])
+    if common:
+        min_total = sum(min(q[n] for q in per_q) for n in common)
+        if min_total > 0 and all(
+            sum(q[n] for n in common) <= 1.10 * min_total for q in per_q
+        ):
+            # lower total wins; exact ties fall back to cleanliness
+            return min(runs, key=lambda r: (r["value"], _run_badness(r)))
+    return min(runs, key=_run_badness)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -415,7 +443,7 @@ def main() -> None:
         quiet_wait += _wait_for_quiet_host()
         spark = get_spark(app_name="pdip-spark-bench-retry")
         runs.append(run_sweep(spark, sf_dir, names, plan_fn, sf))
-    detail = min(runs, key=_run_badness)
+    detail = select_run(runs)
     detail["quiet_wait_sec"] = quiet_wait
     if len(runs) > 1:
         discarded = runs[0] if detail is runs[1] else runs[1]
@@ -430,12 +458,17 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
-    # FINAL line = compact summary (~200 chars). The driver parses the
-    # tail of stdout; with 88 queries the detailed line above is ~2.8 KB
-    # and its head (including "value") falls outside the tail buffer —
+    # FINAL line = compact summary. The driver parses the tail of
+    # stdout; with 88 queries the detailed line above is ~2.8 KB and
+    # its head (including "value") falls outside the tail buffer —
     # BENCH_r05.json recorded parsed:null exactly because of that
     # (VERDICT r5 item 1). This line must stay well under 2000 chars
-    # and must be printed LAST.
+    # and must be printed LAST. r18 (VERDICT r17 item 2): per-query
+    # walls now ride this line too, as the compact "q" array —
+    # 2-decimal floats in benched-HEADLINE order (the insertion order
+    # of the detailed line's "queries" dict), ~600 chars for 91
+    # queries — so PERF can compute round-over-round per-query deltas
+    # (r17 had n_common: 0, i.e. no per-query comparison at all).
     compact = {
         "metric": "headline_queries_total_wall",
         "value": detail["value"],
@@ -449,6 +482,7 @@ def main() -> None:
         "loadavg_1m_start": detail["loadavg_1m_start"],
         "loadavg_1m_end": detail["loadavg_1m_end"],
         "host_noise": detail["host_noise"],
+        "q": [round(v, 2) for v in detail["queries"].values()],
     }
     if quiet_wait:
         compact["quiet_wait_sec"] = quiet_wait

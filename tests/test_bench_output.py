@@ -37,8 +37,10 @@ def test_compact_final_line_is_parseable_and_small(monkeypatch, capsys,
     assert len(lines) >= 2
 
     final = lines[-1]
-    # must survive any tail buffer: compact, self-contained JSON
-    assert len(final) < 500
+    # must survive the ~2000-char tail buffer: compact, self-contained
+    # JSON (the per-query "q" array grew it past the old 500-char
+    # bound; 91 two-decimal floats is ~600 chars, total ~1200)
+    assert len(final) < 1900
     compact = json.loads(final)
     assert compact["metric"] == "headline_queries_total_wall"
     assert compact["unit"] == "sec"
@@ -64,19 +66,27 @@ def test_compact_final_line_is_parseable_and_small(monkeypatch, capsys,
     # run self-flags inside the committed BENCH_r{N}.json
     assert compact["host_noise"] == "clean" or compact[
         "host_noise"].startswith("WARN: ")
-    assert "queries" not in compact, "per-query detail belongs to the " \
-        "detailed line/file, never the tail-parsed final line"
+    assert "queries" not in compact, "the full name->sec dict belongs " \
+        "to the detailed line/file; the final line carries the compact " \
+        "'q' array instead (r18, VERDICT r17 item 2)"
 
     detailed = json.loads(lines[-2])
     assert set(detailed["queries"]) == {"projection_narrow", "distinct_dims"}
     assert detailed["value"] == compact["value"]
+    # r18: per-query walls ride the final line as 2-decimal floats in
+    # the detailed dict's insertion order (benched-HEADLINE order)
+    assert compact["q"] == [
+        round(v, 2) for v in detailed["queries"].values()
+    ]
+    assert len(compact["q"]) == compact["n_queries"]
 
 
 def test_compact_line_stays_small_at_full_headline():
-    """Static bound: even if every headline query name appeared in the
-    compact line it would blow the buffer — so assert the compact
-    payload shape (fixed keys, no per-query dict) directly from the
-    source, then bound a synthetic render at full scale."""
+    """Static bound: a full name->sec dict would blow the tail buffer
+    (~3.3 KB at 91 queries), so the final line carries only fixed keys
+    plus the nameless "q" float array — bound a synthetic worst-case
+    render at full HEADLINE scale against the driver's ~2000-char
+    tail."""
     worst_noise = bench.host_noise_verdict(0.485, 0.95, 999.9, 999.9, 32)
     synthetic = json.dumps({
         "metric": "headline_queries_total_wall",
@@ -95,8 +105,10 @@ def test_compact_line_stays_small_at_full_headline():
         "quiet_wait_sec": 120.0,
         "bench_runs": 2,
         "discarded_host_noise": worst_noise[:60],
+        # worst case per-query array: every query at a 5-digit wall
+        "q": [99999.99] * len(bench.HEADLINE),
     })
-    assert len(synthetic) < 500
+    assert len(synthetic) < 1900
 
 
 def test_bench_detail_file_written(monkeypatch, capsys, tmp_path):
@@ -175,6 +187,39 @@ def _fake_detail(calib, calib_end, noise):
         "loadavg_1m_end": 1.0,
         "host_noise": noise,
     }
+
+
+def test_select_run_asymmetric_drift_rule():
+    """r18 (VERDICT r17 item 9): when both runs' per-query timings
+    agree (each total within 10% of the elementwise-min composite),
+    the LOWER total is parsed even if that run carries a WARN — a run
+    whose host sped up mid-run is an upper bound, not a worse
+    measurement. When the runs disagree, the old clean-beats-WARN
+    rule still decides."""
+    def run(value, queries, calib, calib_end, noise):
+        d = _fake_detail(calib, calib_end, noise)
+        d["value"] = value
+        d["queries"] = queries
+        return d
+
+    warn = "WARN: calib drifted 0.51x mid-run (outside +/-20%)"
+    # agreeing runs (2% apart): faster WARN'd run wins
+    fast = run(50.0, {"a": 20.0, "b": 30.0}, 0.6, 0.3, warn)
+    slow = run(51.0, {"a": 20.5, "b": 30.5}, 0.5, 0.5, "clean")
+    assert bench.select_run([slow, fast]) is fast
+    assert bench.select_run([fast, slow]) is fast
+    # disagreeing runs (>10% above the min composite): clean wins
+    # even though the WARN'd run's total is lower
+    fast2 = run(40.0, {"a": 10.0, "b": 30.0}, 0.6, 0.3, warn)
+    slow2 = run(45.0, {"a": 20.0, "b": 25.0}, 0.5, 0.5, "clean")
+    # min composite = 10 + 25 = 35; fast2 = 40 > 38.5, slow2 = 45 > 38.5
+    assert bench.select_run([fast2, slow2]) is slow2
+    # exact tie on total: cleanliness breaks it
+    t1 = run(50.0, {"a": 50.0}, 0.6, 0.3, warn)
+    t2 = run(50.0, {"a": 50.0}, 0.5, 0.5, "clean")
+    assert bench.select_run([t1, t2]) is t2
+    # single run: returned as-is
+    assert bench.select_run([t1]) is t1
 
 
 def test_calib_drift_triggers_one_retry_on_fresh_session(
