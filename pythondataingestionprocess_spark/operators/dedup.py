@@ -420,7 +420,6 @@ def _signatures_banded(
     """(id, band, band_hash) LSH bucket-membership rows — the shared
     signature stage of the self-join and incremental paths (explode →
     per-hash min aggregates → band hashes, one shuffle on id)."""
-    rows_per_band = num_hashes // bands
     # CPU-dense stage (shingle explode + 64 hashes/row): don't inherit
     # a single-split scan's task count — see operators/parallel.py.
     # Keyed on id, the shuffle replaces (not adds to) the groupBy(id)
@@ -430,7 +429,47 @@ def _signatures_banded(
         F.col(id_col), tokens(text_col).alias("_w")
     ).select(
         F.col(id_col), F.explode(shingles_of_tokens("_w", shingle_n)).alias("shingle")
-    ).select(
+    )
+    return _banded_from_shingle_rows(
+        raw_sh, id_col, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+
+
+def banded_from_shingle_arrays(
+    sh_df: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, band_hash) bucket membership derived from an EXISTING
+    shingle-array table (shingle_array_table output) instead of raw
+    text — min over the DISTINCT shingle set equals min over the
+    multiset, so the result is row-identical to _signatures_banded
+    while skipping a second tokenize+shingle pass (r18: callers that
+    need both frames build the array table once — typically persisted
+    — and derive the buckets from it)."""
+    rows = sh_df.select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+    return _banded_from_shingle_rows(
+        rows, id_col, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+
+
+def _banded_from_shingle_rows(
+    raw_sh: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Shared signature aggregation: (id, shingle) rows → 64 per-hash
+    min aggregates → per-band hashes → posexplode to bucket rows."""
+    rows_per_band = num_hashes // bands
+    raw_sh = raw_sh.select(
         F.col(id_col),
         F.pmod(F.xxhash64("shingle"), F.lit(_RANGE_31)).alias("hx"),
     )
@@ -554,6 +593,8 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.5,
     seed: int = 42,
     bucket_cap: int = 1000,
+    corpus_banded: DataFrame | None = None,
+    corpus_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing corpus —
     the daily-ingest shape: dedup today's crawl against the full
@@ -569,9 +610,25 @@ def minhash_lsh_pairs_incremental(
     order, same anchor logic as bucket_candidate_pairs): a degenerate
     boilerplate bucket contributes at most ``cap`` candidates per new
     doc instead of the whole cluster — identical-content mega-clusters
-    still match via the kept min-id members."""
+    still match via the kept min-id members.
+
+    ``corpus_banded`` / ``corpus_sh`` optionally supply the CORPUS
+    side's precomputed `_signatures_banded` / `shingle_array_table`
+    frames (MUST be built with the same shingle/hash parameters) —
+    the r18 optimization mirroring the ``banded``/``doc_sh`` params of
+    minhash_lsh_pairs: the corpus side of the incremental path IS a
+    precomputed index at scale (built once at index time, not once per
+    batch), so callers that screen several batches against one corpus
+    hand the shared frames in and only the new batch's tokenize +
+    shingle + minhash stage runs per call. Semantics are unchanged —
+    signatures are per-document, so the precomputed frames equal the
+    inline ones row-for-row."""
     kw = dict(shingle_n=shingle_n, num_hashes=num_hashes, bands=bands, seed=seed)
-    corpus_b = _signatures_banded(corpus, id_col, text_col, **kw)
+    corpus_b = (
+        corpus_banded
+        if corpus_banded is not None
+        else _signatures_banded(corpus, id_col, text_col, **kw)
+    )
     new_b = _signatures_banded(new_docs, id_col, text_col, **kw)
     candidates = _incremental_bucket_candidates(
         corpus_b, new_b, id_col, ("band", "band_hash"), bucket_cap
@@ -579,9 +636,11 @@ def minhash_lsh_pairs_incremental(
     sh_new = shingle_array_table(new_docs, id_col, text_col, shingle_n).withColumnRenamed(
         id_col, "new_id"
     )
-    sh_corpus = shingle_array_table(corpus, id_col, text_col, shingle_n).withColumnRenamed(
-        id_col, "corpus_id"
-    )
+    sh_corpus = (
+        corpus_sh
+        if corpus_sh is not None
+        else shingle_array_table(corpus, id_col, text_col, shingle_n)
+    ).withColumnRenamed(id_col, "corpus_id")
     return verify_jaccard_pairs(
         candidates, sh_new, sh_corpus, "new_id", "corpus_id", threshold
     )

@@ -73,11 +73,23 @@ def triangle_count_from_chain(
     SEVERAL graph analytics on one graph (triangle count + clustering
     coefficients here) can build the expensive wedge/closure chain
     once and aggregate it many ways, the way an engine materializes a
-    shared intermediate (r17 optimization)."""
-    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_vert = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
-    return n_vert.crossJoin(n_edge).crossJoin(n_tri)
+    shared intermediate (r17 optimization).
+
+    ONE aggregation job (r18, guide §2.4): the three counts ride a
+    tagged union through a single global aggregate with map-side
+    partials instead of three separate 1-row aggregation jobs glued
+    by two broadcast-nested-loop cross joins — same integer-exact
+    values, one pass, no broadcast exchanges."""
+    u = (
+        deg.select(F.lit("v").alias("k"))
+        .unionAll(edges.select(F.lit("e").alias("k")))
+        .unionAll(closed.select(F.lit("t").alias("k")))
+    )
+    return u.agg(
+        F.count(F.when(F.col("k") == "v", 1)).alias("n_vertices"),
+        F.count(F.when(F.col("k") == "e", 1)).alias("n_edges"),
+        F.count(F.when(F.col("k") == "t", 1)).alias("n_triangles"),
+    )
 
 
 def _closed_triangles(edges: DataFrame, materialize: bool):
@@ -108,10 +120,15 @@ def _closed_triangles(edges: DataFrame, materialize: bool):
     if materialize:
         oriented = oriented.localCheckpoint()
     # wedges at the apex: two out-edges (src→x), (src→y), x < y keeps
-    # each unordered pair once
+    # each unordered pair once. SHUFFLE_HASH hint (r18, guide §3.1):
+    # the planner's default sort-merge pays two full sorts of the
+    # oriented edge list; per-partition out-edge groups are
+    # √|E|-bounded by the orientation, so the hash build side always
+    # fits and the sorts are pure overhead (the wedge stream feeds an
+    # unordered semi-join + counts — nothing downstream wants order).
     o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
     o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
-    wedges = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
+    wedges = o1.join(o2.hint("shuffle_hash"), "src").filter(F.col("x") < F.col("y"))
     # closure: the third side exists as an UNDIRECTED edge; normalized
     # edges already store it as (min, max) = (x, y)
     closed = wedges.join(
