@@ -35,104 +35,99 @@ from pythondataingestionprocess_spark.plans import feature_queries  # noqa: E402
 from pythondataingestionprocess_spark.plans import graph_queries  # noqa: E402,F401
 from pythondataingestionprocess_spark.plans import corpus_ops  # noqa: E402,F401
 
-# --- round-17 rotation -----------------------------------------------
-# Driver-check union after r16 is all-green (CORRECTNESS_r16 50/50;
-# sixteen failure-free rounds). Evidence ages over the r01..r16 files
-# for the 180 registered queries: 29 last-checked-r13 (the front-load
-# left-overs pinned in tests/test_registry_rotation.py last round),
-# 49 r14, 50 r15, 50 r16; nothing past the MAX_EVIDENCE_AGE=4 bound.
-# rotation_calc (exit 0, no warnings; stale budget 48 with the 2-name
-# r16-staged block) derives: ALL 29 r13-aged queries + the
-# alphabetical first 19 of the 49 r14-aged.
+# --- round-18 rotation -----------------------------------------------
+# Driver-check union after r17 is all-green (CORRECTNESS_r17 50/50;
+# seventeen failure-free rounds). Evidence ages over the r01..r17
+# files for the 180 registered queries: 31 last-checked-r14, 49 r15,
+# 50 r16, 50 r17; nothing past the MAX_EVIDENCE_AGE=4 bound.
+# rotation_calc (exit 0, no warnings; stale budget 50 — no staged
+# block this round) derives: ALL 31 r14-aged queries + the
+# alphabetical first 19 of the 49 r15-aged.
 #
-# Committed amendment (r16 VERDICT item 1 / NEXT.md): the three
-# oracle-basis-changed faces whose contract changed AFTER their last
-# driver row are front-loaded in place of the derived r14-age
-# alphabetical tail —
-#   displaced (r14-aged; they front-load r18 with the other 30
-#   same-age left-overs): `events_asof_next_purchase`,
-#   `events_cohort_retention`, `events_cumulative_unique_users`;
-#   promoted: `fuzzy_join_symdelete` (capped-pipeline replay oracle,
-#   r16), `events_distinct_users_sketch` (rows-only -> 5% error-bound
-#   certificate, r16) — both r14-aged anyway — and
-#   `dedup_embedding_cosine` (face bits_per_table 12->24 mid-r16;
-#   last driver row r15 predates it).
-# `embedding_ann_pq` (rows-only -> full ADC replay, r16) is already
-# inside the derived window by age. The era-pinned test replays the
-# pure-age derivation from an explicit r01..r16 file list and asserts
-# exactly this three-for-three swap.
-STALE_R14 = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
+# Committed amendment (r17 VERDICT items 1/4/5): the five faces whose
+# IMPLEMENTATION changed after their last driver row are front-loaded
+# in place of five untouched r15-aged names from the derived
+# alphabetical front —
+#   displaced (r15-aged, untouched this round or last; they
+#   front-load r19 with the other 29 same-age left-overs):
+#   `corpus_mix_resample`, `corpus_temperature_mix`,
+#   `corpus_weighted_sample`, `deterministic_sample_per_source`,
+#   `events_funnel_watermark`;
+#   promoted: `events_resample_interpolate` (r15-aged anyway — the
+#   r17 lead+explode rewrite plus the r18 lone-off-hour backfill fix
+#   both postdate its r15 row), `part_clustering_coefficient` and
+#   `copurchase_triangles` (r17 shared-chain + r18 one-job
+#   rollup/shuffle-hash wedge), `feature_winsorize_robust` and
+#   `percentile_cont_prices` (r17 stats-memo path; r16 rows predate
+#   it).
+# The r18-touched dedup family (`dedup_minhash_lsh`,
+# `dedup_incremental_minhash`, `dedup_keep_one`, `dedup_ngram_jaccard`
+# — the shared shingle-table/corpus-index memos) is r15-aged and
+# already inside the derived alphabetical front, as is
+# `embedding_ann_recall` (r18 UDF-dedup). The era-pinned test replays
+# the pure-age derivation from an explicit r01..r17 file list and
+# asserts exactly this five-for-five swap.
+
+STALE_R15 = [
+    "anti_join_dedup",
+    "bm25_retrieval_topk",
+    "broadcast_dim_join",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
     "copurchase_triangles",
-    "corpus_dsir_importance",
-    "corr_moments_stats",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_incremental_components",
-    "dedup_semantic_semdedup",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_order_reconciliation",
-    "dq_price_outliers_mad",
-    "embedding_ann_pq",
-    "embedding_knn_brute",
-    "events_asof_last_click",
-    "events_concurrency_peak",
-    "events_decayed_feature",
-    "events_distinct_users_sketch",
-    "events_scd2_enrich",
-    "fuzzy_join_symdelete",
-    "inverted_index_incremental",
-    "inverted_index_postings",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q4_priority_order_checks",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "qualify_above_avg_suppliers",
-    "range_join_quantity_bands",
-    "revenue_share_top_customers",
-    "scalar_subquery_small_qty",
-    "skewed_join_salted",
-    "string_agg_nations",
-    "text_bpe_merge_learn_batched",
-    "text_bpe_token_count",
-    "text_bpe_tokenize_vectorized",
-    "text_contamination_check",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "train_val_test_split",
-    "unnest_top_words",
-    "zorder_file_skipping",
+    "corpus_block_dedup",
+    "dedup_cosine_incremental",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_ann_recall",
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_cumulative_unique_users",
+    "events_interval_join",
+    "events_next_event_training",
+    "events_pattern_match",
+    "events_resample_interpolate",
+    "feature_winsorize_robust",
+    "filter_nonempty_text",
+    "filter_not_contains",
+    "flagship_revenue_by_nation",
+    "forward_fill_locf",
+    "full_outer_reconciliation",
+    "hierarchy_depth_rollup",
+    "json_variant_props_stats",
+    "left_join_enrich",
+    "left_join_reverse_agg",
+    "multi_agg_stats",
+    "multimodal_frame_sample",
+    "multimodal_real_decode_roundtrip",
+    "pagerank_nations",
+    "part_clustering_coefficient",
+    "percentile_cont_prices",
+    "positional_attach",
+    "pricing_summary",
+    "projection_narrow",
+    "q9_profit_by_nation_year",
+    "rollup_agg",
+    "semi_join_membership",
+    "stream_static_revenue_rollup",
+    "tiered_pricing",
+    "top_orders_by_price",
+    "union_all_slices",
+    "url_canonicalize",
+    "url_store_name",
 ]
 
-# Staged mid-r16 (as NEW_R17_STAGED), folded into the applied rotation
-# here: the two lakehouse faces take their first official driver rows.
-# (1) `snapshot_change_feed` — three real commits through the
-# SnapshotTableStore log, an exactly-once (app_id, batch_id) replay
-# that must be a no-op, then the append-grain change feed vs a DuckDB
-# reconstruction (slot freed by the r16 `doc_packing_lookahead`
-# retirement). (2) `txn_group_atomic_ingest` — one TableGroup
-# transaction staging three tables must be exactly one group
-# snapshot, a mid-staging failure must be invisible, plus group time
-# travel (slot freed by the r16 `text_bpe_merge_learn` retirement).
-# Both hash-green at sf0.01/sf0.1/sf1 at registration (r16) and
-# judge-verified green in the r16 session. Registry stays AT the 180
-# cap.
-NEW_R17 = [
-    "snapshot_change_feed",
-    "txn_group_atomic_ingest",
-]
+# No staged block this round (registry at the 180 cap, no new
+# registrations in an optimization round).
+NEW_R18: list[str] = []
 
 
 def _apply_rotation() -> None:
-    priority = STALE_R14 + NEW_R17
+    priority = STALE_R15 + NEW_R18
     missing = [n for n in priority if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"rotation names not in REGISTRY: {missing}")
@@ -149,13 +144,13 @@ _apply_rotation()
 # current-round NEW block, whatever its era-specific name is. Queries
 # here ride THIS round's driver window, so their lack of evidence
 # mid-round is expected, not a hole.
-NEW_CURRENT = NEW_R17
+NEW_CURRENT = NEW_R18
 
 __all__ = [
     "REGISTRY",
     "QuerySpec",
     "query",
-    "STALE_R14",
-    "NEW_R17",
+    "STALE_R15",
+    "NEW_R18",
     "NEW_CURRENT",
 ]

@@ -2,22 +2,21 @@
 
 The driver records CORRECTNESS rows for exactly the first 50
 ``queries()`` entries per round, so registry order IS driver coverage.
-The round-17 window = 48 stale + 2 new: ALL 29 last-checked-r13
-queries (the front-load left-overs pinned here last round) plus 16 of
-the 49 last-checked-r14 (alphabetical front) plus the THREE
-oracle-basis-changed faces front-loaded per the r16 VERDICT
-(`dedup_embedding_cosine`, `events_distinct_users_sketch`,
-`fuzzy_join_symdelete` — swapped in for the derived r14-age
-alphabetical tail `events_asof_next_purchase` /
-`events_cohort_retention` / `events_cumulative_unique_users`, which
-front-load r18), then the two r16-staged lakehouse faces
-(`snapshot_change_feed`, `txn_group_atomic_ingest`) take their first
-official driver rows. These tests make the rotation explicit and fail
-loudly if a later registration or refactor silently reorders the
-window.
+The round-18 window = 50 stale + 0 new: ALL 31 last-checked-r14
+queries (the front-load left-overs pinned here last round) plus 14 of
+the 49 last-checked-r15 (alphabetical front) plus the FIVE
+implementation-changed faces front-loaded per the r17 VERDICT
+(items 1/4/5: `events_resample_interpolate`,
+`part_clustering_coefficient`, `copurchase_triangles`,
+`feature_winsorize_robust`, `percentile_cont_prices` — swapped in for
+five untouched r15-aged names from the derived alphabetical front,
+which front-load r19). No staged block this round (optimization
+round; registry at the 180 cap). These tests make the rotation
+explicit and fail loudly if a later registration or refactor silently
+reorders the window.
 
 Era-awareness (VERDICT r5 item 2): the calculator-reproduction test
-feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r16 file
+feeds scripts/rotation_calc.py an EXPLICIT CORRECTNESS_r01..r17 file
 list, so the pin stays green after the driver writes later rounds'
 files; a separate live run only asserts exit-status health (no failed
 rows, no evidence-lag tripwire), never the window composition.
@@ -25,7 +24,7 @@ rows, no evidence-lag tripwire), never the window composition.
 Capacity (r8 VERDICT item 3): rotation_calc hard-fails above
 WINDOW * MAX_EVIDENCE_AGE - CAP_BUFFER = 180, so registering without
 retiring is mechanically impossible, not just a written rule. The
-registry sits AT the cap (180): any r17 registration requires a
+registry sits AT the cap (180): any r18 registration requires a
 retirement first. The calculator guard behaviors (capacity trip,
 evidence-lag tripwire, failed-row alert, parsed-round ordering,
 filename rejection, oversubscribed-window clamp) are pinned below
@@ -40,85 +39,32 @@ import subprocess
 import sys
 
 from pythondataingestionprocess_spark.plans import (
-    NEW_R17,
+    NEW_R18,
     REGISTRY,
-    STALE_R14,
+    STALE_R15,
 )
 
 DRIVER_WINDOW = 50
 
-# The file set the committed rotation was derived from (rounds 1..16).
-# Frozen: later rounds' files must NOT retroactively change what r17's
+# The file set the committed rotation was derived from (rounds 1..17).
+# Frozen: later rounds' files must NOT retroactively change what r18's
 # window was.
-R17_EVIDENCE_FILES = sorted(
+R18_EVIDENCE_FILES = sorted(
     (
         f
         for f in glob.glob("/root/repo/CORRECTNESS_r*.json")
-        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 16
+        if int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)) <= 17
     ),
     key=lambda f: int(re.search(r"CORRECTNESS_r0*(\d+)\.json$", f).group(1)),
 )
 
 
-# The 29 last-checked-r13 queries (this round's guaranteed stale
-# front — the left-overs pinned for r17 last round).
-R13_AGE_29 = [
-    "events_concurrency_peak",
-    "events_decayed_feature",
-    "events_scd2_enrich",
-    "inverted_index_incremental",
-    "inverted_index_postings",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q4_priority_order_checks",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "qualify_above_avg_suppliers",
-    "range_join_quantity_bands",
-    "revenue_share_top_customers",
-    "scalar_subquery_small_qty",
-    "skewed_join_salted",
-    "string_agg_nations",
-    "text_bpe_merge_learn_batched",
-    "text_bpe_token_count",
-    "text_bpe_tokenize_vectorized",
-    "text_contamination_check",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "train_val_test_split",
-    "unnest_top_words",
-    "zorder_file_skipping",
-]
-
-# ALL 49 last-checked-r14 queries, alphabetical — the fill pool the
-# calculator cuts for the remaining stale slots. Recorded verbatim
-# from scripts/rotation_calc.py's round-17 derivation (19 in the
-# derived window + the 30 same-age left-overs it reports).
-R14_AGE_SORTED = [
-    "argmax_customer_balance",
-    "bilateral_trade_volume",
-    "conditional_agg_priority",
-    "copurchase_triangles",
-    "corpus_dsir_importance",
-    "corr_moments_stats",
-    "dedup_containment",
-    "dedup_incremental_components",
-    "dedup_semantic_semdedup",
-    "disjunctive_predicate_revenue",
-    "doc_packing_shards",
-    "dq_order_reconciliation",
-    "dq_price_outliers_mad",
-    "embedding_ann_pq",
-    "embedding_knn_brute",
-    "events_asof_last_click",
+# The 31 last-checked-r14 queries (this round's guaranteed stale
+# front — the left-overs pinned for r18 last round).
+R14_AGE_31 = [
     "events_asof_next_purchase",
     "events_cohort_retention",
     "events_cumulative_unique_users",
-    "events_distinct_users_sketch",
     "events_interval_join",
     "events_next_event_training",
     "events_pattern_match",
@@ -127,7 +73,6 @@ R14_AGE_SORTED = [
     "flagship_revenue_by_nation",
     "forward_fill_locf",
     "full_outer_reconciliation",
-    "fuzzy_join_symdelete",
     "hierarchy_depth_rollup",
     "json_variant_props_stats",
     "left_join_enrich",
@@ -150,26 +95,87 @@ R14_AGE_SORTED = [
     "url_store_name",
 ]
 
-# Committed r17 amendment (r16 VERDICT item 1): the derived r14-age
-# alphabetical tail displaced to front-load the oracle-basis-changed
-# faces. The displaced three plus the 28 r14-age names left outside
-# the window front-load r18.
-DISPLACED_R17 = [
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "events_cumulative_unique_users",
-]
-BASIS_PROMOTED_R17 = [
-    "dedup_embedding_cosine",
-    "events_distinct_users_sketch",
-    "fuzzy_join_symdelete",
+# ALL 49 last-checked-r15 queries, alphabetical — the fill pool the
+# calculator cuts for the remaining stale slots. Recorded verbatim
+# from scripts/rotation_calc.py's round-18 derivation (19 in the
+# derived window + the 30 same-age left-overs it reports).
+R15_AGE_SORTED = [
+    "anti_join_dedup",
+    "bm25_retrieval_topk",
+    "broadcast_dim_join",
+    "clean_safe_float",
+    "clean_signed_money",
+    "clean_stmt_date_roundtrip",
+    "corpus_block_dedup",
+    "corpus_mix_resample",
+    "corpus_temperature_mix",
+    "corpus_weighted_sample",
+    "dedup_cosine_incremental",
+    "dedup_groups_cc",
+    "dedup_incremental_minhash",
+    "dedup_keep_one",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "deterministic_sample_per_source",
+    "embedding_ann_recall",
+    "events_funnel_watermark",
+    "events_resample_interpolate",
+    "events_session_window",
+    "events_sessionize_manual",
+    "events_sliding_window",
+    "events_time_weighted_value",
+    "events_tumbling_window",
+    "except_keys",
+    "fuzzy_name_distance",
+    "grouping_sets_agg",
+    "intersect_keys",
+    "islands_user_activity",
+    "json_map_functions",
+    "lateral_top_orders",
+    "not_in_null_semantics",
+    "percent_rank_ntile",
+    "pivot_status_revenue",
+    "q11_important_parts",
+    "q12_lateness_priority",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "quantile_disc_prices",
+    "rolling_median_user_value",
+    "scd2_build_user_state",
+    "state_change_compression",
+    "text_bpe_pair_counts",
+    "text_repeated_span_dedup",
+    "text_strip_boilerplate",
 ]
 
-# The r14-aged queries that front-load round 18's window: the 28
-# same-age left-overs outside the window plus the three displaced by
-# the basis-change amendment.
-R18_FRONT_LOAD_LEFT_OVERS = sorted(
-    (set(R14_AGE_SORTED) - set(STALE_R14)) | set(DISPLACED_R17)
+# Committed r18 amendment (r17 VERDICT items 1/4/5): five untouched
+# r15-aged names from the derived alphabetical front displaced to
+# front-load the implementation-changed faces. The displaced five plus
+# the 29 r15-age names left outside the window front-load r19.
+DISPLACED_R18 = [
+    "corpus_mix_resample",
+    "corpus_temperature_mix",
+    "corpus_weighted_sample",
+    "deterministic_sample_per_source",
+    "events_funnel_watermark",
+]
+TOUCH_PROMOTED_R18 = [
+    "copurchase_triangles",
+    "events_resample_interpolate",
+    "feature_winsorize_robust",
+    "part_clustering_coefficient",
+    "percentile_cont_prices",
+]
+
+# The r15-aged queries that front-load round 19's window: the 29
+# same-age left-overs outside the window plus the five displaced by
+# the touched-faces amendment, minus the one promoted r15-aged face
+# (events_resample_interpolate rides THIS window).
+R19_FRONT_LOAD_LEFT_OVERS = sorted(
+    set(R15_AGE_SORTED) - set(STALE_R15)
 )
 
 # Retired across rounds: these names must never silently reappear in
@@ -212,33 +218,35 @@ BAD_ROW = {"rows_match": True, "schema_match": True,
 
 
 def _intended():
-    return STALE_R14 + NEW_R17
+    return STALE_R15 + NEW_R18
 
 
 def test_stalest_queries_front_loaded():
-    """The 48 stale slots (all 29 r13-checked + 16 r14-checked
-    alphabetical front + the 3 basis-promoted faces, the stalest
-    evidence eras after r16's window) sit first."""
-    assert list(REGISTRY)[: len(STALE_R14)] == STALE_R14
-    assert len(STALE_R14) == 48
+    """The 50 stale slots (all 31 r14-checked + 14 r15-checked
+    alphabetical front + the 5 touch-promoted faces, the stalest
+    evidence eras after r17's window) sit first."""
+    assert list(REGISTRY)[: len(STALE_R15)] == STALE_R15
+    assert len(STALE_R15) == 50
 
 
 def test_first_50_is_the_intended_rotation():
     assert list(REGISTRY)[:DRIVER_WINDOW] == _intended()[:DRIVER_WINDOW]
 
 
-def test_new_queries_ride_inside_the_window():
-    """Anything first registered for this round's window must be
-    driver-checked this round: those names sit immediately after the
-    stale block, inside the 50-row window (this round: the two
-    staged lakehouse faces)."""
-    names = list(REGISTRY)
-    for i, n in enumerate(NEW_R17):
-        assert names[len(STALE_R14) + i] == n
-    assert len(STALE_R14) + len(NEW_R17) <= DRIVER_WINDOW, (
-        "too many new queries for one driver window — rotate the "
-        "overflow into the next round's stale set"
-    )
+def test_touched_faces_ride_this_window():
+    """Every face whose implementation changed after its last driver
+    row (r17 VERDICT items 1/4/5 + this round's dedup/UDF work) must
+    be inside the 50-row window."""
+    window = set(_intended())
+    for n in TOUCH_PROMOTED_R18 + [
+        "dedup_minhash_lsh",
+        "dedup_incremental_minhash",
+        "dedup_keep_one",
+        "dedup_ngram_jaccard",
+        "dedup_groups_cc",
+        "embedding_ann_recall",
+    ]:
+        assert n in window, n
 
 
 def test_window_is_full():
@@ -278,13 +286,13 @@ def test_registry_within_capacity_cap():
     )
 
 
-def test_r18_front_load_promise_is_registered():
-    """Every r14-age left-over promised to front-load r18's window must
+def test_r19_front_load_promise_is_registered():
+    """Every r15-age left-over promised to front-load r19's window must
     still be registered (a retirement there needs this pin updated
     alongside the documented substance migration)."""
-    missing = [n for n in R18_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
+    missing = [n for n in R19_FRONT_LOAD_LEFT_OVERS if n not in REGISTRY]
     assert not missing, missing
-    assert len(R18_FRONT_LOAD_LEFT_OVERS) == 31
+    assert len(R19_FRONT_LOAD_LEFT_OVERS) == 34
 
 
 def test_no_staged_blocks_inside_the_window():
@@ -306,28 +314,28 @@ def test_no_staged_blocks_inside_the_window():
             assert n not in window
 
 
-def test_rotation_calculator_reproduces_r17_window_from_frozen_files():
+def test_rotation_calculator_reproduces_r18_window_from_frozen_files():
     """scripts/rotation_calc.py must reconstruct THIS round's committed
-    window composition from the r01..r16 CORRECTNESS files alone.
+    window composition from the r01..r17 CORRECTNESS files alone.
     Pinned to an explicit --files list so the driver writing
-    CORRECTNESS_r17+ later cannot flip this assertion (the r5 pin
+    CORRECTNESS_r18+ later cannot flip this assertion (the r5 pin
     broke exactly that way — VERDICT r5 item 2).
 
-    Era note: the committed window was derived with the two-face r16
-    block staged (stale budget 48) and then amended per the r16
-    VERDICT: the derived r14-age alphabetical tail (DISPLACED_R17)
-    swapped out for the three oracle-basis-changed faces
-    (BASIS_PROMOTED_R17). The calculator is age-driven and cannot see
-    basis changes, so the PURE derivation at runtime stale budget
-    b = 50 - len(NEW_R*_STAGED at runtime) is exactly
-    R13_AGE_29 + the (b - 29)-name alphabetical front of
-    R14_AGE_SORTED; the committed window is that derivation at b=48
-    minus DISPLACED_R17 plus BASIS_PROMOTED_R17. Both facts are
+    Era note: the committed window was derived with no staged block
+    (stale budget 50) and then amended per the r17 VERDICT: five
+    untouched names from the derived r15-age alphabetical front
+    (DISPLACED_R18) swapped out for the five implementation-changed
+    faces (TOUCH_PROMOTED_R18). The calculator is age-driven and
+    cannot see implementation changes, so the PURE derivation at
+    runtime stale budget b = 50 - len(NEW_R*_STAGED at runtime) is
+    exactly R14_AGE_31 + the (b - 31)-name alphabetical front of
+    R15_AGE_SORTED; the committed window is that derivation at b=50
+    minus DISPLACED_R18 plus TOUCH_PROMOTED_R18. Both facts are
     asserted exactly, for any runtime staged-block size."""
-    assert len(R17_EVIDENCE_FILES) == 16, R17_EVIDENCE_FILES
+    assert len(R18_EVIDENCE_FILES) == 17, R18_EVIDENCE_FILES
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
-         "--files", *R17_EVIDENCE_FILES],
+         "--files", *R18_EVIDENCE_FILES],
         capture_output=True,
         text=True,
         timeout=120,
@@ -343,16 +351,16 @@ def test_rotation_calculator_reproduces_r17_window_from_frozen_files():
     b = DRIVER_WINDOW - len(staged_names)
     assert len(derived) == b
     # the pure age derivation at budget b
-    assert derived == set(R13_AGE_29) | set(R14_AGE_SORTED[: b - 29]), (
-        derived ^ (set(R13_AGE_29) | set(R14_AGE_SORTED[: b - 29]))
+    assert derived == set(R14_AGE_31) | set(R15_AGE_SORTED[: b - 31]), (
+        derived ^ (set(R14_AGE_31) | set(R15_AGE_SORTED[: b - 31]))
     )
-    # committed = derivation at the commit-time budget (48), amended
+    # committed = derivation at the commit-time budget (50), amended
     committed_expected = (
-        (set(R13_AGE_29) | set(R14_AGE_SORTED[:19]))
-        - set(DISPLACED_R17)
-    ) | set(BASIS_PROMOTED_R17)
-    assert set(STALE_R14) == committed_expected, (
-        set(STALE_R14) ^ committed_expected
+        (set(R14_AGE_31) | set(R15_AGE_SORTED[:19]))
+        - set(DISPLACED_R18)
+    ) | set(TOUCH_PROMOTED_R18)
+    assert set(STALE_R15) == committed_expected, (
+        set(STALE_R15) ^ committed_expected
     )
 
 
@@ -397,12 +405,12 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
     """VERDICT r5 item 8: the calculator must exit non-zero on a
     synthetic evidence hole — a query last checked more than
     MAX_EVIDENCE_AGE rounds before the newest file."""
-    victim = STALE_R14[0]
+    victim = STALE_R15[0]
     # newest round = 9, victim last green in r1 → age 8 > 4
     old = tmp_path / "CORRECTNESS_r01.json"
     new = tmp_path / "CORRECTNESS_r09.json"
     old.write_text(json.dumps({victim: OK_ROW}))
-    new.write_text(json.dumps({STALE_R14[1]: OK_ROW}))
+    new.write_text(json.dumps({STALE_R15[1]: OK_ROW}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(old), str(new)],
@@ -418,7 +426,7 @@ def test_rotation_calculator_evidence_lag_tripwire(tmp_path):
 def test_rotation_calculator_failed_row_alert(tmp_path):
     """A FAILED latest driver row must alert and exit 1 — failed rows
     are not evidence and must ride the next window again."""
-    victim = STALE_R14[0]
+    victim = STALE_R15[0]
     f = tmp_path / "CORRECTNESS_r09.json"
     f.write_text(json.dumps({victim: BAD_ROW}))
     proc = subprocess.run(
@@ -438,7 +446,7 @@ def test_rotation_calculator_round_ten_ordering(tmp_path):
     PARSED-round order, not lexicographic (CORRECTNESS_r010 sorts
     before r02 as a string). A green r10 row must clear an r2 failure
     for the same query — and the unpadded r10 spelling must parse."""
-    victim = STALE_R14[0]
+    victim = STALE_R15[0]
     f2 = tmp_path / "CORRECTNESS_r02.json"
     f10 = tmp_path / "CORRECTNESS_r10.json"
     f2.write_text(json.dumps({victim: BAD_ROW}))
@@ -479,7 +487,7 @@ def test_rotation_calculator_oversubscribed_window(tmp_path):
     budget must clamp to zero (an empty STALE list), not silently
     select items from the end of the age list."""
     f = tmp_path / "CORRECTNESS_r01.json"
-    f.write_text(json.dumps({n: OK_ROW for n in STALE_R14}))
+    f.write_text(json.dumps({n: OK_ROW for n in STALE_R15}))
     proc = subprocess.run(
         [sys.executable, "/root/repo/scripts/rotation_calc.py",
          "--files", str(f), "--window", "5"],
