@@ -5,6 +5,8 @@ min_docs guard on tiny sources."""
 
 from __future__ import annotations
 
+import pytest
+
 from pythondataingestionprocess_spark.operators.boilerplate import (
     strip_boilerplate,
 )
@@ -18,6 +20,7 @@ def _rows(df):
     return {r["doc_id"]: r.asDict() for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_strips_frequent_lines_per_source_preserving_order(spark):
     docs = spark.createDataFrame(
         [
@@ -43,6 +46,7 @@ def test_strips_frequent_lines_per_source_preserving_order(spark):
     assert got[6]["text"] == "unrelated post\nwith two lines"
 
 
+@pytest.mark.slow
 def test_min_docs_guards_tiny_sources(spark):
     docs = spark.createDataFrame(
         [
@@ -119,6 +123,7 @@ def _corpus(spark):
     return spark.createDataFrame(rows, SCHEMA)
 
 
+@pytest.mark.slow
 def test_state_fold_identity_across_batches(spark):
     """The incremental contract: folding per-batch states (disjoint
     doc sets) and thresholding the merged state must yield EXACTLY the

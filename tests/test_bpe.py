@@ -76,6 +76,7 @@ def _docs(spark, texts=TEXTS):
     )
 
 
+@pytest.mark.slow
 def test_merge_sequence_matches_python_reference(spark):
     expect, _ = _py_learn(TEXTS, n_merges=10)
     got = bpe.learn_bpe_merges(_docs(spark), n_merges=10)
@@ -159,6 +160,7 @@ BIG_TEXTS = [
 ]
 
 
+@pytest.mark.slow
 def test_batched_merge_sequence_parity_at_200(spark):
     """The batched path's certificate is lossless: 200 merges over the
     syllabic corpus come out IDENTICAL to the pure-Python sequential
@@ -179,6 +181,7 @@ def test_batched_merge_sequence_parity_at_200(spark):
     assert max(stats["batch_sizes"]) > 1
 
 
+@pytest.mark.slow
 def test_batched_matches_sequential_spark_small(spark):
     seq = bpe.learn_bpe_merges(_docs(spark), n_merges=10)
     bat = bpe.learn_bpe_merges_batched(_docs(spark), n_merges=10)
@@ -244,6 +247,7 @@ def test_vectorized_apply_leaves_input_schema_intact(spark):
     assert out.schema.fieldNames()[-1] == "subwords"
 
 
+@pytest.mark.slow
 def test_apply_merges_between_analyzer_cap_and_guard(spark):
     """r12: >~99 nested folds in one select trip the analyzer's
     100-iteration Resolution cap, far below MAX_EXPR_MERGES — the

@@ -217,6 +217,7 @@ def test_p1_packed_pixels_and_bad_tokens():
         pnm_lite.decode(b"P2 2 1 100\n50 101")
 
 
+@pytest.mark.slow
 def test_tga_routes_through_decode_media_pipeline(spark):
     """r13 review: the subtype must SURVIVE decode_media — stripping
     to the major type there made the TGA route unreachable from the

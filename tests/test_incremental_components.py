@@ -6,6 +6,8 @@ multi-batch random graph folded batch by batch."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pythondataingestionprocess_spark.operators.components import (
@@ -76,6 +78,7 @@ def test_disjoint_new_group_and_bridging_vertex(spark):
     assert by_id[30] == by_id[1] == by_id[10] == 1
 
 
+@pytest.mark.slow
 def test_multi_batch_fold_equals_full_recompute(spark):
     """Seeded random graph fed in 4 batches; folding
     incremental_components over them must equal one full solve —

@@ -104,6 +104,7 @@ def test_dims_and_facts(spark, store):
     assert len(prices) == 2  # B has no price row
 
 
+@pytest.mark.slow
 def test_reingest_is_idempotent(spark, store):
     compras = make_compras(spark, [compras_row(desc="A", liga=AMZ)])
     precios = make_precios(spark, [precios_row(desc="A")])
@@ -131,6 +132,7 @@ def test_in_batch_duplicate_collapses(spark, store):
     assert res.n_staged_rows == 1
 
 
+@pytest.mark.slow
 def test_price_scd_restamps_on_change(spark, store):
     compras = make_compras(spark, [compras_row(desc="A", liga=AMZ)])
     ingest_batch(
@@ -404,6 +406,7 @@ def test_verify_url_statuses_collapses_conflicting_known_rows(spark):
     assert rows[0]["is_active"] is True
 
 
+@pytest.mark.slow
 def test_ingest_with_live_url_verification_flag(spark, store, tmp_path):
     """Flag-gated integration: verify_urls=True stamps provider
     is_active from the (stubbed) transport at first sight of each
@@ -452,6 +455,7 @@ def test_ingest_with_live_url_verification_flag(spark, store, tmp_path):
 # ---- r13 pipeline review regression pins -----------------------------
 
 
+@pytest.mark.slow
 def test_null_keyed_rows_dedup_against_history(spark, store):
     """r13 review: a row with NULL purchase_date / NULL Cant must
     match its own history on re-ingest — the plain equality anti-join
@@ -470,6 +474,7 @@ def test_null_keyed_rows_dedup_against_history(spark, store):
     assert store.read("operation").count() == 1
 
 
+@pytest.mark.slow
 def test_modified_redrop_gets_fresh_purchase_key(spark, store):
     """r13 review: a same-named file re-dropped with CORRECTED
     contents passes history dedup (content differs) but used to reuse
@@ -490,6 +495,7 @@ def test_modified_redrop_gets_fresh_purchase_key(spark, store):
     assert joined.count() == 2
 
 
+@pytest.mark.slow
 def test_multifile_precios_first_match_is_deterministic(spark, store):
     """r13 review: with a multi-workbook precios union, row_idx alone
     ties (each file restarts at 0) and the first-match winner was

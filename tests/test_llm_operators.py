@@ -91,6 +91,7 @@ def test_containment_prefix_exact_at_threshold_boundary(spark):
     assert blocked == {(1, 2): pytest.approx(0.8)}
 
 
+@pytest.mark.slow
 def test_containment_prefix_matches_exact(spark, sf_dir):
     """The prefix-filter blocked form is EXACT-complete (pigeonhole on
     the rarest-(1-τ)|A|+1 shingles), so its output must equal the
@@ -111,6 +112,7 @@ def test_containment_prefix_matches_exact(spark, sf_dir):
         assert abs(blocked[k] - exact[k]) < 1e-12
 
 
+@pytest.mark.slow
 def test_multimodal_decode_plumbing(spark):
     rows = [
         (1, "image", b"\x89PNG fake bytes " * 40),
@@ -346,6 +348,7 @@ def test_range_join_left_and_salted_join(spark):
     assert salted == plain
 
 
+@pytest.mark.slow
 def test_ivf_high_recall_on_clustered_data(spark):
     """IVF's home turf: clustered corpus → probing the right lists
     recovers nearly all true neighbors."""
@@ -1141,6 +1144,7 @@ def test_containment_auto_picks_form_by_shingle_profile(spark):
     assert auto == plain == prefix
 
 
+@pytest.mark.slow
 def test_containment_heavy_tail_default_threshold_and_margin(spark):
     """r16 VERDICT item 3 — the heavy-tail claim as a regression, not
     a code comment: on a boilerplate-contaminated corpus (every doc
@@ -1280,6 +1284,7 @@ def test_temperature_mix_invariants(spark, sf_dir):
     assert all(a >= b for a, b in zip(rates, rates[1:])), rates
 
 
+@pytest.mark.slow
 def test_ivf_persistent_index_roundtrip_prune_and_append(spark, tmp_path):
     """The at-rest IVF index: search_index over the saved layout must
     equal ivf_search over the in-session frames; the vectors scan must
@@ -1331,6 +1336,7 @@ def test_ivf_persistent_index_roundtrip_prune_and_append(spark, tmp_path):
     assert (0, 9000) in after
 
 
+@pytest.mark.slow
 def test_ivf_sq8_quantized_index_recall(spark, tmp_path):
     """IVF-SQ8: the int8-resident index (1/8 bytes/vector on top of
     list pruning) must recover ≥0.9 of the float index's results on
@@ -1380,6 +1386,7 @@ def test_ivf_sq8_quantized_index_recall(spark, tmp_path):
     assert (0, 9000) in after
 
 
+@pytest.mark.slow
 def test_ivf_streaming_ingest_appends_to_index(spark, tmp_path):
     """File stream → index_ingest_batch_fn: streamed vectors are
     assigned into the persisted index's lists and immediately
@@ -1424,6 +1431,7 @@ def test_ivf_streaming_ingest_appends_to_index(spark, tmp_path):
     assert 9000 in got
 
 
+@pytest.mark.slow
 def test_ivf_index_append_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering the same batch to
     index_ingest_batch_fn must append nothing (id anti-join against
@@ -1454,6 +1462,7 @@ def test_ivf_index_append_replay_is_idempotent(spark, tmp_path):
     assert resident.filter(F.col("vec_id") == 9000).count() == 1
 
 
+@pytest.mark.slow
 def test_ivf_compact_index_folds_files_and_preserves_search(spark, tmp_path):
     """r7 VERDICT item 5: the streaming append accretes one-plus file
     per touched list per batch; compact_index must fold the vectors
@@ -1527,6 +1536,7 @@ def test_ivf_compact_index_folds_files_and_preserves_search(spark, tmp_path):
     assert recovered == before_set
 
 
+@pytest.mark.slow
 def test_ivf_refit_trigger_and_refit(spark, tmp_path):
     """needs_refit fires on list-size skew (hot list > threshold ×
     mean) and stays quiet on a balanced index; refit_index rebalances

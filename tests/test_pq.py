@@ -159,6 +159,7 @@ def test_pq_rejects_bad_shapes(spark):
         pq.pq_fit(df, m=4, ksub=64)
 
 
+@pytest.mark.slow
 def test_ivfadc_composition_prunes_and_keeps_recall(spark):
     """IVFADC (PAMI 2011 §V): coarse-quantize with IVF, store PQ codes
     partitioned by list, search only the probed lists' codes. The

@@ -181,6 +181,7 @@ def test_lookahead_bins_invariants(tokens, budget):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_containment_pairs_match_python_reference(spark, docs):
     """containment_pairs (and the exact-complete prefix-filter form)
     vs a pure-Python set reference on tiny random corpora: same pairs,

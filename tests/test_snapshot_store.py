@@ -195,6 +195,7 @@ def test_append_schema_mismatch_fails_loud(spark, tmp_path):
                   partition_by=["status"])
 
 
+@pytest.mark.slow
 def test_skippable_files_from_manifest_stats(spark, tmp_path):
     """The commit manifest's per-file min/max serve file skipping with
     no storage listing — each single-file append outside the probe
@@ -307,6 +308,7 @@ def test_optimize_compacts_without_changing_rows(spark, tmp_path):
     assert sorted(r["id_store"] for r in st.read("store").collect()) == before
 
 
+@pytest.mark.slow
 def test_streaming_foreachbatch_sink_exactly_once(spark, tmp_path):
     """End-to-end: a file-stream source through the foreachBatch table
     sink — every micro-batch is one atomic commit with its (app_id,
@@ -347,6 +349,7 @@ def test_streaming_foreachbatch_sink_exactly_once(spark, tmp_path):
     assert sorted(r["id_store"] for r in st.read("store").collect()) == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_read_range_plans_from_the_log(spark, tmp_path):
     """read_range never hands pruned files to Spark: with three
     single-file commits covering disjoint key ranges, a range probe
@@ -441,6 +444,7 @@ def test_claim_primitive_under_real_process_contention(tmp_path):
         assert rec["sid"] == sid
 
 
+@pytest.mark.slow
 def test_randomized_model_walk(spark, tmp_path):
     """Seeded 60-op random walk (append / overwrite / upsert /
     delete_keys / vacuum / time-travel read) against a plain-dict
@@ -543,6 +547,7 @@ def test_schema_evolution_additive_append(spark, tmp_path):
     assert st.read("store").count() == 3
 
 
+@pytest.mark.slow
 def test_full_lakehouse_lifecycle_composes(spark, tmp_path):
     """The round's pieces composed end-to-end: file stream →
     exactly-once foreachBatch sink → incremental change-feed consumer

@@ -193,6 +193,7 @@ def test_stateful_running_totals(spark, tmp_path):
     assert any(abs(r["sum_value"] - (0 + 1 + 10 + 11 + 12)) < 1e-9 for r in rows)
 
 
+@pytest.mark.slow
 def test_streaming_workbook_ingestion_into_store(spark, tmp_path):
     """Streaming twin of EP1: workbook-shaped rows arrive as files,
     each micro-batch deep-cleans and ingests into the star-schema
@@ -262,6 +263,7 @@ def test_streaming_workbook_ingestion_into_store(spark, tmp_path):
     assert store.read("product").count() == 3
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, tmp_path):
     """Both sides streaming with watermarks: a click 5 min before the
     error joins; a click 30 min before does not (outside the window)."""
@@ -1431,6 +1433,7 @@ def test_half_written_first_store_does_not_wedge_screen(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_streaming_embedding_dedup_matches_incremental_operator(spark, tmp_path):
     """The embedding twin of the minhash ingest pipeline: two
     micro-batches of vectors through a real file stream; the persisted
@@ -1503,6 +1506,7 @@ def test_streaming_embedding_dedup_matches_incremental_operator(spark, tmp_path)
     assert retry == got
 
 
+@pytest.mark.slow
 def test_compact_store_preserves_screen_results(spark, tmp_path):
     """Store maintenance: after folding the per-batch ingest subdirs
     into one consolidated layout, a later batch screens IDENTICALLY

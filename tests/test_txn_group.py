@@ -107,6 +107,7 @@ def grp_count(grp):
     return grp.read("purchase").count()
 
 
+@pytest.mark.slow
 def test_ingest_batch_txn_matches_plain_path_and_is_atomic(spark, tmp_path):
     """The whole reference ingest (4 dim merges + 2 fact appends +
     the price SCD) as ONE group commit, equal to the 7-commit plain
