@@ -207,7 +207,11 @@ def _adc_scores_udf(codebooks: np.ndarray, q_mat: np.ndarray):
             out += lut[:, s, :][:, cmat[:, s]].T
         return pd.Series(list(out))
 
-    return _scores
+    # non-deterministic mark: pq_search posexplodes the score array —
+    # without it InferFiltersFromGenerate + PushPredicateThroughProject
+    # duplicate the ADC pass over the whole corpus (guide §4.4; see
+    # similarity._buckets_udf)
+    return _scores.asNondeterministic()
 
 
 def pq_search(

@@ -95,6 +95,18 @@ def _buckets_udf(tables: list[list[list[float]]]):
     interpreter; one numpy (n×dim)·(dim×32) GEMM per Arrow batch is
     ~100× cheaper and stays vectorized end-to-end — the sanctioned
     Pandas-UDF escape hatch, not a row-at-a-time Python UDF.
+
+    Returned marked NON-DETERMINISTIC (r18, guide §4.4) although the
+    GEMM is pure: every caller explodes the bucket array right after
+    this projection, and InferFiltersFromGenerate inserts a
+    ``size(bs) > 0 AND isnotnull(bs)`` predicate that
+    PushPredicateThroughProject then rewrites in terms of the UDF
+    expression — duplicating the ArrowEvalPython node, so the corpus
+    GEMM (the vector path's dominant cost) ran TWICE per side
+    (committed evidence: plans/r17/embedding_ann_recall_before.txt
+    nodes 22+25 / 31+34). The non-deterministic mark forbids the
+    duplication; the inferred filter is pure overhead here anyway
+    (bucket arrays are never empty or null).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -113,7 +125,7 @@ def _buckets_udf(tables: list[list[list[float]]]):
             offset += sz
         return pd.Series(list(out))
 
-    return _buckets
+    return _buckets.asNondeterministic()
 
 
 def hyperplane_bucket_rows(
@@ -197,7 +209,11 @@ def rademacher_masks(
 def _rademacher_buckets_udf(masks: list[list[int]]):
     """All tables' bucket ids in one exact float64 GEMM per Arrow
     batch (see module comment: integer-valued doubles < 2^53 make
-    BLAS bit-deterministic here)."""
+    BLAS bit-deterministic here). Marked non-deterministic for the
+    same §4.4 reason as :func:`_buckets_udf` — the posexplode right
+    above it otherwise duplicates the GEMM per reference (the cosine
+    face paid 8 corpus GEMMs where 2 suffice:
+    plans/r17/dedup_embedding_cosine_before.txt)."""
     from pyspark.sql.functions import pandas_udf
 
     sign_rows = []
@@ -222,7 +238,7 @@ def _rademacher_buckets_udf(masks: list[list[int]]):
             offset += sz
         return pd.Series(list(out))
 
-    return _buckets
+    return _buckets.asNondeterministic()
 
 
 def rademacher_bucket_rows(
