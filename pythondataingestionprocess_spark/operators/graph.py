@@ -92,11 +92,32 @@ def triangle_count_from_chain(
     )
 
 
-def _closed_triangles(edges: DataFrame, materialize: bool):
+def _closed_triangles(edges: DataFrame, materialize):
     """Shared chain: degrees → orientation → apex wedges → closure.
     Returns (edges, deg, closed) where ``closed`` has one row
-    (src, x, y) per triangle, emitted at its unique low-order apex."""
-    if materialize:
+    (src, x, y) per triangle, emitted at its unique low-order apex.
+
+    ``materialize`` modes:
+
+    - ``True`` — localCheckpoint the reused frames (edges, deg,
+      oriented). The ONE-SHOT operator path: barriers are paid once
+      and discarded with the query. DataFrame reuse is not CSE (the
+      repo's q20/dedup_ingest lesson) so the barriers are mandatory
+      here.
+    - ``"persist"`` — lazy StorageLevel caching with RECOMPUTABLE
+      lineage for deg (the caller persists ``closed`` and brings its
+      own persisted edges). The session-memo path
+      (plans/graph_queries._graph_chain): cached frames OUTLIVE the
+      query there, and a checkpoint's severed lineage would make any
+      lost block unrecoverable for every later graph query in the
+      session (r18, per the r7 _EDGE_MEMO rationale / r17 ADVICE).
+      ``oriented`` is deliberately NOT cached: both wedge sides read
+      it, but it is one cheap projection over the cached edges+deg
+      join, and skipping the cache avoids a third block set and the
+      eager barrier.
+    - ``False`` — pure plan shape, for inspection.
+    """
+    if materialize is True:
         edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("w"))
@@ -104,8 +125,10 @@ def _closed_triangles(edges: DataFrame, materialize: bool):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    if materialize:
+    if materialize is True:
         deg = deg.localCheckpoint()
+    elif materialize == "persist":
+        deg = deg.persist()
     du = deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("deg_v"))
     with_deg = edges.join(du, "u").join(dv, "v")
@@ -117,7 +140,7 @@ def _closed_triangles(edges: DataFrame, materialize: bool):
         F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    if materialize:
+    if materialize is True:
         oriented = oriented.localCheckpoint()
     # wedges at the apex: two out-edges (src→x), (src→y), x < y keeps
     # each unordered pair once. SHUFFLE_HASH hint (r18, guide §3.1):

@@ -132,17 +132,35 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # a stopped session can't (and needn't) unpersist
     _EDGE_MEMO.clear()
     lineitem = load_table(spark, sf_dir, "lineitem")
-    li = (
+    # Per-order co-purchase pairs WITHOUT a self-join (r18, guide §2.4
+    # "remove shuffles outright"): collect the order's distinct part
+    # set (collect_set dedups, sort_array orders it so u < v holds by
+    # construction) and expand pairs map-side — one exchange on
+    # l_orderkey + the final pair distinct, versus the old
+    # distinct-exchange + self-join + distinct (three data passes, one
+    # of them a join whose per-order groups the grouping already
+    # gives us). Basket sizes are order-bounded (single digits on this
+    # schema and any realistic basket), so the in-row expansion is
+    # O(basket²) with tiny constants — the same sorted-array pair
+    # expansion as operators/dedup.bucket_candidate_pairs' small
+    # branch. Identical edge set (verified exceptAll == 0 both ways at
+    # sf0.1); ~15% faster warm locally and one fewer shuffle+scan at
+    # scale.
+    ids = (
         lineitem.filter(F.col("l_quantity") >= 26)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ids"))
     )
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    pair_sql = (
+        "CASE WHEN size(ids) >= 2 THEN "
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "j -> struct(ids[i - 1] AS u, j AS v)))) "
+        "ELSE array() END"
+    )
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        ids.select(F.explode(F.expr(pair_sql)).alias("p"))
+        .select(F.col("p.u"), F.col("p.v"))
         .distinct()
         .persist()
     )
@@ -166,13 +184,23 @@ def _graph_chain(
         if sess is spark and cached_dir == sf_dir:
             return chain
     for _sess, _cached_dir, chain in _CHAIN_MEMO:
-        try:
-            chain[2].unpersist()
-        except Exception:
-            pass  # a stopped session can't (and needn't) unpersist
+        for df in chain[1:]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # a stopped session can't (and needn't) unpersist
     _CHAIN_MEMO.clear()
+    # "persist" mode (r18, r17 ADVICE): the memoized chain outlives
+    # its building query, so every cached frame keeps RECOMPUTABLE
+    # lineage (deg and closed persist()ed over the persisted edge
+    # memo) instead of localCheckpoint's severed-lineage blocks —
+    # a lost block now recomputes transparently instead of failing
+    # every later graph query in the session; eviction unpersists
+    # deg AND closed (the old path only released closed). Locally the
+    # lazy persists also drop three eager checkpoint barrier jobs
+    # from the first graph face's wall.
     edges, deg, closed = _closed_triangles(
-        _copurchase_edges(spark, sf_dir), materialize=True
+        _copurchase_edges(spark, sf_dir), materialize="persist"
     )
     closed = closed.persist()
     _CHAIN_MEMO.append((spark, sf_dir, (edges, deg, closed)))
