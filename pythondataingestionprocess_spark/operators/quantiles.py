@@ -27,6 +27,8 @@ amortized against the percentile pass it guards.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,10 +60,17 @@ def choose_quantile_form(
     metadata-sized."""
     if exact_limit is None:
         exact_limit = EXACT_VALUE_LIMIT
-    key = (df, value_col, tuple(group_cols), exact_limit)
+    key = (weakref.ref(df), value_col, tuple(group_cols), exact_limit)
+    # weakref entries (r17 ADVICE): a strong DataFrame reference here
+    # pinned dead sessions (transitively, via the frame) until 16
+    # newer entries pushed them out; dead refs are swept on every
+    # lookup instead. Identity semantics are unchanged — ref() returns
+    # the SAME object the catalog memo hands out, or None once it is
+    # collected (and a collected frame can never be looked up again).
+    _FORM_MEMO[:] = [e for e in _FORM_MEMO if e[0][0]() is not None]
     for cached_key, cached_form in _FORM_MEMO:
         if (
-            cached_key[0] is key[0]
+            cached_key[0]() is df
             and cached_key[1:] == key[1:]
         ):
             return cached_form
@@ -90,7 +99,9 @@ def choose_quantile_form(
 # returns the same lazy frame per (session, sf_dir, table), so
 # identity keys both the session and the data); a derived or
 # ad-hoc frame is a fresh object and always re-profiles. Bounded FIFO;
-# entries for dead sessions age out with the bound.
+# the DataFrame key rides a WEAKREF (r17 ADVICE) so a dead entry
+# never pins its frame or session, and collected entries are swept on
+# lookup.
 _FORM_MEMO: list[tuple[tuple, str]] = []
 _FORM_MEMO_MAX = 16
 

@@ -492,10 +492,14 @@ def test_curation_filter_mapside_single_rollup(spark):
 
 
 def test_resample_no_joins_all_window(spark):
-    """The resample's prev/next neighbor lookup is the union+window
-    interleave, NOT a pair of as-of joins: no join nodes at all, no
-    Python; exchanges are the two key-bounded aggs + the per-key
-    window sort."""
+    """The resample's successor lookup is ONE lead window over the
+    deduped observations, and each row explodes its own half-open
+    hourly interval map-side (the r17 lead+explode design) — NOT a
+    pair of as-of joins and NOT the old union+window interleave: no
+    join nodes at all, no Python, exactly ONE exchange (the raw-event
+    repartition that also serves the in-partition dedup) and one
+    Generate for the interval explode (r17 ADVICE: this docstring
+    described the removed interleave)."""
     plan = _formatted_plan(spark, "events_resample_interpolate")
     njoins = len(re.findall(
         r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|"
@@ -505,6 +509,8 @@ def test_resample_no_joins_all_window(spark):
     assert njoins == 0, plan
     assert "EvalPython" not in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1, plan
 
 
 def test_bpe_pair_counts_mapside_generate_topk(spark):
