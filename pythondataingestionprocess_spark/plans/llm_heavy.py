@@ -65,6 +65,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cached blocks and pinned dead sessions against GC).
 _PAIR_MEMO: list[tuple[SparkSession, str, tuple[DataFrame, ...]]] = []
 
+# The session's ONE tokenize+shingle pass over the documents table
+# (r18): the full-corpus shingle-array table is the warehouse
+# artifact every MinHash-family face derives from — the batch pair
+# screen (signatures + both verify sides) AND the incremental face's
+# corpus index (a doc-grain filter of the same table). One memo,
+# same session-identity keying and one-entry eviction as _PAIR_MEMO.
+_DOC_SH_MEMO: list[tuple[SparkSession, str, DataFrame]] = []
+
+
+def _doc_sh_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for sess, cached_dir, df in _DOC_SH_MEMO:
+        if sess is spark and cached_dir == sf_dir:
+            return df
+    for _sess, _cached_dir, df in _DOC_SH_MEMO:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped session can't (and needn't) unpersist
+    _DOC_SH_MEMO.clear()
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = dd.shingle_array_table(docs, "doc_id", "text", 3).persist()
+    _DOC_SH_MEMO.append((spark, sf_dir, doc_sh))
+    return doc_sh
+
 
 def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sess, cached_dir, frames in _PAIR_MEMO:
@@ -78,21 +102,22 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass  # a stopped session can't (and needn't) unpersist
     _PAIR_MEMO.clear()
     docs = load_table(spark, sf_dir, "documents")
-    # One tokenize+shingle pass, not three (r18): the shingle-array
-    # table feeds BOTH verify-side joins and, via
+    # One tokenize+shingle pass, not three (r18): the shared
+    # shingle-array table feeds BOTH verify-side joins and, via
     # banded_from_shingle_arrays, the signature stage — Spark
     # recomputes common subtrees per reference, so without the persist
     # the text-processing pipeline ran once under the banded subtree
     # and once per verify join side. persist() keeps lineage
-    # recomputable; evicted with the pairs on session/sf_dir change.
-    doc_sh = dd.shingle_array_table(docs, "doc_id", "text", 3).persist()
+    # recomputable; the table itself rides _DOC_SH_MEMO so the
+    # incremental face's corpus index shares the same pass.
+    doc_sh = _doc_sh_cached(spark, sf_dir)
     banded = dd.banded_from_shingle_arrays(
         doc_sh, "doc_id", num_hashes=64, bands=16, seed=42
     )
     pairs = dd.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.5, banded=banded, doc_sh=doc_sh
     ).persist()
-    _PAIR_MEMO.append((spark, sf_dir, (pairs, doc_sh)))
+    _PAIR_MEMO.append((spark, sf_dir, (pairs,)))
     return pairs
 
 
@@ -861,7 +886,7 @@ def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # builds them once and every batch screen pays only the NEW side's
 # tokenize + shingle + minhash. persist() keeps lineage recomputable;
 # bounded to one live entry with eviction, keyed on session identity.
-_INCR_INDEX_MEMO: list[tuple[SparkSession, str, tuple[DataFrame, DataFrame]]] = []
+_INCR_INDEX_MEMO: list[tuple[SparkSession, str, tuple[DataFrame, ...]]] = []
 
 
 def _incr_corpus_index(
@@ -869,7 +894,9 @@ def _incr_corpus_index(
 ) -> tuple[DataFrame, DataFrame]:
     for sess, cached_dir, frames in _INCR_INDEX_MEMO:
         if sess is spark and cached_dir == sf_dir:
-            return frames
+            return frames[0], _doc_sh_cached(spark, sf_dir).filter(
+                F.col("doc_id") % 7 != 3
+            )
     for _sess, _cached_dir, frames in _INCR_INDEX_MEMO:
         for df in frames:
             try:
@@ -877,16 +904,21 @@ def _incr_corpus_index(
             except Exception:
                 pass  # a stopped session can't (and needn't) unpersist
     _INCR_INDEX_MEMO.clear()
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 7 != 3)
-    # one tokenize pass for the whole index: the banded buckets derive
-    # from the persisted shingle arrays (min over the distinct set ==
-    # min over the multiset)
-    sh = dd.shingle_array_table(corpus, "doc_id", "text", 3).persist()
+    # the corpus's shingle arrays are a doc-grain FILTER of the
+    # session's shared full-corpus shingle table (r18): filter
+    # commutes with the row-wise tokenize+shingle map, so the rows
+    # are identical to shingle_array_table(corpus, ...) while the
+    # expensive text pass is shared with the batch pair screen
+    # instead of run a second time per session. (A lone incremental
+    # call in a fresh session now shingles all docs rather than 6/7
+    # of them — +1/7 of one map stage, against −1 full pass whenever
+    # any pairs-family face shares the session, which the bench,
+    # driver sweep and any realistic warehouse session do.)
+    sh = _doc_sh_cached(spark, sf_dir).filter(F.col("doc_id") % 7 != 3)
     banded = dd.banded_from_shingle_arrays(
         sh, "doc_id", num_hashes=64, bands=16, seed=42
     ).persist()
-    _INCR_INDEX_MEMO.append((spark, sf_dir, (banded, sh)))
+    _INCR_INDEX_MEMO.append((spark, sf_dir, (banded,)))
     return banded, sh
 
 
