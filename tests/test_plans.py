@@ -620,13 +620,31 @@ def test_zorder_cells_mapside_single_exchange(spark):
 
 def test_triangle_count_materializes_reuse_no_python(spark):
     """Triangle counting references its edge frame seven times;
-    DataFrame reuse is NOT CSE, so the operator must localCheckpoint
-    the reused frames — the registered query's final plan reads the
-    materialized RDDs (zero parquet re-scans), and the pure shape
-    (materialize=False) stays all-equi-join with no Python and no
-    cartesian anywhere."""
+    DataFrame reuse is NOT CSE, so the reused frames must be
+    materialized. The registered query rides the session chain memo,
+    which since r18 caches edges/deg/closed with persist() —
+    RECOMPUTABLE lineage, per the r7 _EDGE_MEMO rationale — instead
+    of localCheckpoint: every reused-frame reference in the plan must
+    therefore be an InMemoryTableScan (the raw scan text may appear
+    only INSIDE the cached relations' own descriptions), and the pure
+    shape (materialize=False) stays all-equi-join with no Python and
+    no cartesian anywhere."""
     plan = _formatted_plan(spark, "copurchase_triangles")
-    assert plan.count("Scan parquet") == 0, "edge subtree must be checkpointed, not re-scanned"
+    assert "InMemoryTableScan" in plan, "reused frames must read the session cache"
+    # exactly ONE parquet scan may remain: the cache-fill read inside
+    # the innermost (edge) InMemoryRelation — formatted explain
+    # numbers nodes inside cached-relation subtrees too, so the scan
+    # is visible, but it executes once to populate the persisted
+    # edges; every other reference reads InMemoryTableScan
+    import re as _re
+    n_numbered_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_numbered_scans <= 1, (
+        f"{n_numbered_scans} parquet scans — the edge/deg/closed "
+        f"subtrees must come from the persisted chain"
+    )
+    assert plan.index("InMemoryRelation") < _re.search(
+        r"\(\d+\) Scan parquet", plan
+    ).start(), "the remaining scan must sit under a cached relation"
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
 
@@ -656,12 +674,20 @@ def test_triangle_count_materializes_reuse_no_python(spark):
 
 
 def test_clustering_coefficient_materialized_no_python(spark):
-    """Same contract as the triangle count: the registered query's
-    final plan reads the checkpointed chain (no parquet re-scans), no
-    Python, no cartesian; the top-20 cut is a TakeOrderedAndProject,
-    not a data-grain global sort."""
+    """Same contract as the triangle count: the registered query reads
+    the session chain's PERSISTED frames (r18 — recomputable lineage;
+    at most the single cache-fill scan inside the innermost cached
+    relation shows in the plan), no Python, no cartesian; the top-20
+    cut is a TakeOrderedAndProject, not a data-grain global sort."""
+    import re as _re
+
     plan = _formatted_plan(spark, "part_clustering_coefficient")
-    assert plan.count("Scan parquet") == 0
+    assert "InMemoryTableScan" in plan
+    n_numbered_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_numbered_scans <= 1, plan
+    m = _re.search(r"\(\d+\) Scan parquet", plan)
+    if m:
+        assert plan.index("InMemoryRelation") < m.start()
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
